@@ -1,0 +1,100 @@
+"""Unit tests: textproc (BM25/tokenize), bloom filter, robots.txt matcher."""
+
+import numpy as np
+
+from crawl4ai_custom_spark.kernel.bloom import BloomFilter, optimal_params
+from crawl4ai_custom_spark.kernel.robotstxt import can_fetch, parse_robots
+from crawl4ai_custom_spark.kernel.textproc import (
+    BM25,
+    char_ngrams,
+    clean_tokens,
+    stable_hash64,
+    tokenize,
+    word_shingles,
+)
+
+
+def test_tokenize_and_clean():
+    assert tokenize("Hello, World! 42x") == ["hello", "world", "42x"]
+    toks = clean_tokens("The running dogs are jumping", do_stem=True)
+    assert "the" not in toks and "are" not in toks
+    assert "runn" in toks or "running" in toks or "run" in toks
+
+
+def test_bm25_ranks_relevant_doc_higher():
+    corpus = [
+        ["spark", "query", "engine"],
+        ["cooking", "pasta", "recipe"],
+        ["spark", "spark", "shuffle", "join"],
+    ]
+    bm = BM25(corpus)
+    s = bm.scores(["spark"])
+    assert s[0] > s[1] and s[2] > s[1]
+
+
+def test_stable_hash64_is_60bit_positive_and_stable():
+    h = stable_hash64("https://example.com/")
+    assert 0 <= h < (1 << 60)
+    assert h == stable_hash64("https://example.com/")
+
+
+def test_ngrams_and_shingles():
+    assert char_ngrams("ab cd", 3) == ["ab ", "b c", " cd"]
+    assert word_shingles("a b c d", 3) == ["a b c", "b c d"]
+
+
+def test_bloom_basic_membership():
+    bf = BloomFilter(capacity=10_000, fp_rate=0.01)
+    keys = np.arange(1, 5001, dtype=np.uint64) * np.uint64(2654435761)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+    other = np.arange(10_001, 12_001, dtype=np.uint64) * np.uint64(1099511628211)
+    fp = bf.contains_many(other).mean()
+    assert fp < 0.05  # ~1% design FP with slack
+    est = bf.cardinality_estimate()
+    assert 4000 < est < 6200
+
+
+def test_bloom_roundtrip_bytes():
+    bf = BloomFilter(capacity=1000, fp_rate=0.01)
+    keys = np.array([123456789, 987654321], dtype=np.uint64)
+    bf.add_many(keys)
+    bf2 = BloomFilter(capacity=1000, fp_rate=0.01, bits=np.frombuffer(bf.to_bytes(), dtype=np.uint8))
+    assert bf2.contains_many(keys).all()
+
+
+def test_optimal_params_monotone():
+    m1, _ = optimal_params(1000, 0.01)
+    m2, _ = optimal_params(1000, 0.001)
+    assert m2 > m1
+
+
+ROBOTS = """
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+Crawl-delay: 2
+
+User-agent: special-bot
+Disallow: /
+"""
+
+
+def test_robots_longest_match_and_allow_wins():
+    assert can_fetch(ROBOTS, "/public/a.html")
+    assert not can_fetch(ROBOTS, "/private/secret.html")
+    assert can_fetch(ROBOTS, "/private/ok.html")
+    assert not can_fetch(ROBOTS, "/files/doc.pdf")
+    assert can_fetch(ROBOTS, "/files/doc.pdfx")  # $ anchor
+
+
+def test_robots_agent_groups():
+    assert not can_fetch(ROBOTS, "/anything", agent="special-bot/1.0")
+    rs = parse_robots(ROBOTS, "*")
+    assert rs.crawl_delay == 2.0
+
+
+def test_robots_empty_allows_everything():
+    assert can_fetch("", "/x")
+    assert can_fetch("User-agent: *\nDisallow:", "/x")
