@@ -1,0 +1,80 @@
+"""The per-page extraction kernel: html bytes -> full ExtractRow dict.
+
+This is the single pure function that both the Spark mapInPandas stage
+(operators/extraction.py) and pytest exercise — the reference's
+``aprocess_html`` pipeline (/root/reference/crawl4ai/async_webcrawler.py:435-663)
+collapsed into one deterministic call:
+
+  scrap (clean/links/media/meta/tables)
+    -> markdown (raw / citations / references)
+    -> fit pass (Pruning or BM25 content filter -> fit_html/fit_markdown)
+
+Per-row invariant: ``extract_page`` is pure — same (url, html, config) bytes
+in, same row out, regardless of partitioning or batch boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .content_filter import BM25ContentFilter, PruningContentFilter
+from .htmldom import parse_html
+from .markdown import generate_markdown
+from .scraper import ScrapeConfig, scrap
+
+
+@dataclass
+class ExtractConfig:
+    scrape: ScrapeConfig = field(default_factory=ScrapeConfig)
+    content_filter: str = "pruning"       # 'pruning' | 'bm25' | 'none'
+    prune_threshold: float = 0.48
+    bm25_threshold: float = 1.0
+    bm25_query: str | None = None
+
+
+def extract_page(
+    url: str, html: bytes | str, cfg: ExtractConfig | None = None
+) -> dict[str, Any]:
+    cfg = cfg or ExtractConfig()
+    sr = scrap(url, html, cfg.scrape)
+    if not sr.success:
+        return {
+            "url": url, "success": False, "cleaned_html": "", "text": "",
+            "title": "", "raw_markdown": "", "markdown_with_citations": "",
+            "references_markdown": "", "fit_markdown": "", "fit_html": "",
+            "links": [], "images": [], "tables": [], "metadata": {},
+        }
+
+    fit_html: str | None = None
+    if cfg.content_filter == "pruning":
+        fit_html = PruningContentFilter(threshold=cfg.prune_threshold).filter_content(
+            parse_html(sr.cleaned_html)
+        )
+    elif cfg.content_filter == "bm25":
+        fit_html = BM25ContentFilter(
+            threshold=cfg.bm25_threshold, user_query=cfg.bm25_query
+        ).filter_content(parse_html(sr.cleaned_html))
+
+    md = generate_markdown(parse_html(sr.cleaned_html), fit_html=fit_html)
+
+    links = [
+        {**l, "is_internal": True} for l in sr.links_internal
+    ] + [{**l, "is_internal": False} for l in sr.links_external]
+
+    return {
+        "url": url,
+        "success": True,
+        "cleaned_html": sr.cleaned_html,
+        "text": sr.text,
+        "title": sr.title,
+        "raw_markdown": md.raw_markdown,
+        "markdown_with_citations": md.markdown_with_citations,
+        "references_markdown": md.references_markdown,
+        "fit_markdown": md.fit_markdown,
+        "fit_html": md.fit_html,
+        "links": links,
+        "images": sr.images,
+        "tables": sr.tables,
+        "metadata": sr.metadata,
+    }

@@ -1,0 +1,182 @@
+"""Extraction kernel tests: DOM, scraper, markdown, content filters.
+
+Fixture mirrors FIXTURES.md F1 html requirements: head meta/og tags, internal
++ external + tracking + fragment + mailto links, images with srcset, nav and
+footer boilerplate, a data table with thead/colspan, a pre/code block.
+"""
+
+from crawl4ai_custom_spark.kernel.content_filter import (
+    BM25ContentFilter,
+    PruningContentFilter,
+)
+from crawl4ai_custom_spark.kernel.extract import ExtractConfig, extract_page
+from crawl4ai_custom_spark.kernel.htmldom import parse_html
+from crawl4ai_custom_spark.kernel.markdown import generate_markdown, html_to_markdown
+from crawl4ai_custom_spark.kernel.scraper import ScrapeConfig, scrap
+
+URL = "https://shop.example.com/products/widget-1"
+
+PAGE = b"""<!DOCTYPE html>
+<html><head>
+  <title>Widget One - Example Shop</title>
+  <meta name="description" content="The best widget for everything widget related.">
+  <meta name="keywords" content="widget, shop, gadgets">
+  <meta property="og:title" content="Widget One">
+  <meta property="og:image" content="/img/widget1-og.png">
+</head>
+<body>
+  <nav class="nav-main"><a href="/">Home</a> <a href="/products/">Products</a></nav>
+  <!-- a comment to strip -->
+  <article class="content">
+    <h1>Widget One</h1>
+    <p>The <strong>Widget One</strong> is the best widget for everything widget
+       related. It spins, it shines, and it integrates with your workflow to make
+       every day measurably better than the one before.</p>
+    <p>See also <a href="/products/widget-2?utm_source=page&b=2&a=1" title="W2">Widget Two</a>
+       and our partner <a href="https://partner.example.org/catalog#top">catalog</a>.
+       Contact <a href="mailto:sales@example.com">sales</a> or read
+       <a href="#reviews">reviews</a>.</p>
+    <img src="/img/widget1.png" alt="Widget One glamour shot" width="640" height="480"
+         srcset="/img/widget1-2x.png 2x, /img/widget1-1x.png 1x">
+    <h2>Specifications</h2>
+    <table>
+      <caption>Widget One specs</caption>
+      <thead><tr><th>Property</th><th colspan="2">Value</th></tr></thead>
+      <tbody>
+        <tr><td>Weight</td><td>1.2</td><td>kg</td></tr>
+        <tr><td>Color</td><td>blue</td><td>RAL5010</td></tr>
+      </tbody>
+    </table>
+    <h2>Install</h2>
+    <pre><code class="language-bash">widgetctl install --now</code></pre>
+    <ul><li>Fast spin-up</li><li>Low drag <em>coefficient</em></li></ul>
+  </article>
+  <script>trackEverything();</script>
+  <footer class="footer">Copyright 2026 <a href="https://facebook.com/exampleshop">fb</a></footer>
+</body></html>"""
+
+
+def test_scrap_links_split_and_canonicalized():
+    sr = scrap(URL, PAGE)
+    assert sr.success
+    hrefs_int = {l["href"] for l in sr.links_internal}
+    hrefs_ext = {l["href"] for l in sr.links_external}
+    assert "https://shop.example.com/" in hrefs_int
+    assert "https://shop.example.com/products" in hrefs_int
+    # tracking param dropped, others kept in order
+    assert "https://shop.example.com/products/widget-2?b=2&a=1" in hrefs_int
+    # fragment dropped -> page itself
+    assert "https://partner.example.org/catalog" in hrefs_ext
+    assert "https://facebook.com/exampleshop" in hrefs_ext
+    # mailto and bare-fragment excluded entirely
+    assert not any("mailto" in h for h in hrefs_int | hrefs_ext)
+    assert URL not in hrefs_ext
+
+
+def test_scrap_social_media_exclusion():
+    sr = scrap(URL, PAGE, ScrapeConfig(exclude_social_media_links=True))
+    assert not any("facebook" in l["href"] for l in sr.links_external)
+
+
+def test_scrap_metadata():
+    sr = scrap(URL, PAGE)
+    assert sr.metadata["title"] == "Widget One - Example Shop"
+    assert sr.metadata["og:title"] == "Widget One"
+    assert "widget" in sr.metadata["keywords"]
+
+
+def test_scrap_images_scored():
+    sr = scrap(URL, PAGE)
+    assert len(sr.images) == 1
+    img = sr.images[0]
+    assert img["src"] == "https://shop.example.com/img/widget1.png"
+    assert img["score"] >= 3
+    assert "https://shop.example.com/img/widget1-2x.png" in img["variants"]
+
+
+def test_scrap_table_extracted_with_colspan():
+    sr = scrap(URL, PAGE)
+    assert len(sr.tables) == 1
+    t = sr.tables[0]
+    assert t["headers"] == ["Property", "Value", ""]
+    assert t["rows"][0] == ["Weight", "1.2", "kg"]
+    assert t["caption"] == "Widget One specs"
+
+
+def test_scrap_cleanup_removes_script_and_comments():
+    sr = scrap(URL, PAGE)
+    assert "trackEverything" not in sr.cleaned_html
+    assert "<!--" not in sr.cleaned_html
+    assert 'class="nav-main"' not in sr.cleaned_html  # attrs stripped to keep-list
+    assert 'class="content"' not in sr.cleaned_html
+
+
+def test_markdown_blocks():
+    md = generate_markdown(parse_html(scrap(URL, PAGE).cleaned_html))
+    assert "# Widget One" in md.raw_markdown
+    assert "## Specifications" in md.raw_markdown
+    assert "**Widget One**" in md.raw_markdown
+    assert "```bash\nwidgetctl install --now\n```" in md.raw_markdown
+    assert "- Fast spin-up" in md.raw_markdown
+    assert "| Property | Value |" in md.raw_markdown
+    assert "[Widget Two](https://shop.example.com/products/widget-2?b=2&a=1)" in md.raw_markdown
+
+
+def test_markdown_citations():
+    md = generate_markdown(parse_html(scrap(URL, PAGE).cleaned_html))
+    assert "⟨1⟩" in md.markdown_with_citations
+    assert md.references_markdown.startswith("## References")
+    assert "https://shop.example.com/products/widget-2?b=2&a=1" in md.references_markdown
+
+
+def test_markdown_deterministic():
+    a = generate_markdown(parse_html(scrap(URL, PAGE).cleaned_html))
+    b = generate_markdown(parse_html(scrap(URL, PAGE).cleaned_html))
+    assert a.raw_markdown == b.raw_markdown
+    assert a.markdown_with_citations == b.markdown_with_citations
+
+
+def test_pruning_filter_drops_boilerplate_keeps_article():
+    sr = scrap(URL, PAGE)
+    fit = PruningContentFilter().filter_content(parse_html(sr.cleaned_html))
+    assert "best widget for everything" in fit
+    assert "Copyright 2026" not in fit
+
+
+def test_bm25_filter_keeps_query_relevant_chunks():
+    html = parse_html(PAGE.decode())
+    fit = BM25ContentFilter(user_query="widget").filter_content(html)
+    assert "widget" in fit.lower()
+    assert "Copyright" not in fit
+
+
+def test_extract_page_end_to_end():
+    row = extract_page(URL, PAGE)
+    assert row["success"]
+    assert row["title"] == "Widget One - Example Shop"
+    assert row["raw_markdown"].startswith("# Widget One") or "# Widget One" in row["raw_markdown"]
+    assert row["fit_markdown"]
+    assert any(l["is_internal"] for l in row["links"])
+    assert any(not l["is_internal"] for l in row["links"])
+    assert row["tables"][0]["rows"][1] == ["Color", "blue", "RAL5010"]
+
+
+def test_extract_page_pure():
+    assert extract_page(URL, PAGE) == extract_page(URL, PAGE)
+
+
+def test_extract_page_tolerates_garbage():
+    row = extract_page("https://x.example.com/", b"\xff\xfe<not html <<<")
+    assert row["url"] == "https://x.example.com/"
+    row2 = extract_page("https://x.example.com/", b"")
+    assert isinstance(row2["text"], str)
+
+
+def test_markdown_nested_lists_and_blockquote():
+    html = """<body><blockquote><p>Quoted wisdom</p></blockquote>
+    <ol><li>one<ul><li>sub a</li></ul></li><li>two</li></ol></body>"""
+    md, _ = html_to_markdown(html)
+    assert "> Quoted wisdom" in md
+    assert "1. one" in md
+    assert "  - sub a" in md
+    assert "2. two" in md
