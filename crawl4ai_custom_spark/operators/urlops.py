@@ -1,0 +1,125 @@
+"""URL column operators: canonicalization UDFs + native predicates.
+
+Slow path (vectorized pandas UDFs over urllib logic): canonicalize, normalize,
+registrable_domain, is_external — the kernel functions of
+kernel/urlnorm.py applied per Arrow batch.
+
+Fast path (pure Catalyst expressions, no Python): url validity predicate,
+extension extraction, path depth, url hash. Use these in WHERE clauses so
+predicate pushdown and whole-stage codegen stay intact; only feed survivors
+to the pandas UDFs (dedup-before-expensive-UDF).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+from ..kernel import urlnorm
+
+# ---------------------------------------------------------------------------
+# vectorized pandas UDFs (Arrow batches; kernel logic)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    cache: dict[tuple, str | None] = {}
+    out = []
+    for h, b in zip(href, base):
+        key = (h, b)
+        if key not in cache:
+            cache[key] = urlnorm.canonicalize_url(h, b)
+        out.append(cache[key])
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(StringType())
+def canonicalize_abs_udf(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: urlnorm.canonicalize_url(u) if u else None)
+
+
+@F.pandas_udf(StringType())
+def normalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [urlnorm.normalize_url(h, b) for h, b in zip(href, base)], dtype="object"
+    )
+
+
+@F.pandas_udf(StringType())
+def registrable_domain_udf(url: pd.Series) -> pd.Series:
+    cache: dict[str, str] = {}
+    def rd(u):
+        if u is None:
+            return None
+        if u not in cache:
+            cache[u] = urlnorm.registrable_domain(u)
+        return cache[u]
+    return url.map(rd)
+
+
+@F.pandas_udf(BooleanType())
+def is_external_udf(url: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [urlnorm.is_external_url(u, b) if u and b else None for u, b in zip(url, base)],
+        dtype="object",
+    )
+
+
+# ---------------------------------------------------------------------------
+# native Catalyst expressions (fast path — keep in WHERE clauses)
+# ---------------------------------------------------------------------------
+
+
+def url_is_valid(col: Column) -> Column:
+    """scheme in {http,https}, dotted host — native rlike, JVM-side.
+    (Reference predicate: deep_crawling/bfs_strategy.py:52-72.)"""
+    return col.rlike(r"^https?://[^/?#]*\.[^/?#]+")
+
+
+def url_host(col: Column) -> Column:
+    """Host (netloc sans port/creds) as a native expression."""
+    h = F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    return F.lower(h)
+
+
+def url_path(col: Column) -> Column:
+    return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+
+
+def url_extension(col: Column) -> Column:
+    """Lowercased file extension of the path ('' when none)."""
+    return F.lower(F.regexp_extract(col, r"\.([A-Za-z0-9]{1,5})(?:[?#]|$)", 1))
+
+
+def url_depth_col(col: Column) -> Column:
+    """Number of non-empty path segments — native split/filter."""
+    path = url_path(col)
+    return F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+
+
+def url_hash64(col: Column) -> Column:
+    """Native 64-bit hash of the canonical url — seen-set / bucket key."""
+    return F.xxhash64(col)
+
+
+def stable_hash60(col: Column) -> Column:
+    """Oracle-reproducible 60-bit hash: int(md5(x)[:15], 16).
+    Matches kernel.textproc.stable_hash64 and DuckDB
+    ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_canonical(df: DataFrame, url_col: str = "url",
+                   out_col: str = "url_canon") -> DataFrame:
+    """Add canonical-url + registrable-domain + hash columns, deduping the
+    url column before the pandas UDF so each distinct url is canonicalized
+    exactly once (lru_cache equivalent at dataflow level)."""
+    distinct = df.select(url_col).distinct()
+    canon = distinct.select(
+        F.col(url_col),
+        canonicalize_abs_udf(F.col(url_col)).alias(out_col),
+    ).withColumn("registrable_domain", registrable_domain_udf(F.col(out_col)))
+    return df.join(canon, url_col, "left")
