@@ -1,0 +1,293 @@
+"""Deduplication family for training-data pipelines over the documents table.
+
+Five dedup strategies, each a pure DataFrame transform returning the same
+shape (so they compose with downstream filtering):
+
+  exact_dedup          md5(normalized text) groupBy — exact duplicates
+  minhash_lsh_dedup    shingle -> minhash signature -> LSH band buckets ->
+                       candidate pairs (near-duplicates at Jaccard >= ~t)
+  simhash_dedup        64-bit simhash of token stream; Hamming-near pairs
+                       via band partitioning
+  ngram_jaccard_dedup  exact n-gram Jaccard over candidate pairs
+  embedding_cosine_dedup  cosine >= threshold pairs over embedding vectors
+
+Scale notes:
+- all hashing uses the oracle-reproducible stable 60-bit md5 hash
+  (operators/urlops.stable_hash60) so DuckDB can verify results exactly;
+- minhash permutations are (a*h + b) mod p affine maps — computed as native
+  Spark expressions over the exploded shingle table: NO Python UDF in the
+  minhash path;
+- LSH banding turns the O(n^2) pair space into groupBy(band_hash) joins —
+  the classic shuffle-bound-but-linear pattern; band count tunes recall;
+- pair outputs are always (id_a < id_b) to keep results canonical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .urlops import stable_hash60
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def normalized_text(col: Column) -> Column:
+    """lowercase + collapse whitespace — the exact-dup canonical form."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+                ) -> DataFrame:
+    """Groups of exact duplicates: (fingerprint, n_dups, doc_ids, keeper).
+    Keeper = min id (deterministic)."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """(id, shingle_hash) — distinct k-word shingles, hashed via stable md5.
+    Built natively: split -> transform over a sequence -> explode."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .withColumn("shingle_hash", stable_hash60(F.col("shingle")))
+        .select("id", "shingle_hash")
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
+                       seed: int = 1) -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingles of
+    (a_i*h + b_i) mod M61 — all native expressions, one groupBy."""
+    params = [
+        (2 * ((seed * 1_000_003 + i * 7_919) % MERSENNE61) + 1,
+         (seed * 999_983 + i * 104_729) % MERSENNE61)
+        for i in range(num_hashes)
+    ]
+    aggs = [
+        F.min(
+            (F.col("shingle_hash") % MERSENNE61 * F.lit(a) + F.lit(b)) % MERSENNE61
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = shingles.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash).
+    Returns distinct (id_a < id_b) candidate pairs."""
+    num_hashes = len(signatures.select("sig").first()["sig"])
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    ).withColumn("band_hash", stable_hash60(F.concat_ws(":", "band", "band_key")))
+    a = banded.select(F.col("id").alias("id_a"), "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_hash")
+    return (
+        a.join(b, "band_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-table joins:
+    |A∩B| from a shingle self-join restricted to pairs; |A∪B|=|A|+|B|-∩."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("id").alias("id_a"), "shingle_hash")
+    sb = shingles.select(F.col("id").alias("id_b"), "shingle_hash")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast("double"),
+        )
+    )
+    return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jaccard >= threshold), LSH-accelerated,
+    verified with exact Jaccard (no false positives in the output)."""
+    sh = shingle_table(docs, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands)
+    return jaccard_of_pairs(cand, sh).where(
+        F.col("jaccard") >= jaccard_threshold
+    ).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (no LSH; for modest n or
+    as the ground-truth check of minhash_lsh_dedup)."""
+    sh = shingle_table(docs, id_col, text_col, k)
+    sa = sh.select(F.col("id").alias("id_a"), "shingle_hash")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle_hash")
+    pairs = (
+        sa.join(sb, "shingle_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash long): sign-sum over token hashes, bit by bit — native
+    exprs: explode tokens -> per-bit +-1 -> sum -> reassemble.
+    Uses 60-bit stable hashes; top 4 bits of the 64 are always 0."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = toks.withColumn("th", stable_hash60(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(min(bits, 60))
+    ]
+    sums = h.groupBy("id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(min(bits, 60)):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Banding: split
+    the 60 bits into n_bands blocks; a pair within distance d < n_bands must
+    agree on >= 1 block (pigeonhole) -> join per block, verify exactly via
+    bit_count(xor)."""
+    sh = simhash(docs, id_col, text_col)
+    width = 60 // n_bands
+    banded = sh.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "block"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "band", "block")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "band", "block")
+    cand = (
+        a.join(b, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Brute-force within buckets (pass
+    bucket_col, e.g. an LSH sign-bucket from similarity.hyperplane_bucket,
+    to avoid the full cross join at scale); all-pairs when bucket_col is None.
+    Cosine is computed natively via zip_with + aggregate."""
+    def unit(c: Column) -> Column:
+        nrm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+        return F.transform(c, lambda x: x / nrm)
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        (bucket_col if bucket_col is not None else F.lit(0)).alias("bkt"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        a.join(b, "bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
+    )

@@ -1,0 +1,458 @@
+"""The frontier wave engine: BFS / best-first / DFS crawls as iterative
+DataFrame jobs (Pregel-style supersteps).
+
+Spark re-expression of the reference's deep-crawl strategies
+(/root/reference/crawl4ai/deep_crawling/{bfs,bff,dfs}_strategy.py) and
+dispatcher (async_dispatcher.py): one Spark job per wave —
+
+  frontier Δ -> politeness admission (per-domain window top-k + global
+  ordered budget) -> robots gate -> "fetch" (join latest pages) ->
+  extraction mapInPandas -> link posexplode -> dedup (bloom pre-filter +
+  exact seen anti-join) -> score/filter -> next frontier Δ;
+  seen/host_state MERGE + snapshot checkpoint per wave.
+
+Determinism contract: admission order is (score DESC, depth ASC, url ASC);
+link dedup keeps the (score DESC, depth ASC, parent ASC) winner; therefore
+the per-wave admitted SET and the final URL-seen set are pure functions of
+(seed list, pages table, config) — verified against a single-process oracle
+crawler in tests/test_frontier.py.
+
+Strategies:
+  bfs        admit the whole frontier each wave (depth-synchronous)
+  best_first admit the global top ``batch_size`` by score; rest carries over
+  dfs        admit 1 url per wave in LIFO order (depth DESC, discovery DESC,
+             link position ASC) — sequential semantics, fixture-scale only
+             (documented non-scalable mode, as in SURVEY.md §7)
+
+Lineage truncation: frontier/seen/host_state are round-tripped through the
+checkpoint parquet every wave — each wave's plan starts from a scan, not
+from an ever-growing lineage chain (the Iceberg MERGE pattern).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernel.extract import ExtractConfig
+from ..state.checkpoint import CheckpointStore
+from .extraction import extract_pages
+from .filters import FilterChain, content_type_filter, domain_filter, url_pattern_filter
+from .politeness import (
+    PolitenessConfig,
+    admit,
+    empty_host_state,
+    fold_wave_outcomes,
+)
+from .robots import robots_gate
+from .scorers import (
+    composite_score,
+    content_type_score,
+    freshness_score,
+    keyword_relevance_score,
+    link_intrinsic_score,
+    path_depth_score,
+)
+from .seen import PartitionedBloom, filter_unseen_exact
+from .urlops import canonicalize_abs_udf, registrable_domain_udf, url_is_valid
+
+FRONTIER_DDL = (
+    "url_canon string, url_hash long, registrable_domain string, "
+    "parent_url string, depth int, score double, discovered_wave int, "
+    "link_pos int"
+)
+
+
+@dataclass
+class CrawlConfig:
+    strategy: str = "bfs"                  # bfs | best_first | dfs
+    max_depth: int = 3
+    max_pages: int = 100
+    batch_size: int = 10                   # best-first admission per wave
+    score_threshold: float = -math.inf
+    keywords: tuple[str, ...] = ()
+    include_external: bool = False
+    url_patterns: tuple[str, ...] = ()     # allow-globs ('' => allow all)
+    blocked_domains: tuple[str, ...] = ()
+    allowed_domains: tuple[str, ...] = ()
+    allowed_content_types: tuple[str, ...] = ("text/html", "text/plain")
+    check_robots: bool = True
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    extract: ExtractConfig = field(default_factory=ExtractConfig)
+    use_bloom: bool = True
+    bloom_partitions: int = 8
+    bloom_capacity: int = 1_000_000
+
+
+@dataclass
+class CrawlRun:
+    results_dir: str
+    stats: list[dict[str, Any]]
+    pages_crawled: int
+    waves: int
+    checkpoint_dir: str
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.results_dir, "*", "results.parquet"))
+
+    def admitted_log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.results_dir, "*", "admitted.parquet"))
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        cfg: CrawlConfig | None = None,
+        checkpoint_dir: str | None = None,
+        out_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.robots = robots
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
+        self.out_dir = out_dir or tempfile.mkdtemp(prefix="crawl_out_")
+        self.store = CheckpointStore(spark, self.checkpoint_dir)
+        # the "fetchable web": latest capture per url, keyed by url
+        from ..sources.pages import latest_pages
+
+        self.pages = latest_pages(pages).select(
+            F.col("url").alias("url_canon"), "html", "warc_ts", "lang"
+        )
+
+    # ------------------------------------------------------------------
+    def _seed_frontier(self, seed_urls: list[str] | DataFrame) -> DataFrame:
+        if isinstance(seed_urls, DataFrame):
+            seeds = seed_urls.select(F.col("url"))
+        else:
+            seeds = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+        fr = (
+            seeds.where(url_is_valid(F.col("url")))
+            .select(canonicalize_abs_udf(F.col("url")).alias("url_canon"))
+            .where(F.col("url_canon").isNotNull())
+            .dropDuplicates(["url_canon"])
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn("registrable_domain", registrable_domain_udf(F.col("url_canon")))
+            .withColumn("parent_url", F.lit(None).cast("string"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("score", F.lit(1.0))
+            .withColumn("discovered_wave", F.lit(0))
+            .withColumn("link_pos", F.lit(0))
+        )
+        return fr.select(*[f.split(" ")[0] for f in FRONTIER_DDL.split(", ")])
+
+    # ------------------------------------------------------------------
+    def _admission_order(self):
+        if self.cfg.strategy == "dfs":
+            return [
+                F.desc("depth"),
+                F.desc("discovered_wave"),
+                F.asc("link_pos"),
+                F.asc("url_canon"),
+            ]
+        return [F.desc("score"), F.asc("depth"), F.asc("url_canon")]
+
+    def _admit_wave(self, frontier: DataFrame, host_state: DataFrame,
+                    remaining_budget: int) -> DataFrame:
+        cfg = self.cfg
+        if cfg.strategy == "bfs":
+            cap = remaining_budget
+        elif cfg.strategy == "best_first":
+            cap = min(cfg.batch_size, remaining_budget)
+        else:  # dfs
+            cap = 1
+        if cfg.strategy == "dfs":
+            # LIFO pop: politeness still applies (a blocked-out row waits)
+            admitted = admit(
+                frontier.orderBy(*self._admission_order()).limit(8),
+                host_state, cfg.politeness, global_budget=None,
+            )
+            return admitted.orderBy(*self._admission_order()).limit(cap)
+        return admit(frontier, host_state, cfg.politeness, global_budget=cap)
+
+    # ------------------------------------------------------------------
+    def _score_links(self, links: DataFrame) -> DataFrame:
+        """links: (href, text, title, base_domain, is_internal, link_pos,
+        parent_url, parent_depth)."""
+        cfg = self.cfg
+        href = F.col("href")
+        parts = [
+            (path_depth_score(href), 0.2),
+            (content_type_score(href), 0.2),
+            (freshness_score(href), 0.1),
+            (
+                link_intrinsic_score(
+                    href, F.col("text"), F.col("title"), F.col("is_internal")
+                )
+                / F.lit(10.0),
+                0.3,
+            ),
+        ]
+        if cfg.keywords:
+            parts.append((keyword_relevance_score(href, list(cfg.keywords)), 0.4))
+        return links.withColumn("score", composite_score(parts))
+
+    def _link_filter_chain(self) -> FilterChain:
+        cfg = self.cfg
+        chain = FilterChain()
+        chain.add("valid", url_is_valid(F.col("url_canon")))
+        if not cfg.include_external:
+            chain.add("internal_only", F.col("is_internal"))
+        if cfg.url_patterns:
+            chain.add(
+                "pattern",
+                url_pattern_filter(F.col("url_canon"), list(cfg.url_patterns)),
+            )
+        chain.add(
+            "content_type",
+            content_type_filter(F.col("url_canon"), list(cfg.allowed_content_types)),
+        )
+        if cfg.allowed_domains or cfg.blocked_domains:
+            chain.add(
+                "domain",
+                domain_filter(
+                    F.col("registrable_domain"),
+                    list(cfg.allowed_domains) or None,
+                    list(cfg.blocked_domains) or None,
+                ),
+            )
+        chain.add("depth", F.col("depth") <= F.lit(cfg.max_depth))
+        if cfg.score_threshold > -math.inf:
+            chain.add("score", F.col("score") >= F.lit(cfg.score_threshold))
+        return chain
+
+    # ------------------------------------------------------------------
+    def _roundtrip(self, df: DataFrame, name: str, wave: int) -> DataFrame:
+        """Write+read a state table (lineage truncation barrier)."""
+        path = os.path.join(self.checkpoint_dir, f"_state/{name}_{wave % 2}")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def run(self, seed_urls: list[str] | DataFrame,
+            resume: bool = False) -> CrawlRun:
+        spark, cfg = self.spark, self.cfg
+        stats: list[dict[str, Any]] = []
+        bloom: PartitionedBloom | None = (
+            PartitionedBloom(spark, cfg.bloom_partitions, cfg.bloom_capacity)
+            if cfg.use_bloom
+            else None
+        )
+
+        start_wave = 0
+        crawled = 0
+        if resume and self.store.latest_wave() is not None:
+            w0 = self.store.latest_wave()
+            snap = self.store.read(w0)
+            frontier = snap["frontier"]
+            seen = snap["seen"]
+            host_state = snap["host_state"]
+            meta = snap.get("_meta", {})
+            crawled = int(meta.get("pages_crawled", 0))
+            stats = list(meta.get("stats", []))
+            start_wave = w0 + 1
+            if bloom is not None and "bloom" in snap:
+                bloom.state = spark.createDataFrame(
+                    snap["bloom"].collect(), bloom.state.schema
+                )
+        else:
+            frontier = self._seed_frontier(seed_urls)
+            seen = frontier.select("url_hash")
+            host_state = empty_host_state(spark)
+            if bloom is not None:
+                bloom.add(frontier.select("url_hash"))
+            if os.path.isdir(self.out_dir):
+                shutil.rmtree(self.out_dir)
+            os.makedirs(self.out_dir, exist_ok=True)
+
+        wave = start_wave
+        max_waves = 1000 if cfg.strategy == "dfs" else 64
+        while wave < max_waves:
+            frontier = self._roundtrip(frontier, "frontier", wave)
+            if cfg.check_robots and self.robots is not None:
+                # gate the whole frontier Δ: robots-blocked urls leave the
+                # frontier permanently (they are already in `seen`, so they
+                # can't be re-discovered — no budget slot is ever wasted)
+                frontier = robots_gate(frontier, self.robots)
+            frontier = frontier.cache()
+            n_frontier = frontier.count()
+            if n_frontier == 0 or crawled >= cfg.max_pages:
+                break
+            if cfg.strategy == "bfs":
+                min_depth = frontier.agg(F.min("depth")).collect()[0][0]
+                if min_depth is not None and min_depth > cfg.max_depth:
+                    break
+
+            admitted = self._admit_wave(
+                frontier, host_state, cfg.max_pages - crawled
+            )
+            order_w = Window.orderBy(*self._admission_order())
+            admitted = admitted.withColumn(
+                "order_in_wave", F.row_number().over(order_w)
+            ).cache()
+            n_admitted = admitted.count()
+            if n_admitted == 0:
+                break
+
+            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
+            admitted.withColumn("wave", F.lit(wave)).write.mode("overwrite").parquet(
+                os.path.join(wave_dir, "admitted.parquet")
+            )
+
+            # ---- "fetch": join the latest-capture pages table
+            fetched = admitted.join(self.pages, "url_canon", "left")
+            fetched = fetched.withColumn(
+                "status_code",
+                F.when(F.col("html").isNotNull(), 200).otherwise(404),
+            ).cache()
+            ok = fetched.where(F.col("status_code") == 200)
+
+            # ---- extraction
+            extracted = extract_pages(
+                ok.select(F.col("url_canon").alias("url"), "html"), cfg.extract
+            )
+            meta_cols = fetched.select(
+                F.col("url_canon").alias("url"), "registrable_domain", "depth",
+                "score", "parent_url", "status_code", "order_in_wave",
+            )
+            results = extracted.join(meta_cols, "url", "left").withColumn(
+                "wave", F.lit(wave)
+            )
+            results.write.mode("overwrite").parquet(
+                os.path.join(wave_dir, "results.parquet")
+            )
+            results = spark.read.parquet(os.path.join(wave_dir, "results.parquet"))
+            n_ok = results.where(F.col("status_code") == 200).count()
+
+            # ---- link discovery (hrefs already canonical from the kernel)
+            links = (
+                results.select(
+                    F.col("url").alias("parent_url"),
+                    F.col("depth").alias("parent_depth"),
+                    F.posexplode_outer("links").alias("link_pos", "link"),
+                )
+                .where(F.col("link").isNotNull())
+                .select(
+                    "parent_url",
+                    "parent_depth",
+                    "link_pos",
+                    F.col("link.href").alias("href"),
+                    F.col("link.text").alias("text"),
+                    F.col("link.title").alias("title"),
+                    F.col("link.base_domain").alias("registrable_domain"),
+                    F.col("link.is_internal").alias("is_internal"),
+                )
+            )
+            links = self._score_links(links)
+            cand = links.select(
+                F.col("href").alias("url_canon"),
+                F.xxhash64("href").alias("url_hash"),
+                "registrable_domain",
+                "parent_url",
+                (F.col("parent_depth") + 1).alias("depth"),
+                "score",
+                F.lit(wave + 1).alias("discovered_wave"),
+                "link_pos",
+                "is_internal",
+            )
+            chain = self._link_filter_chain()
+            cand = cand.where(chain.predicate())
+            # dedup within wave: deterministic winner
+            wdd = Window.partitionBy("url_canon").orderBy(
+                F.desc("score"), F.asc("depth"), F.asc("parent_url"), F.asc("link_pos")
+            )
+            cand = (
+                cand.withColumn("_rn", F.row_number().over(wdd))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "is_internal")
+            )
+            # bloom pre-filter (cheap) then EXACT anti-join (invariant)
+            if bloom is not None:
+                cand = bloom.prefilter(cand)
+                maybe = cand.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+                fresh = cand.where(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+                new_links = fresh.unionByName(filter_unseen_exact(maybe, seen))
+            else:
+                new_links = filter_unseen_exact(cand, seen)
+            new_links = new_links.cache()
+            n_new = new_links.count()
+
+            # ---- state folds
+            seen = self._roundtrip(
+                seen.union(new_links.select("url_hash")).distinct(), "seen", wave
+            )
+            if bloom is not None:
+                bloom.add(new_links.select("url_hash"))
+            host_state = self._roundtrip(
+                fold_wave_outcomes(
+                    host_state,
+                    fetched.select("registrable_domain", "status_code"),
+                    cfg.politeness,
+                ),
+                "host_state",
+                wave,
+            )
+
+            # ---- next frontier
+            leftover = frontier.join(
+                admitted.select("url_canon"), "url_canon", "left_anti"
+            )
+            if cfg.strategy == "bfs":
+                # BFS is depth-synchronous: politeness-deferred rows stay queued
+                frontier = leftover.unionByName(
+                    new_links.select(*[c.split(" ")[0] for c in FRONTIER_DDL.split(", ")])
+                )
+            else:
+                frontier = leftover.unionByName(
+                    new_links.select(*[c.split(" ")[0] for c in FRONTIER_DDL.split(", ")])
+                )
+
+            crawled += n_admitted
+            stats.append(
+                {
+                    "wave": wave,
+                    "frontier_size": n_frontier,
+                    "admitted": n_admitted,
+                    "fetched_ok": n_ok,
+                    "fetch_miss": n_admitted - n_ok,
+                    "new_links": n_new,
+                    "pages_crawled": crawled,
+                }
+            )
+            stats_df = spark.createDataFrame(
+                [tuple(s.values()) for s in stats[-1:]],
+                "wave int, frontier_size long, admitted long, fetched_ok long, "
+                "fetch_miss long, new_links long, pages_crawled long",
+            )
+            self.store.write(
+                wave,
+                {
+                    "frontier": frontier,
+                    "seen": seen,
+                    "host_state": host_state,
+                    "bloom": bloom.state if bloom is not None else None,
+                    "stats": stats_df,
+                },
+                meta={"pages_crawled": crawled, "stats": stats},
+            )
+            frontier = self.store.read(wave)["frontier"]
+            admitted.unpersist()
+            new_links.unpersist()
+            fetched.unpersist()
+            wave += 1
+
+        return CrawlRun(
+            results_dir=self.out_dir,
+            stats=stats,
+            pages_crawled=crawled,
+            waves=wave - start_wave,
+            checkpoint_dir=self.checkpoint_dir,
+        )

@@ -1,0 +1,134 @@
+"""Per-host politeness: admission budgets + exponential backoff, in logical time.
+
+Capability parity with the reference's RateLimiter + MemoryAdaptiveDispatcher
+(/root/reference/crawl4ai/async_dispatcher.py:28-85,374-527) re-expressed for
+a batch engine: wall-clock sleeps become per-WAVE admission budgets, and the
+backoff state machine becomes a pure fold over (domain, status) outcomes
+MERGEd into a ``host_state`` table each wave — no in-flight shared mutation.
+
+host_state(registrable_domain, current_delay double, fail_count int)
+  - backoff: delay <- min(max_delay, delay * 2) on any {429,503} in the wave
+  - decay:   delay <- max(base_delay, delay * 0.75) on an all-success wave
+  (deterministic: the reference's +-25% jitter is dropped — jitter would
+  break the reproducible-ordering contract; documented deviation)
+  - per-wave budget per domain: max(1, floor(wave_seconds / current_delay))
+
+Admission = per-domain Window top-k by (-score, depth, url) then a global
+ordered limit — this IS the politeness schedule as a window operator
+(SURVEY.md §2.5). Skew: the window shuffles on registrable_domain; mega-hosts
+produce one hot partition each, which AQE skew-split handles for the shuffle,
+and the per-domain row_number cap bounds the output regardless. For the
+pathological single-domain 10^9-url frontier the pre-limit ``salted_topk``
+below cuts each domain to its budget in two stages (salt -> local top-k ->
+exact top-k) so no single task ever sees more than frontier/salt rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HOST_STATE_DDL = "registrable_domain string, current_delay double, fail_count int"
+
+RETRY_STATUSES = (429, 503)
+
+
+@dataclass
+class PolitenessConfig:
+    base_delay: float = 2.0      # seconds per request (ref: U(1,3) midpoint)
+    max_delay: float = 60.0
+    wave_seconds: float = 30.0   # logical wall-clock per wave
+    max_retries: int = 3
+    salt_partitions: int = 0     # >0 enables two-stage salted top-k
+
+
+def empty_host_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], HOST_STATE_DDL)
+
+
+def domain_budget_col(cfg: PolitenessConfig) -> F.Column:
+    delay = F.coalesce(F.col("current_delay"), F.lit(cfg.base_delay))
+    return F.greatest(
+        F.lit(1), F.floor(F.lit(cfg.wave_seconds) / delay).cast("int")
+    )
+
+
+def admit_order() -> list:
+    """Deterministic admission ordering: (score DESC, depth ASC, url ASC)."""
+    return [F.desc("score"), F.asc("depth"), F.asc("url_canon")]
+
+
+def admit(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    cfg: PolitenessConfig,
+    global_budget: int | None = None,
+) -> DataFrame:
+    """Politeness admission: per-domain budgeted top-k, then global ordered
+    limit. frontier needs (url_canon, registrable_domain, score, depth).
+    host_state is broadcast (hosts << urls, always)."""
+    fr = frontier.join(F.broadcast(host_state), "registrable_domain", "left")
+    fr = fr.withColumn("_budget", domain_budget_col(cfg))
+
+    order = admit_order()
+    if cfg.salt_partitions > 1:
+        # stage 1: within (domain, salt) keep top budget rows — bounds any
+        # single task to ~|domain frontier|/salt rows before the exact pass.
+        salt = F.pmod(F.xxhash64("url_canon"), F.lit(cfg.salt_partitions))
+        w1 = Window.partitionBy("registrable_domain", salt).orderBy(*order)
+        fr = fr.withColumn("_rs", F.row_number().over(w1)).where(
+            F.col("_rs") <= F.col("_budget")
+        ).drop("_rs")
+
+    w = Window.partitionBy("registrable_domain").orderBy(*order)
+    admitted = (
+        fr.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_budget"))
+        .drop("_rn", "_budget", "current_delay", "fail_count")
+    )
+    if global_budget is not None:
+        # deterministic global truncation, same order as the reference's
+        # score-sorted capacity trim (bfs_strategy.py:130-137)
+        admitted = admitted.orderBy(*order).limit(int(global_budget))
+    return admitted
+
+
+def fold_wave_outcomes(
+    host_state: DataFrame,
+    wave_results: DataFrame,
+    cfg: PolitenessConfig,
+) -> DataFrame:
+    """New host_state from this wave's (registrable_domain, status_code) rows.
+    Pure fold; returns a small DF (one row per touched domain + carryover)."""
+    outcomes = wave_results.groupBy("registrable_domain").agg(
+        F.sum(
+            F.when(F.col("status_code").isin(*RETRY_STATUSES), 1).otherwise(0)
+        ).alias("_fails"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    merged = host_state.join(outcomes, "registrable_domain", "full")
+    delay = F.coalesce(F.col("current_delay"), F.lit(cfg.base_delay))
+    new_delay = (
+        F.when(F.col("_fails") > 0, F.least(F.lit(cfg.max_delay), delay * 2.0))
+        .when(F.col("_n") > 0, F.greatest(F.lit(cfg.base_delay), delay * 0.75))
+        .otherwise(delay)
+    )
+    new_fails = F.coalesce(F.col("fail_count"), F.lit(0)) + F.coalesce(
+        F.col("_fails"), F.lit(0)
+    ).cast("int")
+    return merged.select(
+        "registrable_domain",
+        new_delay.cast("double").alias("current_delay"),
+        new_fails.cast("int").alias("fail_count"),
+    )
+
+
+def aged_priority(priority: F.Column, wait_waves: F.Column,
+                  fairness_waves: int = 20) -> F.Column:
+    """Starvation aging (dispatcher parity, async_dispatcher.py:470-527):
+    rows waiting beyond the fairness horizon jump the queue (lower = first)."""
+    return F.when(wait_waves > fairness_waves, -wait_waves.cast("double")).otherwise(
+        priority
+    )

@@ -1,0 +1,143 @@
+"""URL-seen set: exact anti-join + partitioned Bloom pre-filter.
+
+Exactness contract (north rule): the URL-seen set is EXACT — candidates are
+always anti-joined against the seen table on the canonical-url hash. The
+partitioned Bloom is a cheap pre-filter that (at 10^10 scale) lets most
+already-seen candidates drop before the big anti-join shuffle; bloom hits are
+re-checked exactly, bloom misses are definitively new (no false negatives).
+
+Reference parity: exact ``visited`` set (bfs_strategy.py:158,210) + the
+experimental murmur3 Bloom (crazy.py:102-165) — here one Bloom blob per
+URL-hash partition, built/merged inside ``applyInPandas`` groups keyed by
+``pmod(url_hash, P)``, persisted as (partition_id, bits) binary rows.
+
+Scale notes: the seen anti-join is THE 10^10-row shuffle. Production layout
+buckets both sides by url_hash into the same bucket count (Iceberg
+bucket(N, url_hash) + storage-partitioned joins) making it shuffle-free;
+the bloom state is ~1.2 GiB per 10^9 urls at 1% FP, i.e. ~a few MiB per
+partition blob at P=1024 — broadcastable per-partition, never collected
+globally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.bloom import BloomFilter
+
+BLOOM_STATE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType(), False),
+        StructField("bits", BinaryType(), True),
+        StructField("capacity", LongType(), False),
+    ]
+)
+
+
+def empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "url_hash long")
+
+
+def filter_unseen_exact(candidates: DataFrame, seen: DataFrame,
+                        hash_col: str = "url_hash") -> DataFrame:
+    """Left anti join: candidates whose hash is NOT in seen."""
+    return candidates.join(seen, hash_col, "left_anti")
+
+
+def merge_seen(seen: DataFrame, new_hashes: DataFrame,
+               hash_col: str = "url_hash") -> DataFrame:
+    return seen.select(hash_col).union(new_hashes.select(hash_col)).distinct()
+
+
+class PartitionedBloom:
+    """P bloom blobs keyed by pmod(url_hash, P), all ops as grouped pandas."""
+
+    def __init__(self, spark: SparkSession, num_partitions: int = 16,
+                 capacity_per_partition: int = 1_000_000, fp_rate: float = 0.01):
+        self.spark = spark
+        self.p = num_partitions
+        self.capacity = capacity_per_partition
+        self.fp_rate = fp_rate
+        self.state: DataFrame = spark.createDataFrame(
+            [(i, None, capacity_per_partition) for i in range(num_partitions)],
+            BLOOM_STATE_SCHEMA,
+        )
+
+    def _part(self, hash_col) -> F.Column:
+        return F.pmod(hash_col, F.lit(self.p)).cast("int")
+
+    def prefilter(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Adds boolean ``bloom_maybe_seen``: False => definitively unseen."""
+        cap, fp = self.capacity, self.fp_rate
+        cands = candidates.withColumn("partition_id", self._part(F.col(hash_col)))
+        joined = cands.join(F.broadcast(self.state), "partition_id", "left")
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+        ) + ", bloom_maybe_seen boolean"
+
+        def test(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = pdf["bits"].iloc[0]
+            base = pdf.drop(columns=["partition_id", "bits", "capacity"])
+            if bits is None:
+                base["bloom_maybe_seen"] = False
+                return base
+            bf = BloomFilter(cap, fp, bits=np.frombuffer(bits, dtype=np.uint8))
+            hashes = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            base["bloom_maybe_seen"] = bf.contains_many(hashes)
+            return base
+
+        return joined.groupBy("partition_id").applyInPandas(test, ddl)
+
+    def add(self, new_urls: DataFrame, hash_col: str = "url_hash") -> None:
+        """Fold new hashes into the partition blobs (pure fold, new state DF)."""
+        cap, fp = self.capacity, self.fp_rate
+        hashes = new_urls.select(
+            F.col(hash_col).alias("url_hash"),
+            self._part(F.col(hash_col)).alias("partition_id"),
+        )
+        joined = hashes.join(F.broadcast(self.state), "partition_id", "right")
+
+        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            bits = pdf["bits"].iloc[0]
+            bf = BloomFilter(
+                cap, fp,
+                bits=np.frombuffer(bits, dtype=np.uint8) if bits is not None else None,
+            )
+            hs = pdf["url_hash"].dropna()
+            if len(hs):
+                bf.add_many(hs.to_numpy(dtype=np.int64).astype(np.uint64))
+            return pd.DataFrame(
+                {"partition_id": [pid], "bits": [bf.to_bytes()], "capacity": [cap]}
+            )
+
+        new_state = joined.groupBy("partition_id").applyInPandas(
+            fold, BLOOM_STATE_SCHEMA
+        )
+        # materialize so the fold happens once, then swap state
+        self.state = self.spark.createDataFrame(
+            new_state.collect(), BLOOM_STATE_SCHEMA
+        )
+
+    def save(self, path: str) -> None:
+        self.state.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, num_partitions: int,
+             capacity_per_partition: int = 1_000_000, fp_rate: float = 0.01
+             ) -> "PartitionedBloom":
+        pb = cls(spark, num_partitions, capacity_per_partition, fp_rate)
+        pb.state = spark.read.parquet(path)
+        return pb

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns: brute-force + LSH-bucketed ANN.
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+  brute_force_topk   exact cosine top-k per query (cross join + window) —
+                     the baseline; fine when |queries| * |corpus| fits a
+                     shuffle, and the correctness oracle for the ANN path.
+  lsh_topk           random-hyperplane LSH: sign-pattern bucket per vector,
+                     probe only same-bucket (multi-probe: Hamming<=1
+                     neighbors) candidates -> top-k. The scale path:
+                     candidate set shrinks ~2^bits-fold.
+
+Hyperplanes are taken from the corpus itself (the embeddings of the
+``n_planes`` smallest vec_ids) — deterministic, data-dependent, and exactly
+reproducible in the SQL oracle (no RNG, no numpy state).
+
+All dot products are native ``zip_with``+``aggregate`` expressions — the
+whole ANN pipeline is JVM-side; no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _unit(c: Column) -> Column:
+    nrm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+    return F.transform(c, lambda x: x / nrm)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda s, x: s + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (_dot(a, b) /
+            (F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x)) *
+             F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x)))).cast("double")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank<=k); excludes self-pairs.
+    Exact: full cross join; the corpus side should be the big one — Spark
+    broadcasts the (small) query side automatically under AQE."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("cosine").cast("double").alias("cosine"), "rank")
+    )
+
+
+def data_hyperplanes(corpus: DataFrame, n_planes: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """The n_planes corpus vectors with smallest ids, used as hyperplanes —
+    deterministic and oracle-reproducible."""
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_planes)
+        .select(
+            F.col(id_col).alias("plane_id"),
+            F.col(vec_col).cast("array<double>").alias("plane"),
+        )
+    )
+
+
+def hyperplane_bucket(df: DataFrame, planes: DataFrame,
+                      id_col: str = "vec_id", vec_col: str = "embedding"
+                      ) -> DataFrame:
+    """Adds ``bucket`` = sign-pattern integer over the hyperplanes.
+    Implemented as a broadcast join + conditional sum aggregation."""
+    planes_ranked = planes.withColumn(
+        "plane_rank",
+        F.row_number().over(Window.orderBy(F.asc("plane_id"))) - 1,
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    signs = (
+        v.crossJoin(F.broadcast(planes_ranked))
+        .withColumn("bit",
+                    F.when(_dot(F.col("v"), F.col("plane")) >= 0,
+                           F.shiftleft(F.lit(1), F.col("plane_rank"))).otherwise(0))
+        .groupBy("id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    return df.join(signs.withColumnRenamed("id", id_col), id_col)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: bucket corpus+queries by hyperplane signs, probe the own
+    bucket (+ Hamming-1 neighbor buckets when multiprobe), rank by cosine."""
+    planes = data_hyperplanes(corpus, n_planes, id_col, vec_col)
+    cb = hyperplane_bucket(corpus, planes, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    qb = hyperplane_bucket(queries, planes, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        qb = qb.withColumn("probe", F.explode(probes))
+    else:
+        qb = qb.withColumn("probe", F.col("qbucket"))
+    cand = qb.join(cb, qb.probe == cb.cbucket).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv"))).select(
+        "query_id", "neighbor_id", "cosine"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("cosine").cast("double").alias("cosine"), "rank")
+    )

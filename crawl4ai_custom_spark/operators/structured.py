@@ -1,0 +1,191 @@
+"""Schema-driven structured extraction from HTML columns.
+
+Reference parity: JsonCssExtractionStrategy / JsonXPathExtractionStrategy /
+RegexExtractionStrategy (/root/reference/crawl4ai/extraction_strategy.py:
+989-2160) re-expressed for columns:
+
+  regex_catalog_extract  named-pattern catalog -> (url, name, match) rows,
+                         native ``regexp_extract_all`` + posexplode
+  schema_extract         {baseSelector, fields:[{name, selector, type,
+                         attribute?, transform?}]} evaluated per page on our
+                         stdlib DOM inside ONE mapInPandas stage ->
+                         array<map<string,string>> column
+
+Selector support (from-scratch mini CSS engine on htmldom): tag, .class,
+#id, tag.class, descendant combinators ('a b'), direct child ('a > b'),
+[attr] / [attr=value]. That covers the reference's shipped example schemas;
+anything fancier belongs in a custom UDF the user supplies (the strategy ABC
+surface of SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StringType, StructField, StructType
+
+from ..kernel.htmldom import Node, parse_html
+
+# ---------------------------------------------------------------------------
+# regex catalog (native)
+# ---------------------------------------------------------------------------
+
+DEFAULT_CATALOG = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s\"'<>]+",
+    "phone_us": r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+    "price": r"[$€£]\s?\d+(?:[.,]\d{2})?",
+    "date_iso": r"\d{4}-\d{2}-\d{2}",
+}
+
+
+def regex_catalog_extract(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    catalog: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, pattern_name, match) — one row per match, all patterns."""
+    catalog = catalog or DEFAULT_CATALOG
+    per_pattern = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.lit(name).alias("pattern_name"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+            ).alias("match"),
+        )
+        for name, pattern in sorted(catalog.items())
+    ]
+    out = per_pattern[0]
+    for p in per_pattern[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mini CSS selector engine (kernel-side, from scratch)
+# ---------------------------------------------------------------------------
+
+_SIMPLE = re.compile(
+    r"^(?P<tag>[a-z0-9]+)?(?P<id>#[\w-]+)?(?P<cls>(?:\.[\w-]+)+)?"
+    r"(?P<attr>\[[\w-]+(?:=[^\]]+)?\])?$"
+)
+
+
+def _match_simple(node: Node, sel: str) -> bool:
+    m = _SIMPLE.match(sel)
+    if not m:
+        return False
+    tag, id_, cls, attr = m.group("tag"), m.group("id"), m.group("cls"), m.group("attr")
+    if tag and node.tag != tag:
+        return False
+    if id_ and node.get("id") != id_[1:]:
+        return False
+    if cls:
+        need = set(cls[1:].split("."))
+        if not need.issubset(set(node.classes)):
+            return False
+    if attr:
+        inner = attr[1:-1]
+        if "=" in inner:
+            k, v = inner.split("=", 1)
+            if node.get(k) != v.strip("\"'"):
+                return False
+        elif node.get(inner) is None:
+            return False
+    return True
+
+
+def css_select(root: Node, selector: str) -> list[Node]:
+    """Evaluate a (possibly compound) selector; supports ' ' and ' > '."""
+    parts = [p for p in re.split(r"\s*(>)\s*|\s+", selector.strip()) if p]
+    current: list[Node] = [root]
+    direct = False
+    for part in parts:
+        if part == ">":
+            direct = True
+            continue
+        nxt: list[Node] = []
+        seen_ids = set()
+        for base in current:
+            pool = (
+                [c for c in base.children if isinstance(c, Node)]
+                if direct
+                else base.iter()
+            )
+            for n in pool:
+                if _match_simple(n, part) and id(n) not in seen_ids:
+                    seen_ids.add(id(n))
+                    nxt.append(n)
+        current = nxt
+        direct = False
+    return current
+
+
+_TRANSFORMS = {
+    "lowercase": str.lower,
+    "uppercase": str.upper,
+    "strip": str.strip,
+}
+
+
+def _apply_schema(root: Node, schema: dict) -> list[dict[str, str]]:
+    out = []
+    for base in css_select(root, schema.get("baseSelector", "body")):
+        rec: dict[str, str] = {}
+        for fld in schema.get("fields", []):
+            nodes = css_select(base, fld["selector"]) if fld.get("selector") else [base]
+            val = ""
+            if nodes:
+                n = nodes[0]
+                ftype = fld.get("type", "text")
+                if ftype == "text":
+                    val = n.text()
+                elif ftype == "attribute":
+                    val = n.get(fld.get("attribute", ""), "") or ""
+                elif ftype == "html":
+                    val = n.to_html()
+                elif ftype == "regex":
+                    m = re.search(fld.get("pattern", ""), n.text())
+                    val = m.group(1) if (m and m.groups()) else (m.group(0) if m else "")
+                elif ftype == "list":
+                    val = "|".join(x.text() for x in nodes)
+            tr = fld.get("transform")
+            if tr in _TRANSFORMS:
+                val = _TRANSFORMS[tr](val)
+            rec[fld["name"]] = val
+        if any(v for v in rec.values()):
+            out.append(rec)
+    return out
+
+
+SCHEMA_EXTRACT_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("records", ArrayType(MapType(StringType(), StringType()))),
+    ]
+)
+
+
+def schema_extract(pages: DataFrame, schema: dict,
+                   url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages(url, html) -> (url, records array<map<string,string>>)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for html in pdf[html_col]:
+                try:
+                    recs.append(_apply_schema(parse_html(html or b""), schema))
+                except Exception:
+                    recs.append([])
+            yield pd.DataFrame({"url": pdf[url_col], "records": recs})
+
+    return pages.select(F.col(url_col).alias("url"), html_col).mapInPandas(
+        fn, SCHEMA_EXTRACT_TYPE
+    )

@@ -1,0 +1,84 @@
+"""Wave checkpointing: exact resume from the latest complete snapshot.
+
+Reference parity: CrawlState.save/load pickle checkpoints
+(/root/reference/crawl4ai/adaptive_crawler.py:53-111) -> here an
+Iceberg-style snapshot directory per wave:
+
+    <root>/wave=<k>/{frontier,seen,host_state,bloom,stats}.parquet
+    <root>/wave=<k>/_MANIFEST.json        (written LAST -> commit marker)
+
+A snapshot is only visible once its manifest exists, giving the same
+atomic-commit semantics Iceberg snapshots provide (on a real deployment this
+module swaps for ``MERGE INTO`` + snapshot tags; the layout keeps state
+tables identical). Resume = read the highest complete wave; an interrupted
+wave k+1 simply re-runs from wave k's state, and the wave loop is a pure
+function of that state, so the resumed crawl is identical (tested in
+tests/test_frontier.py::test_resume_from_checkpoint).
+
+Lineage: stats.parquet carries per-wave, per-domain fetch/extract metrics
+(the reference's CrawlerTaskResult / TraversalStats equivalents).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("frontier", "seen", "host_state", "bloom", "stats")
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.root, f"wave={wave:05d}")
+
+    def write(self, wave: int, tables: dict[str, DataFrame],
+              meta: dict | None = None) -> None:
+        d = self._wave_dir(wave)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+        counts: dict[str, int] = {}
+        for name, df in tables.items():
+            if df is None:
+                continue
+            path = os.path.join(d, name + ".parquet")
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = -1
+        manifest = {"wave": wave, "tables": sorted(counts), "meta": meta or {}}
+        tmp = os.path.join(d, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "_MANIFEST.json"))  # atomic commit
+
+    def complete_waves(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            if name.startswith("wave=") and os.path.exists(
+                os.path.join(self.root, name, "_MANIFEST.json")
+            ):
+                out.append(int(name.split("=")[1]))
+        return sorted(out)
+
+    def latest_wave(self) -> int | None:
+        waves = self.complete_waves()
+        return waves[-1] if waves else None
+
+    def read(self, wave: int) -> dict[str, DataFrame]:
+        d = self._wave_dir(wave)
+        with open(os.path.join(d, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
+        out: dict[str, DataFrame] = {}
+        for name in manifest["tables"]:
+            out[name] = self.spark.read.parquet(os.path.join(d, name + ".parquet"))
+        out["_meta"] = manifest.get("meta", {})  # type: ignore[assignment]
+        return out

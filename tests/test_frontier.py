@@ -1,0 +1,162 @@
+"""Frontier engine tests: BFS oracle equivalence, politeness budgets, robots
+gating, best-first batching, determinism, checkpoint resume.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+from tests.oracle_crawler import oracle_bfs
+
+SEEDS = ["https://mega.example-shop.com/", "https://shop1.example1.com/"]
+
+
+def _rows(site_dir, name):
+    return duckdb.sql(f"select * from '{site_dir}/{name}.parquet'").df().to_dict("records")
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, site_dir):
+    return spark.read.parquet(f"{site_dir}/pages.parquet")
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark, site_dir):
+    return spark.read.parquet(f"{site_dir}/robots.parquet")
+
+
+@pytest.fixture(scope="module")
+def bfs_run(spark, site_dir, pages_df, robots_df, tmp_path_factory):
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=3, max_pages=500,
+        politeness=PolitenessConfig(wave_seconds=1e9),  # generous budget
+        use_bloom=True, bloom_partitions=4,
+    )
+    eng = FrontierEngine(
+        spark, pages_df, robots_df, cfg,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_bfs")),
+        out_dir=str(tmp_path_factory.mktemp("out_bfs")),
+    )
+    return eng.run(SEEDS), cfg
+
+
+def test_bfs_matches_oracle(bfs_run, spark, site_dir):
+    run, cfg = bfs_run
+    oracle = oracle_bfs(
+        SEEDS, _rows(site_dir, "pages"), _rows(site_dir, "robots"),
+        max_depth=cfg.max_depth, max_pages=cfg.max_pages,
+    )
+    admitted = run.admitted_log(spark)
+    got_waves = [
+        {r["url_canon"] for r in admitted.where(F.col("wave") == w).collect()}
+        for w in range(run.waves)
+    ]
+    got_waves = [w for w in got_waves if w]
+    assert len(got_waves) == len(oracle["waves"]), (
+        [len(w) for w in got_waves], [len(w) for w in oracle["waves"]]
+    )
+    for i, (g, o) in enumerate(zip(got_waves, oracle["waves"])):
+        assert g == o, f"wave {i}: extra={sorted(g - o)[:5]} missing={sorted(o - g)[:5]}"
+    assert run.pages_crawled == oracle["crawled"]
+
+
+def test_bfs_robots_blocked_never_crawled(bfs_run, spark):
+    run, _ = bfs_run
+    admitted = run.admitted_log(spark)
+    assert admitted.where(F.col("url_canon").contains("/private/")).count() == 0
+
+
+def test_bfs_depth_bounded_and_miss_handling(bfs_run, spark):
+    run, cfg = bfs_run
+    res = run.results(spark)
+    assert res.agg(F.max("depth")).first()[0] <= cfg.max_depth
+    # fetch-miss urls are admitted but 404 and produce no links
+    misses = res.where(F.col("status_code") == 404)
+    assert misses.count() > 0
+    assert misses.where(F.size("links") > 0).count() == 0
+
+
+def test_politeness_budget_respected(spark, pages_df, robots_df, tmp_path):
+    pol = PolitenessConfig(base_delay=2.0, wave_seconds=6.0)  # budget = 3/domain
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=60, politeness=pol,
+                      use_bloom=False)
+    eng = FrontierEngine(spark, pages_df, robots_df, cfg,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         out_dir=str(tmp_path / "out"))
+    run = eng.run(SEEDS)
+    counts = (
+        run.admitted_log(spark)
+        .groupBy("wave", "registrable_domain")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert counts <= 3
+    assert run.pages_crawled <= cfg.max_pages
+
+
+def test_best_first_batches_and_budget(spark, pages_df, robots_df, tmp_path):
+    cfg = CrawlConfig(
+        strategy="best_first", batch_size=10, max_depth=3, max_pages=40,
+        keywords=("tools", "widget"), politeness=PolitenessConfig(wave_seconds=1e9),
+        use_bloom=False,
+    )
+    eng = FrontierEngine(spark, pages_df, robots_df, cfg,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         out_dir=str(tmp_path / "out"))
+    run = eng.run(SEEDS)
+    per_wave = run.admitted_log(spark).groupBy("wave").count().collect()
+    assert all(r["count"] <= cfg.batch_size for r in per_wave)
+    assert run.pages_crawled <= cfg.max_pages
+    # scores recorded and ordering column present
+    adm = run.admitted_log(spark)
+    assert adm.where(F.col("order_in_wave").isNull()).count() == 0
+
+
+def test_resume_from_checkpoint_equals_uninterrupted(spark, pages_df, robots_df, tmp_path):
+    pol = PolitenessConfig(wave_seconds=1e9)
+    # interrupted: stop after ~20 pages, then resume to 60
+    cfg_a = CrawlConfig(strategy="bfs", max_depth=3, max_pages=20, politeness=pol,
+                        use_bloom=False)
+    eng_a = FrontierEngine(spark, pages_df, robots_df, cfg_a,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           out_dir=str(tmp_path / "out"))
+    eng_a.run(SEEDS)
+    cfg_b = CrawlConfig(strategy="bfs", max_depth=3, max_pages=60, politeness=pol,
+                        use_bloom=False)
+    eng_b = FrontierEngine(spark, pages_df, robots_df, cfg_b,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           out_dir=str(tmp_path / "out"))
+    run_b = eng_b.run(SEEDS, resume=True)
+    # uninterrupted control
+    cfg_c = CrawlConfig(strategy="bfs", max_depth=3, max_pages=60, politeness=pol,
+                        use_bloom=False)
+    eng_c = FrontierEngine(spark, pages_df, robots_df, cfg_c,
+                           checkpoint_dir=str(tmp_path / "ckpt_c"),
+                           out_dir=str(tmp_path / "out_c"))
+    run_c = eng_c.run(SEEDS)
+    got = {r["url_canon"] for r in run_b.admitted_log(spark).collect()}
+    want = {r["url_canon"] for r in run_c.admitted_log(spark).collect()}
+    assert got == want
+    assert run_b.pages_crawled == run_c.pages_crawled
+
+
+def test_bfs_deterministic(spark, pages_df, robots_df, tmp_path):
+    runs = []
+    for tag in ("r1", "r2"):
+        cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=50,
+                          politeness=PolitenessConfig(wave_seconds=1e9),
+                          use_bloom=True, bloom_partitions=4)
+        eng = FrontierEngine(spark, pages_df, robots_df, cfg,
+                             checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+                             out_dir=str(tmp_path / f"out_{tag}"))
+        run = eng.run(SEEDS)
+        runs.append(
+            sorted(
+                (r["wave"], r["url_canon"], r["order_in_wave"])
+                for r in run.admitted_log(spark).collect()
+            )
+        )
+    assert runs[0] == runs[1]
