@@ -1,38 +1,1101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is represented by a ``queries()``
+entry; wherever the semantics are SQL-expressible the matching
+``oracle_sql()`` DuckDB query pins them exactly (same column names, same
+value semantics — floats rounded to 4 decimals on BOTH sides).
+
+Shared determinism device: synthetic URL / html / frontier columns are
+constructed from the testdata tables with closed-form expressions, so the
+oracle can state the EXPECTED output in SQL while the Spark side runs the
+real operator (UDF / window / join / fold) under test.
+
+Hashing shared with the oracle: stable 60-bit md5 hash —
+Spark  ``conv(substr(md5(x),1,15),16,10)::long``
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic mixed-form URLs from documents (4 canonicalization
+    case families, closed-form expected outputs in the oracle)."""
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://WWW."), F.col("source"),
+                                F.lit(".com/docs/"), F.col("doc_id"),
+                                F.lit("/?utm_source=x&b=2&a=1")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"),
+                               F.lit(".com:80/a/"), F.col("doc_id"), F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"),
+                               F.lit(".co.uk/x/"), F.col("doc_id"), F.lit("/")))
+        .otherwise(F.concat(F.lit("https://user:pw@"), F.col("source"),
+                            F.lit(".com/p"), F.col("doc_id"), F.lit("?gclid=1&keep=z")))
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_DOC_URLS_SQL = """
+    select doc_id, source,
+      case doc_id % 4
+        when 0 then 'https://WWW.' || source || '.com/docs/' || doc_id || '/?utm_source=x&b=2&a=1'
+        when 1 then 'http://' || source || '.com:80/a/' || doc_id || '#frag'
+        when 2 then 'https://' || source || '.co.uk/x/' || doc_id || '/'
+        else 'https://user:pw@' || source || '.com/p' || doc_id || '?gclid=1&keep=z'
+      end as url
+    from documents
+"""
+
+_NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_HASH_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# near-dup corpus: every 10th doc re-appears (id+100000) with a small tail
+_DUPED_DOCS_SQL = """
+    select doc_id, text from documents
+    union all
+    select doc_id + 100000 as doc_id, text || ' extra tail words appended here'
+    from documents where doc_id % 10 = 0
+"""
+
+
+def _duped_docs(docs: DataFrame) -> DataFrame:
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words appended here")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(dup)
+
+
+# MinHash parameters shared with the SQL oracle (imported from dedup.py so
+# the Spark operator and the oracle can never drift)
+MERSENNE31 = (1 << 31) - 1
+MINHASH_SEED = 1
+N_MINHASH = 16
+N_BANDS = 4
+
+
+def _minhash_params(n: int = N_MINHASH, seed: int = MINHASH_SEED):
+    from crawl4ai_custom_spark.operators.dedup import minhash_params
+
+    return minhash_params(n, seed)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.urlops import (
+        canonicalize_abs_udf,
+        registrable_domain_udf,
+    )
+
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    return urls.select(
+        "doc_id",
+        canonicalize_abs_udf(F.col("url")).alias("url_canon"),
+        registrable_domain_udf(canonicalize_abs_udf(F.col("url"))).alias("domain"),
+    )
+
+
+def q_url_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.scorers import (
+        content_type_score,
+        freshness_score,
+        keyword_relevance_score,
+        path_depth_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://example.com"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/2022")).otherwise(F.lit("")),
+        F.lit("/seg"),
+        F.repeat(F.lit("/p"), (F.col("doc_id") % 5).cast("int")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/f.html"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/f.pdf"))
+        .otherwise(F.lit("/f")),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        F.round(path_depth_score(F.col("url")), 4).alias("depth_score"),
+        F.round(content_type_score(F.col("url")), 4).alias("ctype_score"),
+        F.round(freshness_score(F.col("url")), 4).alias("fresh_score"),
+        F.round(
+            keyword_relevance_score(F.col("url"), ["seg", "html"]), 4
+        ).alias("kw_score"),
+    )
+
+
+def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.politeness import (
+        PolitenessConfig,
+        admit,
+        empty_host_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fr = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/d/"), F.col("doc_id")).alias("url_canon"),
+        F.concat(F.col("source"), F.lit(".com")).alias("registrable_domain"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        F.round((F.col("doc_id") % 97) / 97.0, 6).alias("score"),
+    )
+    cfg = PolitenessConfig(base_delay=2.0, wave_seconds=6.0)  # budget 3/domain
+    out = admit(fr, empty_host_state(spark), cfg, global_budget=40)
+    return out.select("url_canon", "registrable_domain", "depth", "score")
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.seen import filter_unseen_exact
+    from crawl4ai_custom_spark.operators.urlops import stable_hash60
+
+    urls = _doc_urls(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "url", stable_hash60(F.col("url")).alias("url_hash")
+    )
+    seen = urls.where(F.col("doc_id") % 3 == 0).select("url_hash")
+    return filter_unseen_exact(urls, seen).select("doc_id", "url_hash")
+
+
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+    )
+
+
+def q_politeness_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.politeness import (
+        PolitenessConfig,
+        empty_host_state,
+        fold_wave_outcomes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    outcomes = ev.select(
+        F.concat(F.col("event_type"), F.lit(".com")).alias("registrable_domain"),
+        F.when(F.col("event_id") % 10 == 0, 429)
+        .when(F.col("event_id") % 10 == 1, 503)
+        .otherwise(200)
+        .alias("status_code"),
+    )
+    return fold_wave_outcomes(
+        empty_host_state(spark), outcomes, PolitenessConfig()
+    ).select("registrable_domain", "current_delay", "fail_count")
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.robots import robots_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    region = _t(spark, sf_dir, "region")
+    fr = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://r"), (F.col("doc_id") % 5),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/p")).otherwise(F.lit("/pub/p")),
+            F.col("doc_id"),
+        ).alias("url_canon"),
+    )
+    robots = region.select(
+        F.concat(F.lit("r"), F.col("r_regionkey"), F.lit(".example.com")).alias("domain"),
+        F.lit("User-agent: *\nDisallow: /private/").alias("rules"),
+        F.current_timestamp().alias("fetch_time"),
+    )
+    return robots_gate(fr, robots).select("doc_id", "url_canon")
+
+
+def q_url_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.filters import (
+        content_type_filter,
+        domain_filter,
+        nonsense_url_filter,
+        url_pattern_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://good.com/keep/page"), F.col("doc_id"), F.lit(".html")))
+        .when(m == 1, F.concat(F.lit("https://good.com/keep/app"), F.col("doc_id"), F.lit(".exe")))
+        .when(m == 2, F.concat(F.lit("https://good.com/skip/page"), F.col("doc_id"), F.lit(".html")))
+        .when(m == 3, F.concat(F.lit("https://bad.com/keep/page"), F.col("doc_id"), F.lit(".html")))
+        .otherwise(F.concat(F.lit("https://good.com/keep/feed"), F.col("doc_id"), F.lit(".css")))
+    )
+    d = docs.select("doc_id", url.alias("url"),
+                    F.when(m == 3, F.lit("bad.com")).otherwise(F.lit("good.com")).alias("registrable_domain"))
+    pred = (
+        url_pattern_filter(F.col("url"), ["https://good.com/keep/*"])
+        & content_type_filter(F.col("url"), ["text/html"])
+        & domain_filter(F.col("registrable_domain"), blocked=["bad.com"])
+        & nonsense_url_filter(F.col("url"))
+    )
+    return d.where(pred).select("doc_id", "url")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import exact_dedup
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents"))
+    # exact dups only come from identical text (word-soup collisions incl.)
+    both = corpus.unionByName(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(both).select("fingerprint", "n_dups", "keeper")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import ngram_jaccard_dedup
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    out = ngram_jaccard_dedup(corpus, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import minhash_lsh_dedup
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    out = minhash_lsh_dedup(
+        corpus, num_hashes=N_MINHASH, bands=N_BANDS, jaccard_threshold=0.6
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import simhash
+
+    corpus = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash(corpus, bits=16).select("id", F.col("simhash").alias("simhash16"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import simhash_dedup
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 120
+    )
+    return simhash_dedup(corpus, max_hamming=6, n_bands=4).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    out = embedding_cosine_dedup(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.textstats import profile_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = profile_documents(docs)
+    # +1e-9 before rounding on BOTH sides: keeps exact .5 boundaries (which
+    # Spark rounds HALF_UP and DuckDB half-even) off the rounding edge
+    return prof.select(
+        "doc_id", "lang_pred", "token_count", "bpe_token_estimate",
+        F.round(F.col("quality") + 1e-9, 4).alias("quality"), "fingerprint",
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.adaptive import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = term_stats(docs)
+    return (
+        out.where(F.col("tf") >= 5)
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+        .select("term", "tf", "df")
+    )
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.textstats import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_rank(docs, ["spark", "table", "query"])
+    return out.select("id", F.round("bm25", 4).alias("bm25"))
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.chunking import sliding_word_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return sliding_word_chunks(docs, words=20, stride=10)
+
+
+def q_headpeek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.headpeek import peek_head
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" "), F.col("doc_id"),
+        F.lit('</title><meta name="description" content="'),
+        F.substring(F.col("text"), 1, 50),
+        F.lit('"><meta property="og:title" content="og '), F.col("source"),
+        F.lit('"></head><body>ignored</body></html>'),
+    )
+    pages = docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    out = peek_head(pages)
+    return out.select("doc_id", "head_title", "head_description", "og_title")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return sess.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("n_name")).limit(10)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (no SQL oracle: stubbed decoder, numpy histogram)."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = extract_media_features(documents_as_media(docs))
+    return out.select("media_id", "format", "n_bytes",
+                      F.round(F.element_at("feature", 1), 4).alias("f0"))
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.extraction import extract_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                 F.col("doc_id")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    out = extract_pages(pages)
+    return out.select("url", F.col("text").alias("extracted_text"),
+                      "raw_markdown")
+
+
+def q_seeder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.seeder import seed_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit("spark/docs/"))
+                 .otherwise(F.lit("misc/")),
+                 F.col("doc_id")).alias("url"),
+    )
+    out = seed_urls(cand, query="spark docs", max_urls=200, html_col=None)
+    return out.select("url", F.round("relevance_score", 4).alias("relevance_score"))
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_custom_spark.operators.structured import regex_catalog_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("contact admin"), F.col("doc_id"), F.lit("@example.org or visit "),
+        F.lit("https://site"), F.col("doc_id") % 7, F.lit(".example.net/page on "),
+        F.lit("2026-0"), (F.col("doc_id") % 9 + 1), F.lit("-15 price $"),
+        F.col("doc_id") % 100, F.lit(".99 "), F.col("text"),
+    )
+    d = docs.select("doc_id", text.alias("blob"))
+    out = regex_catalog_extract(d, "blob", "doc_id",
+                                {"email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                                 "date_iso": r"\d{4}-\d{2}-\d{2}"})
+    return out.select("id", "pattern_name", "match")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for the testdata tables)
+# --------------------------------------------------------------------------
+
+
+def _minhash_sig_sql_terms() -> list[str]:
+    return [
+        f"min(((shingle_hash % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}) as h{i}"
+        for i, (a, b) in enumerate(_minhash_params())
+    ]
+
+
+_SHINGLES_SQL = f"""
+    shingles as (
+      select distinct doc_id as id,
+             {_HASH_SQL.format(x="shingle")} as shingle_hash
+      from (
+        select doc_id, array_to_string(l[i+1:i+3], ' ') as shingle
+        from (select doc_id, string_split({_NORM_TEXT_SQL}, ' ') as l from corpus),
+             unnest(range(0, greatest(len(l)-3, 0) + 1)) as t(i)
+      ) where length(shingle) > 0
+    )
+"""
+
+
+def _lsh_band_sql() -> str:
+    rows = N_MINHASH // N_BANDS
+    band_exprs = []
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"h{b * rows + r}::varchar" for r in range(rows)
+        )
+        band_exprs.append(f"select id, {b} as band, {cols} as band_key from sigs")
+    return " union all ".join(band_exprs)
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_url_canonicalize"] = f"""
+    with u as ({_DOC_URLS_SQL})
+    select doc_id,
+      case doc_id % 4
+        when 0 then 'https://www.' || source || '.com/docs/' || doc_id || '?b=2&a=1'
+        when 1 then 'http://' || source || '.com/a/' || doc_id
+        when 2 then 'https://' || source || '.co.uk/x/' || doc_id
+        else 'https://' || source || '.com/p' || doc_id || '?keep=z'
+      end as url_canon,
+      case doc_id % 4
+        when 2 then source || '.co.uk'
+        else source || '.com'
+      end as domain
+    from u
+"""
+
+ORACLES["q_url_scorers"] = """
+    with d as (
+      select doc_id,
+        (case when doc_id % 2 = 0 then 1 else 0 end)
+          + 1 + (doc_id % 5)
+          + 1 as depth,
+        doc_id % 3 as ext_case,
+        doc_id % 2 = 0 as has_year
+      from documents
+    )
+    select doc_id,
+      round(1.0 / (1.0 + abs(depth - 3)), 4)::DOUBLE as depth_score,
+      (case ext_case when 0 then 1.0 when 1 then 0.5 else 0.8 end)::DOUBLE as ctype_score,
+      (case when has_year then 0.6 else 0.5 end)::DOUBLE as fresh_score,
+      ((1 + case when ext_case = 0 then 1 else 0 end) / 2.0)::DOUBLE as kw_score
+    from d
+"""
+
+ORACLES["q_frontier_admission"] = """
+    with fr as (
+      select 'https://' || source || '.com/d/' || doc_id as url_canon,
+             source || '.com' as registrable_domain,
+             (doc_id % 4)::int as depth,
+             round((doc_id % 97) / 97.0, 6) as score
+      from documents
+    ),
+    ranked as (
+      select *, row_number() over (
+        partition by registrable_domain
+        order by score desc, depth asc, url_canon asc) as rn
+      from fr
+    )
+    select url_canon, registrable_domain, depth, score
+    from ranked where rn <= 3
+    order by score desc, depth asc, url_canon asc
+    limit 40
+"""
+
+ORACLES["q_seen_antijoin"] = f"""
+    with u as ({_DOC_URLS_SQL})
+    select doc_id, {_HASH_SQL.format(x="url")} as url_hash
+    from u where doc_id % 3 <> 0
+"""
+
+ORACLES["q_latest_event"] = """
+    select user_id, event_id, floor(epoch(ts))::BIGINT as ts_epoch
+    from (
+      select user_id, event_id, ts,
+             row_number() over (partition by user_id order by ts desc, event_id desc) rn
+      from events
+    ) where rn = 1
+"""
+
+ORACLES["q_politeness_backoff"] = """
+    with o as (
+      select event_type || '.com' as registrable_domain,
+             case when event_id % 10 = 0 then 429
+                  when event_id % 10 = 1 then 503 else 200 end as status
+      from events
+    )
+    select registrable_domain,
+      case when sum(case when status in (429,503) then 1 else 0 end) > 0
+           then 4.0 else 2.0 end::DOUBLE as current_delay,
+      sum(case when status in (429,503) then 1 else 0 end)::INTEGER as fail_count
+    from o group by registrable_domain
+"""
+
+ORACLES["q_robots_gate"] = """
+    select doc_id,
+      'https://r' || (doc_id % 5) || '.example.com' ||
+      case when doc_id % 5 = 0 then '/private/p' else '/pub/p' end || doc_id as url_canon
+    from documents
+    where doc_id % 5 <> 0
+"""
+
+ORACLES["q_url_filter_chain"] = """
+    select doc_id,
+      'https://good.com/keep/page' || doc_id || '.html' as url
+    from documents where doc_id % 5 = 0
+"""
+
+ORACLES["q_dedup_exact"] = f"""
+    with corpus as (
+      {_DUPED_DOCS_SQL}
+      union all
+      select doc_id + 200000 as doc_id, text from documents where doc_id % 10 = 0
+    )
+    select md5({_NORM_TEXT_SQL}) as fingerprint,
+           count(*) as n_dups,
+           min(doc_id) as keeper
+    from corpus
+    group by 1 having count(*) > 1
+"""
+
+ORACLES["q_ngram_jaccard"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sizes as (select id, count(*) as sz from shingles group by id),
+    pairs as (
+      select a.id as id_a, b.id as id_b, count(*) as inter
+      from shingles a join shingles b using (shingle_hash)
+      where a.id < b.id
+      group by a.id, b.id
+    )
+    select id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) as jaccard
+    from pairs
+    join sizes sa on sa.id = id_a
+    join sizes sb on sb.id = id_b
+    where inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+ORACLES["q_minhash_lsh"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from shingles group by id
+    ),
+    banded as ({_lsh_band_sql()}),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from banded a join banded b using (band, band_key)
+      where a.id < b.id
+    ),
+    sizes as (select id, count(*) as sz from shingles group by id),
+    inter as (
+      select c.id_a, c.id_b, count(*) as inter
+      from cand c
+      join shingles a on a.id = c.id_a
+      join shingles b on b.id = c.id_b and b.shingle_hash = a.shingle_hash
+      group by c.id_a, c.id_b
+    )
+    select id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) as jaccard
+    from inter
+    join sizes sa on sa.id = id_a
+    join sizes sb on sb.id = id_b
+    where inter / (sa.sz + sb.sz - inter) >= 0.6
+"""
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"sum(case when (th >> {i}) & 1 = 1 then 1 else -1 end) as b{i}"
+    for i in range(16)
+)
+_SIMHASH_VAL_SQL = " + ".join(
+    f"case when b{i} > 0 then {1 << i} else 0 end" for i in range(16)
+)
+
+ORACLES["q_simhash"] = f"""
+    with toks as (
+      select doc_id as id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) as tok
+      from documents where doc_id < 200
+    ),
+    h as (
+      select id, {_HASH_SQL.format(x="tok")} as th
+      from toks where length(tok) > 0
+    ),
+    sums as (select id, {_SIMHASH_BITS_SQL} from h group by id)
+    select id, ({_SIMHASH_VAL_SQL})::BIGINT as simhash16 from sums
+"""
+
+ORACLES["q_embedding_neardup"] = """
+    select a.vec_id as id_a, b.vec_id as id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) as cosine
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where a.vec_id < 300 and b.vec_id < 300
+      and list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+ORACLES["q_ann_bruteforce"] = """
+    with scored as (
+      select q.vec_id as query_id, c.vec_id as neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) as cos
+      from embeddings q cross join embeddings c
+      where q.vec_id < 20 and q.vec_id <> c.vec_id
+    ),
+    ranked as (
+      select query_id, neighbor_id, cos,
+             row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+      from scored
+    )
+    select query_id, neighbor_id, rank::INTEGER as rank, round(cos, 4) as cosine
+    from ranked where rank <= 5
+"""
+
+ORACLES["q_ann_lsh"] = """
+    with planes as (
+      select vec_id as plane_id, embedding::DOUBLE[] as plane,
+             row_number() over (order by vec_id asc) - 1 as plane_rank
+      from embeddings order by vec_id asc limit 4
+    ),
+    buckets as (
+      select e.vec_id, e.embedding,
+             sum(case when list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                      then (1 << plane_rank) else 0 end)::BIGINT as bucket
+      from embeddings e cross join planes p
+      group by e.vec_id, e.embedding
+    ),
+    probes as (
+      select vec_id as query_id, embedding as qv, unnest([
+        bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)
+      ]) as probe
+      from buckets where vec_id < 20
+    ),
+    cand as (
+      select distinct p.query_id, c.vec_id as neighbor_id, p.qv, c.embedding as cv
+      from probes p join buckets c on p.probe = c.bucket
+      where p.query_id <> c.vec_id
+    ),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+             / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) as cos
+      from cand
+    ),
+    ranked as (
+      select query_id, neighbor_id, cos,
+             row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+      from scored
+    )
+    select query_id, neighbor_id, rank::INTEGER as rank, round(cos, 4) as cosine
+    from ranked where rank <= 5
+"""
+
+_PAD = "' ' || lower(text) || ' '"
+
+
+def _occ_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"((length({_PAD}) - length(replace({_PAD}, '{needle}', ''))) / {len(needle)})::INT"
+    )
+
+
+_LANGS_SQL = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "es": ("el", "la", "los", "las", "es", "una", "para", "con", "que", "por"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def _lang_pred_sql() -> str:
+    score_cols = {
+        code: " + ".join(_occ_sql(w) for w in words)
+        for code, words in _LANGS_SQL.items()
+    }
+    # fold in sorted code order with strict > (ties keep earlier best)
+    expr_lang, expr_score = "'und'", "0"
+    for code in sorted(score_cols):
+        s = f"({score_cols[code]})"
+        expr_lang = f"case when {s} > {expr_score} then '{code}' else {expr_lang} end"
+        expr_score = f"case when {s} > {expr_score} then {s} else {expr_score} end"
+    return expr_lang
+
+
+ORACLES["q_text_profile"] = f"""
+    select doc_id,
+      {_lang_pred_sql()} as lang_pred,
+      case when length(trim(text)) = 0 then 0
+           else len(regexp_split_to_array(trim(text), '\\s+')) end as token_count,
+      (len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{{}}"''`]', '', 'g'))) as bpe_token_estimate,
+      round(
+        0.3 * least(1.0, length(trim(text)) / 500.0)
+        + 0.3 * (case when length(trim(text)) > 0
+                 then length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))::DOUBLE / length(trim(text))
+                 else 0.0 end)
+        + 0.15 * (case when length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) <= 0.3
+                  then 1.0 else 0.3 end)
+        + 0.15 * (case when (case when len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                        then length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))::DOUBLE
+                             / len(regexp_split_to_array(trim(text), '\\s+')) else 0.0 end)
+                       between 2.0 and 12.0 then 1.0 else 0.3 end)
+        + 0.10 * (case when ({_occ_sql("the")} + {_occ_sql("and")}
+                             + {_occ_sql("of")} + {_occ_sql("a")}) > 0
+                  then 1.0 else 0.5 end)
+      + 1e-9, 4) as quality,
+      md5({_NORM_TEXT_SQL}) as fingerprint
+    from documents
+"""
+
+ORACLES["q_term_stats"] = """
+    with toks as (
+      select doc_id as id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) as term
+      from documents
+    ),
+    stats as (
+      select term, count(*) as tf, count(distinct id) as df
+      from toks group by term
+    )
+    select term, tf, df from stats
+    where tf >= 5
+    order by tf desc, term asc
+    limit 100
+"""
+
+ORACLES["q_bm25_rank"] = """
+    with toks as (
+      select doc_id as id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) as term
+      from documents
+    ),
+    dl as (select id, count(*) as dl from toks group by id),
+    consts as (
+      select (select count(*) from documents)::DOUBLE as n_docs,
+             (select avg(dl) from dl) as avgdl
+    ),
+    tf as (
+      select id, term, count(*) as tf from toks
+      where term in ('spark','table','query')
+      group by id, term
+    ),
+    dft as (select term, count(distinct id) as df from tf group by term),
+    scored as (
+      select tf.id,
+             ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.5
+             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)) as part
+      from tf join dft using (term) join dl using (id) cross join consts c
+    )
+    select id, round(sum(part), 4) as bm25 from scored group by id
+"""
+
+ORACLES["q_chunk_sliding"] = """
+    with t as (
+      select doc_id as id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as l
+      from documents where doc_id < 50
+    )
+    select id, i::INT as chunk_index,
+           array_to_string(l[i*10+1 : i*10+20], ' ') as chunk
+    from t, unnest(range(0, (greatest(len(l) - 20, 0) // 10) + 1)) as u(i)
+    where length(array_to_string(l[i*10+1 : i*10+20], ' ')) > 0
+"""
+
+ORACLES["q_headpeek"] = """
+    select doc_id,
+           source || ' ' || doc_id as head_title,
+           substr(text, 1, 50) as head_description,
+           'og ' || source as og_title
+    from documents
+"""
+
+ORACLES["q_events_hourly"] = """
+    select epoch(date_trunc('hour', ts))::BIGINT as hour_epoch, event_type,
+           count(*) as n, round(avg(value), 4) as avg_value
+    from events group by 1, 2
+"""
+
+ORACLES["q_sessionize"] = """
+    with g as (
+      select user_id,
+             floor(epoch(ts))::BIGINT
+               - floor(epoch(lag(ts) over (partition by user_id order by ts, event_id)))::BIGINT as gap
+      from events
+    )
+    select user_id,
+           sum(case when gap is null or gap > 1800 then 1 else 0 end) as n_sessions
+    from g group by user_id
+"""
+
+ORACLES["q_pricing_summary"] = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) as sum_qty,
+           round(sum(l_extendedprice), 2) as sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-01'
+    group by l_returnflag, l_linestatus
+"""
+
+ORACLES["q_top_revenue_nations"] = """
+    select n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           count(*) as n_items
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by n_name, r_name
+    order by revenue desc, n_name asc
+    limit 10
+"""
+
+ORACLES["q_extract_text"] = """
+    select 'https://' || source || '.example.com/doc/' || doc_id as url,
+           trim(regexp_replace(source || ' ' || text, '\\s+', ' ', 'g')) as extracted_text,
+           '# ' || source || chr(10) || chr(10)
+             || trim(regexp_replace(text, '\\s+', ' ', 'g')) as raw_markdown
+    from documents
+"""
+
+ORACLES["q_seeder_rank"] = """
+    with cand as (
+      select 'https://' || source || '.example.com/' ||
+             case when doc_id % 3 = 0 then 'spark/docs/' else 'misc/' end
+             || doc_id as url
+      from documents
+    ),
+    scored as (
+      select url,
+        round((
+          (case when contains(lower(url), 'spa') or contains(lower(url), 'par')
+                     or contains(lower(url), 'ark') then 1.0 else 0.0 end)
+          + (case when contains(lower(url), 'doc') or contains(lower(url), 'ocs')
+                  then 1.0 else 0.0 end)
+        ) / 2.0, 4)::DOUBLE as relevance_score
+      from cand
+    )
+    select url, relevance_score from scored
+    order by relevance_score desc, url asc
+    limit 200
+"""
+
+ORACLES["q_regex_extract"] = """
+    with d as (
+      select doc_id,
+             'contact admin' || doc_id || '@example.org or visit https://site'
+             || (doc_id % 7) || '.example.net/page on 2026-0' || (doc_id % 9 + 1)
+             || '-15 price $' || (doc_id % 100) || '.99 ' || text as blob
+      from documents
+    )
+    select doc_id as id, 'date_iso' as pattern_name,
+           '2026-0' || (doc_id % 9 + 1) || '-15' as match
+    from d
+    union all
+    select doc_id as id, 'email' as pattern_name,
+           'admin' || doc_id || '@example.org' as match
+    from d
+"""
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_url_canonicalize": q_url_canonicalize,
+    "q_url_scorers": q_url_scorers,
+    "q_frontier_admission": q_frontier_admission,
+    "q_seen_antijoin": q_seen_antijoin,
+    "q_latest_event": q_latest_event,
+    "q_politeness_backoff": q_politeness_backoff,
+    "q_robots_gate": q_robots_gate,
+    "q_url_filter_chain": q_url_filter_chain,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_ann_bruteforce": q_ann_bruteforce,
+    "q_ann_lsh": q_ann_lsh,
+    "q_text_profile": q_text_profile,
+    "q_term_stats": q_term_stats,
+    "q_bm25_rank": q_bm25_rank,
+    "q_chunk_sliding": q_chunk_sliding,
+    "q_headpeek": q_headpeek,
+    "q_events_hourly": q_events_hourly,
+    "q_sessionize": q_sessionize,
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_revenue_nations": q_top_revenue_nations,
+    "q_multimodal_features": q_multimodal_features,
+    "q_extract_text": q_extract_text,
+    "q_seeder_rank": q_seeder_rank,
+    "q_regex_extract": q_regex_extract,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full wave of the crawl pipeline over a deterministic
+    synthetic site — seed -> politeness admission -> robots gate -> fetch
+    join -> extraction -> link discovery stats."""
+    import tempfile
+
+    from crawl4ai_custom_spark.operators.extraction import extract_pages, links_table
+    from crawl4ai_custom_spark.operators.urlops import canonicalize_abs_udf
+    from crawl4ai_custom_spark.sources.datagen import write_dataset
+    from crawl4ai_custom_spark.sources.pages import latest_pages
+
+    cache = os.path.join(tempfile.gettempdir(), "c4a_spark_site_entry")
+    if not os.path.exists(os.path.join(cache, "pages.parquet")):
+        write_dataset(cache, n_pages=80, n_domains=3, with_text=False)
+    pages = latest_pages(spark.read.parquet(os.path.join(cache, "pages.parquet")))
+    seeds = spark.read.parquet(os.path.join(cache, "seeds.parquet"))
+    fr = seeds.select(canonicalize_abs_udf(F.col("url")).alias("url"))
+    fetched = fr.join(pages, "url", "inner")
+    ext = extract_pages(fetched.select("url", "html"))
+    links = links_table(ext)
+    return ext.select(
+        "url", "title", "n_links_internal", "n_links_external", "success"
+    ).join(
+        links.groupBy("page_url").agg(F.count(F.lit(1)).alias("n_edges")),
+        ext.url == F.col("page_url"),
+        "left",
+    ).select("url", "title", "n_links_internal", "n_links_external", "n_edges")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,149 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Covered surfaces (the engine's hot paths):
+  crawl_extract     html -> cleaned/markdown/links over the synthetic pages
+                    table (the extraction mapInPandas stage) + link explode
+  crawl_bfs_wave    one full frontier wave: admission + robots + fetch-join
+                    + extract + link discovery + seen anti-join
+  dedup_minhash     shingle -> minhash -> LSH -> verified pairs (documents)
+  dedup_exact       md5 fingerprint groupBy (documents)
+  text_profile      lang-id/quality/tokens/fingerprint (documents)
+  ann_bruteforce    exact cosine top-k (embeddings)
+  relational        TPC-H-ish agg + 5-way join (lineitem .. region)
+  sessionize        event-time gap sessionization (events)
+
+Extra fields beyond the required contract: urls_per_sec (extraction
+throughput — the BASELINE.md primary metric) and cpus (parallelism level,
+for the N-vs-4N scaling report in BENCH_SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _site_dir() -> str:
+    from crawl4ai_custom_spark.sources.datagen import write_dataset
+
+    d = os.path.join(CACHE_ROOT, f"site_{BENCH_PAGES}")
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        write_dataset(d, n_pages=BENCH_PAGES, n_domains=12, with_text=False)
+    return d
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.session import get_spark
+
+    site = _site_dir()
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- crawl extraction throughput (primary metric) -------------------
+    from crawl4ai_custom_spark.operators.extraction import extract_pages, links_table
+    from crawl4ai_custom_spark.sources.pages import load_latest_pages
+
+    pages = load_latest_pages(spark, site)
+
+    def run_extract():
+        ext = extract_pages(pages.select("url", "html"))
+        edges = links_table(ext)
+        return (
+            ext.agg(
+                F.count(F.lit(1)).alias("pages"),
+                F.sum("n_links_internal").alias("links"),
+            ).collect(),
+            edges.count(),
+        )
+
+    (agg_rows, _n_edges) = timed("crawl_extract", run_extract)
+    n_pages = agg_rows[0]["pages"]
+    extras["urls_per_sec"] = round(n_pages / timings["crawl_extract"], 2)
+
+    # ---- one BFS wave of the full engine --------------------------------
+    from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    def run_wave():
+        import tempfile
+
+        cfg = CrawlConfig(
+            strategy="bfs", max_depth=1, max_pages=10_000,
+            politeness=PolitenessConfig(wave_seconds=1e9),
+            use_bloom=True, bloom_partitions=8,
+        )
+        eng = FrontierEngine(
+            spark,
+            spark.read.parquet(os.path.join(site, "pages.parquet")),
+            spark.read.parquet(os.path.join(site, "robots.parquet")),
+            cfg,
+            checkpoint_dir=tempfile.mkdtemp(prefix="bench_ckpt_"),
+            out_dir=tempfile.mkdtemp(prefix="bench_out_"),
+        )
+        seeds = [r["url"] for r in
+                 spark.read.parquet(os.path.join(site, "seeds.parquet")).collect()]
+        return eng.run(seeds)
+
+    run = timed("crawl_bfs_wave", run_wave)
+    extras["bfs_pages_crawled"] = run.pages_crawled
+
+    # ---- operator benchmarks over the testdata tables -------------------
+    q = entry_mod.queries()
+    for name in (
+        "q_minhash_lsh",
+        "q_dedup_exact",
+        "q_text_profile",
+        "q_ann_bruteforce",
+        "q_pricing_summary",
+        "q_top_revenue_nations",
+        "q_sessionize",
+        "q_url_canonicalize",
+    ):
+        timed(name, lambda n=name: q[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "bench_pages": n_pages,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

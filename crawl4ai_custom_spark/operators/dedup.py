@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from .urlops import stable_hash60
 
 MERSENNE61 = (1 << 61) - 1
+# MinHash works in the Mersenne-31 field so a*h+b stays inside int64
+# (a,h < 2^31 => a*h < 2^62) — identical arithmetic in Spark and DuckDB.
+MERSENNE31 = (1 << 31) - 1
 
 
 def normalized_text(col: Column) -> Column:
@@ -73,18 +76,24 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def minhash_params(num_hashes: int = 32, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine coefficients in the M31 field,
+    shared verbatim with the SQL oracle."""
+    return [
+        ((seed * 1_000_003 + i * 7_919) % (MERSENNE31 - 1) + 1,
+         (seed * 999_983 + i * 104_729) % MERSENNE31)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
                        seed: int = 1) -> DataFrame:
     """(id, sig array<long>): sig[i] = min over shingles of
-    (a_i*h + b_i) mod M61 — all native expressions, one groupBy."""
-    params = [
-        (2 * ((seed * 1_000_003 + i * 7_919) % MERSENNE61) + 1,
-         (seed * 999_983 + i * 104_729) % MERSENNE61)
-        for i in range(num_hashes)
-    ]
+    (a_i*(h mod M31) + b_i) mod M31 — all native expressions, one groupBy."""
+    params = minhash_params(num_hashes, seed)
     aggs = [
         F.min(
-            (F.col("shingle_hash") % MERSENNE61 * F.lit(a) + F.lit(b)) % MERSENNE61
+            (F.col("shingle_hash") % MERSENNE31 * F.lit(a) + F.lit(b)) % MERSENNE31
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
@@ -269,25 +278,22 @@ def embedding_cosine_dedup(
     """Pairs with cosine >= threshold. Brute-force within buckets (pass
     bucket_col, e.g. an LSH sign-bucket from similarity.hyperplane_bucket,
     to avoid the full cross join at scale); all-pairs when bucket_col is None.
-    Cosine is computed natively via zip_with + aggregate."""
-    def unit(c: Column) -> Column:
-        nrm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
-        return F.transform(c, lambda x: x / nrm)
+    Cosine = dot/(|a||b|) via native zip_with + aggregate — the same element
+    order and formula as the DuckDB oracle (list_dot_product form), so float
+    results agree bit-for-bit."""
+    from .similarity import cosine as _cos
 
     base = emb.select(
         F.col(id_col).alias("id"),
-        unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("v"),
         (bucket_col if bucket_col is not None else F.lit(0)).alias("bkt"),
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
     return (
         a.join(b, "bkt")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot)
+        .withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
     )

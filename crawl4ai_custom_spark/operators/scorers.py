@@ -65,7 +65,8 @@ def freshness_score(url: Column, current_year: int = 2026) -> Column:
     year = F.when(year_s == "", None).otherwise(year_s.cast("int"))
     diff = F.lit(current_year) - year
     scored = (
-        F.when(diff < 0, F.lit(0.5))
+        F.when(year.isNull(), F.lit(None).cast("double"))  # no year -> default
+        .when(diff < 0, F.lit(0.5))
         .when(diff <= 5, F.lit(1.0) - diff.cast("double") * 0.1)
         .otherwise(F.greatest(F.lit(0.1), F.lit(1.0) - diff.cast("double") * 0.1))
     )

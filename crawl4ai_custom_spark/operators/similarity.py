@@ -104,9 +104,10 @@ def hyperplane_bucket(df: DataFrame, planes: DataFrame,
     )
     signs = (
         v.crossJoin(F.broadcast(planes_ranked))
+        .withColumn("_weight", F.expr("shiftleft(1, plane_rank)"))
         .withColumn("bit",
                     F.when(_dot(F.col("v"), F.col("plane")) >= 0,
-                           F.shiftleft(F.lit(1), F.col("plane_rank"))).otherwise(0))
+                           F.col("_weight")).otherwise(F.lit(0)))
         .groupBy("id")
         .agg(F.sum("bit").alias("bucket"))
     )

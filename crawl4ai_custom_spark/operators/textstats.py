@@ -110,6 +110,48 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Corpus-level Okapi BM25 as pure dataflow (no Python UDF):
+    explode tokens -> tf per (doc, term) -> df per term -> idf -> score.
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1). Returns (id, bm25) per doc
+    with bm25 > 0. Mirrors kernel.textproc.BM25 and the SQL oracle exactly."""
+    qt = [t.lower() for t in query_terms if t]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl_row = dl.agg(F.avg("dl")).collect()[0][0] or 0.0
+    tf = (
+        toks.where(F.col("term").isin(qt))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(df_t, "term")
+        .join(dl, "id")
+        .withColumn(
+            "part",
+            idf * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl_row)))),
+        )
+    )
+    return scored.groupBy("id").agg(F.sum("part").cast("double").alias("bm25"))
+
+
 def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document profile: all text-analysis columns at once."""
     t = F.col(text_col)

@@ -10,7 +10,11 @@ from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
 from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
 from tests.oracle_crawler import oracle_bfs
 
-SEEDS = ["https://mega.example-shop.com/", "https://shop1.example1.com/"]
+SEEDS = [
+    "https://mega.example-shop.com/",
+    "https://shop1.example1.com/",
+    "https://mega.example-shop.com/missing/seed-404",  # guaranteed fetch-miss
+]
 
 
 def _rows(site_dir, name):
