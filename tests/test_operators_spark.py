@@ -1,0 +1,230 @@
+"""Fast Spark unit tests for the operator families (tiny inline data).
+
+The DuckDB oracle harness (scripts/check_correctness.py + __spark_entry__)
+pins exact semantics at sf scale; these tests pin BEHAVIOR (shapes,
+invariants, edge cases) with minimal runtime.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl4ai_custom_spark.operators.chunking import (
+    fixed_word_chunks,
+    regex_chunks,
+    sliding_word_chunks,
+)
+from crawl4ai_custom_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from crawl4ai_custom_spark.operators.filters import FilterChain, url_pattern_filter
+from crawl4ai_custom_spark.operators.politeness import (
+    PolitenessConfig,
+    admit,
+    empty_host_state,
+    fold_wave_outcomes,
+)
+from crawl4ai_custom_spark.operators.seen import PartitionedBloom, filter_unseen_exact
+from crawl4ai_custom_spark.operators.similarity import brute_force_topk, lsh_topk
+from crawl4ai_custom_spark.operators.structured import (
+    regex_catalog_extract,
+    schema_extract,
+)
+from crawl4ai_custom_spark.operators.textstats import profile_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),
+        (3, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "der hund und die katze sind nicht auf der couch mit der decke"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["keeper"] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_dedup(docs, num_hashes=16, bands=4,
+                               jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_dedup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_dedup(docs, max_hamming=10, n_bands=5).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+
+
+def test_brute_force_vs_lsh_topk(spark):
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    bf = brute_force_topk(emb, q, k=3)
+    assert bf.groupBy("query_id").count().agg(F.max("count")).first()[0] == 3
+    lsh = lsh_topk(emb, q, k=3, n_planes=3)
+    # LSH neighbors are a subset of candidates; ranks within 1..3
+    assert lsh.agg(F.max("rank")).first()[0] <= 3
+    # recall vs brute force should be positive on this smooth manifold
+    bfset = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    lshset = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    assert len(bfset & lshset) > 0
+
+
+def test_profile_documents_handles_empty(docs):
+    prof = {r["doc_id"]: r for r in profile_documents(docs).collect()}
+    assert prof[6]["token_count"] == 0
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "de"
+    assert 0.0 <= prof[4]["quality"] <= 1.0
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
+
+
+def test_chunkers(docs):
+    fixed = fixed_word_chunks(docs.where("doc_id=1"), words=5)
+    assert fixed.count() == 3  # 13 words -> 5,5,3
+    slid = sliding_word_chunks(docs.where("doc_id=1"), words=5, stride=2)
+    assert slid.count() == 5  # starts 0,2,4,6,8
+    rgx = regex_chunks(
+        docs.sparkSession.createDataFrame([(9, "a b\n\nc d\n\ne")], ["doc_id", "text"])
+    )
+    assert rgx.count() == 3
+
+
+def test_filter_chain_stats(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x.html",), ("https://a.com/y.pdf",), ("https://b.com/z.html",)],
+        ["url"],
+    )
+    chain = FilterChain()
+    chain.add("html_only", url_pattern_filter(F.col("url"), ["*.html"]))
+    chain.add("a_only", F.col("url").contains("a.com"))
+    out, stats = chain.apply(df)
+    assert out.count() == 1
+    srows = {r["filter"]: r for r in stats.collect()}
+    assert srows["html_only"]["passed"] == 2
+    assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
+
+
+def test_politeness_admit_budget_and_order(spark):
+    rows = [
+        (f"https://d{i % 2}.com/p{i}", f"d{i % 2}.com", 1, float(i)) for i in range(10)
+    ]
+    fr = spark.createDataFrame(
+        rows, ["url_canon", "registrable_domain", "depth", "score"]
+    )
+    cfg = PolitenessConfig(base_delay=2.0, wave_seconds=4.0)  # budget 2
+    out = admit(fr, empty_host_state(spark), cfg, global_budget=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    # top scores win: 9,8 then 7
+    assert {r["url_canon"] for r in rows} == {
+        "https://d1.com/p9", "https://d0.com/p8", "https://d1.com/p7"
+    }
+
+
+def test_politeness_fold_backoff(spark):
+    hs = empty_host_state(spark)
+    wave = spark.createDataFrame(
+        [("a.com", 200), ("a.com", 429), ("b.com", 200)],
+        ["registrable_domain", "status_code"],
+    )
+    cfg = PolitenessConfig(base_delay=2.0, max_delay=60.0)
+    out = {r["registrable_domain"]: r for r in
+           fold_wave_outcomes(hs, wave, cfg).collect()}
+    assert out["a.com"]["current_delay"] == 4.0 and out["a.com"]["fail_count"] == 1
+    assert out["b.com"]["current_delay"] == 2.0 and out["b.com"]["fail_count"] == 0
+
+
+def test_partitioned_bloom_prefilter_no_false_negatives(spark):
+    cands = spark.createDataFrame(
+        [(i, i * 2654435761 % (1 << 60)) for i in range(200)], ["id", "url_hash"]
+    )
+    bloom = PartitionedBloom(spark, num_partitions=4, capacity_per_partition=10_000)
+    first = cands.where(F.col("id") < 100)
+    bloom.add(first.select("url_hash"))
+    flagged = bloom.prefilter(cands)
+    maybe = flagged.where(F.col("bloom_maybe_seen"))
+    fresh = flagged.where(~F.col("bloom_maybe_seen"))
+    # no false negatives: every added hash must be flagged maybe-seen
+    assert maybe.join(first, "id").count() == 100
+    # fresh rows are definitively new
+    assert fresh.join(first.select("url_hash"), "url_hash").count() == 0
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    bloom = PartitionedBloom(spark, num_partitions=2, capacity_per_partition=1000)
+    data = spark.createDataFrame([(i,) for i in range(50)], ["url_hash"])
+    bloom.add(data)
+    path = str(tmp_path / "bloom")
+    bloom.save(path)
+    bloom2 = PartitionedBloom.load(spark, path, 2, 1000)
+    flagged = bloom2.prefilter(data.select("url_hash"))
+    assert flagged.where(F.col("bloom_maybe_seen")).count() == 50
+
+
+def test_filter_unseen_exact(spark):
+    cands = spark.createDataFrame([(i,) for i in range(10)], ["url_hash"])
+    seen = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["url_hash"])
+    assert filter_unseen_exact(cands, seen).count() == 5
+
+
+def test_regex_catalog_extract(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.co and see https://x.org/d on 2026-01-02")],
+        ["doc_id", "blob"],
+    )
+    out = {(r["pattern_name"], r["match"])
+           for r in regex_catalog_extract(df, "blob", "doc_id").collect()}
+    assert ("email", "a@b.co") in out
+    assert ("url", "https://x.org/d") in out
+    assert ("date_iso", "2026-01-02") in out
+
+
+def test_schema_extract_css(spark):
+    html = b"""<html><body>
+      <div class="product"><h2 class="name">Widget</h2>
+        <span class="price">$9.99</span><a href="/w1">more</a></div>
+      <div class="product"><h2 class="name">Gadget</h2>
+        <span class="price">$19.99</span><a href="/g1">more</a></div>
+    </body></html>"""
+    pages = spark.createDataFrame([("https://s.com/", html)], ["url", "html"])
+    schema = {
+        "baseSelector": "div.product",
+        "fields": [
+            {"name": "name", "selector": "h2.name", "type": "text"},
+            {"name": "price", "selector": "span.price", "type": "text"},
+            {"name": "link", "selector": "a", "type": "attribute", "attribute": "href"},
+            {"name": "name_lower", "selector": "h2.name", "type": "text",
+             "transform": "lowercase"},
+        ],
+    }
+    recs = schema_extract(pages, schema).first()["records"]
+    assert len(recs) == 2
+    assert recs[0]["name"] == "Widget" and recs[0]["price"] == "$9.99"
+    assert recs[0]["link"] == "/w1" and recs[1]["name_lower"] == "gadget"
