@@ -89,6 +89,7 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_partitions: int = 8
     bloom_capacity: int = 1_000_000
+    max_waves: int | None = None  # absolute wave bound (None -> strategy default)
 
 
 @dataclass
@@ -274,7 +275,7 @@ class FrontierEngine:
             os.makedirs(self.out_dir, exist_ok=True)
 
         wave = start_wave
-        max_waves = 1000 if cfg.strategy == "dfs" else 64
+        max_waves = cfg.max_waves or (1000 if cfg.strategy == "dfs" else 64)
         while wave < max_waves:
             frontier = self._roundtrip(frontier, "frontier", wave)
             if cfg.check_robots and self.robots is not None:
@@ -323,8 +324,12 @@ class FrontierEngine:
                 F.col("url_canon").alias("url"), "registrable_domain", "depth",
                 "score", "parent_url", "status_code", "order_in_wave",
             )
-            results = extracted.join(meta_cols, "url", "left").withColumn(
-                "wave", F.lit(wave)
+            # left join FROM the admitted rows: fetch-misses (404) stay in the
+            # results table with null extraction columns
+            results = (
+                meta_cols.join(extracted, "url", "left")
+                .withColumn("success", F.coalesce(F.col("success"), F.lit(False)))
+                .withColumn("wave", F.lit(wave))
             )
             results.write.mode("overwrite").parquet(
                 os.path.join(wave_dir, "results.parquet")

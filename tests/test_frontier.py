@@ -121,9 +121,9 @@ def test_best_first_batches_and_budget(spark, pages_df, robots_df, tmp_path):
 
 def test_resume_from_checkpoint_equals_uninterrupted(spark, pages_df, robots_df, tmp_path):
     pol = PolitenessConfig(wave_seconds=1e9)
-    # interrupted: stop after ~20 pages, then resume to 60
-    cfg_a = CrawlConfig(strategy="bfs", max_depth=3, max_pages=20, politeness=pol,
-                        use_bloom=False)
+    # interrupted: kill at the wave-2 boundary, then resume
+    cfg_a = CrawlConfig(strategy="bfs", max_depth=3, max_pages=60, politeness=pol,
+                        use_bloom=False, max_waves=2)
     eng_a = FrontierEngine(spark, pages_df, robots_df, cfg_a,
                            checkpoint_dir=str(tmp_path / "ckpt"),
                            out_dir=str(tmp_path / "out"))
