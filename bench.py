@@ -74,15 +74,13 @@ def main() -> None:
     def run_extract():
         ext = extract_pages(pages.select("url", "html"))
         edges = links_table(ext)
-        return (
-            ext.agg(
-                F.count(F.lit(1)).alias("pages"),
-                F.sum("n_links_internal").alias("links"),
-            ).collect(),
-            edges.count(),
-        )
+        # single action: the extraction stage runs exactly once
+        return edges.groupBy().agg(
+            F.countDistinct("page_url").alias("pages"),
+            F.count(F.lit(1)).alias("edges"),
+        ).collect()
 
-    (agg_rows, _n_edges) = timed("crawl_extract", run_extract)
+    agg_rows = timed("crawl_extract", run_extract)
     n_pages = agg_rows[0]["pages"]
     extras["urls_per_sec"] = round(n_pages / timings["crawl_extract"], 2)
 

@@ -146,10 +146,19 @@ def make_extract_fn(cfg: ExtractConfig | None = None):
     return fn
 
 
-def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
+def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
+                  min_parallelism: int | None = None) -> DataFrame:
     """pages must have (url string, html binary); other columns are dropped
-    (select first if you need passthrough — rejoin on url after)."""
-    return pages.select("url", "html").mapInPandas(make_extract_fn(cfg), EXTRACT_SCHEMA)
+    (select first if you need passthrough — rejoin on url after).
+
+    Extraction is CPU-bound: if the scan yields fewer partitions than cores
+    (small inputs, single parquet file), repartition so every core works.
+    Large scans already carry enough partitions — no shuffle is added."""
+    df = pages.select("url", "html")
+    target = min_parallelism or pages.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df.mapInPandas(make_extract_fn(cfg), EXTRACT_SCHEMA)
 
 
 def links_table(extracted: DataFrame) -> DataFrame:

@@ -232,9 +232,9 @@ class FrontierEngine:
         return chain
 
     # ------------------------------------------------------------------
-    def _roundtrip(self, df: DataFrame, name: str, wave: int) -> DataFrame:
-        """Write+read a state table (lineage truncation barrier)."""
-        path = os.path.join(self.checkpoint_dir, f"_state/{name}_{wave % 2}")
+    def _materialize(self, df: DataFrame, name: str) -> DataFrame:
+        """Write+read once (lineage truncation / materialized view)."""
+        path = os.path.join(self.checkpoint_dir, "_state", name)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
@@ -247,6 +247,10 @@ class FrontierEngine:
             if cfg.use_bloom
             else None
         )
+
+        # materialize the latest-capture "web" once: every wave's fetch join
+        # scans this parquet with pushdown instead of re-running the window
+        self.pages = self._materialize(self.pages, "pages_latest")
 
         start_wave = 0
         crawled = 0
@@ -265,7 +269,9 @@ class FrontierEngine:
                     snap["bloom"].collect(), bloom.state.schema
                 )
         else:
-            frontier = self._seed_frontier(seed_urls)
+            frontier = self._materialize(
+                self._seed_frontier(seed_urls), "frontier_init"
+            )
             seen = frontier.select("url_hash")
             host_state = empty_host_state(spark)
             if bloom is not None:
@@ -274,23 +280,25 @@ class FrontierEngine:
                 shutil.rmtree(self.out_dir)
             os.makedirs(self.out_dir, exist_ok=True)
 
+        frontier_cols = [c.split(" ")[0] for c in FRONTIER_DDL.split(", ")]
         wave = start_wave
         max_waves = cfg.max_waves or (1000 if cfg.strategy == "dfs" else 64)
         while wave < max_waves:
-            frontier = self._roundtrip(frontier, "frontier", wave)
             if cfg.check_robots and self.robots is not None:
                 # gate the whole frontier Δ: robots-blocked urls leave the
                 # frontier permanently (they are already in `seen`, so they
                 # can't be re-discovered — no budget slot is ever wasted)
                 frontier = robots_gate(frontier, self.robots)
-            frontier = frontier.cache()
-            n_frontier = frontier.count()
+            # one agg job: frontier size + min depth (BFS termination)
+            row = frontier.agg(
+                F.count(F.lit(1)).alias("n"), F.min("depth").alias("min_depth")
+            ).collect()[0]
+            n_frontier, min_depth = row["n"], row["min_depth"]
             if n_frontier == 0 or crawled >= cfg.max_pages:
                 break
-            if cfg.strategy == "bfs":
-                min_depth = frontier.agg(F.min("depth")).collect()[0][0]
-                if min_depth is not None and min_depth > cfg.max_depth:
-                    break
+            if cfg.strategy == "bfs" and min_depth is not None \
+                    and min_depth > cfg.max_depth:
+                break
 
             admitted = self._admit_wave(
                 frontier, host_state, cfg.max_pages - crawled
@@ -298,43 +306,39 @@ class FrontierEngine:
             order_w = Window.orderBy(*self._admission_order())
             admitted = admitted.withColumn(
                 "order_in_wave", F.row_number().over(order_w)
-            ).cache()
-            n_admitted = admitted.count()
+            ).withColumn("wave", F.lit(wave))
+
+            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
+            admitted_path = os.path.join(wave_dir, "admitted.parquet")
+            admitted.write.mode("overwrite").parquet(admitted_path)
+            admitted = spark.read.parquet(admitted_path)
+            n_admitted = admitted.count()  # metadata-only parquet count
             if n_admitted == 0:
                 break
 
-            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
-            admitted.withColumn("wave", F.lit(wave)).write.mode("overwrite").parquet(
-                os.path.join(wave_dir, "admitted.parquet")
-            )
-
-            # ---- "fetch": join the latest-capture pages table
-            fetched = admitted.join(self.pages, "url_canon", "left")
-            fetched = fetched.withColumn(
+            # ---- "fetch" (join materialized latest pages) + extraction, all
+            # in ONE write job; 404 rows keep null extraction columns
+            fetched = admitted.join(self.pages, "url_canon", "left").withColumn(
                 "status_code",
                 F.when(F.col("html").isNotNull(), 200).otherwise(404),
-            ).cache()
-            ok = fetched.where(F.col("status_code") == 200)
-
-            # ---- extraction
+            )
             extracted = extract_pages(
-                ok.select(F.col("url_canon").alias("url"), "html"), cfg.extract
+                fetched.where(F.col("status_code") == 200)
+                .select(F.col("url_canon").alias("url"), "html"),
+                cfg.extract,
             )
             meta_cols = fetched.select(
                 F.col("url_canon").alias("url"), "registrable_domain", "depth",
                 "score", "parent_url", "status_code", "order_in_wave",
             )
-            # left join FROM the admitted rows: fetch-misses (404) stay in the
-            # results table with null extraction columns
             results = (
                 meta_cols.join(extracted, "url", "left")
                 .withColumn("success", F.coalesce(F.col("success"), F.lit(False)))
                 .withColumn("wave", F.lit(wave))
             )
-            results.write.mode("overwrite").parquet(
-                os.path.join(wave_dir, "results.parquet")
-            )
-            results = spark.read.parquet(os.path.join(wave_dir, "results.parquet"))
+            results_path = os.path.join(wave_dir, "results.parquet")
+            results.write.mode("overwrite").parquet(results_path)
+            results = spark.read.parquet(results_path)
             n_ok = results.where(F.col("status_code") == 200).count()
 
             # ---- link discovery (hrefs already canonical from the kernel)
@@ -387,39 +391,21 @@ class FrontierEngine:
                 new_links = fresh.unionByName(filter_unseen_exact(maybe, seen))
             else:
                 new_links = filter_unseen_exact(cand, seen)
-            new_links = new_links.cache()
-            n_new = new_links.count()
 
-            # ---- state folds
-            seen = self._roundtrip(
-                seen.union(new_links.select("url_hash")).distinct(), "seen", wave
-            )
-            if bloom is not None:
-                bloom.add(new_links.select("url_hash"))
-            host_state = self._roundtrip(
-                fold_wave_outcomes(
-                    host_state,
-                    fetched.select("registrable_domain", "status_code"),
-                    cfg.politeness,
-                ),
-                "host_state",
-                wave,
-            )
-
-            # ---- next frontier
+            # ---- next frontier + state folds, each written exactly once via
+            # the snapshot (the Iceberg-MERGE-per-wave pattern)
             leftover = frontier.join(
                 admitted.select("url_canon"), "url_canon", "left_anti"
             )
-            if cfg.strategy == "bfs":
-                # BFS is depth-synchronous: politeness-deferred rows stay queued
-                frontier = leftover.unionByName(
-                    new_links.select(*[c.split(" ")[0] for c in FRONTIER_DDL.split(", ")])
-                )
-            else:
-                frontier = leftover.unionByName(
-                    new_links.select(*[c.split(" ")[0] for c in FRONTIER_DDL.split(", ")])
-                )
-
+            next_frontier = leftover.select(*frontier_cols).unionByName(
+                new_links.select(*frontier_cols)
+            )
+            next_seen = seen.union(new_links.select("url_hash")).distinct()
+            next_host_state = fold_wave_outcomes(
+                host_state,
+                results.select("registrable_domain", "status_code"),
+                cfg.politeness,
+            )
             crawled += n_admitted
             stats.append(
                 {
@@ -428,30 +414,30 @@ class FrontierEngine:
                     "admitted": n_admitted,
                     "fetched_ok": n_ok,
                     "fetch_miss": n_admitted - n_ok,
-                    "new_links": n_new,
+                    "new_links": -1,  # filled below from the snapshot
                     "pages_crawled": crawled,
                 }
-            )
-            stats_df = spark.createDataFrame(
-                [tuple(s.values()) for s in stats[-1:]],
-                "wave int, frontier_size long, admitted long, fetched_ok long, "
-                "fetch_miss long, new_links long, pages_crawled long",
             )
             self.store.write(
                 wave,
                 {
-                    "frontier": frontier,
-                    "seen": seen,
-                    "host_state": host_state,
+                    "frontier": next_frontier,
+                    "seen": next_seen,
+                    "host_state": next_host_state,
                     "bloom": bloom.state if bloom is not None else None,
-                    "stats": stats_df,
                 },
                 meta={"pages_crawled": crawled, "stats": stats},
             )
-            frontier = self.store.read(wave)["frontier"]
-            admitted.unpersist()
-            new_links.unpersist()
-            fetched.unpersist()
+            snap = self.store.read(wave)
+            frontier, seen, host_state = (
+                snap["frontier"], snap["seen"], snap["host_state"]
+            )
+            new_from_snap = frontier.where(
+                F.col("discovered_wave") == wave + 1
+            )
+            stats[-1]["new_links"] = new_from_snap.count()
+            if bloom is not None:
+                bloom.add(new_from_snap.select("url_hash"))
             wave += 1
 
         return CrawlRun(
