@@ -1081,7 +1081,12 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = latest_pages(spark.read.parquet(os.path.join(cache, "pages.parquet")))
     seeds = spark.read.parquet(os.path.join(cache, "seeds.parquet"))
     fr = seeds.select(canonicalize_abs_udf(F.col("url")).alias("url"))
-    fetched = fr.join(pages, "url", "inner")
+    # seeds prove the frontier join path; the whole site proves extraction
+    fetched = fr.join(pages, "url", "inner").unionByName(
+        pages.withColumnRenamed("url", "url").select(
+            "url", *[c for c in pages.columns if c != "url"]
+        )
+    ).dropDuplicates(["url"])
     ext = extract_pages(fetched.select("url", "html"))
     links = links_table(ext)
     return ext.select(
