@@ -1,0 +1,110 @@
+"""spark-submit entry point for the crawl engine.
+
+    python jobs/make_pyfiles.py                     # -> dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        jobs/crawl_job.py \\
+        --pages /data/pages.parquet --robots /data/robots.parquet \\
+        --seeds https://example.com/ \\
+        --out /data/crawl_out --checkpoint /data/crawl_ckpt \\
+        --strategy bfs --max-depth 3 --max-pages 100000 --resume
+
+On a cluster, master/executors come from spark-submit; locally it falls
+back to local[*]. All engine state (frontier/seen/bloom/host_state) lives
+under --checkpoint; re-running with --resume continues from the last
+complete wave snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="crawl4ai_custom_spark crawl job")
+    p.add_argument("--pages", required=True, help="pages parquet path/table")
+    p.add_argument("--robots", default=None)
+    p.add_argument("--seeds", nargs="*", default=[], help="seed urls")
+    p.add_argument("--seeds-parquet", default=None, help="seed table (url column)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--strategy", default="bfs", choices=["bfs", "best_first", "dfs"])
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--max-pages", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--keywords", nargs="*", default=[])
+    p.add_argument("--score-threshold", type=float, default=None)
+    p.add_argument("--include-external", action="store_true")
+    p.add_argument("--no-robots", action="store_true")
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--base-delay", type=float, default=2.0)
+    p.add_argument("--wave-seconds", type=float, default=30.0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--content-filter", default="pruning",
+                   choices=["pruning", "bm25", "none"])
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv or sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from crawl4ai_custom_spark.kernel.extract import ExtractConfig
+    from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    spark = (
+        SparkSession.builder.appName("crawl4ai-custom-spark-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    import math
+
+    cfg = CrawlConfig(
+        strategy=args.strategy,
+        max_depth=args.max_depth,
+        max_pages=args.max_pages,
+        batch_size=args.batch_size,
+        keywords=tuple(args.keywords),
+        include_external=args.include_external,
+        check_robots=not args.no_robots,
+        use_bloom=not args.no_bloom,
+        score_threshold=(
+            args.score_threshold if args.score_threshold is not None else -math.inf
+        ),
+        politeness=PolitenessConfig(
+            base_delay=args.base_delay, wave_seconds=args.wave_seconds
+        ),
+        extract=ExtractConfig(content_filter=args.content_filter),
+    )
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    engine = FrontierEngine(
+        spark,
+        spark.read.parquet(args.pages),
+        robots,
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        out_dir=args.out,
+    )
+    seeds = list(args.seeds)
+    if args.seeds_parquet:
+        seeds = spark.read.parquet(args.seeds_parquet)
+    run = engine.run(seeds, resume=args.resume)
+    print(json.dumps({
+        "pages_crawled": run.pages_crawled,
+        "waves": run.waves,
+        "results_dir": run.results_dir,
+        "checkpoint_dir": run.checkpoint_dir,
+        "stats": run.stats,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
