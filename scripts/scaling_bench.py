@@ -1,0 +1,149 @@
+"""Scaling-efficiency evidence: the same extraction job at two parallelism
+levels (stand-in for N vs 4N executors, per BASELINE.json).
+
+Each measurement runs in a FRESH subprocess (own JVM, own python workers) so
+nothing warm carries over between parallelism levels. The workload is the
+headline pipeline: latest-capture pages -> extraction mapInPandas -> link
+explode -> count, over an amplified synthetic pages table big enough that
+compute dominates fixed overhead.
+
+Usage:
+  python scripts/scaling_bench.py                 # orchestrate, write BENCH_SCALING.md
+  python scripts/scaling_bench.py --worker --cpus 8 --pages <path>   # one run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "4000"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_SCALE_AMPLIFY", "16"))
+CPUS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
+
+
+def build_input() -> str:
+    """Amplified pages table: each synthetic page replicated AMPLIFY times
+    under distinct urls (?v=i), written once as multi-file parquet."""
+    out = os.path.join(ROOT, ".bench_cache", f"scale_pages_{BASE_PAGES}x{AMPLIFY}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.session import get_spark
+    from crawl4ai_custom_spark.sources.datagen import write_dataset
+
+    site = os.path.join(ROOT, ".bench_cache", f"site_{BASE_PAGES}")
+    if not os.path.exists(os.path.join(site, "pages.parquet")):
+        write_dataset(site, n_pages=BASE_PAGES, n_domains=12, with_text=False)
+    spark = get_spark("scale-build", master="local[8]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(os.path.join(site, "pages.parquet"))
+    amp = pages.crossJoin(
+        spark.range(AMPLIFY).withColumnRenamed("id", "_v")
+    ).select(
+        F.concat(F.col("url"), F.lit("?v="), F.col("_v")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    amp.repartition(64).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def worker(cpus: int, pages_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.extraction import extract_pages, links_table
+    from crawl4ai_custom_spark.session import get_spark
+    from crawl4ai_custom_spark.sources.pages import latest_pages
+
+    spark = get_spark("scaling-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(16, cpus * 2))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = latest_pages(spark.read.parquet(pages_path))
+    # warmup: spin up python workers + JIT on a slice so the measured run
+    # reflects steady-state throughput (what a long cluster job sees)
+    extract_pages(pages.limit(cpus * 16)).count()
+    t0 = time.time()
+    ext = extract_pages(pages.select("url", "html"))
+    row = links_table(ext).groupBy().agg(
+        F.countDistinct("page_url").alias("pages"),
+        F.count(F.lit(1)).alias("edges"),
+    ).collect()[0]
+    dt = time.time() - t0
+    print(json.dumps({
+        "cpus": cpus, "seconds": round(dt, 2), "pages": row["pages"],
+        "edges": row["edges"], "urls_per_sec": round(row["pages"] / dt, 1),
+    }))
+
+
+def orchestrate() -> None:
+    pages_path = build_input()
+    results = []
+    for cpus in (CPUS_LOW, CPUS_HIGH):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+             "--pages", pages_path],
+            capture_output=True, text=True, check=True, cwd=ROOT,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(line)
+    low, high = results
+    ratio = high["urls_per_sec"] / low["urls_per_sec"]
+    factor = CPUS_HIGH / CPUS_LOW
+    eff = ratio / factor
+    report = {
+        "workload": "latest-capture -> extraction mapInPandas -> link explode",
+        "input_pages": high["pages"],
+        "n_cores": low, "4n_cores": high,
+        "speedup": round(ratio, 2), "core_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+    }
+    md = f"""# BENCH_SCALING — throughput at two parallelism levels
+
+In-sandbox stand-in for N vs 4N executors (BASELINE.json): the same job in
+fresh processes at local[{CPUS_LOW}] and local[{CPUS_HIGH}], same input,
+python-worker warmup excluded from the measurement.
+
+Workload: `latest_pages -> extract_pages (mapInPandas) -> links_table ->
+count` over {high['pages']} synthetic CC-style pages
+({BASE_PAGES} unique pages x {AMPLIFY} captures-variants, multi-file parquet).
+
+| cores | seconds | URLs/sec |
+|---|---|---|
+| {CPUS_LOW} (N) | {low['seconds']} | {low['urls_per_sec']} |
+| {CPUS_HIGH} (4N) | {high['seconds']} | {high['urls_per_sec']} |
+
+**Speedup {CPUS_LOW}->{CPUS_HIGH} cores: {ratio:.2f}x over a {factor:.0f}x
+core factor => scaling efficiency {eff:.3f}** (target >= 0.8).
+
+Why this scales: extraction is a narrow mapInPandas over the scan (no
+shuffle); the only exchanges are the latest-capture window and the link
+explode count, both keyed well. The python-side kernel is pure CPU per row,
+so throughput is proportional to cores until the scan or Arrow transfer
+saturates.
+"""
+    with open(os.path.join(ROOT, "BENCH_SCALING.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--cpus", type=int, default=8)
+    p.add_argument("--pages", default=None)
+    a = p.parse_args()
+    if a.worker:
+        worker(a.cpus, a.pages)
+    else:
+        orchestrate()
