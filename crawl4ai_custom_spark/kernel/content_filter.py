@@ -67,12 +67,42 @@ class PruningContentFilter:
     threshold: float = 0.48
     min_word_threshold: int = 2
 
-    def score(self, n: Node) -> float:
-        text = n.text()
-        tlen = len(text)
-        html_len = max(1, len(n.to_html()))
-        text_density = min(1.0, 3.0 * tlen / html_len)
-        link_density = min(1.0, _link_text_len(n) / max(1, tlen))
+    # one bottom-up pass memoizes (text_len, link_text_len, html_len, words,
+    # has_img) per node — scoring then is O(1) per node instead of a full
+    # subtree walk (the filter was the kernel's hottest path)
+    def _measure(self, n: Node, memo: dict, in_link: bool = False) -> tuple:
+        tlen = ltlen = words = 0
+        hlen = 2 + len(n.tag)  # '<tag'
+        for k, v in n.attrs.items():
+            hlen += 4 + len(k) + len(v)
+        has_img = n.tag == "img"
+        is_link = in_link or n.tag == "a"
+        for c in n.children:
+            if isinstance(c, str):
+                t = len(c.strip())
+                tlen += t
+                words += len(c.split())
+                hlen += len(c)
+                if is_link:
+                    ltlen += t
+            elif isinstance(c, Node):
+                ct, cl, ch, cw, ci = self._measure(c, memo, is_link)
+                tlen += ct
+                ltlen += cl if not is_link else ct
+                hlen += ch
+                words += cw
+                has_img = has_img or ci
+        hlen += 3 + len(n.tag)  # '</tag>'
+        memo[id(n)] = (tlen, ltlen, hlen, words, has_img)
+        return memo[id(n)]
+
+    def score(self, n: Node, memo: dict | None = None) -> float:
+        if memo is None or id(n) not in memo:
+            memo = {}
+            self._measure(n, memo)
+        tlen, ltlen, hlen, _w, _i = memo[id(n)]
+        text_density = min(1.0, 3.0 * tlen / max(1, hlen))
+        link_density = min(1.0, ltlen / max(1, tlen))
         tag_w = _TAG_WEIGHTS.get(n.tag, 0.5)
         cid_w = _class_id_weight(n)
         tl_factor = min(1.0, math.log1p(tlen) / 8.0)
@@ -84,20 +114,23 @@ class PruningContentFilter:
             + 0.1 * tl_factor
         )
 
-    def _prune(self, n: Node) -> None:
+    def _prune(self, n: Node, memo: dict | None = None) -> None:
+        if memo is None:
+            memo = {}
+            self._measure(n, memo)
         for c in list(n.children):
             if not isinstance(c, Node):
                 continue
             if c.tag in ("img", "br", "hr", "table"):
                 continue
-            words = c.word_count()
-            if words < self.min_word_threshold and c.find("img") is None:
+            _t, _l, _h, words, has_img = memo[id(c)]
+            if words < self.min_word_threshold and not has_img:
                 c.detach()
                 continue
-            if self.score(c) < self.threshold:
+            if self.score(c, memo) < self.threshold:
                 c.detach()
                 continue
-            self._prune(c)
+            self._prune(c, memo)
 
     def filter_content(self, html: str | Node) -> str:
         """Returns fit_html (surviving fragments of the body)."""

@@ -20,7 +20,7 @@ from typing import Any
 
 from .content_filter import BM25ContentFilter, PruningContentFilter
 from .htmldom import parse_html
-from .markdown import generate_markdown
+from .markdown import MarkdownResult, html_to_markdown, references_block
 from .scraper import ScrapeConfig, scrap
 
 
@@ -46,17 +46,34 @@ def extract_page(
             "links": [], "images": [], "tables": [], "metadata": {},
         }
 
-    fit_html: str | None = None
+    # one DOM for the whole downstream: markdown walks the cleaned tree
+    # scrap() built (no re-parse); the pruning filter then mutates that same
+    # tree (markdown is already done), so fit_markdown walks the pruned tree
+    # directly instead of re-parsing serialized fragments.
+    tree = sr.body_node if sr.body_node is not None else parse_html(sr.cleaned_html)
+    raw_md, _ = html_to_markdown(tree)
+    cited_md, refs = html_to_markdown(tree, citations=True)
+
+    fit_html = ""
+    fit_md = ""
     if cfg.content_filter == "pruning":
-        fit_html = PruningContentFilter(threshold=cfg.prune_threshold).filter_content(
-            parse_html(sr.cleaned_html)
-        )
+        pruner = PruningContentFilter(threshold=cfg.prune_threshold)
+        pruner._prune(tree)  # in place; markdown above already captured
+        fit_html = tree.inner_html() if tree.tag in ("body", "#root") else tree.to_html()
+        fit_md, _ = html_to_markdown(tree)
     elif cfg.content_filter == "bm25":
         fit_html = BM25ContentFilter(
             threshold=cfg.bm25_threshold, user_query=cfg.bm25_query
-        ).filter_content(parse_html(sr.cleaned_html))
+        ).filter_content(tree)
+        fit_md, _ = html_to_markdown(fit_html)
 
-    md = generate_markdown(parse_html(sr.cleaned_html), fit_html=fit_html)
+    md = MarkdownResult(
+        raw_markdown=raw_md,
+        markdown_with_citations=cited_md,
+        references_markdown=references_block(refs),
+        fit_markdown=fit_md,
+        fit_html=fit_html,
+    )
 
     links = [
         {**l, "is_internal": True} for l in sr.links_internal

@@ -91,10 +91,17 @@ class Node:
             )
         return out
 
+    def iter_gen(self, tag: str | None = None):
+        """Lazy depth-first pre-order traversal (early-exit friendly)."""
+        stack: list[Node] = [self]
+        while stack:
+            n = stack.pop()
+            if n is not self and (tag is None or n.tag == tag):
+                yield n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+
     def find(self, tag: str) -> "Node | None":
-        for n in self.iter(tag):
-            return n
-        return None
+        return next(self.iter_gen(tag), None)
 
     def get(self, key: str, default: str | None = None) -> str | None:
         return self.attrs.get(key, default)

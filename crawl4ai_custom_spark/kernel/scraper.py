@@ -65,6 +65,9 @@ class ScrapeResult:
     audios: list[dict] = field(default_factory=list)
     tables: list[dict] = field(default_factory=list)
     metadata: dict[str, str] = field(default_factory=dict)
+    # the cleaned DOM itself, so downstream stages (markdown, content
+    # filters) never re-parse cleaned_html — one parse per page total
+    body_node: Node | None = field(default=None, repr=False, compare=False)
 
 
 # --------------------------------------------------------------------------
@@ -94,7 +97,8 @@ def extract_metadata(root: Node) -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 def extract_links(
-    root: Node, url: str, cfg: ScrapeConfig, base_href: str | None = None
+    root: Node, url: str, cfg: ScrapeConfig, base_href: str | None = None,
+    rewritten: bool = False,
 ) -> tuple[list[dict], list[dict]]:
     base = canonicalize_url(base_href, url) if base_href else url
     internal: list[dict] = []
@@ -102,7 +106,8 @@ def extract_links(
     seen: set[str] = set()
     for a in root.iter("a"):
         href = a.get("href")
-        canon = canonicalize_url(href, base or url)
+        # after rewrite_urls the href IS canonical (or absent) — skip urljoin
+        canon = href if rewritten else canonicalize_url(href, base or url)
         if canon is None or canon in seen:
             continue
         seen.add(canon)
@@ -155,7 +160,10 @@ def _score_image(img: Node, index: int, total: int) -> int:
     return score
 
 
-def extract_media(root: Node, url: str, cfg: ScrapeConfig):
+def extract_media(root: Node, url: str, cfg: ScrapeConfig, rewritten: bool = False):
+    def canon(u: str) -> str:
+        return u if rewritten else (canonicalize_url(u, url) or u)
+
     images: list[dict] = []
     imgs = root.iter("img")
     for i, img in enumerate(imgs):
@@ -170,10 +178,10 @@ def extract_media(root: Node, url: str, cfg: ScrapeConfig):
         for part in srcset.split(","):
             cand = part.strip().split(" ")[0]
             if cand:
-                variants.append(canonicalize_url(cand, url) or cand)
+                variants.append(canon(cand))
         images.append(
             {
-                "src": canonicalize_url(src, url) or src,
+                "src": canon(src),
                 "alt": img.get("alt") or "",
                 "desc": _closest_text(img),
                 "score": score,
@@ -188,8 +196,8 @@ def extract_media(root: Node, url: str, cfg: ScrapeConfig):
             srcs += [s.get("src") for s in el.iter("source") if s.get("src")]
             acc.append(
                 {
-                    "src": canonicalize_url(srcs[0], url) or srcs[0] if srcs else "",
-                    "sources": [canonicalize_url(s, url) or s for s in srcs],
+                    "src": canon(srcs[0]) if srcs else "",
+                    "sources": [canon(s) for s in srcs],
                     "desc": _closest_text(el),
                 }
             )
@@ -311,27 +319,40 @@ def rewrite_urls(root: Node, url: str, base_href: str | None = None) -> None:
     cleaned HTML (and the markdown generated from it) carries frontier-keyed
     links. Non-crawlable hrefs (mailto:, #fragment, javascript:) lose their
     href — the anchor text survives as plain text."""
-    base = canonicalize_url(base_href, url) if base_href else url
+    base = (canonicalize_url(base_href, url) if base_href else url) or url
+    memo: dict[str, str | None] = {}
+
+    def canon(href: str) -> str | None:
+        got = memo.get(href, False)
+        if got is False:
+            got = memo[href] = canonicalize_url(href, base)
+        return got
+
     for a in root.iter("a"):
-        canon = canonicalize_url(a.get("href"), base or url)
-        if canon is None:
+        c = canon(a.get("href") or "")
+        if c is None:
             a.attrs.pop("href", None)
         else:
-            a.attrs["href"] = canon
+            a.attrs["href"] = c
     for img in root.iter("img"):
         for key in ("src", "data-src"):
             v = img.get(key)
             if v and not v.startswith("data:"):
-                img.attrs[key] = canonicalize_url(v, base or url) or v
+                img.attrs[key] = canon(v) or v
         srcset = img.get("srcset")
         if srcset:
             parts = []
             for cand in srcset.split(","):
                 bits = cand.strip().split(" ", 1)
                 if bits and bits[0]:
-                    bits[0] = canonicalize_url(bits[0], base or url) or bits[0]
+                    bits[0] = canon(bits[0]) or bits[0]
                     parts.append(" ".join(bits))
             img.attrs["srcset"] = ", ".join(parts)
+    for tag in ("video", "audio", "source"):
+        for el in root.iter(tag):
+            v = el.get("src")
+            if v and not v.startswith("data:"):
+                el.attrs["src"] = canon(v) or v
 
 
 def remove_comments(root: Node) -> None:
@@ -345,6 +366,47 @@ def remove_tags(root: Node, tags: frozenset[str]) -> None:
     for n in root.iter():
         if n.tag in tags:
             n.detach()
+
+
+def cleanup_tree(
+    root: Node,
+    remove: frozenset[str],
+    min_words: int = 1,
+    keep_data: bool = False,
+) -> int:
+    """Single post-order pass fusing comment removal, tag removal, empty-
+    element pruning (bottom-up word counts — no repeated text() walks) and
+    attribute stripping. Returns the subtree word count."""
+    kept: list[object] = []
+    words = 0
+    for c in root.children:
+        if isinstance(c, Comment):
+            continue
+        if isinstance(c, str):
+            words += len(c.split())
+            kept.append(c)
+            continue
+        if c.tag in remove:
+            continue
+        w = cleanup_tree(c, remove, min_words, keep_data)
+        has_elem_child = any(isinstance(g, Node) for g in c.children)
+        if (
+            c.tag in _MEDIA_KEEP
+            or c.tag in ("br", "hr")
+            or has_elem_child
+            or w >= min_words
+        ):
+            kept.append(c)
+            words += w
+    root.children = kept
+    root.attrs = {
+        k: v
+        for k, v in root.attrs.items()
+        if k in IMPORTANT_ATTRS
+        or (keep_data and k.startswith("data-"))
+        or (k == "class" and root.tag == "code" and v.startswith("language-"))
+    }
+    return words
 
 
 def remove_empty_elements(root: Node, min_words: int = 1) -> None:
@@ -394,32 +456,32 @@ def scrap(url: str, html: str | bytes, cfg: ScrapeConfig | None = None) -> Scrap
     meta = extract_metadata(root)
     base_href = meta.pop("base-href", None)
 
-    links_int, links_ext = extract_links(root, url, cfg, base_href)
-    images, videos, audios = extract_media(root, url, cfg)
-
     body = body_of(root)
+    # canonicalize every href/src ONCE in the tree, then link/media walks
+    # read the rewritten values (no second urljoin pass)
     rewrite_urls(body, url, base_href)
-    remove_comments(root)
-    remove_tags(body, REMOVE_TAGS)
-    excl = set(cfg.excluded_tags)
+    links_int, links_ext = extract_links(body, url, cfg, rewritten=True)
+    images, videos, audios = extract_media(body, url, cfg, rewritten=True)
+
+    excl = set(REMOVE_TAGS) | set(cfg.excluded_tags)
     if cfg.remove_forms:
         excl.add("form")
-    remove_tags(body, frozenset(excl))
 
     tables = [
         extract_table(t)
         for t in body.iter("table")
-        if score_table(t) >= cfg.table_score_threshold
+        if not any(a.tag in excl for a in _ancestors(t))
+        and score_table(t) >= cfg.table_score_threshold
     ]
 
-    remove_empty_elements(body, cfg.min_word_threshold)
-    strip_attributes(body, cfg.keep_data_attrs)
+    cleanup_tree(body, frozenset(excl), cfg.min_word_threshold, cfg.keep_data_attrs)
 
     cleaned = body.inner_html() if body.tag == "body" else body.to_html()
     return ScrapeResult(
         url=url,
         success=True,
         cleaned_html=cleaned,
+        body_node=body,
         text=body.text(),
         title=meta.get("title", ""),
         links_internal=links_int,

@@ -128,10 +128,25 @@ def _row_to_out(row: dict[str, Any], html_len: int, ms: float) -> dict[str, Any]
     }
 
 
-def make_extract_fn(cfg: ExtractConfig | None = None):
+def schema_for(fields: tuple[str, ...] | None) -> StructType:
+    """EXTRACT_SCHEMA restricted to the requested fields (order preserved)."""
+    if not fields:
+        return EXTRACT_SCHEMA
+    want = set(fields)
+    return StructType([f for f in EXTRACT_SCHEMA.fields if f.name in want])
+
+
+def make_extract_fn(cfg: ExtractConfig | None = None,
+                    fields: tuple[str, ...] | None = None):
     """Returns the mapInPandas function (closure carries the config —
-    broadcast-free since ExtractConfig is tiny and picklable)."""
+    broadcast-free since ExtractConfig is tiny and picklable).
+
+    ``fields`` is manual column pushdown: Catalyst cannot prune through an
+    opaque mapInPandas, so restricting the emitted columns here is how a
+    query that only needs (url, links) avoids shipping cleaned_html /
+    fit_html through Arrow and the row converter — 2-3x on wide pages."""
     cfg = cfg or ExtractConfig()
+    keep = list(schema_for(fields).fieldNames()) if fields else None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,25 +155,30 @@ def make_extract_fn(cfg: ExtractConfig | None = None):
                 t0 = time.perf_counter()
                 row = extract_page(url, html or b"", cfg)
                 ms = (time.perf_counter() - t0) * 1000.0
-                out.append(_row_to_out(row, len(html or b""), ms))
+                full = _row_to_out(row, len(html or b""), ms)
+                out.append({k: full[k] for k in keep} if keep else full)
             yield pd.DataFrame(out)
 
     return fn
 
 
 def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
-                  min_parallelism: int | None = None) -> DataFrame:
+                  min_parallelism: int | None = None,
+                  fields: tuple[str, ...] | None = None) -> DataFrame:
     """pages must have (url string, html binary); other columns are dropped
     (select first if you need passthrough — rejoin on url after).
 
     Extraction is CPU-bound: if the scan yields fewer partitions than cores
     (small inputs, single parquet file), repartition so every core works.
-    Large scans already carry enough partitions — no shuffle is added."""
+    Large scans already carry enough partitions — no shuffle is added.
+
+    ``fields``: emit only these output columns (manual pushdown through the
+    opaque python stage — see make_extract_fn)."""
     df = pages.select("url", "html")
     target = min_parallelism or pages.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    return df.mapInPandas(make_extract_fn(cfg), EXTRACT_SCHEMA)
+    return df.mapInPandas(make_extract_fn(cfg, fields), schema_for(fields))
 
 
 def links_table(extracted: DataFrame) -> DataFrame:

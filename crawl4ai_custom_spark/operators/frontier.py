@@ -436,6 +436,11 @@ class FrontierEngine:
                 F.col("discovered_wave") == wave + 1
             )
             stats[-1]["new_links"] = new_from_snap.count()
+            # backfill the count into the committed manifest (it was -1 at
+            # write time: the snapshot is the source of the count itself)
+            self.store.update_meta(
+                wave, {"pages_crawled": crawled, "stats": stats}
+            )
             if bloom is not None:
                 bloom.add(new_from_snap.select("url_hash"))
             wave += 1
