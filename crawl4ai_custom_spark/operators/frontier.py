@@ -250,7 +250,11 @@ class FrontierEngine:
 
         # materialize the latest-capture "web" once: every wave's fetch join
         # scans this parquet with pushdown instead of re-running the window
-        self.pages = self._materialize(self.pages, "pages_latest")
+        # (guarded — repeated run() calls, e.g. streaming emission, must not
+        # overwrite the materialization they are reading from)
+        if not getattr(self, "_pages_materialized", False):
+            self.pages = self._materialize(self.pages, "pages_latest")
+            self._pages_materialized = True
 
         start_wave = 0
         crawled = 0

@@ -1,0 +1,83 @@
+"""Streaming emission, DFS mode, mega-host salting equivalence."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+from crawl4ai_custom_spark.operators.politeness import (
+    PolitenessConfig,
+    admit,
+    empty_host_state,
+)
+from crawl4ai_custom_spark.streaming.emission import stream_crawl
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, site_dir):
+    return spark.read.parquet(f"{site_dir}/pages.parquet")
+
+
+def test_stream_crawl_emits_waves_incrementally(spark, pages_df, tmp_path):
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=40,
+                      politeness=PolitenessConfig(wave_seconds=1e9),
+                      use_bloom=False, check_robots=False)
+    eng = FrontierEngine(spark, pages_df, None, cfg,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         out_dir=str(tmp_path / "out"))
+    waves = []
+    for k, df, run in stream_crawl(eng, ["https://mega.example-shop.com/"],
+                                   max_total_waves=6):
+        waves.append((k, df.count()))
+    assert len(waves) >= 2
+    assert waves[0][1] >= 1
+    total_streamed = sum(n for _, n in waves)
+    # streamed union equals the final results table
+    assert total_streamed == run.results(spark).count()
+    assert run.pages_crawled <= cfg.max_pages
+
+
+def test_dfs_mode_goes_deep_first(spark, pages_df, tmp_path):
+    cfg = CrawlConfig(strategy="dfs", max_depth=3, max_pages=12,
+                      politeness=PolitenessConfig(wave_seconds=1e9),
+                      use_bloom=False, check_robots=False)
+    eng = FrontierEngine(spark, pages_df, None, cfg,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         out_dir=str(tmp_path / "out"))
+    run = eng.run(["https://mega.example-shop.com/"])
+    adm = run.admitted_log(spark).orderBy("wave").collect()
+    assert all(r["order_in_wave"] == 1 and len({x["wave"] for x in adm}) == len(adm)
+               for r in adm)  # one url per wave (sequential semantics)
+    depths = [r["depth"] for r in adm]
+    # LIFO: after the seed, the crawl descends before finishing a level —
+    # some depth-3 page is admitted before all depth-1 pages are done
+    first_d3 = next((i for i, d in enumerate(depths) if d == 3), None)
+    last_d1 = max((i for i, d in enumerate(depths) if d == 1), default=None)
+    assert first_d3 is not None and last_d1 is not None
+    assert first_d3 < last_d1
+    assert run.pages_crawled == len(depths) <= cfg.max_pages
+
+
+def test_salted_admission_equals_unsalted(spark):
+    # zipf frontier: mega-host with 500 urls, small hosts with 10
+    rows = [(f"https://mega.com/p{i:04d}", "mega.com", 1, float(i % 97))
+            for i in range(500)]
+    for d in range(5):
+        rows += [(f"https://small{d}.com/p{i}", f"small{d}.com", 1, float(i))
+                 for i in range(10)]
+    fr = spark.createDataFrame(
+        rows, ["url_canon", "registrable_domain", "depth", "score"]
+    )
+    cfg_plain = PolitenessConfig(base_delay=2.0, wave_seconds=20.0)  # budget 10
+    cfg_salted = PolitenessConfig(base_delay=2.0, wave_seconds=20.0,
+                                  salt_partitions=8)
+    plain = {r["url_canon"] for r in
+             admit(fr, empty_host_state(spark), cfg_plain).collect()}
+    salted = {r["url_canon"] for r in
+              admit(fr, empty_host_state(spark), cfg_salted).collect()}
+    # two-stage salted top-k is EXACT: same admitted set as the plain window
+    assert salted == plain
+    per_dom = (
+        admit(fr, empty_host_state(spark), cfg_salted)
+        .groupBy("registrable_domain").count().collect()
+    )
+    assert all(r["count"] <= 10 for r in per_dom)
