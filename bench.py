@@ -92,7 +92,7 @@ def main() -> None:
         import tempfile
 
         cfg = CrawlConfig(
-            strategy="bfs", max_depth=1, max_pages=10_000,
+            strategy="bfs", max_depth=2, max_pages=10_000,
             politeness=PolitenessConfig(wave_seconds=1e9),
             use_bloom=True, bloom_partitions=8,
         )
