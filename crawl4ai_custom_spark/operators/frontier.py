@@ -243,7 +243,10 @@ class FrontierEngine:
         spark, cfg = self.spark, self.cfg
         stats: list[dict[str, Any]] = []
         bloom: PartitionedBloom | None = (
-            PartitionedBloom(spark, cfg.bloom_partitions, cfg.bloom_capacity)
+            PartitionedBloom(
+                spark, cfg.bloom_partitions, cfg.bloom_capacity,
+                state_dir=os.path.join(self.checkpoint_dir, "_state", "bloom"),
+            )
             if cfg.use_bloom
             else None
         )
@@ -269,9 +272,7 @@ class FrontierEngine:
             stats = list(meta.get("stats", []))
             start_wave = w0 + 1
             if bloom is not None and "bloom" in snap:
-                bloom.state = spark.createDataFrame(
-                    snap["bloom"].collect(), bloom.state.schema
-                )
+                bloom.state = snap["bloom"]  # parquet-backed snapshot read
         else:
             frontier = self._materialize(
                 self._seed_frontier(seed_urls), "frontier_init"
@@ -287,7 +288,15 @@ class FrontierEngine:
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_DDL.split(", ")]
         wave = start_wave
         max_waves = cfg.max_waves or (1000 if cfg.strategy == "dfs" else 64)
+        import time as _time
+
         while wave < max_waves:
+            _t = {"_w0": _time.time()}
+
+            def _mark(name):
+                _t[name] = round(_time.time() - _t.pop("_w0"), 2)
+                _t["_w0"] = _time.time()
+
             if cfg.check_robots and self.robots is not None:
                 # gate the whole frontier Δ: robots-blocked urls leave the
                 # frontier permanently (they are already in `seen`, so they
@@ -298,6 +307,7 @@ class FrontierEngine:
                 F.count(F.lit(1)).alias("n"), F.min("depth").alias("min_depth")
             ).collect()[0]
             n_frontier, min_depth = row["n"], row["min_depth"]
+            _mark("t_frontier_agg")
             if n_frontier == 0 or crawled >= cfg.max_pages:
                 break
             if cfg.strategy == "bfs" and min_depth is not None \
@@ -317,6 +327,7 @@ class FrontierEngine:
             admitted.write.mode("overwrite").parquet(admitted_path)
             admitted = spark.read.parquet(admitted_path)
             n_admitted = admitted.count()  # metadata-only parquet count
+            _mark("t_admission")
             if n_admitted == 0:
                 break
 
@@ -344,6 +355,7 @@ class FrontierEngine:
             results.write.mode("overwrite").parquet(results_path)
             results = spark.read.parquet(results_path)
             n_ok = results.where(F.col("status_code") == 200).count()
+            _mark("t_fetch_extract")
 
             # ---- link discovery (hrefs already canonical from the kernel)
             links = (
@@ -410,6 +422,7 @@ class FrontierEngine:
                 results.select("registrable_domain", "status_code"),
                 cfg.politeness,
             )
+            _mark("t_link_discovery")
             crawled += n_admitted
             stats.append(
                 {
@@ -432,6 +445,10 @@ class FrontierEngine:
                 },
                 meta={"pages_crawled": crawled, "stats": stats},
             )
+            import os as _os
+            _dbg = _os.environ.get("C4A_CKPT_DEBUG")
+            import time as _t2
+            _s0 = _t2.time()
             snap = self.store.read(wave)
             frontier, seen, host_state = (
                 snap["frontier"], snap["seen"], snap["host_state"]
@@ -440,6 +457,7 @@ class FrontierEngine:
                 F.col("discovered_wave") == wave + 1
             )
             stats[-1]["new_links"] = new_from_snap.count()
+            if _dbg: print(f"[dbg] snapread+count: {_t2.time()-_s0:.1f}s", flush=True); _s0=_t2.time()
             # backfill the count into the committed manifest (it was -1 at
             # write time: the snapshot is the source of the count itself)
             self.store.update_meta(
@@ -447,6 +465,10 @@ class FrontierEngine:
             )
             if bloom is not None:
                 bloom.add(new_from_snap.select("url_hash"))
+            if _dbg: print(f"[dbg] meta+bloomadd: {_t2.time()-_s0:.1f}s", flush=True)
+            _mark("t_state_commit")
+            _t.pop("_w0", None)
+            stats[-1].update(_t)
             wave += 1
 
         return CrawlRun(

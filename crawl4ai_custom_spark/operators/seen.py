@@ -62,14 +62,26 @@ def merge_seen(seen: DataFrame, new_hashes: DataFrame,
 
 
 class PartitionedBloom:
-    """P bloom blobs keyed by pmod(url_hash, P), all ops as grouped pandas."""
+    """P bloom blobs keyed by pmod(url_hash, P), all ops as grouped pandas.
+
+    The state DataFrame is ALWAYS parquet-backed (never a collected local
+    relation): blobs are ~1.2 MiB per partition, and a LocalRelation would
+    embed those bytes into every logical plan that references the state —
+    Catalyst copies plans during analysis/optimization, turning each
+    downstream job into minutes of plan serialization. ``add`` writes the
+    folded state to an alternating parquet path and re-reads it."""
 
     def __init__(self, spark: SparkSession, num_partitions: int = 16,
-                 capacity_per_partition: int = 1_000_000, fp_rate: float = 0.01):
+                 capacity_per_partition: int = 1_000_000, fp_rate: float = 0.01,
+                 state_dir: str | None = None):
+        import tempfile
+
         self.spark = spark
         self.p = num_partitions
         self.capacity = capacity_per_partition
         self.fp_rate = fp_rate
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="bloom_state_")
+        self._flip = 0
         self.state: DataFrame = spark.createDataFrame(
             [(i, None, capacity_per_partition) for i in range(num_partitions)],
             BLOOM_STATE_SCHEMA,
@@ -79,26 +91,37 @@ class PartitionedBloom:
         return F.pmod(hash_col, F.lit(self.p)).cast("int")
 
     def prefilter(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """Adds boolean ``bloom_maybe_seen``: False => definitively unseen."""
+        """Adds boolean ``bloom_maybe_seen``: False => definitively unseen.
+
+        Cogrouped applyInPandas: each hash-partition group receives its
+        bloom blob ONCE (never joined onto every candidate row — that would
+        push |candidates| x blob_size through the shuffle)."""
         cap, fp = self.capacity, self.fp_rate
         cands = candidates.withColumn("partition_id", self._part(F.col(hash_col)))
-        joined = cands.join(F.broadcast(self.state), "partition_id", "left")
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
         ) + ", bloom_maybe_seen boolean"
 
-        def test(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            bits = pdf["bits"].iloc[0]
-            base = pdf.drop(columns=["partition_id", "bits", "capacity"])
+        def test(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                base = left.drop(columns=["partition_id"])
+                base["bloom_maybe_seen"] = pd.Series([], dtype="bool")
+                return base
+            base = left.drop(columns=["partition_id"])
+            bits = right["bits"].iloc[0] if len(right) else None
             if bits is None:
                 base["bloom_maybe_seen"] = False
                 return base
             bf = BloomFilter(cap, fp, bits=np.frombuffer(bits, dtype=np.uint8))
-            hashes = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            hashes = left[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
             base["bloom_maybe_seen"] = bf.contains_many(hashes)
             return base
 
-        return joined.groupBy("partition_id").applyInPandas(test, ddl)
+        return (
+            cands.groupBy("partition_id")
+            .cogroup(self.state.groupBy("partition_id"))
+            .applyInPandas(test, ddl)
+        )
 
     def add(self, new_urls: DataFrame, hash_col: str = "url_hash") -> None:
         """Fold new hashes into the partition blobs (pure fold, new state DF)."""
@@ -107,29 +130,34 @@ class PartitionedBloom:
             F.col(hash_col).alias("url_hash"),
             self._part(F.col(hash_col)).alias("partition_id"),
         )
-        joined = hashes.join(F.broadcast(self.state), "partition_id", "right")
 
-        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
-            bits = pdf["bits"].iloc[0]
+            bits = right["bits"].iloc[0] if len(right) else None
             bf = BloomFilter(
                 cap, fp,
                 bits=np.frombuffer(bits, dtype=np.uint8) if bits is not None else None,
             )
-            hs = pdf["url_hash"].dropna()
+            hs = left["url_hash"].dropna()
             if len(hs):
                 bf.add_many(hs.to_numpy(dtype=np.int64).astype(np.uint64))
             return pd.DataFrame(
                 {"partition_id": [pid], "bits": [bf.to_bytes()], "capacity": [cap]}
             )
 
-        new_state = joined.groupBy("partition_id").applyInPandas(
-            fold, BLOOM_STATE_SCHEMA
+        new_state = (
+            hashes.groupBy("partition_id")
+            .cogroup(self.state.groupBy("partition_id"))
+            .applyInPandas(fold, BLOOM_STATE_SCHEMA)
         )
-        # materialize so the fold happens once, then swap state
-        self.state = self.spark.createDataFrame(
-            new_state.collect(), BLOOM_STATE_SCHEMA
-        )
+        # materialize via parquet (alternating path: the fold READS the
+        # current state, so never overwrite the file being read)
+        import os
+
+        path = os.path.join(self.state_dir, f"bloom_{self._flip}")
+        self._flip ^= 1
+        new_state.write.mode("overwrite").parquet(path)
+        self.state = self.spark.read.parquet(path)
 
     def save(self, path: str) -> None:
         self.state.write.mode("overwrite").parquet(path)

@@ -46,11 +46,17 @@ class CheckpointStore:
             shutil.rmtree(d)
         os.makedirs(d)
         counts: dict[str, int] = {}
+        import os as _os
+        import time as _time
+        debug = _os.environ.get("C4A_CKPT_DEBUG")
         for name, df in tables.items():
             if df is None:
                 continue
             path = os.path.join(d, name + ".parquet")
+            _t0 = _time.time()
             df.write.mode("overwrite").parquet(path)
+            if debug:
+                print(f"[ckpt] wave={wave} {name}: {_time.time()-_t0:.1f}s", flush=True)
             counts[name] = -1
         manifest = {"wave": wave, "tables": sorted(counts), "meta": meta or {}}
         tmp = os.path.join(d, "_MANIFEST.json.tmp")
