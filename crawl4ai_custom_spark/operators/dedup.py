@@ -103,10 +103,15 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
-    Returns distinct (id_a < id_b) candidate pairs."""
-    num_hashes = len(signatures.select("sig").first()["sig"])
+    Returns distinct (id_a < id_b) candidate pairs.
+
+    Pass ``num_hashes`` when known — the fallback probe is a full action
+    that would recompute the whole signature chain just to read the length."""
+    if num_hashes is None:
+        num_hashes = len(signatures.select("sig").first()["sig"])
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         "id",
@@ -163,10 +168,15 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.6,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard >= threshold), LSH-accelerated,
-    verified with exact Jaccard (no false positives in the output)."""
+    verified with exact Jaccard (no false positives in the output).
+
+    The shingle table feeds three plan branches (signatures + both sides of
+    the verification join); its distinct-shuffle is identical in each, so
+    Spark's ReusedExchange runs it once — measured faster than persist(),
+    whose InMemoryRelation conversion costs more than it saves here."""
     sh = shingle_table(docs, id_col, text_col, k)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes=num_hashes)
     return jaccard_of_pairs(cand, sh).where(
         F.col("jaccard") >= jaccard_threshold
     ).select("id_a", "id_b", "jaccard")

@@ -96,6 +96,9 @@ EXTRACT_SCHEMA = StructType(
         StructField("n_links_external", IntegerType()),
         StructField("html_bytes", IntegerType()),
         StructField("extract_ms", DoubleType()),
+        # physical lineage: which task partition extracted the row (captured
+        # in the python worker — downstream joins/AQE must not overwrite it)
+        StructField("exec_partition", IntegerType()),
     ]
 )
 
@@ -149,6 +152,10 @@ def make_extract_fn(cfg: ExtractConfig | None = None,
     keep = list(schema_for(fields).fieldNames()) if fields else None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -156,6 +163,7 @@ def make_extract_fn(cfg: ExtractConfig | None = None,
                 row = extract_page(url, html or b"", cfg)
                 ms = (time.perf_counter() - t0) * 1000.0
                 full = _row_to_out(row, len(html or b""), ms)
+                full["exec_partition"] = pid
                 out.append({k: full[k] for k in keep} if keep else full)
             yield pd.DataFrame(out)
 

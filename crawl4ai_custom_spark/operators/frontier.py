@@ -106,6 +106,14 @@ class CrawlRun:
     def admitted_log(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.results_dir, "*", "admitted.parquet"))
 
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-(wave, executor-partition, domain) fetch/extract metrics —
+        the reference's CrawlerTaskResult/TraversalStats equivalents
+        (/root/reference/crawl4ai/models.py:22-37,100-108)."""
+        return spark.read.parquet(
+            os.path.join(self.checkpoint_dir, "wave=*", "stats.parquet")
+        )
+
 
 class FrontierEngine:
     def __init__(
@@ -350,6 +358,12 @@ class FrontierEngine:
                 meta_cols.join(extracted, "url", "left")
                 .withColumn("success", F.coalesce(F.col("success"), F.lit(False)))
                 .withColumn("wave", F.lit(wave))
+                # exec_partition comes from the extraction worker itself
+                # (TaskContext.partitionId); fetch-miss rows never ran there
+                .withColumn(
+                    "exec_partition",
+                    F.coalesce(F.col("exec_partition"), F.lit(-1)),
+                )
             )
             results_path = os.path.join(wave_dir, "results.parquet")
             results.write.mode("overwrite").parquet(results_path)
@@ -407,6 +421,14 @@ class FrontierEngine:
                 new_links = fresh.unionByName(filter_unseen_exact(maybe, seen))
             else:
                 new_links = filter_unseen_exact(cand, seen)
+            # materialize the discovery Δ ONCE: next_frontier AND next_seen
+            # both consume it — without this the whole link chain (explode ->
+            # score -> window dedup -> bloom applyInPandas -> anti-join) runs
+            # twice, once per state write. Doubles as the wave discovery log.
+            new_links_path = os.path.join(wave_dir, "new_links.parquet")
+            new_links.write.mode("overwrite").parquet(new_links_path)
+            new_links = spark.read.parquet(new_links_path)
+            n_new = new_links.count()  # metadata-only parquet count
 
             # ---- next frontier + state folds, each written exactly once via
             # the snapshot (the Iceberg-MERGE-per-wave pattern)
@@ -431,10 +453,29 @@ class FrontierEngine:
                     "admitted": n_admitted,
                     "fetched_ok": n_ok,
                     "fetch_miss": n_admitted - n_ok,
-                    "new_links": -1,  # filled below from the snapshot
+                    "new_links": n_new,
                     "pages_crawled": crawled,
                 }
             )
+            # per-partition lineage: (exec_partition, domain) -> fetch/extract
+            # metrics, from the already-materialized results parquet (cheap
+            # scan; the reference's CrawlerTaskResult/TraversalStats parity)
+            lineage = results.groupBy(
+                "wave", "exec_partition", "registrable_domain"
+            ).agg(
+                F.count(F.lit(1)).alias("fetched"),
+                F.sum(F.col("success").cast("int")).alias("extracted_ok"),
+                F.sum(F.coalesce("html_bytes", F.lit(0))).alias("html_bytes"),
+                F.sum(F.coalesce("extract_ms", F.lit(0.0))).alias("extract_ms"),
+                F.max("order_in_wave").alias("max_order_in_wave"),
+            )
+            # fold new links into the bloom BEFORE the snapshot: the snapshot
+            # bloom must cover everything in the snapshot seen table — a bloom
+            # false NEGATIVE bypasses the exact anti-join (the `fresh` path),
+            # so a resume from a bloom that lags `seen` by one wave could
+            # re-admit already-seen urls
+            if bloom is not None:
+                bloom.add(new_links.select("url_hash"))
             self.store.write(
                 wave,
                 {
@@ -442,30 +483,15 @@ class FrontierEngine:
                     "seen": next_seen,
                     "host_state": next_host_state,
                     "bloom": bloom.state if bloom is not None else None,
+                    "stats": lineage,
                 },
                 meta={"pages_crawled": crawled, "stats": stats},
             )
-            import os as _os
-            _dbg = _os.environ.get("C4A_CKPT_DEBUG")
-            import time as _t2
-            _s0 = _t2.time()
+            # lineage truncation: every wave starts from the snapshot scan
             snap = self.store.read(wave)
             frontier, seen, host_state = (
                 snap["frontier"], snap["seen"], snap["host_state"]
             )
-            new_from_snap = frontier.where(
-                F.col("discovered_wave") == wave + 1
-            )
-            stats[-1]["new_links"] = new_from_snap.count()
-            if _dbg: print(f"[dbg] snapread+count: {_t2.time()-_s0:.1f}s", flush=True); _s0=_t2.time()
-            # backfill the count into the committed manifest (it was -1 at
-            # write time: the snapshot is the source of the count itself)
-            self.store.update_meta(
-                wave, {"pages_crawled": crawled, "stats": stats}
-            )
-            if bloom is not None:
-                bloom.add(new_from_snap.select("url_hash"))
-            if _dbg: print(f"[dbg] meta+bloomadd: {_t2.time()-_s0:.1f}s", flush=True)
             _mark("t_state_commit")
             _t.pop("_w0", None)
             stats[-1].update(_t)

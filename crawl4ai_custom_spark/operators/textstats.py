@@ -131,6 +131,8 @@ def bm25_rank(
         ).alias("term"),
     )
     dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # two scalar probes: N is count of ALL docs (token-less docs included —
+    # the avg(dl) universe differs, so these cannot fuse into one agg)
     n_docs = docs.count()
     avgdl_row = dl.agg(F.avg("dl")).collect()[0][0] or 0.0
     tf = (

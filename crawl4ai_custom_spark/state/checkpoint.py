@@ -15,8 +15,11 @@ wave k+1 simply re-runs from wave k's state, and the wave loop is a pure
 function of that state, so the resumed crawl is identical (tested in
 tests/test_frontier.py::test_resume_from_checkpoint).
 
-Lineage: stats.parquet carries per-wave, per-domain fetch/extract metrics
-(the reference's CrawlerTaskResult / TraversalStats equivalents).
+Lineage: stats.parquet carries per-(wave, executor-partition, registrable
+domain) fetch/extract metrics — rows fetched, extraction successes, html
+bytes, extract milliseconds — the reference's CrawlerTaskResult /
+TraversalStats equivalents (models.py:22-37,100-108), queryable across waves
+via ``CrawlRun.lineage(spark)``.
 """
 
 from __future__ import annotations

@@ -66,6 +66,27 @@ def test_bfs_matches_oracle(bfs_run, spark, site_dir):
     assert run.pages_crawled == oracle["crawled"]
 
 
+def test_bfs_lineage_per_partition_metrics(bfs_run, spark):
+    """North rule: per-partition lineage + fetch/extract metrics — the wave
+    snapshot's stats table rolls up to the per-wave admitted counts."""
+    run, _ = bfs_run
+    lin = run.lineage(spark)
+    assert {"wave", "exec_partition", "registrable_domain", "fetched",
+            "extracted_ok", "html_bytes", "extract_ms"} <= set(lin.columns)
+    per_wave = {
+        r["wave"]: (r["fetched"], r["ok"]) for r in lin.groupBy("wave").agg(
+            F.sum("fetched").alias("fetched"), F.sum("extracted_ok").alias("ok")
+        ).collect()
+    }
+    for s in run.stats:
+        assert per_wave[s["wave"]] == (s["admitted"], s["fetched_ok"])
+    # extraction work really is spread across executor partitions
+    big_wave = max(run.stats, key=lambda s: s["admitted"])["wave"]
+    n_parts = lin.where(F.col("wave") == big_wave).select(
+        "exec_partition").distinct().count()
+    assert n_parts > 1
+
+
 def test_bfs_robots_blocked_never_crawled(bfs_run, spark):
     run, _ = bfs_run
     admitted = run.admitted_log(spark)
