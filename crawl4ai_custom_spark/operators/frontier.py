@@ -282,13 +282,21 @@ class FrontierEngine:
             if bloom is not None and "bloom" in snap:
                 bloom.state = snap["bloom"]  # parquet-backed snapshot read
         else:
-            frontier = self._materialize(
-                self._seed_frontier(seed_urls), "frontier_init"
+            seeds_all = self._materialize(
+                self._seed_frontier(seed_urls), "seeds_all"
             )
-            seen = frontier.select("url_hash")
+            # seen/bloom hold EVERY discovered url (robots-blocked included,
+            # matching the oracle); the frontier is gated ONCE at entry —
+            # each row is robots-gated exactly once (here for seeds, on the
+            # discovery delta for links), never re-gated wave over wave
+            seed_fr = seeds_all
+            if cfg.check_robots and self.robots is not None:
+                seed_fr = robots_gate(seed_fr, self.robots)
+            frontier = self._materialize(seed_fr, "frontier_init")
+            seen = seeds_all.select("url_hash")
             host_state = empty_host_state(spark)
             if bloom is not None:
-                bloom.add(frontier.select("url_hash"))
+                bloom.add(seeds_all.select("url_hash"))
             if os.path.isdir(self.out_dir):
                 shutil.rmtree(self.out_dir)
             os.makedirs(self.out_dir, exist_ok=True)
@@ -305,21 +313,14 @@ class FrontierEngine:
                 _t[name] = round(_time.time() - _t.pop("_w0"), 2)
                 _t["_w0"] = _time.time()
 
-            if cfg.check_robots and self.robots is not None:
-                # gate the whole frontier Δ: robots-blocked urls leave the
-                # frontier permanently (they are already in `seen`, so they
-                # can't be re-discovered — no budget slot is ever wasted)
-                frontier = robots_gate(frontier, self.robots)
-            # one agg job: frontier size + min depth (BFS termination)
-            row = frontier.agg(
-                F.count(F.lit(1)).alias("n"), F.min("depth").alias("min_depth")
-            ).collect()[0]
-            n_frontier, min_depth = row["n"], row["min_depth"]
+            # frontier is always a bare snapshot/materialization scan (robots
+            # gating already happened on each row's entry), so this count is
+            # parquet-metadata-only. No depth check is needed: the link
+            # filter chain admits only depth <= max_depth, so the frontier
+            # can never contain a deeper row.
+            n_frontier = frontier.count()
             _mark("t_frontier_agg")
             if n_frontier == 0 or crawled >= cfg.max_pages:
-                break
-            if cfg.strategy == "bfs" and min_depth is not None \
-                    and min_depth > cfg.max_depth:
                 break
 
             admitted = self._admit_wave(
@@ -431,12 +432,18 @@ class FrontierEngine:
             n_new = new_links.count()  # metadata-only parquet count
 
             # ---- next frontier + state folds, each written exactly once via
-            # the snapshot (the Iceberg-MERGE-per-wave pattern)
+            # the snapshot (the Iceberg-MERGE-per-wave pattern). The robots
+            # gate runs on the O(Δ) discovery delta only — blocked urls stay
+            # in seen (oracle semantics: discovered but never crawlable) and
+            # never enter the frontier, so no wave re-gates old rows.
+            delta = new_links
+            if cfg.check_robots and self.robots is not None:
+                delta = robots_gate(delta, self.robots)
             leftover = frontier.join(
                 admitted.select("url_canon"), "url_canon", "left_anti"
             )
             next_frontier = leftover.select(*frontier_cols).unionByName(
-                new_links.select(*frontier_cols)
+                delta.select(*frontier_cols)
             )
             next_seen = seen.union(new_links.select("url_hash")).distinct()
             next_host_state = fold_wave_outcomes(
