@@ -4,8 +4,9 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Covered surfaces (the engine's hot paths):
   crawl_extract     html -> cleaned/markdown/links over the synthetic pages
                     table (the extraction mapInPandas stage) + link explode
-  crawl_bfs_wave    one full frontier wave: admission + robots + fetch-join
-                    + extract + link discovery + seen anti-join
+  crawl_bfs_wave    a full depth-3 BFS crawl (4 waves): admission + robots +
+                    fetch-join + extract + link discovery + seen anti-join +
+                    checkpoint, per wave
   dedup_minhash     shingle -> minhash -> LSH -> verified pairs (documents)
   dedup_exact       md5 fingerprint groupBy (documents)
   text_profile      lang-id/quality/tokens/fingerprint (documents)
@@ -29,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -71,6 +72,11 @@ def main() -> None:
 
     pages = load_latest_pages(spark, site)
 
+    # spin up the python workers + Arrow serializers before timing: worker
+    # start is a per-process constant, not throughput (same methodology as
+    # BENCH_SCALING.md); a real cluster's long-lived executors pay it once
+    extract_pages(pages.select("url", "html").limit(256)).count()
+
     def run_extract():
         ext = extract_pages(pages.select("url", "html"))
         edges = links_table(ext)
@@ -92,7 +98,7 @@ def main() -> None:
         import tempfile
 
         cfg = CrawlConfig(
-            strategy="bfs", max_depth=2, max_pages=10_000,
+            strategy="bfs", max_depth=3, max_pages=100_000,
             politeness=PolitenessConfig(wave_seconds=1e9),
             use_bloom=True, bloom_partitions=8,
         )
@@ -110,6 +116,9 @@ def main() -> None:
 
     run = timed("crawl_bfs_wave", run_wave)
     extras["bfs_pages_crawled"] = run.pages_crawled
+    extras["bfs_urls_per_sec"] = round(
+        run.pages_crawled / timings["crawl_bfs_wave"], 2
+    )
 
     # ---- operator benchmarks over the testdata tables -------------------
     q = entry_mod.queries()
