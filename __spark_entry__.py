@@ -396,6 +396,45 @@ def q_headpeek(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "head_title", "head_description", "og_title")
 
 
+def q_link_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-preview scoring (reference link_preview.py + calculate_total_score
+    utils.py:3376-3421): cap-then-dedup link selection, head-peek join on the
+    target page, contextual BM25-lite score, 0.7/0.3 intrinsic blend. Synthetic
+    link graph: each page doc_id<100 links to +100 (twice — dedup case), +9000
+    (missing target — intrinsic fallback case), +101 (capped away)."""
+    from crawl4ai_custom_spark.operators.linkpreview import link_preview
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" "), F.col("doc_id"),
+        F.lit('</title><meta name="description" content="'),
+        F.substring(F.col("text"), 1, 50),
+        F.lit('"></head><body>x</body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/p/"), F.col("doc_id")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    links = docs.where(F.col("doc_id") < 100).select(
+        F.concat(F.lit("https://ex.com/p/"), F.col("doc_id")).alias("page_url"),
+        (F.col("doc_id") % 10).cast("double").alias("intrinsic_score"),
+        F.posexplode(
+            F.array(
+                F.concat(F.lit("https://ex.com/p/"), F.col("doc_id") + 100),
+                F.concat(F.lit("https://ex.com/p/"), F.col("doc_id") + 100),
+                F.concat(F.lit("https://ex.com/p/"), F.col("doc_id") + 9000),
+                F.concat(F.lit("https://ex.com/p/"), F.col("doc_id") + 101),
+            )
+        ).alias("link_pos", "href"),
+    ).withColumn("is_internal", F.lit(True))
+    out = link_preview(links, pages, ["spark", "data"], max_links=3)
+    return out.select(
+        "page_url", "href",
+        F.round("contextual_score", 4).alias("contextual_score"),
+        F.round("total_score", 4).alias("total_score"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -936,6 +975,62 @@ ORACLES["q_headpeek"] = """
     from documents
 """
 
+ORACLES["q_link_preview"] = """
+    with pages as (
+      select 'https://ex.com/p/' || doc_id as url,
+             source || ' ' || doc_id as head_title,
+             substr(text, 1, 50) as head_description
+      from documents where doc_id < 300
+    ),
+    links as (
+      select 'https://ex.com/p/' || doc_id as page_url,
+             (doc_id % 10)::DOUBLE as intrinsic_score,
+             unnest([
+               {href: 'https://ex.com/p/' || (doc_id+100), link_pos: 0},
+               {href: 'https://ex.com/p/' || (doc_id+100), link_pos: 1},
+               {href: 'https://ex.com/p/' || (doc_id+9000), link_pos: 2},
+               {href: 'https://ex.com/p/' || (doc_id+101), link_pos: 3}
+             ], recursive := true)
+      from documents where doc_id < 100
+    ),
+    capped as (
+      select * from (
+        select l.*,
+               row_number() over (partition by page_url order by link_pos) as rn
+        from links l) t where rn <= 3
+    ),
+    dedup as (
+      select * from (
+        select c.*,
+               row_number() over (partition by page_url, href
+                                  order by link_pos) as dd
+        from capped c) t where dd = 1
+    ),
+    joined as (
+      select d.page_url, d.href, d.intrinsic_score,
+             p.head_title, p.head_description
+      from dedup d left join pages p on d.href = p.url
+    ),
+    scored as (
+      select page_url, href, intrinsic_score,
+        case when head_title is not null then
+          ((case when contains(lower(head_title), 'spark') then 1 else 0 end
+            + case when contains(lower(head_title), 'data') then 1 else 0 end) * 3
+          + (case when contains(lower(head_description), 'spark') then 1 else 0 end
+            + case when contains(lower(head_description), 'data') then 1 else 0 end) * 2
+          ) / (6.0 * 2) end as ctx
+      from joined
+    )
+    select page_url, href,
+      round(ctx, 4) as contextual_score,
+      round(case when ctx is null
+                 then greatest(0.0, least(intrinsic_score, 10.0))
+                 else greatest(0.0, least(intrinsic_score * 0.7
+                                          + least(ctx * 10, 10.0) * 0.3, 10.0))
+            end, 4) as total_score
+    from scored
+"""
+
 ORACLES["q_events_hourly"] = """
     select epoch(date_trunc('hour', ts))::BIGINT as hour_epoch, event_type,
            count(*) as n, round(avg(value), 4) as avg_value
@@ -1053,6 +1148,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
     "q_headpeek": q_headpeek,
+    "q_link_preview": q_link_preview,
     "q_events_hourly": q_events_hourly,
     "q_sessionize": q_sessionize,
     "q_pricing_summary": q_pricing_summary,

@@ -48,6 +48,7 @@ from .filters import FilterChain, content_type_filter, domain_filter, url_patter
 from .politeness import (
     PolitenessConfig,
     admit,
+    aged_score,
     empty_host_state,
     fold_wave_outcomes,
 )
@@ -90,6 +91,9 @@ class CrawlConfig:
     bloom_partitions: int = 8
     bloom_capacity: int = 1_000_000
     max_waves: int | None = None  # absolute wave bound (None -> strategy default)
+    fairness_waves: int = 0  # >0: starvation aging — a row waiting more than
+    # this many waves outranks all un-aged rows (dispatcher parity,
+    # async_dispatcher.py:470-527); 0 disables
 
 
 @dataclass
@@ -323,8 +327,18 @@ class FrontierEngine:
             if n_frontier == 0 or crawled >= cfg.max_pages:
                 break
 
+            adm_frontier = frontier
+            if cfg.fairness_waves > 0:
+                adm_frontier = frontier.withColumn(
+                    "score",
+                    aged_score(
+                        F.col("score"),
+                        F.lit(wave) - F.col("discovered_wave"),
+                        cfg.fairness_waves,
+                    ),
+                )
             admitted = self._admit_wave(
-                frontier, host_state, cfg.max_pages - crawled
+                adm_frontier, host_state, cfg.max_pages - crawled
             )
             order_w = Window.orderBy(*self._admission_order())
             admitted = admitted.withColumn(

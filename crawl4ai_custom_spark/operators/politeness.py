@@ -132,3 +132,13 @@ def aged_priority(priority: F.Column, wait_waves: F.Column,
     return F.when(wait_waves > fairness_waves, -wait_waves.cast("double")).otherwise(
         priority
     )
+
+
+def aged_score(score: F.Column, wait_waves: F.Column,
+               fairness_waves: int) -> F.Column:
+    """The same aging in the frontier's score-DESC admission order: a row
+    waiting beyond the fairness horizon outranks every un-aged row, longer
+    waits first (reference _get_priority_score, async_dispatcher.py:217-226,
+    where aged priority = -wait_time in an ascending queue)."""
+    w = wait_waves.cast("double")
+    return F.when(w > fairness_waves, F.lit(1e9) + w).otherwise(score)

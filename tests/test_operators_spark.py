@@ -228,3 +228,68 @@ def test_schema_extract_css(spark):
     assert len(recs) == 2
     assert recs[0]["name"] == "Widget" and recs[0]["price"] == "$9.99"
     assert recs[0]["link"] == "/w1" and recs[1]["name_lower"] == "gadget"
+
+
+def test_aged_score_starvation_jump(spark):
+    """A row starved past fairness_waves outranks every fresh high-score row
+    (dispatcher aging parity); under the horizon, plain score order holds."""
+    from crawl4ai_custom_spark.operators.politeness import aged_score
+
+    fr = spark.createDataFrame(
+        [
+            ("https://a.com/old", "a.com", 0.1, 1, 0),    # waited 25 waves
+            ("https://a.com/hot", "a.com", 9.9, 1, 25),   # fresh, high score
+        ],
+        ["url_canon", "registrable_domain", "score", "depth", "discovered_wave"],
+    )
+    wave = 25
+    aged = fr.withColumn(
+        "score",
+        aged_score(F.col("score"), F.lit(wave) - F.col("discovered_wave"), 20),
+    )
+    adm = admit(aged, empty_host_state(spark),
+                PolitenessConfig(wave_seconds=2.0), global_budget=1)
+    assert adm.first()["url_canon"] == "https://a.com/old"
+    # below the horizon the hot row wins
+    adm2 = admit(
+        fr.withColumn("score", aged_score(
+            F.col("score"), F.lit(wave) - F.col("discovered_wave"), 30)),
+        empty_host_state(spark), PolitenessConfig(wave_seconds=2.0),
+        global_budget=1,
+    )
+    assert adm2.first()["url_canon"] == "https://a.com/hot"
+
+
+def test_link_preview_cap_dedup_and_fallback(spark):
+    """Reference _filter_links semantics: truncate to max_links THEN dedup;
+    missing head -> null contextual + intrinsic-only total; external links
+    excluded by default."""
+    from crawl4ai_custom_spark.operators.linkpreview import link_preview
+
+    pages = spark.createDataFrame(
+        [("https://s.com/t1",
+          b"<html><head><title>spark data guide</title>"
+          b'<meta name="description" content="all about spark"></head></html>')],
+        ["url", "html"],
+    )
+    links = spark.createDataFrame(
+        [
+            ("https://s.com/", "https://s.com/t1", 0, True, 4.0),
+            ("https://s.com/", "https://s.com/t1", 1, True, 4.0),   # dup
+            ("https://s.com/", "https://s.com/missing", 2, True, 4.0),
+            ("https://s.com/", "https://ext.com/x", 3, False, 4.0), # external
+            ("https://s.com/", "https://s.com/capped", 4, True, 4.0),
+        ],
+        ["page_url", "href", "link_pos", "is_internal", "intrinsic_score"],
+    )
+    out = link_preview(links, pages, ["spark", "data"], max_links=3).collect()
+    by_href = {r["href"]: r for r in out}
+    # external dropped pre-cap; capped row beyond max_links=3 dropped
+    assert set(by_href) == {"https://s.com/t1", "https://s.com/missing"}
+    t1 = by_href["https://s.com/t1"]
+    # title hits spark+data (x3 each), desc hits spark (x2): (6+2)/(6*2)
+    assert abs(t1["contextual_score"] - 8 / 12.0) < 1e-9
+    assert abs(t1["total_score"] - (4.0 * 0.7 + min(8 / 12.0 * 10, 10) * 0.3)) < 1e-9
+    miss = by_href["https://s.com/missing"]
+    assert miss["contextual_score"] is None
+    assert miss["total_score"] == 4.0
