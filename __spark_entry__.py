@@ -380,6 +380,18 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_word_chunks(docs, words=20, stride=10)
 
 
+def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunk merge (reference chunk_documents, utils.py:76-160):
+    threshold=48 tokens @ 0.75/word -> m=64 words, overlap=9 -> o=12,
+    step=52; full chunks emit without their overlap suffix."""
+    from crawl4ai_custom_spark.operators.chunking import token_budget_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return token_budget_chunks(docs, token_threshold=48, overlap=9).select(
+        "id", "chunk_index", "chunk"
+    )
+
+
 def q_headpeek(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.headpeek import peek_head
 
@@ -967,6 +979,29 @@ ORACLES["q_chunk_sliding"] = """
     where length(array_to_string(l[i*10+1 : i*10+20], ' ')) > 0
 """
 
+ORACLES["q_chunk_merge"] = """
+    with t as (
+      select doc_id as id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as toks
+      from documents where doc_id < 400
+    ),
+    p as (
+      select id, toks, len(toks) as n,
+             case when len(toks) * 0.75 >= 48
+                  then floor((len(toks) * 0.75 - 48) / (52 * 0.75))::INT + 1
+                  else 0 end as f
+      from t
+    )
+    select id, u.i as chunk_index,
+           array_to_string(
+             case when u.i < f then toks[u.i*52 + 1 : u.i*52 + 52]
+                  else toks[f*52 + 1 : n] end, ' ') as chunk
+    from p, lateral unnest(generate_series(0, f)) as u(i)
+    where length(array_to_string(
+             case when u.i < f then toks[u.i*52 + 1 : u.i*52 + 52]
+                  else toks[f*52 + 1 : n] end, ' ')) > 0
+"""
+
 ORACLES["q_headpeek"] = """
     select doc_id,
            source || ' ' || doc_id as head_title,
@@ -1147,6 +1182,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_stats": q_term_stats,
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
+    "q_chunk_merge": q_chunk_merge,
     "q_headpeek": q_headpeek,
     "q_link_preview": q_link_preview,
     "q_events_hourly": q_events_hourly,

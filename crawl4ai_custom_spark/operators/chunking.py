@@ -72,3 +72,64 @@ def char_window_chunks(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.posexplode(chunks).alias("chunk_index", "chunk"),
     ).where(F.length("chunk") > 0)
+
+
+def token_budget_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_threshold: int = 512,
+    overlap: int = 0,
+    word_token_rate: float = 0.75,
+) -> DataFrame:
+    """Token-budget chunk merge — reference ``chunk_documents``
+    (/root/reference/crawl4ai/utils.py:76-160) under its default
+    no-tokenizer path, where every word contributes ``word_token_rate``
+    tokens. With a uniform rate the streaming queue algorithm collapses to a
+    closed form, so this is pure native SQL (no UDF):
+
+      m    = max words per chunk   = floor(threshold / rate)   (>= 1)
+      o    = overlap words re-queued = floor(overlap / rate)
+      step = emitted words per full chunk = m - o               (>= 1)
+      f    = number of full chunks = floor((n*rate - threshold)
+                                           / (step*rate)) + 1   (0 if n*rate < threshold)
+
+    Full chunk i emits words [i*step, i*step + step); the tail emits the
+    rest (the reference's final ``yield " ".join(token_queue)``). Note the
+    reference emits each full chunk WITHOUT its overlap suffix — the overlap
+    words open the NEXT chunk — reproduced exactly here."""
+    m = max(1, int(token_threshold / word_token_rate))
+    o = int(overlap / word_token_rate)
+    step = max(1, m - o)
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    have = n.cast("double") * F.lit(word_token_rate)
+    f = F.when(
+        have >= token_threshold,
+        F.floor(
+            (have - F.lit(float(token_threshold)))
+            / F.lit(step * word_token_rate)
+        ).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"),
+        n.alias("_n"), f.alias("_f"),
+    )
+    idx = F.sequence(F.lit(0), F.col("_f"))  # 0..f-1 full chunks + f = tail
+    out = base.select(
+        "id", "_toks", "_n", "_f", F.explode(idx).alias("chunk_index")
+    )
+    i = F.col("chunk_index")
+    chunk_words = F.when(
+        i < F.col("_f"), F.slice("_toks", i * step + 1, step)
+    ).otherwise(
+        F.slice("_toks", F.col("_f") * step + 1, F.greatest(
+            F.col("_n") - F.col("_f") * step, F.lit(0)))
+    )
+    return (
+        out.withColumn("chunk", F.concat_ws(" ", chunk_words))
+        .where(F.length("chunk") > 0)
+        .select("id", "chunk_index", "chunk")
+    )

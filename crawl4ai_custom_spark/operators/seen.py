@@ -61,6 +61,29 @@ def merge_seen(seen: DataFrame, new_hashes: DataFrame,
     return seen.select(hash_col).union(new_hashes.select(hash_col)).distinct()
 
 
+def save_seen_bucketed(seen: DataFrame, table: str, buckets: int = 1024,
+                       path: str | None = None,
+                       hash_col: str = "url_hash") -> None:
+    """Persist the seen set bucketed+sorted by url_hash. The production
+    layout for the 10^10-row anti-join: a bucketed seen table is scanned
+    WITHOUT an exchange — only the (much smaller) candidate delta shuffles
+    to the bucket count. On Iceberg this is ``bucket(N, url_hash)``
+    partitioning + storage-partitioned joins; here the Spark-native
+    bucketBy/saveAsTable equivalent (asserted shuffle-free in
+    tests/test_operators_spark.py::test_bucketed_seen_antijoin_plan)."""
+    w = seen.select(hash_col).write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(buckets, hash_col).sortBy(hash_col).saveAsTable(table)
+
+
+def filter_unseen_bucketed(candidates: DataFrame, table: str,
+                           hash_col: str = "url_hash") -> DataFrame:
+    """Anti-join against a bucketed seen table (see save_seen_bucketed)."""
+    seen = candidates.sparkSession.table(table)
+    return candidates.join(seen, hash_col, "left_anti")
+
+
 class PartitionedBloom:
     """P bloom blobs keyed by pmod(url_hash, P), all ops as grouped pandas.
 

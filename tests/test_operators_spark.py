@@ -293,3 +293,78 @@ def test_link_preview_cap_dedup_and_fallback(spark):
     miss = by_href["https://s.com/missing"]
     assert miss["contextual_score"] is None
     assert miss["total_score"] == 4.0
+
+
+def test_bucketed_seen_antijoin_plan(spark, tmp_path):
+    """The 10^10-scale layout claim, asserted on the physical plan: a
+    bucketed seen table anti-joins WITHOUT shuffling the seen side — the
+    only Exchange is the candidate delta repartitioning to the bucket
+    count."""
+    from crawl4ai_custom_spark.operators.seen import (
+        filter_unseen_bucketed,
+        save_seen_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.range(10000).select(F.xxhash64("id").alias("url_hash"))
+        save_seen_bucketed(seen, "seen_bucketed_test", buckets=8,
+                           path=str(tmp_path / "seen_b"))
+        cand = spark.range(500).select(
+            (F.xxhash64("id") + 1).alias("url_hash")
+        )
+        out = filter_unseen_bucketed(cand, "seen_bucketed_test")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # candidates only; seen side none
+        assert out.count() == 500  # +1-shifted hashes: all unseen
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("drop table if exists seen_bucketed_test")
+
+
+def _ref_chunk_sim(text, threshold, overlap, rate=0.75):
+    """Independent simulation of the reference's streaming chunk merge
+    (utils.py:76-160, no-tokenizer path) for differential testing."""
+    queue = [w for w in text.split() if w]
+    out = []
+    while len(queue) * rate >= threshold:
+        take = 0
+        while take < len(queue) and (take + 1) * rate <= threshold:
+            take += 1
+        take = max(take, 1)
+        back = 0
+        while back < take and (back + 1) * rate <= overlap:
+            back += 1
+        emit = take - back
+        out.append(" ".join(queue[:emit]))
+        queue = queue[emit:]
+    if queue:
+        out.append(" ".join(queue))
+    return out
+
+
+def test_token_budget_chunks_matches_reference_sim(spark):
+    from crawl4ai_custom_spark.operators.chunking import token_budget_chunks
+
+    texts = [
+        ("d0", "w" + " x" * 199),            # 200 words
+        ("d1", " ".join(f"t{i}" for i in range(137))),
+        ("d2", "short doc only"),
+        ("d3", ""),
+        ("d4", " ".join(f"u{i}" for i in range(64))),  # exactly m words
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    for thr, ov in [(48, 9), (48, 0), (12, 3)]:
+        got = {
+            (r["id"], r["chunk_index"]): r["chunk"]
+            for r in token_budget_chunks(
+                df, token_threshold=thr, overlap=ov
+            ).collect()
+        }
+        for did, text in texts:
+            want = _ref_chunk_sim(text, thr, ov)
+            have = [got[(did, i)] for i in range(len(want))]
+            assert have == want, (did, thr, ov)
+            assert (did, len(want)) not in got  # no extra chunks
