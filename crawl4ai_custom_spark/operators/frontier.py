@@ -94,6 +94,10 @@ class CrawlConfig:
     fairness_waves: int = 0  # >0: starvation aging — a row waiting more than
     # this many waves outranks all un-aged rows (dispatcher parity,
     # async_dispatcher.py:470-527); 0 disables
+    link_preview_scoring: bool = False  # head-peek the target page of every
+    # discovered link and blend a contextual relevance score into the
+    # frontier priority (reference link_preview.py + calculate_total_score;
+    # needs keywords). Costs one extra pages-join per wave.
 
 
 @dataclass
@@ -212,7 +216,34 @@ class FrontierEngine:
         ]
         if cfg.keywords:
             parts.append((keyword_relevance_score(href, list(cfg.keywords)), 0.4))
-        return links.withColumn("score", composite_score(parts))
+        scored = links.withColumn("score", composite_score(parts))
+        if cfg.link_preview_scoring and cfg.keywords:
+            # three-tier scoring (reference link_preview.py +
+            # calculate_total_score): head-peek the link target from the
+            # pages table, BM25-lite contextual score, 0.7/0.3 blend with
+            # the intrinsic score, normalized back to the frontier's 0..1
+            # priority scale. Missing targets fall back intrinsic-only.
+            from .headpeek import head_relevance_score, peek_head
+            from .linkpreview import total_score
+
+            heads = peek_head(
+                self.pages.select(F.col("url_canon").alias("href"), "html")
+            ).select("href", "head_title", "head_description", "head_keywords")
+            scored = scored.join(heads, "href", "left")
+            contextual = F.when(
+                F.col("head_title").isNotNull(),
+                head_relevance_score(
+                    F.col("head_title"), F.col("head_description"),
+                    F.col("head_keywords"), list(cfg.keywords),
+                ),
+            )
+            intrinsic10 = link_intrinsic_score(
+                href, F.col("text"), F.col("title"), F.col("is_internal")
+            )
+            scored = scored.withColumn(
+                "score", total_score(intrinsic10, contextual) / F.lit(10.0)
+            ).drop("head_title", "head_description", "head_keywords")
+        return scored
 
     def _link_filter_chain(self) -> FilterChain:
         cfg = self.cfg

@@ -185,3 +185,47 @@ def test_bfs_deterministic(spark, pages_df, robots_df, tmp_path):
             )
         )
     assert runs[0] == runs[1]
+
+
+def test_link_preview_scoring_prioritizes_matching_heads(spark, tmp_path):
+    """Three-tier link scoring (reference link_preview.py): with
+    link_preview_scoring on, a link whose target <head> matches the query
+    outranks one that doesn't — even though plain tiebreak order (url ASC)
+    would admit the other first."""
+    import datetime as dt
+
+    def page(url, title, links=()):
+        body = "".join(f'<a href="{l}">go</a>' for l in links)
+        html = (
+            f"<html><head><title>{title}</title></head>"
+            f"<body><p>hello world text here</p>{body}</body></html>"
+        ).encode()
+        return (url, dt.datetime(2025, 1, 1), html, "", "en")
+
+    pages = spark.createDataFrame(
+        [
+            page("https://s.com/", "Home", ["/zmatch", "/aplain"]),
+            page("https://s.com/zmatch", "quantum flux capacitors"),
+            page("https://s.com/aplain", "plain page"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    base = dict(
+        strategy="best_first", batch_size=1, max_depth=2, max_pages=10,
+        keywords=("quantum", "flux"), check_robots=False, use_bloom=False,
+        politeness=PolitenessConfig(wave_seconds=1e9),
+    )
+    orders = {}
+    for flag in (False, True):
+        cfg = CrawlConfig(**base, link_preview_scoring=flag)
+        eng = FrontierEngine(
+            spark, pages, None, cfg,
+            checkpoint_dir=str(tmp_path / f"c{flag}"),
+            out_dir=str(tmp_path / f"o{flag}"),
+        )
+        run = eng.run(["https://s.com/"])
+        adm = run.admitted_log(spark).orderBy("wave", "order_in_wave").collect()
+        orders[flag] = [r["url_canon"] for r in adm]
+    on, off = orders[True], orders[False]
+    assert on.index("https://s.com/zmatch") < on.index("https://s.com/aplain")
+    assert off.index("https://s.com/aplain") < off.index("https://s.com/zmatch")
