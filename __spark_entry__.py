@@ -380,6 +380,38 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_word_chunks(docs, words=20, stride=10)
 
 
+def q_adaptive_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive link ranking (adaptive_crawler.py:415-440 semantics):
+    relevance (query hits in href/text) + novelty (words unseen in the
+    crawled corpus' term stats) + authority (scheme/path-depth heuristic),
+    0.5/0.3/0.2 blend. Corpus = docs < 400; candidate links from docs
+    400..459 with alternating shallow-https / deep-http hrefs."""
+    from crawl4ai_custom_spark.operators.adaptive import (
+        rank_links_adaptive,
+        term_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = term_stats(docs.where(F.col("doc_id") < 400))
+    links = docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)).select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("https://ex.com/a/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("http://ex.com/a/b/c/"), F.col("doc_id"))
+        ).alias("href"),
+        F.substring(F.col("text"), 1, 80).alias("text"),
+    )
+    out = rank_links_adaptive(links, stats, ["spark", "data"])
+    return out.select(
+        "href",
+        F.round("relevance", 4).alias("relevance"),
+        F.round("novelty", 4).alias("novelty"),
+        F.round("authority", 4).alias("authority"),
+        F.round("adaptive_score", 4).alias("adaptive_score"),
+    )
+
+
 def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget chunk merge (reference chunk_documents, utils.py:76-160):
     threshold=48 tokens @ 0.75/word -> m=64 words, overlap=9 -> o=12,
@@ -979,6 +1011,59 @@ ORACLES["q_chunk_sliding"] = """
     where length(array_to_string(l[i*10+1 : i*10+20], ' ')) > 0
 """
 
+ORACLES["q_adaptive_rank"] = """
+    with corpus as (select * from documents where doc_id < 400),
+    stats as (
+      select term, count(*) as tf, count(distinct doc_id) as df
+      from (
+        select doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 1)) as term
+        from corpus) t
+      group by term
+    ),
+    links as (
+      select case when doc_id % 2 = 0 then 'https://ex.com/a/' || doc_id
+                  else 'http://ex.com/a/b/c/' || doc_id end as href,
+             substr(text, 1, 80) as text
+      from documents where doc_id >= 400 and doc_id < 460
+    ),
+    words as (
+      select href,
+             unnest(list_filter(
+               string_split_regex(lower(text || ' ' || href), '[^a-z0-9]+'),
+               x -> length(x) > 1)) as term
+      from links
+    ),
+    known as (select term from stats where df >= 2),
+    novelty as (
+      select w.href, count(*) as new_terms
+      from words w left join known k using (term)
+      where k.term is null group by w.href
+    ),
+    total as (select href, count(*) as n_terms from words group by href),
+    scored as (
+      select l.href,
+        ((case when contains(lower(l.href), 'spark')
+                 or contains(lower(l.text), 'spark') then 1.0 else 0.0 end)
+         + (case when contains(lower(l.href), 'data')
+                 or contains(lower(l.text), 'data') then 1.0 else 0.0 end)
+        ) / 2.0 as relevance,
+        coalesce(n.new_terms, 0)::DOUBLE / greatest(t.n_terms, 1) as novelty,
+        (case when l.href like 'https://%' then 0.5 else 0.0 end
+         + case when len(string_split_regex(l.href, '/')) <= 5
+                then 0.5 else 0.2 end) as authority
+      from links l
+      left join novelty n using (href)
+      left join total t using (href)
+    )
+    select href, round(relevance, 4) as relevance, round(novelty, 4) as novelty,
+           round(authority, 4) as authority,
+           round(0.5 * relevance + 0.3 * novelty + 0.2 * authority, 4)
+             as adaptive_score
+    from scored
+"""
+
 ORACLES["q_chunk_merge"] = """
     with t as (
       select doc_id as id,
@@ -1180,6 +1265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
     "q_term_stats": q_term_stats,
+    "q_adaptive_rank": q_adaptive_rank,
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
     "q_chunk_merge": q_chunk_merge,
