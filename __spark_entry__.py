@@ -542,6 +542,40 @@ def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.desc("revenue"), F.asc("n_name")).limit(10)
 
 
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE multimodal surface, exactly oracled: magic-byte format
+    sniffing, payload sizes, deterministic frame-sample offsets. Payloads
+    are synthesized per doc (magic prefix by doc_id%6; %6==5 has no magic
+    -> 'unknown')."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        frame_sample_offsets,
+        sniff_format,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    m = F.col("doc_id") % 6
+    magic = (
+        F.when(m == 0, F.lit(b"\x89PNG"))
+        .when(m == 1, F.lit(b"\xff\xd8\xff"))
+        .when(m == 2, F.lit(b"GIF8"))
+        .when(m == 3, F.lit(b"RIFF"))
+        .when(m == 4, F.lit(b"%PDF"))
+        .otherwise(F.lit(b"NOPE"))
+    )
+    payload = F.concat(
+        magic, F.encode(F.concat(F.lit("body"), F.col("doc_id")), "utf-8")
+    )
+    dur = (F.col("doc_id") % 30 + 1).cast("double")
+    offs = frame_sample_offsets(dur, n_frames=4)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        sniff_format(payload).alias("format"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.round(F.element_at(offs, 1), 4).alias("off0"),
+        F.round(F.element_at(offs, 4), 4).alias("off3"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (no SQL oracle: stubbed decoder, numpy histogram)."""
     from crawl4ai_custom_spark.operators.multimodal import (
@@ -1194,6 +1228,17 @@ ORACLES["q_top_revenue_nations"] = """
     limit 10
 """
 
+ORACLES["q_media_sniff"] = """
+    select doc_id as media_id,
+      case doc_id % 6 when 0 then 'png' when 1 then 'jpeg' when 2 then 'gif'
+           when 3 then 'riff' when 4 then 'pdf' else 'unknown' end as format,
+      (case when doc_id % 6 = 1 then 3 else 4 end)
+        + 4 + length(doc_id::VARCHAR) as n_bytes,
+      round(((doc_id % 30 + 1) * 0.5 / 4)::DOUBLE, 4) as off0,
+      round(((doc_id % 30 + 1) * 3.5 / 4)::DOUBLE, 4) as off3
+    from documents where doc_id < 300
+"""
+
 ORACLES["q_extract_text"] = """
     select 'https://' || source || '.example.com/doc/' || doc_id as url,
            trim(regexp_replace(source || ' ' || text, '\\s+', ' ', 'g')) as extracted_text,
@@ -1276,6 +1321,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_nations": q_top_revenue_nations,
     "q_multimodal_features": q_multimodal_features,
+    "q_media_sniff": q_media_sniff,
     "q_extract_text": q_extract_text,
     "q_seeder_rank": q_seeder_rank,
     "q_regex_extract": q_regex_extract,
