@@ -542,6 +542,57 @@ def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.desc("revenue"), F.asc("n_name")).limit(10)
 
 
+def q_seo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEOFilter scoring (reference filters.py:584-694): every factor varied
+    independently by doc_id arithmetic — title-length buckets (%3), keyword
+    hits (%2), description length (%4), canonical match (%6), noindex (%5),
+    ld+json (%7), URL-quality penalties (%8)."""
+    from crawl4ai_custom_spark.operators.headpeek import seo_scores
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex.com"),
+        F.when(d % 8 == 0, F.lit("/p/" + "a" * 85 + "_2024?q=1")).otherwise(
+            F.concat(F.lit("/p/clean"), d)
+        ),
+    )
+    title_n = (
+        F.when(d % 3 == 0, 55).when(d % 3 == 1, 45).otherwise(20)
+    )
+    title = F.concat(
+        F.when(d % 2 == 0, F.lit("spark spark ")).otherwise(F.lit("word words ")),
+        F.lit("t" * 70),
+    ).substr(F.lit(1), title_n)
+    desc = F.lit("d" * 200).substr(
+        F.lit(1), F.when(d % 4 == 0, 150).when(d % 4 == 1, 130).otherwise(10)
+    )
+    robots_meta = F.when(d % 5 == 0, F.lit("noindex,nofollow")).otherwise(
+        F.lit("index,follow")
+    )
+    canon_tag = (
+        F.when(d % 6 == 0, F.concat(F.lit('<meta name="canonical" content="'),
+                                    url, F.lit('">')))
+        .when(d % 6 == 1, F.lit('<meta name="canonical" content="https://other.com/x">'))
+        .otherwise(F.lit(""))
+    )
+    ld = F.when(
+        d % 7 == 0, F.lit('<script type="application/ld+json">{}</script>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta name="description" content="'), desc,
+        F.lit('"><meta name="robots" content="'), robots_meta, F.lit('">'),
+        canon_tag, ld, F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.encode(html, "utf-8").alias("html"))
+    out = seo_scores(pages, keywords=("spark",))
+    return out.select(
+        "doc_id", F.round("seo_score", 4).alias("seo_score"), "seo_pass"
+    )
+
+
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE multimodal surface, exactly oracled: magic-byte format
     sniffing, payload sizes, deterministic frame-sample offsets. Payloads
@@ -1228,6 +1279,31 @@ ORACLES["q_top_revenue_nations"] = """
     limit 10
 """
 
+ORACLES["q_seo_filter"] = """
+    with f as (
+      select doc_id,
+        case when doc_id % 3 = 0 then 1.0
+             when doc_id % 3 = 1 then 0.7 else 0.3 end as s_title,
+        case when doc_id % 2 = 0 then 0.6 else 0.0 end as s_kw,
+        case when doc_id % 4 = 0 then 1.0
+             when doc_id % 4 = 1 then 0.5 else 0.2 end as s_desc,
+        case when doc_id % 6 = 0 then 1.0
+             when doc_id % 6 = 1 then 0.2 else 0.5 end as s_canon,
+        case when doc_id % 5 = 0 then 0.0 else 1.0 end as s_robot,
+        case when doc_id % 7 = 0 then 1.0 else 0.0 end as s_schema,
+        case when doc_id % 8 = 0 then 0.7 * 0.8 * 0.6 * 0.9
+             else 1.0 end as s_url
+      from documents where doc_id < 300
+    )
+    select doc_id,
+      round((0.15*s_title + 0.18*s_kw + 0.12*s_desc + 0.10*s_canon
+             + 0.20*s_robot + 0.10*s_schema + 0.15*s_url)::DOUBLE, 4)
+        as seo_score,
+      (0.15*s_title + 0.18*s_kw + 0.12*s_desc + 0.10*s_canon
+       + 0.20*s_robot + 0.10*s_schema + 0.15*s_url) >= 0.65 as seo_pass
+    from f
+"""
+
 ORACLES["q_media_sniff"] = """
     select doc_id as media_id,
       case doc_id % 6 when 0 then 'png' when 1 then 'jpeg' when 2 then 'gif'
@@ -1316,6 +1392,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_merge": q_chunk_merge,
     "q_headpeek": q_headpeek,
     "q_link_preview": q_link_preview,
+    "q_seo_filter": q_seo_filter,
     "q_events_hourly": q_events_hourly,
     "q_sessionize": q_sessionize,
     "q_pricing_summary": q_pricing_summary,

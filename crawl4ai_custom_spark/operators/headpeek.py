@@ -50,6 +50,91 @@ def peek_head(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+SEO_WEIGHTS = {
+    "title_length": 0.15,
+    "title_kw": 0.18,
+    "meta_description": 0.12,
+    "canonical": 0.10,
+    "robot_ok": 0.20,
+    "schema_org": 0.10,
+    "url_quality": 0.15,
+}
+
+
+def seo_scores(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    keywords: tuple[str, ...] = (),
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """SEOFilter as native expressions (reference semantics,
+    /root/reference/crawl4ai/deep_crawling/filters.py:584-694): weighted head
+    heuristics — title length buckets, keyword hits (0.3 each, capped),
+    meta-description length, canonical match, noindex gate, ld+json
+    presence, URL-quality penalties. Adds per-factor columns, ``seo_score``
+    and ``seo_pass``."""
+    import re as _re
+
+    w = weights or SEO_WEIGHTS
+    head = head_section(F.col(html_col))
+    title = head_title(head)
+    desc = meta_content(head, "description")
+    robots_meta = meta_content(head, "robots")
+    canonical = meta_content(head, "canonical")
+    tl = F.length(title)
+    s_title = (
+        F.when((tl >= 50) & (tl <= 60), 1.0)
+        .when(((tl >= 40) & (tl < 50)) | ((tl > 60) & (tl <= 70)), 0.7)
+        .otherwise(0.3)
+    )
+    if keywords:
+        pat = r"(?i)\b(" + "|".join(_re.escape(k) for k in keywords) + r")\b"
+        s_kw = F.least(
+            F.size(F.regexp_extract_all(title, F.lit(pat), 0)) * 0.3, F.lit(1.0)
+        )
+    else:
+        s_kw = F.lit(0.0)
+    dl = F.length(desc)
+    s_desc = (
+        F.when((dl >= 140) & (dl <= 160), 1.0)
+        .when((dl >= 120) & (dl <= 200), 0.5)
+        .otherwise(0.2)
+    )
+    s_canon = (
+        F.when(canonical == "", 0.5)
+        .when(canonical == F.col(url_col), 1.0)
+        .otherwise(0.2)
+    )
+    s_robot = F.when(robots_meta.contains("noindex"), 0.0).otherwise(1.0)
+    s_schema = F.when(
+        head.rlike(r'<script[^>]+type=["\']application/ld\+json'), 1.0
+    ).otherwise(0.0)
+    path = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1))
+    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    s_url = (
+        F.lit(1.0)
+        * F.when(F.length(path) > 80, 0.7).otherwise(1.0)
+        * F.when(path.rlike(r"\d{4}"), 0.8).otherwise(1.0)
+        * F.when(query != "", 0.6).otherwise(1.0)
+        * F.when(path.contains("_"), 0.9).otherwise(1.0)
+    )
+    factors = {
+        "title_length": s_title, "title_kw": s_kw, "meta_description": s_desc,
+        "canonical": s_canon, "robot_ok": s_robot, "schema_org": s_schema,
+        "url_quality": s_url,
+    }
+    score = sum(
+        (F.lit(w[k]) * v for k, v in factors.items()), start=F.lit(0.0)
+    ).cast("double")
+    return pages.withColumns(
+        {**{f"seo_{k}": v.cast("double") for k, v in factors.items()},
+         "seo_score": score,
+         "seo_pass": score >= F.lit(threshold)}
+    )
+
+
 def head_relevance_score(head_title_c: Column, head_desc: Column,
                          head_kws: Column, query_words: list[str]) -> Column:
     """BM25-lite head relevance (ContentRelevanceFilter semantics,
