@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the frontier key.
+
+The canonical URL is THE correctness-critical pure function: it keys the
+seen set, the frontier dedup, and the politeness partitioning. These
+properties must hold for ANY input, not just the fixture families:
+
+  P1 idempotence    canon(canon(u)) == canon(u)  — re-canonicalizing a
+                    frontier row can never produce a different key
+  P2 normal form    outputs are http(s), lowercase host, no fragment, no
+                    tracking params, no trailing slash on non-root paths
+  P3 join safety    canonicalizing an arbitrary href against a canonical
+                    base never crashes and yields None or a normal form
+  P4 domain key     registrable_domain of a canonical url is lowercase,
+                    port-free and www-free
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawl4ai_custom_spark.kernel.urlnorm import (
+    canonicalize_url,
+    normalize_url,
+    registrable_domain,
+)
+
+hosts = st.builds(
+    lambda a, b, tld: f"{a}.{b}.{tld}",
+    st.text("abcDEF09-", min_size=1, max_size=8),
+    st.text("abcdef", min_size=1, max_size=6),
+    st.sampled_from(["com", "org", "co.uk", "io"]),
+)
+paths = st.lists(
+    st.text("abcDE09._-%", min_size=0, max_size=6), min_size=0, max_size=4
+).map(lambda segs: "/" + "/".join(segs))
+queries = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "B", "utm_source", "gclid", "ref", "x9"]),
+        st.text("abc123", max_size=4),
+    ),
+    max_size=4,
+).map(lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+urls = st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    hosts,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    paths,
+    queries,
+    st.text("abc", max_size=4),
+)
+
+
+def _assert_normal_form(c: str) -> None:
+    scheme, rest = c.split("://", 1)
+    assert scheme in ("http", "https")
+    host = rest.split("/", 1)[0]
+    assert host == host.lower()
+    assert "#" not in c
+    assert "@" not in host
+    path_q = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    path = path_q.split("?", 1)[0]
+    assert path == "/" or not path.endswith("/")
+    if "?" in path_q:
+        for kv in path_q.split("?", 1)[1].split("&"):
+            k = kv.split("=", 1)[0].lower()
+            assert k not in ("gclid", "ref") and not k.startswith("utm_")
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls)
+def test_canonicalize_idempotent_and_normal(u):
+    c = canonicalize_url(u)
+    if c is None:
+        return
+    _assert_normal_form(c)
+    assert canonicalize_url(c) == c  # P1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40), urls)
+def test_join_against_canonical_base_total(href, base):
+    cbase = canonicalize_url(base)
+    if cbase is None:
+        return
+    c = canonicalize_url(href, cbase)  # P3: must never raise
+    if c is not None:
+        _assert_normal_form(c)
+        assert canonicalize_url(c) == c
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls)
+def test_normalize_is_canonical_and_sorted(u):
+    n = normalize_url(u)
+    if n is None:
+        return
+    _assert_normal_form(n)
+    assert normalize_url(n) == n
+    if "?" in n:
+        keys = [kv.split("=", 1)[0] for kv in n.split("?", 1)[1].split("&")]
+        assert keys == sorted(keys) and all(k == k.lower() for k in keys)
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls)
+def test_registrable_domain_is_partition_safe(u):
+    c = canonicalize_url(u)
+    if c is None:
+        return
+    d = registrable_domain(c)  # P4
+    assert d == d.lower()
+    assert ":" not in d and "/" not in d
+    assert not d.startswith("www.")
