@@ -114,3 +114,43 @@ def test_registrable_domain_is_partition_safe(u):
     assert d == d.lower()
     assert ":" not in d and "/" not in d
     assert not d.startswith("www.")
+
+
+# ---------------------------------------------------------------------------
+# extraction totality: 100 TB of real crawl data contains every malformed
+# byte sequence imaginable; the kernel must produce a row for ALL of them
+# ---------------------------------------------------------------------------
+
+html_ish = st.one_of(
+    st.binary(max_size=400),
+    st.text(max_size=300).map(lambda s: s.encode("utf-8", "ignore")),
+    st.builds(
+        lambda parts: b"".join(parts),
+        st.lists(
+            st.sampled_from([
+                b"<html>", b"<head>", b"<title>t</title>", b"</head",
+                b"<body>", b"<a href='", b"/x'>l</a>", b"<a href=>",
+                b"<table><tr><td colspan='9'>", b"<img src=x srcset='a 1x,",
+                b"<script>var a='</b>';</script>", b"<!--", b"-->",
+                b"<p>text ", b"\xff\xfe\x00", b"</div></div></span>",
+                b"<base href='ftp://b/'>", b"<meta charset='utf-8'",
+                b"<pre><code>x", b"&amp;&bogus;&#x41;&#999999999;",
+            ]),
+            max_size=20,
+        ),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_ish)
+def test_extract_page_total_on_arbitrary_bytes(payload):
+    from crawl4ai_custom_spark.kernel.extract import extract_page
+
+    row = extract_page("https://f.example.com/x", payload)
+    assert isinstance(row["success"], bool)
+    assert isinstance(row["text"], str)
+    assert isinstance(row["links"], list)
+    for link in row["links"]:
+        href = link["href"]
+        assert href is None or href.startswith(("http://", "https://"))
