@@ -11,9 +11,11 @@ RegexExtractionStrategy (/root/reference/crawl4ai/extraction_strategy.py:
                          stdlib DOM inside ONE mapInPandas stage ->
                          array<map<string,string>> column
 
-Selector support (from-scratch mini CSS engine on htmldom): tag, .class,
+Selector support (from-scratch engines on htmldom) — CSS: tag, .class,
 #id, tag.class, descendant combinators ('a b'), direct child ('a > b'),
-[attr] / [attr=value]. That covers the reference's shipped example schemas;
+[attr] / [attr=value]; XPath subset (selectors starting with '/', '//' or
+'.'): / and // axes, *, [@attr], [@attr='v'], positional [n] per context
+group. That covers the reference's shipped example schemas;
 anything fancier belongs in a custom UDF the user supplies (the strategy ABC
 surface of SURVEY.md §2.12).
 """
@@ -127,6 +129,76 @@ def css_select(root: Node, selector: str) -> list[Node]:
     return current
 
 
+# ---------------------------------------------------------------------------
+# mini XPath engine (the JsonXPathExtractionStrategy subset: / and //
+# axes, *, [@attr], [@attr='v'], [n]; '.' prefix for relative paths)
+# ---------------------------------------------------------------------------
+
+_XP_STEP = re.compile(r"^(?P<tag>[\w*-]+)(?P<preds>(?:\[[^\]]+\])*)$")
+
+
+def _xp_preds(nodes: list[Node], preds: list[str]) -> list[Node]:
+    for pred in preds:
+        p = pred[1:-1].strip()
+        if p.isdigit():  # positional, 1-based, within this context group
+            i = int(p) - 1
+            nodes = [nodes[i]] if 0 <= i < len(nodes) else []
+        elif p.startswith("@"):
+            if "=" in p:
+                k, v = p[1:].split("=", 1)
+                nodes = [n for n in nodes if n.get(k.strip()) == v.strip("'\"")]
+            else:
+                nodes = [n for n in nodes if n.get(p[1:]) is not None]
+        else:
+            return []  # unsupported predicate -> no match, never a wrong one
+    return nodes
+
+
+def xpath_select(root: Node, expr: str) -> list[Node]:
+    """Evaluate an XPath-subset expression. Positional predicates apply
+    within each context node's group (XPath semantics)."""
+    expr = expr.strip()
+    if expr.startswith("."):
+        expr = expr[1:]
+    if not expr.startswith("/"):
+        expr = "//" + expr
+    steps = re.findall(r"(//|/)([^/]+)", expr)
+    current: list[Node] = [root]
+    for axis, step in steps:
+        if step == "text()":
+            continue  # text extraction is the field type's job
+        m = _XP_STEP.match(step)
+        if not m:
+            return []
+        tag = m["tag"]
+        preds = re.findall(r"\[[^\]]+\]", m["preds"] or "")
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for base in current:
+            pool = (
+                [c for c in base.children if isinstance(c, Node)]
+                if axis == "/"
+                else base.iter()
+            )
+            group = [n for n in pool if tag == "*" or n.tag == tag]
+            for n in _xp_preds(group, preds):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nxt.append(n)
+        current = nxt
+    return current
+
+
+def _select(root: Node, selector: str) -> list[Node]:
+    """Engine dispatch: XPath for '/', '//' or '.' prefixed selectors
+    (JsonXPathExtractionStrategy), the CSS engine otherwise
+    (JsonCssExtractionStrategy)."""
+    s = selector.strip()
+    if s.startswith(("/", "./")):
+        return xpath_select(root, s)
+    return css_select(root, s)
+
+
 _TRANSFORMS = {
     "lowercase": str.lower,
     "uppercase": str.upper,
@@ -136,10 +208,10 @@ _TRANSFORMS = {
 
 def _apply_schema(root: Node, schema: dict) -> list[dict[str, str]]:
     out = []
-    for base in css_select(root, schema.get("baseSelector", "body")):
+    for base in _select(root, schema.get("baseSelector", "body")):
         rec: dict[str, str] = {}
         for fld in schema.get("fields", []):
-            nodes = css_select(base, fld["selector"]) if fld.get("selector") else [base]
+            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
             val = ""
             if nodes:
                 n = nodes[0]

@@ -368,3 +368,30 @@ def test_token_budget_chunks_matches_reference_sim(spark):
             have = [got[(did, i)] for i in range(len(want))]
             assert have == want, (did, thr, ov)
             assert (did, len(want)) not in got  # no extra chunks
+
+
+def test_schema_extract_xpath(spark):
+    """XPath backend (JsonXPathExtractionStrategy subset): // and / axes,
+    attribute predicates, positional predicates per context group."""
+    html = """<html><body>
+      <div class="product"><h2>Widget</h2>
+        <span class="price">$9.99</span><span class="price">$8.88</span>
+        <a href="/w1">m</a></div>
+      <div class="product"><h2>Gadget</h2>
+        <span class="price">$19.99</span><a href="/g1">m</a></div>
+    </body></html>"""
+    pages = spark.createDataFrame([("https://s.com/", html)], ["url", "html"])
+    schema = {
+        "baseSelector": "//div[@class='product']",
+        "fields": [
+            {"name": "name", "selector": ".//h2", "type": "text"},
+            {"name": "price2", "selector": ".//span[2]", "type": "text"},
+            {"name": "link", "selector": ".//a[@href]", "type": "attribute",
+             "attribute": "href"},
+        ],
+    }
+    recs = schema_extract(pages, schema).first()["records"]
+    assert len(recs) == 2
+    assert recs[0]["name"] == "Widget" and recs[0]["price2"] == "$8.88"
+    assert recs[1]["name"] == "Gadget" and recs[1]["price2"] == ""
+    assert recs[0]["link"] == "/w1" and recs[1]["link"] == "/g1"
