@@ -24,9 +24,11 @@ Strategies:
              link position ASC) — sequential semantics, fixture-scale only
              (documented non-scalable mode, as in SURVEY.md §7)
 
-Lineage truncation: frontier/seen/host_state are round-tripped through the
-checkpoint parquet every wave — each wave's plan starts from a scan, not
-from an ever-growing lineage chain (the Iceberg MERGE pattern).
+Lineage truncation: frontier/host_state round-trip through the checkpoint
+parquet every wave — each wave's plan starts from a scan, not from an
+ever-growing lineage chain (the Iceberg MERGE pattern). The seen set is an
+append-only union of immutable delta files (seeds + each wave's new_links):
+per-wave state IO is O(Δ), never an O(total) rewrite.
 """
 
 from __future__ import annotations
@@ -302,17 +304,39 @@ class FrontierEngine:
             self.pages = self._materialize(self.pages, "pages_latest")
             self._pages_materialized = True
 
+        # The seen set is APPEND-ONLY: a union view over immutable delta
+        # files (the seed frontier + each wave's new_links parquet, which
+        # are disjoint by construction — every delta was anti-joined against
+        # the view before being written). Nothing ever rewrites the full
+        # seen table: per-wave state IO is O(Δ), not O(total) — at 10^10
+        # urls a union-distinct rewrite per wave would be the dominant cost
+        # of the whole crawl. (Iceberg equivalent: append-only partitions.)
+        seen_paths: list[str] = []
+
+        def _seen() -> DataFrame:
+            parts = [
+                spark.read.parquet(p).select("url_hash") for p in seen_paths
+            ]
+            out = parts[0]
+            for d in parts[1:]:
+                out = out.union(d)
+            return out
+
         start_wave = 0
         crawled = 0
         if resume and self.store.latest_wave() is not None:
             w0 = self.store.latest_wave()
             snap = self.store.read(w0)
             frontier = snap["frontier"]
-            seen = snap["seen"]
             host_state = snap["host_state"]
             meta = snap.get("_meta", {})
             crawled = int(meta.get("pages_crawled", 0))
             stats = list(meta.get("stats", []))
+            seen_paths = list(meta.get("seen_deltas", []))
+            if not seen_paths and "seen" in snap:  # pre-delta snapshot layout
+                seen_paths = [
+                    os.path.join(self.store._wave_dir(w0), "seen.parquet")
+                ]
             start_wave = w0 + 1
             if bloom is not None and "bloom" in snap:
                 bloom.state = snap["bloom"]  # parquet-backed snapshot read
@@ -328,7 +352,9 @@ class FrontierEngine:
             if cfg.check_robots and self.robots is not None:
                 seed_fr = robots_gate(seed_fr, self.robots)
             frontier = self._materialize(seed_fr, "frontier_init")
-            seen = seeds_all.select("url_hash")
+            seen_paths = [
+                os.path.join(self.checkpoint_dir, "_state", "seeds_all")
+            ]
             host_state = empty_host_state(spark)
             if bloom is not None:
                 bloom.add(seeds_all.select("url_hash"))
@@ -464,13 +490,13 @@ class FrontierEngine:
                 cand = bloom.prefilter(cand)
                 maybe = cand.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
                 fresh = cand.where(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
-                new_links = fresh.unionByName(filter_unseen_exact(maybe, seen))
+                new_links = fresh.unionByName(filter_unseen_exact(maybe, _seen()))
             else:
-                new_links = filter_unseen_exact(cand, seen)
-            # materialize the discovery Δ ONCE: next_frontier AND next_seen
-            # both consume it — without this the whole link chain (explode ->
-            # score -> window dedup -> bloom applyInPandas -> anti-join) runs
-            # twice, once per state write. Doubles as the wave discovery log.
+                new_links = filter_unseen_exact(cand, _seen())
+            # materialize the discovery Δ ONCE: it becomes a frontier input,
+            # a seen-set delta, AND the wave discovery log — the link chain
+            # (explode -> score -> window dedup -> bloom applyInPandas ->
+            # anti-join) runs exactly once per wave.
             new_links_path = os.path.join(wave_dir, "new_links.parquet")
             new_links.write.mode("overwrite").parquet(new_links_path)
             new_links = spark.read.parquet(new_links_path)
@@ -490,7 +516,7 @@ class FrontierEngine:
             next_frontier = leftover.select(*frontier_cols).unionByName(
                 delta.select(*frontier_cols)
             )
-            next_seen = seen.union(new_links.select("url_hash")).distinct()
+            seen_paths.append(new_links_path)  # append-only seen delta
             next_host_state = fold_wave_outcomes(
                 host_state,
                 results.select("registrable_domain", "status_code"),
@@ -532,18 +558,20 @@ class FrontierEngine:
                 wave,
                 {
                     "frontier": next_frontier,
-                    "seen": next_seen,
                     "host_state": next_host_state,
                     "bloom": bloom.state if bloom is not None else None,
                     "stats": lineage,
                 },
-                meta={"pages_crawled": crawled, "stats": stats},
+                meta={
+                    "pages_crawled": crawled,
+                    "stats": stats,
+                    # the seen set is the union of these immutable deltas
+                    "seen_deltas": list(seen_paths),
+                },
             )
             # lineage truncation: every wave starts from the snapshot scan
             snap = self.store.read(wave)
-            frontier, seen, host_state = (
-                snap["frontier"], snap["seen"], snap["host_state"]
-            )
+            frontier, host_state = snap["frontier"], snap["host_state"]
             _mark("t_state_commit")
             _t.pop("_w0", None)
             stats[-1].update(_t)

@@ -4,8 +4,12 @@ Reference parity: CrawlState.save/load pickle checkpoints
 (/root/reference/crawl4ai/adaptive_crawler.py:53-111) -> here an
 Iceberg-style snapshot directory per wave:
 
-    <root>/wave=<k>/{frontier,seen,host_state,bloom,stats}.parquet
+    <root>/wave=<k>/{frontier,host_state,bloom,stats}.parquet
     <root>/wave=<k>/_MANIFEST.json        (written LAST -> commit marker)
+
+The seen set is NOT a table here: it is the union of immutable delta files
+(seed frontier + each wave's new_links parquet), listed in the manifest
+meta as ``seen_deltas`` — append-only, so per-wave state IO stays O(Δ).
 
 A snapshot is only visible once its manifest exists, giving the same
 atomic-commit semantics Iceberg snapshots provide (on a real deployment this
@@ -30,7 +34,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "host_state", "bloom", "stats")
+TABLES = ("frontier", "host_state", "bloom", "stats")
 
 
 class CheckpointStore:
