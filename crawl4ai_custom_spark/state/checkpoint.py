@@ -71,18 +71,6 @@ class CheckpointStore:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "_MANIFEST.json"))  # atomic commit
 
-    def update_meta(self, wave: int, meta: dict) -> None:
-        """Rewrite a committed wave's manifest meta (atomic; tables untouched)."""
-        d = self._wave_dir(wave)
-        path = os.path.join(d, "_MANIFEST.json")
-        with open(path) as f:
-            manifest = json.load(f)
-        manifest["meta"] = meta
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, path)
-
     def complete_waves(self) -> list[int]:
         out = []
         if not os.path.isdir(self.root):
