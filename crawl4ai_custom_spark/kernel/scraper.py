@@ -321,11 +321,21 @@ def rewrite_urls(root: Node, url: str, base_href: str | None = None) -> None:
     href — the anchor text survives as plain text."""
     base = (canonicalize_url(base_href, url) if base_href else url) or url
     memo: dict[str, str | None] = {}
+    # pre-split the base once: root-relative hrefs ('/x', the dominant form)
+    # resolve by concatenation instead of a full urljoin per unique href
+    from urllib.parse import urlsplit as _us
+
+    _b = _us(base)
+    _prefix = f"{_b.scheme}://{_b.netloc}"
 
     def canon(href: str) -> str | None:
         got = memo.get(href, False)
         if got is False:
-            got = memo[href] = canonicalize_url(href, base)
+            if href.startswith("/") and not href.startswith("//"):
+                got = canonicalize_url(_prefix + href)
+            else:
+                got = canonicalize_url(href, base)
+            memo[href] = got
         return got
 
     for a in root.iter("a"):

@@ -92,6 +92,8 @@ def canonicalize_url(href: str, base_url: str | None = None) -> str | None:
     if href is None or not is_crawlable_href(href):
         return None
     href = href.strip()
+    if base_url and href.startswith(("http://", "https://")):
+        base_url = None  # already absolute: urljoin would be an identity
     try:
         absu = urljoin(base_url, href) if base_url else href
         scheme, netloc, path, query, _frag = urlsplit(absu)
