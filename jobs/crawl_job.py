@@ -43,6 +43,12 @@ def parse_args(argv):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--content-filter", default="pruning",
                    choices=["pruning", "bm25", "none"])
+    p.add_argument("--fairness-waves", type=int, default=0,
+                   help=">0: starvation aging horizon in waves")
+    p.add_argument("--link-preview", action="store_true",
+                   help="head-peek contextual scoring of discovered links"
+                        " (needs --keywords)")
+    p.add_argument("--max-waves", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -82,6 +88,9 @@ def main(argv=None) -> int:
             base_delay=args.base_delay, wave_seconds=args.wave_seconds
         ),
         extract=ExtractConfig(content_filter=args.content_filter),
+        fairness_waves=args.fairness_waves,
+        link_preview_scoring=args.link_preview,
+        max_waves=args.max_waves,
     )
     robots = spark.read.parquet(args.robots) if args.robots else None
     engine = FrontierEngine(
