@@ -93,6 +93,9 @@ class CrawlConfig:
     bloom_partitions: int = 8
     bloom_capacity: int = 1_000_000
     max_waves: int | None = None  # absolute wave bound (None -> strategy default)
+    seen_compact_every: int = 64  # compact the seen-delta union into one
+    # file when the path list reaches this width (bounds plan width for
+    # 100+-wave crawls, e.g. DFS; LSM-style amortized O(total/k) rewrites)
     fairness_waves: int = 0  # >0: starvation aging — a row waiting more than
     # this many waves outranks all un-aged rows (dispatcher parity,
     # async_dispatcher.py:470-527); 0 disables
@@ -517,6 +520,12 @@ class FrontierEngine:
                 delta.select(*frontier_cols)
             )
             seen_paths.append(new_links_path)  # append-only seen delta
+            if len(seen_paths) >= cfg.seen_compact_every:
+                compact = os.path.join(
+                    self.checkpoint_dir, "_state", f"seen_compact_{wave:05d}"
+                )
+                _seen().write.mode("overwrite").parquet(compact)
+                seen_paths = [compact]
             next_host_state = fold_wave_outcomes(
                 host_state,
                 results.select("registrable_domain", "status_code"),

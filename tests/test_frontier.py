@@ -229,3 +229,22 @@ def test_link_preview_scoring_prioritizes_matching_heads(spark, tmp_path):
     on, off = orders[True], orders[False]
     assert on.index("https://s.com/zmatch") < on.index("https://s.com/aplain")
     assert off.index("https://s.com/aplain") < off.index("https://s.com/zmatch")
+
+
+def test_seen_delta_compaction_preserves_crawl(spark, pages_df, robots_df, tmp_path):
+    """Forcing seen-delta compaction every 2 waves yields the identical
+    crawl (admitted sets + pages) as the uncompacted layout."""
+    runs = {}
+    for tag, every in (("default", 64), ("compact", 2)):
+        cfg = CrawlConfig(strategy="bfs", max_depth=3, max_pages=200,
+                          politeness=PolitenessConfig(wave_seconds=1e9),
+                          use_bloom=False, seen_compact_every=every)
+        eng = FrontierEngine(spark, pages_df, robots_df, cfg,
+                             checkpoint_dir=str(tmp_path / f"c_{tag}"),
+                             out_dir=str(tmp_path / f"o_{tag}"))
+        run = eng.run(SEEDS)
+        runs[tag] = (
+            {(r["wave"], r["url_canon"]) for r in run.admitted_log(spark).collect()},
+            run.pages_crawled,
+        )
+    assert runs["default"] == runs["compact"]
