@@ -395,3 +395,29 @@ def test_schema_extract_xpath(spark):
     assert recs[0]["name"] == "Widget" and recs[0]["price2"] == "$8.88"
     assert recs[1]["name"] == "Gadget" and recs[1]["price2"] == ""
     assert recs[0]["link"] == "/w1" and recs[1]["link"] == "/g1"
+
+
+def test_llm_boundary_plumbing(spark):
+    """LLM strategies are out of scope (external service) but the Spark
+    plumbing is real: chunking, batch md5 dedup, in-order reassembly —
+    exercised with the deterministic stub client."""
+    from crawl4ai_custom_spark.operators.llm_boundary import (
+        LLMClient,
+        StubLLMClient,
+        llm_content_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "First sentence. Second one! Third thing? Fourth."),
+            ("b", ""),
+            ("c", "Only sentence."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["fit_text"]
+           for r in llm_content_filter(docs, StubLLMClient(2)).collect()}
+    assert out["a"] == "First sentence. Second one!"
+    assert out["b"] == "" and out["c"] == "Only sentence."
+    with pytest.raises(NotImplementedError):
+        LLMClient().complete("x")
