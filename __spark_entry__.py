@@ -116,6 +116,30 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_url (strict normal form: canonicalize + lowercase + SORT
+    query keys, utils.py:2223-2321 semantics) and is_external_url (www-
+    stripped host-suffix comparison), exactly oracled in closed form."""
+    from crawl4ai_custom_spark.operators.urlops import (
+        is_external_udf,
+        normalize_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".com/p/"),
+        F.col("doc_id"), F.lit("?B=2&a=1&UTM_x=9&Ref=r&c="),
+    )
+    base_same = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"))
+    norm = normalize_udf(raw, F.lit(None).cast("string"))
+    return docs.select(
+        "doc_id",
+        norm.alias("url_norm"),
+        is_external_udf(norm, base_same).alias("ext_same"),
+        is_external_udf(norm, F.lit("https://other.example.net/")).alias("ext_other"),
+    )
+
+
 def q_url_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.scorers import (
         content_type_score,
@@ -741,6 +765,15 @@ ORACLES["q_url_canonicalize"] = f"""
         else source || '.com'
       end as domain
     from u
+"""
+
+ORACLES["q_normalize_url"] = """
+    select doc_id,
+           'https://www.' || source || '.com/p/' || doc_id || '?a=1&b=2&c='
+             as url_norm,
+           false as ext_same,
+           true as ext_other
+    from documents
 """
 
 ORACLES["q_url_scorers"] = """
@@ -1369,6 +1402,7 @@ ORACLES["q_regex_extract"] = """
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
+    "q_normalize_url": q_normalize_url,
     "q_url_scorers": q_url_scorers,
     "q_frontier_admission": q_frontier_admission,
     "q_seen_antijoin": q_seen_antijoin,
