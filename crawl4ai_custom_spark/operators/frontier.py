@@ -48,6 +48,7 @@ from ..state.checkpoint import CheckpointStore
 from .extraction import extract_pages
 from .filters import FilterChain, content_type_filter, domain_filter, url_pattern_filter
 from .politeness import (
+    RETRY_STATUSES,
     PolitenessConfig,
     admit,
     aged_score,
@@ -69,7 +70,7 @@ from .urlops import canonicalize_abs_udf, registrable_domain_udf, url_is_valid
 FRONTIER_DDL = (
     "url_canon string, url_hash long, registrable_domain string, "
     "parent_url string, depth int, score double, discovered_wave int, "
-    "link_pos int"
+    "link_pos int, retry_count int"
 )
 
 
@@ -147,9 +148,12 @@ class FrontierEngine:
         # the "fetchable web": latest capture per url, keyed by url
         from ..sources.pages import latest_pages
 
-        self.pages = latest_pages(pages).select(
-            F.col("url").alias("url_canon"), "html", "warc_ts", "lang"
-        )
+        # an optional status_code column in the pages table simulates
+        # transient fetch outcomes (429/503 -> retry with backoff)
+        page_cols = [F.col("url").alias("url_canon"), "html", "warc_ts", "lang"]
+        if "status_code" in pages.columns:
+            page_cols.append(F.col("status_code").alias("_page_status"))
+        self.pages = latest_pages(pages).select(*page_cols)
 
     # ------------------------------------------------------------------
     def _seed_frontier(self, seed_urls: list[str] | DataFrame) -> DataFrame:
@@ -169,6 +173,7 @@ class FrontierEngine:
             .withColumn("score", F.lit(1.0))
             .withColumn("discovered_wave", F.lit(0))
             .withColumn("link_pos", F.lit(0))
+            .withColumn("retry_count", F.lit(0))
         )
         return fr.select(*[f.split(" ")[0] for f in FRONTIER_DDL.split(", ")])
 
@@ -416,10 +421,13 @@ class FrontierEngine:
 
             # ---- "fetch" (join materialized latest pages) + extraction, all
             # in ONE write job; 404 rows keep null extraction columns
-            fetched = admitted.join(self.pages, "url_canon", "left").withColumn(
-                "status_code",
-                F.when(F.col("html").isNotNull(), 200).otherwise(404),
+            fetched = admitted.join(self.pages, "url_canon", "left")
+            status = F.when(F.col("html").isNull(), 404).otherwise(
+                F.coalesce(F.col("_page_status"), F.lit(200))
+                if "_page_status" in self.pages.columns
+                else F.lit(200)
             )
+            fetched = fetched.withColumn("status_code", status)
             extracted = extract_pages(
                 fetched.where(F.col("status_code") == 200)
                 .select(F.col("url_canon").alias("url"), "html"),
@@ -475,6 +483,7 @@ class FrontierEngine:
                 "score",
                 F.lit(wave + 1).alias("discovered_wave"),
                 "link_pos",
+                F.lit(0).alias("retry_count"),
                 "is_internal",
             )
             chain = self._link_filter_chain()
@@ -519,6 +528,21 @@ class FrontierEngine:
             next_frontier = leftover.select(*frontier_cols).unionByName(
                 delta.select(*frontier_cols)
             )
+            # retry/requeue (dispatcher parity, async_dispatcher.py:289-331):
+            # transient statuses re-enter the frontier with retry_count+1
+            # until max_retries; the backoff fold below shrinks their
+            # domain's next-wave budget at the same time
+            if cfg.politeness.max_retries > 0:
+                transient = results.where(
+                    F.col("status_code").isin(*RETRY_STATUSES)
+                ).select(F.col("url").alias("url_canon"))
+                retries = (
+                    admitted.join(transient, "url_canon", "semi")
+                    .select(*frontier_cols)
+                    .where(F.col("retry_count") < cfg.politeness.max_retries)
+                    .withColumn("retry_count", F.col("retry_count") + 1)
+                )
+                next_frontier = next_frontier.unionByName(retries)
             seen_paths.append(new_links_path)  # append-only seen delta
             if len(seen_paths) >= cfg.seen_compact_every:
                 compact = os.path.join(

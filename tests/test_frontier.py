@@ -248,3 +248,49 @@ def test_seen_delta_compaction_preserves_crawl(spark, pages_df, robots_df, tmp_p
             run.pages_crawled,
         )
     assert runs["default"] == runs["compact"]
+
+
+def test_transient_status_retries_with_backoff(spark, tmp_path):
+    """429/503 fetches re-enter the frontier with retry_count+1 until
+    max_retries (dispatcher parity); 404s never retry; the failing domain's
+    delay backs off."""
+    import datetime as dt
+
+    def page(url, status, links=()):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        html = f"<html><body><p>w w w</p>{body}</body></html>".encode()
+        return (url, dt.datetime(2025, 1, 1), html, "", "en", status)
+
+    pages = spark.createDataFrame(
+        [
+            page("https://s.com/", 200, ["/ok", "/flaky", "/gone"]),
+            page("https://s.com/ok", 200),
+            page("https://s.com/flaky", 503),
+        ],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string, status_code int",
+    )
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=2, max_pages=100, check_robots=False,
+        use_bloom=False,
+        politeness=PolitenessConfig(wave_seconds=1e9, max_retries=2),
+    )
+    eng = FrontierEngine(spark, pages, None, cfg,
+                         checkpoint_dir=str(tmp_path / "c"),
+                         out_dir=str(tmp_path / "o"))
+    run = eng.run(["https://s.com/"])
+    adm = run.admitted_log(spark)
+    flaky = adm.where(F.col("url_canon") == "https://s.com/flaky")
+    # initial attempt + 2 retries, each in a distinct wave
+    assert flaky.count() == 3
+    assert flaky.select("wave").distinct().count() == 3
+    assert (flaky.agg(F.max("retry_count")).first()[0]
+            == cfg.politeness.max_retries)
+    # 404 (missing /gone) is permanent: one attempt only
+    assert adm.where(F.col("url_canon") == "https://s.com/gone").count() == 1
+    # results carry the transient status, never extracted
+    res = run.results(spark)
+    assert res.where((F.col("url") == "https://s.com/flaky")
+                     & (F.col("status_code") == 503)).count() == 3
+    assert res.where((F.col("url") == "https://s.com/flaky")
+                     & F.col("success")).count() == 0
