@@ -520,8 +520,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    sess = ev.withColumn(
+    # Per-row floored epoch seconds (tz-independent for NTZ: calendar diff from
+    # the NTZ epoch; truncation == floor for post-1970 data), matching the
+    # oracle's floor(epoch(ts)) exactly — flooring each timestamp BEFORE
+    # differencing differs from truncating the difference on sub-second data.
+    sec = F.expr("timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    sess = ev.withColumn("sec", sec)
+    gap = F.col("sec") - F.lag("sec").over(w)
+    sess = sess.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
     )
@@ -1283,7 +1289,7 @@ ORACLES["q_sessionize"] = """
       from events
     )
     select user_id,
-           sum(case when gap is null or gap > 1800 then 1 else 0 end) as n_sessions
+           sum(case when gap is null or gap > 1800 then 1 else 0 end)::BIGINT as n_sessions
     from g group by user_id
 """
 
