@@ -658,7 +658,8 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no SQL oracle: stubbed decoder, numpy histogram)."""
+    """Oracled: the stub decoder is deterministic byte-histogram math, so the
+    DuckDB twin recomputes f0 = fraction of payload bytes < 32 from hex()."""
     from crawl4ai_custom_spark.operators.multimodal import (
         documents_as_media,
         extract_media_features,
@@ -667,7 +668,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     out = extract_media_features(documents_as_media(docs))
     return out.select("media_id", "format", "n_bytes",
-                      F.round(F.element_at("feature", 1), 4).alias("f0"))
+                      F.round(F.element_at("feature", 1) + 1e-9, 4).alias("f0"))
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +947,74 @@ ORACLES["q_simhash"] = f"""
     ),
     sums as (select id, {_SIMHASH_BITS_SQL} from h group by id)
     select id, ({_SIMHASH_VAL_SQL})::BIGINT as simhash16 from sums
+"""
+
+_SIMHASH60_BITS_SQL = ", ".join(
+    f"sum(case when (th >> {i}) & 1 = 1 then 1 else -1 end) as b{i}"
+    for i in range(60)
+)
+_SIMHASH60_VAL_SQL = " + ".join(
+    f"case when b{i} > 0 then {1 << i}::BIGINT else 0::BIGINT end" for i in range(60)
+)
+
+ORACLES["q_simhash_neardup"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 120
+    ),
+    toks as (
+      select doc_id as id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) as tok
+      from corpus
+    ),
+    h as (
+      select id, {_HASH_SQL.format(x="tok")} as th
+      from toks where length(tok) > 0
+    ),
+    sums as (select id, {_SIMHASH60_BITS_SQL} from h group by id),
+    sh as (select id, ({_SIMHASH60_VAL_SQL})::BIGINT as simhash from sums),
+    banded as (
+      select id, simhash, band,
+             (simhash >> (band * 15)) & 32767 as block
+      from sh cross join (select unnest([0, 1, 2, 3]) as band) bands
+    ),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b,
+             a.simhash as sh_a, b.simhash as sh_b
+      from banded a join banded b on a.band = b.band and a.block = b.block
+      where a.id < b.id
+    )
+    select id_a, id_b, bit_count(xor(sh_a, sh_b)) as hamming
+    from cand where bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+ORACLES["q_multimodal_features"] = """
+    with m as (
+      select doc_id as media_id, encode(text) as payload
+      from documents where doc_id < 100
+    ),
+    b as (
+      select media_id, octet_length(payload) as n, hex(payload) as hx
+      from m
+    ),
+    vals as (
+      select media_id,
+             ('0x' || substr(hx, i * 2 + 1, 2))::INT as v
+      from b cross join lateral (select unnest(range(0, n)) as i) g
+    ),
+    h as (
+      select media_id,
+             sum(case when v < 32 then 1 else 0 end) as c0
+      from vals group by media_id
+    )
+    select b.media_id,
+           case when substr(hx, 1, 8) = hex('GIF8') then 'gif'
+                when substr(hx, 1, 8) = hex('RIFF') then 'riff'
+                when substr(hx, 1, 8) = hex('%PDF') then 'pdf'
+                when substr(hx, 1, 8) = '89504E47' then 'png'
+                when substr(hx, 1, 6) = 'FFD8FF' then 'jpeg'
+                else 'unknown' end as format,
+           n::INT as n_bytes,
+           round(coalesce(c0, 0) / greatest(1.0, n) + 1e-9, 4) as f0
+    from b left join h using (media_id)
 """
 
 ORACLES["q_embedding_neardup"] = """
