@@ -55,47 +55,72 @@ def adaptive_crawl(
     wave granularity: the fraction of crawled pages containing >=1 query
     term (pairwise Jaccard / MinHash is available in operators/adaptive.py
     for offline analysis but is overkill per wave)."""
+    import os
+
     spark = engine.spark
     query_terms = [t.lower() for t in query.split() if t]
-    seen_terms: set[str] = set()
     history: list[int] = []
-    stats_df: DataFrame | None = None
     pages = 0
     waves = 0
     hit_pages = 0
     conf = cov = cons = sat = 0.0
     reason = "frontier_exhausted"
 
+    # All vocabulary state lives in parquet, never on the driver: at 100 TB
+    # the term vocabulary is tens of millions of rows — a driver set would
+    # OOM and an un-materialized union chain would explode the plan. The
+    # seen-terms table is append-only (each wave appends only its genuinely
+    # new terms, found by anti-join); cumulative stats ping-pong between two
+    # materialized views so each wave's plan starts from a parquet scan.
+    state_dir = os.path.join(engine.checkpoint_dir, "_state", "adaptive")
+    seen_terms_path = os.path.join(state_dir, "seen_terms")
+    stats_paths = [os.path.join(state_dir, f"stats_{i}") for i in (0, 1)]
+    stats_df: DataFrame | None = None
+
     for wave, results, run in stream_crawl(engine, seeds, max_total_waves):
         waves = wave + 1
         ok = results.where(F.col("status_code") == 200).select(
             F.col("url").alias("doc_id"), F.col("text")
         )
-        n_ok = ok.count()
+        # one pass for both wave tallies: page count + query-hit count
+        hit_pred = (
+            F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).rlike(
+                "|".join(f" {t} " for t in query_terms) if query_terms else "$^"
+            )
+        )
+        tallies = ok.agg(
+            F.count(F.lit(1)).alias("n_ok"),
+            F.sum(hit_pred.cast("int")).alias("n_hit"),
+        ).collect()[0]
+        n_ok = int(tallies["n_ok"] or 0)
         pages += n_ok
         if n_ok == 0:
             continue
+        hit_pages += int(tallies["n_hit"] or 0)
+
         wave_stats = term_stats(ok, id_col="doc_id", text_col="text")
-        stats_df = (
+        # new-term count is a SCALAR from an anti-join against the persisted
+        # vocabulary — never a collect() of the terms themselves
+        wave_terms = wave_stats.select("term")
+        if os.path.isdir(seen_terms_path):
+            seen = spark.read.parquet(seen_terms_path)
+            fresh = wave_terms.join(seen, "term", "left_anti")
+        else:
+            fresh = wave_terms
+        n_new = fresh.count()
+        fresh.write.mode("append").parquet(seen_terms_path)
+        history.append(n_new)
+
+        merged = (
             wave_stats
             if stats_df is None
             else stats_df.unionByName(wave_stats)
             .groupBy("term")
             .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
         )
-        new_terms = {
-            r["term"]
-            for r in wave_stats.select("term").collect()
-        } - seen_terms
-        seen_terms |= new_terms
-        history.append(len(new_terms))
-
-        lowq = [t for t in query_terms]
-        hit_pages += ok.where(
-            F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).rlike(
-                "|".join(f" {t} " for t in lowq) if lowq else "$^"
-            )
-        ).count()
+        out = stats_paths[waves % 2]
+        merged.write.mode("overwrite").parquet(out)
+        stats_df = spark.read.parquet(out)
 
         cov = coverage_score(stats_df, query_terms, max(1, pages))
         cons = hit_pages / max(1, pages)
