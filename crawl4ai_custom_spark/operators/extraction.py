@@ -183,8 +183,28 @@ def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
     ``fields``: emit only these output columns (manual pushdown through the
     opaque python stage — see make_extract_fn)."""
     df = pages.select("url", "html")
-    target = min_parallelism or pages.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = pages.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    # Decide from Catalyst's own size estimate (one JVM call on the optimized
+    # plan — file sizes are already known from scan listing) instead of
+    # df.rdd.getNumPartitions(), which forces a full plan->RDD compilation
+    # on every call. A scan smaller than target*maxPartitionBytes would yield
+    # fewer splits than cores, so only then is the repartition worth its
+    # shuffle; big scans already carry enough partitions.
+    try:
+        size_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size_bytes = None
+    try:
+        max_part = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().rstrip("b")
+        )
+    except Exception:
+        max_part = 134217728
+    if size_bytes is None or size_bytes < target * max_part:
         df = df.repartition(target)
     return df.mapInPandas(make_extract_fn(cfg, fields), schema_for(fields))
 

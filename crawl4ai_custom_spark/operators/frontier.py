@@ -74,6 +74,37 @@ FRONTIER_DDL = (
 )
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a just-written parquet directory from file footers —
+    zero Spark jobs. The driver loop needs several per-wave scalar counts;
+    footer metadata gives them for free. (Iceberg equivalent: snapshot
+    manifest record counts — also metadata-only.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def _parquet_count_eq(path: str, column: str, value: int) -> int:
+    """Count rows where ``column == value`` by reading ONLY that column
+    (pyarrow column pruning; O(Δ) bytes, no Spark job). Used for the
+    per-wave fetched-ok tally over the wave's own results delta."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        col = pq.read_table(f, columns=[column]).column(0)
+        n += pc.sum(pc.equal(col, value).cast("int64")).as_py() or 0
+    return n
+
+
 @dataclass
 class CrawlConfig:
     strategy: str = "bfs"                  # bfs | best_first | dfs
@@ -236,8 +267,16 @@ class FrontierEngine:
             from .headpeek import head_relevance_score, peek_head
             from .linkpreview import total_score
 
+            # peek ONLY the pages this wave actually links to: semi-join the
+            # pages table down to the wave's distinct hrefs BEFORE the head
+            # regex scan, so the peek is O(Δ links), never a full-table scan
+            # (at 10^10 pages a per-wave full regex pass would dominate the
+            # crawl). The href set is the wave's discovery delta — small —
+            # so AQE turns this into a broadcast semi-join.
+            wave_targets = links.select(F.col("href")).distinct()
             heads = peek_head(
                 self.pages.select(F.col("url_canon").alias("href"), "html")
+                .join(wave_targets, "href", "semi")
             ).select("href", "head_title", "head_description", "head_keywords")
             scored = scored.join(heads, "href", "left")
             contextual = F.when(
@@ -336,6 +375,7 @@ class FrontierEngine:
             w0 = self.store.latest_wave()
             snap = self.store.read(w0)
             frontier = snap["frontier"]
+            frontier_path = os.path.join(self.store._wave_dir(w0), "frontier.parquet")
             host_state = snap["host_state"]
             meta = snap.get("_meta", {})
             crawled = int(meta.get("pages_crawled", 0))
@@ -360,6 +400,7 @@ class FrontierEngine:
             if cfg.check_robots and self.robots is not None:
                 seed_fr = robots_gate(seed_fr, self.robots)
             frontier = self._materialize(seed_fr, "frontier_init")
+            frontier_path = os.path.join(self.checkpoint_dir, "_state", "frontier_init")
             seen_paths = [
                 os.path.join(self.checkpoint_dir, "_state", "seeds_all")
             ]
@@ -383,11 +424,11 @@ class FrontierEngine:
                 _t["_w0"] = _time.time()
 
             # frontier is always a bare snapshot/materialization scan (robots
-            # gating already happened on each row's entry), so this count is
-            # parquet-metadata-only. No depth check is needed: the link
-            # filter chain admits only depth <= max_depth, so the frontier
-            # can never contain a deeper row.
-            n_frontier = frontier.count()
+            # gating already happened on each row's entry), so its count comes
+            # straight from parquet footers — no Spark job. No depth check is
+            # needed: the link filter chain admits only depth <= max_depth, so
+            # the frontier can never contain a deeper row.
+            n_frontier = _parquet_rows(frontier_path)
             _mark("t_frontier_agg")
             if n_frontier == 0 or crawled >= cfg.max_pages:
                 break
@@ -414,7 +455,7 @@ class FrontierEngine:
             admitted_path = os.path.join(wave_dir, "admitted.parquet")
             admitted.write.mode("overwrite").parquet(admitted_path)
             admitted = spark.read.parquet(admitted_path)
-            n_admitted = admitted.count()  # metadata-only parquet count
+            n_admitted = _parquet_rows(admitted_path)  # footer-only, no job
             _mark("t_admission")
             if n_admitted == 0:
                 break
@@ -451,7 +492,9 @@ class FrontierEngine:
             results_path = os.path.join(wave_dir, "results.parquet")
             results.write.mode("overwrite").parquet(results_path)
             results = spark.read.parquet(results_path)
-            n_ok = results.where(F.col("status_code") == 200).count()
+            # filtered tally from a single pruned column of the O(Δ) results
+            # delta we just wrote — avoids a whole Spark job per wave
+            n_ok = _parquet_count_eq(results_path, "status_code", 200)
             _mark("t_fetch_extract")
 
             # ---- link discovery (hrefs already canonical from the kernel)
@@ -512,7 +555,7 @@ class FrontierEngine:
             new_links_path = os.path.join(wave_dir, "new_links.parquet")
             new_links.write.mode("overwrite").parquet(new_links_path)
             new_links = spark.read.parquet(new_links_path)
-            n_new = new_links.count()  # metadata-only parquet count
+            n_new = _parquet_rows(new_links_path)  # footer-only, no job
 
             # ---- next frontier + state folds, each written exactly once via
             # the snapshot (the Iceberg-MERGE-per-wave pattern). The robots
@@ -605,6 +648,7 @@ class FrontierEngine:
             # lineage truncation: every wave starts from the snapshot scan
             snap = self.store.read(wave)
             frontier, host_state = snap["frontier"], snap["host_state"]
+            frontier_path = os.path.join(self.store._wave_dir(wave), "frontier.parquet")
             _mark("t_state_commit")
             _t.pop("_w0", None)
             stats[-1].update(_t)
