@@ -339,8 +339,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.dedup import embedding_cosine_dedup
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    out = embedding_cosine_dedup(emb, threshold=0.35)
+    # all_pairs is the ground-truth path (explicit opt-in); the scale path
+    # is q_embedding_neardup_bucketed below
+    out = embedding_cosine_dedup(emb, threshold=0.35, all_pairs=True)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB path: LSH sign-buckets bound the candidate pairs, then
+    brute-force cosine only within buckets. Hyperplanes are the 4 smallest
+    vec_ids of the corpus — deterministic, so the oracle rebuilds the exact
+    same buckets in SQL."""
+    from crawl4ai_custom_spark.operators.dedup import embedding_cosine_dedup
+    from crawl4ai_custom_spark.operators.similarity import (
+        data_hyperplanes,
+        hyperplane_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    planes = data_hyperplanes(emb, n_planes=4)
+    bucketed = hyperplane_bucket(emb, planes)
+    out = embedding_cosine_dedup(
+        bucketed, threshold=0.35, bucket_col=F.col("bucket")
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pair -> cluster -> keeper: connected components (min-label
+    propagation) over the MinHash-LSH near-dup pairs, so a pipeline can
+    actually drop rows (keep id == cluster_id)."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        cluster_pairs,
+        minhash_lsh_dedup,
+    )
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    pairs = minhash_lsh_dedup(
+        corpus, num_hashes=N_MINHASH, bands=N_BANDS, jaccard_threshold=0.6
+    )
+    return cluster_pairs(pairs).select("id", "cluster_id")
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,6 +968,50 @@ ORACLES["q_minhash_lsh"] = f"""
     where inter / (sa.sz + sb.sz - inter) >= 0.6
 """
 
+ORACLES["q_neardup_clusters"] = f"""
+    with recursive corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from shingles group by id
+    ),
+    banded as ({_lsh_band_sql()}),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from banded a join banded b using (band, band_key)
+      where a.id < b.id
+    ),
+    sizes as (select id, count(*) as sz from shingles group by id),
+    inter as (
+      select c.id_a, c.id_b, count(*) as inter
+      from cand c
+      join shingles a on a.id = c.id_a
+      join shingles b on b.id = c.id_b and b.shingle_hash = a.shingle_hash
+      group by c.id_a, c.id_b
+    ),
+    pairs as (
+      select id_a, id_b
+      from inter
+      join sizes sa on sa.id = id_a
+      join sizes sb on sb.id = id_b
+      where inter / (sa.sz + sb.sz - inter) >= 0.6
+    ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b as src, id_a as dst from pairs
+    ),
+    nodes as (select distinct src as id from edges),
+    reach(id, r) as (
+      select id, id as r from nodes
+      union
+      select e.dst as id, reach.r from reach join edges e on e.src = reach.id
+    )
+    select id, min(r) as cluster_id from reach group by id
+"""
+
 _SIMHASH_BITS_SQL = ", ".join(
     f"sum(case when (th >> {i}) & 1 = 1 then 1 else -1 end) as b{i}"
     for i in range(16)
@@ -1027,6 +1111,37 @@ ORACLES["q_embedding_neardup"] = """
       and list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+ORACLES["q_embedding_neardup_bucketed"] = """
+    with corpus as (
+      select vec_id, embedding::DOUBLE[] as v
+      from embeddings where vec_id < 300
+    ),
+    planes as (
+      select vec_id as plane_id, v as plane,
+             row_number() over (order by vec_id asc) - 1 as plane_rank
+      from corpus order by vec_id asc limit 4
+    ),
+    buckets as (
+      select c.vec_id,
+             sum(case when list_dot_product(c.v, p.plane) >= 0
+                      then (1 << p.plane_rank) else 0 end)::BIGINT as bucket
+      from corpus c cross join planes p
+      group by c.vec_id
+    ),
+    bv as (
+      select b.vec_id, b.bucket, c.v
+      from buckets b join corpus c using (vec_id)
+    )
+    select a.vec_id as id_a, b.vec_id as id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) as cosine
+    from bv a join bv b on a.bucket = b.bucket and a.vec_id < b.vec_id
+    where list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 """
 
 ORACLES["q_ann_bruteforce"] = """
@@ -1491,6 +1606,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_simhash_neardup": q_simhash_neardup,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+    "q_neardup_clusters": q_neardup_clusters,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,

@@ -284,15 +284,25 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_col: Column | None = None,
+    all_pairs: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Brute-force within buckets (pass
-    bucket_col, e.g. an LSH sign-bucket from similarity.hyperplane_bucket,
-    to avoid the full cross join at scale); all-pairs when bucket_col is None.
+    """Pairs with cosine >= threshold. Brute-force WITHIN buckets (pass
+    bucket_col, e.g. an LSH sign-bucket from similarity.hyperplane_bucket) —
+    the scale path: the join key bounds candidate pairs to same-bucket rows.
+    The exhaustive cross join is ground-truth-only and must be requested
+    explicitly with ``all_pairs=True`` (at 100 TB a silent cartesian default
+    would be a footgun).
     Cosine = dot/(|a||b|) via native zip_with + aggregate — the same element
     order and formula as the DuckDB oracle (list_dot_product form), so float
     results agree bit-for-bit."""
     from .similarity import cosine as _cos
 
+    if bucket_col is None and not all_pairs:
+        raise ValueError(
+            "embedding_cosine_dedup: pass bucket_col (scale path, e.g. "
+            "similarity.hyperplane_bucket) or opt into the O(n^2) cross "
+            "join explicitly with all_pairs=True"
+        )
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -306,4 +316,90 @@ def embedding_cosine_dedup(
         .withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
+    )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (id, cluster_id) where
+    cluster_id = min id reachable through the pair graph (the keeper).
+
+    Min-label propagation as iterative DataFrame jobs (Pregel supersteps,
+    same pattern as the frontier wave loop): each round every node takes the
+    min of its own label and its neighbors' labels; converged when no label
+    changed. Rounds needed = graph diameter — dedup graphs are star-/clique-
+    shaped (diameter 1-3), so this is 2-4 shuffles on the PAIRS table, never
+    an all-pairs pass. Labels materialize to parquet each round (lineage
+    truncation), so the plan never grows with iteration count.
+
+    A pipeline drops duplicates by keeping only rows with id == cluster_id
+    (see dedup_keepers); the reference's per-page first-wins dedup
+    (content_scraping_strategy seen-href logic) is the degenerate
+    single-page case of the same keeper rule.
+    """
+    import os
+    import tempfile
+
+    spark = pairs.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cc_labels_")
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    # materialize edges once: every round joins against this scan
+    edges_path = os.path.join(ckpt, "edges")
+    edges.write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for it in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("label") != F.least(F.col("label"), F.coalesce("nmin", "label")))
+                .cast("int").alias("changed"),
+            )
+        )
+        out = os.path.join(ckpt, f"labels_{it % 2}")
+        nxt.write.mode("overwrite").parquet(out)
+        nxt = spark.read.parquet(out)
+        n_changed = nxt.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = nxt.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """docs + (cluster_id, is_keeper): rows not in any pair are their own
+    keeper; within a near-dup cluster only the min id survives. Filter on
+    ``is_keeper`` to actually drop duplicates."""
+    clusters = cluster_pairs(pairs, checkpoint_dir=checkpoint_dir)
+    return (
+        docs.join(
+            clusters.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )

@@ -421,3 +421,42 @@ def test_llm_boundary_plumbing(spark):
     assert out["b"] == "" and out["c"] == "Only sentence."
     with pytest.raises(NotImplementedError):
         LLMClient().complete("x")
+
+
+def test_cluster_pairs_and_keepers(spark, tmp_path):
+    """pair -> cluster -> keeper: a 4-chain, a 2-pair, and a singleton.
+    Chain a-b, b-c, c-d must collapse to one cluster labeled min(a..d) even
+    though a and d never share a pair (transitive closure, not pair groupBy)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import cluster_pairs, dedup_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in cluster_pairs(pairs, checkpoint_dir=str(tmp_path / "cc")).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id", "text"]
+    )
+    kept = dedup_keepers(docs, pairs, checkpoint_dir=str(tmp_path / "cc2"))
+    keepers = sorted(
+        r["doc_id"] for r in kept.where(F.col("is_keeper")).collect()
+    )
+    assert keepers == [1, 10, 99]  # one survivor per cluster + the singleton
+
+
+def test_embedding_dedup_requires_explicit_all_pairs(spark):
+    import pytest as _pytest
+
+    from crawl4ai_custom_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+                                ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        embedding_cosine_dedup(emb)
+    assert embedding_cosine_dedup(emb, all_pairs=True).count() == 1
