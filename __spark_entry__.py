@@ -729,6 +729,60 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "raw_markdown")
 
 
+def q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full schema surface in one gate: baseFields, nested,
+    nested_list, computed (extraction_strategy.py:1060-1229). Nested values
+    are JSON-encoded strings, which the oracle rebuilds byte-for-byte."""
+    from crawl4ai_custom_spark.operators.structured import schema_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div class="product" data-sku="SKU-'), F.col("doc_id"),
+        F.lit('"><h2>Item '), F.col("doc_id"),
+        F.lit('</h2><div class="brand"><span class="bname">'), F.col("source"),
+        F.lit('</span><span class="country">C'), F.col("doc_id") % 5,
+        F.lit('</span></div><ul><li class="feat" data-w="'), F.col("doc_id") % 7,
+        F.lit('">f'), F.col("doc_id") % 3,
+        F.lit('</li><li class="feat" data-w="'), F.col("doc_id") % 4,
+        F.lit('">g'), F.col("doc_id") % 2,
+        F.lit("</li></ul></div></body></html>"),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    schema = {
+        "baseSelector": "div.product",
+        "baseFields": [
+            {"name": "sku", "type": "attribute", "attribute": "data-sku"},
+        ],
+        "fields": [
+            {"name": "name", "selector": "h2", "type": "text"},
+            {"name": "brand", "selector": "div.brand", "type": "nested",
+             "fields": [
+                 {"name": "bname", "selector": "span.bname", "type": "text"},
+                 {"name": "country", "selector": "span.country", "type": "text"},
+             ]},
+            {"name": "features", "selector": "li.feat", "type": "nested_list",
+             "fields": [
+                 {"name": "label", "type": "text"},
+                 {"name": "weight", "type": "attribute", "attribute": "data-w"},
+             ]},
+            {"name": "shout", "type": "computed", "expression": "name.upper()"},
+        ],
+    }
+    out = schema_extract(pages, schema)
+    rec = F.element_at("records", 1)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        rec.getItem("sku").alias("sku"),
+        rec.getItem("name").alias("name"),
+        rec.getItem("brand").alias("brand_json"),
+        rec.getItem("features").alias("features_json"),
+        rec.getItem("shout").alias("shout"),
+    )
+
+
 def q_seeder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.seeder import seed_urls
 
@@ -1568,6 +1622,19 @@ ORACLES["q_seeder_rank"] = """
     limit 200
 """
 
+ORACLES["q_schema_extract_nested"] = """
+    select doc_id,
+      'SKU-' || doc_id as sku,
+      'Item ' || doc_id as name,
+      '{"bname":"' || source || '","country":"C' || (doc_id % 5) || '"}'
+        as brand_json,
+      '[{"label":"f' || (doc_id % 3) || '","weight":"' || (doc_id % 7)
+        || '"},{"label":"g' || (doc_id % 2) || '","weight":"' || (doc_id % 4)
+        || '"}]' as features_json,
+      upper('Item ' || doc_id) as shout
+    from documents
+"""
+
 ORACLES["q_regex_extract"] = """
     with d as (
       select doc_id,
@@ -1628,6 +1695,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_extract_text": q_extract_text,
     "q_seeder_rank": q_seeder_rank,
     "q_regex_extract": q_regex_extract,
+    "q_schema_extract_nested": q_schema_extract_nested,
 }
 
 

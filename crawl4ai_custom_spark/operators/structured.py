@@ -75,8 +75,35 @@ def regex_catalog_extract(
 
 _SIMPLE = re.compile(
     r"^(?P<tag>[a-z0-9]+)?(?P<id>#[\w-]+)?(?P<cls>(?:\.[\w-]+)+)?"
-    r"(?P<attr>\[[\w-]+(?:=[^\]]+)?\])?$"
+    r"(?P<attr>(?:\[[^\]]+\])*)$"
 )
+
+# [attr], [attr=v], and the CSS attribute operators the reference's lxml
+# engine gets for free from cssselect (extraction_strategy.py:1429-1796):
+# ^= prefix, $= suffix, *= substring, ~= word
+_ATTR_OP = re.compile(r"^([\w-]+)(?:([\^\$\*~]?)=(.*))?$")
+
+
+def _match_attr(node: Node, inner: str) -> bool:
+    m = _ATTR_OP.match(inner.strip())
+    if not m:
+        return False
+    k, op, v = m.group(1), m.group(2), m.group(3)
+    got = node.get(k)
+    if v is None:
+        return got is not None
+    if got is None:
+        return False
+    v = v.strip().strip("\"'")
+    if op == "^":
+        return got.startswith(v)
+    if op == "$":
+        return got.endswith(v)
+    if op == "*":
+        return v in got
+    if op == "~":
+        return v in got.split()
+    return got == v
 
 
 def _match_simple(node: Node, sel: str) -> bool:
@@ -93,13 +120,9 @@ def _match_simple(node: Node, sel: str) -> bool:
         if not need.issubset(set(node.classes)):
             return False
     if attr:
-        inner = attr[1:-1]
-        if "=" in inner:
-            k, v = inner.split("=", 1)
-            if node.get(k) != v.strip("\"'"):
+        for block in re.findall(r"\[([^\]]+)\]", attr):
+            if not _match_attr(node, block):
                 return False
-        elif node.get(inner) is None:
-            return False
     return True
 
 
@@ -206,31 +229,104 @@ _TRANSFORMS = {
 }
 
 
+def _extract_single(base: Node, fld: dict):
+    """text / attribute / html / regex field over the first selector match
+    (extraction_strategy.py:1119-1160 _extract_single_field). Returns None
+    (-> field omitted / default) when the selector finds nothing.
+    Deviation kept from round 1: a groupless regex returns the full match
+    rather than erroring into the default like the reference."""
+    if fld.get("selector"):
+        nodes = _select(base, fld["selector"])
+        if not nodes:
+            return fld.get("default")
+        n = nodes[0]
+    else:
+        n = base
+    ftype = fld.get("type", "text")
+    val = None
+    if ftype == "text":
+        val = n.text()
+    elif ftype == "attribute":
+        val = n.get(fld.get("attribute", ""))
+    elif ftype == "html":
+        val = n.to_html()
+    elif ftype == "regex":
+        m = re.search(fld.get("pattern", ""), n.text())
+        val = (m.group(1) if m.groups() else m.group(0)) if m else None
+    tr = fld.get("transform")
+    if val is not None and tr in _TRANSFORMS:
+        val = _TRANSFORMS[tr](val)
+    return val if val is not None else fld.get("default")
+
+
+def _compute_field(item: dict, fld: dict):
+    """computed field (extraction_strategy.py:1219-1229): an expression over
+    the already-extracted sibling fields. Evaluated with empty builtins —
+    only the item's fields are in scope."""
+    try:
+        if "expression" in fld:
+            return eval(fld["expression"], {"__builtins__": {}}, dict(item))
+        if "function" in fld:
+            return fld["function"](item)
+    except Exception:
+        return fld.get("default")
+    return fld.get("default")
+
+
+def _extract_item(base: Node, fields: list[dict]) -> dict:
+    """Full field dispatch incl. nested / list / nested_list / computed
+    (extraction_strategy.py:1083-1118,1186-1196 _extract_field/_extract_item)."""
+    item: dict = {}
+    for fld in fields:
+        ftype = fld.get("type", "text")
+        if ftype == "computed":
+            val = _compute_field(item, fld)
+        elif ftype == "nested":
+            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
+            val = _extract_item(nodes[0], fld.get("fields", [])) if nodes \
+                else fld.get("default")
+        elif ftype == "list" and fld.get("fields"):
+            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
+            # reference list items use single-field extraction only (flat)
+            val = [
+                {f["name"]: v for f in fld["fields"]
+                 if (v := _extract_single(n, f)) is not None}
+                for n in nodes
+            ]
+        elif ftype == "nested_list":
+            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
+            val = [_extract_item(n, fld.get("fields", [])) for n in nodes]
+        elif ftype == "list":
+            # legacy flat list (no sub-fields): pipe-joined texts
+            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
+            val = "|".join(x.text() for x in nodes) if nodes else fld.get("default")
+        else:
+            val = _extract_single(base, fld)
+        if val is not None:
+            item[fld["name"]] = val
+    return item
+
+
+def _stringify(val) -> str:
+    """Map values are strings in the output column; structured values
+    (nested/list) are JSON-encoded in place."""
+    if isinstance(val, str):
+        return val
+    import json
+
+    return json.dumps(val, ensure_ascii=False, separators=(",", ":"))
+
+
 def _apply_schema(root: Node, schema: dict) -> list[dict[str, str]]:
     out = []
     for base in _select(root, schema.get("baseSelector", "body")):
-        rec: dict[str, str] = {}
-        for fld in schema.get("fields", []):
-            nodes = _select(base, fld["selector"]) if fld.get("selector") else [base]
-            val = ""
-            if nodes:
-                n = nodes[0]
-                ftype = fld.get("type", "text")
-                if ftype == "text":
-                    val = n.text()
-                elif ftype == "attribute":
-                    val = n.get(fld.get("attribute", ""), "") or ""
-                elif ftype == "html":
-                    val = n.to_html()
-                elif ftype == "regex":
-                    m = re.search(fld.get("pattern", ""), n.text())
-                    val = m.group(1) if (m and m.groups()) else (m.group(0) if m else "")
-                elif ftype == "list":
-                    val = "|".join(x.text() for x in nodes)
-            tr = fld.get("transform")
-            if tr in _TRANSFORMS:
-                val = _TRANSFORMS[tr](val)
-            rec[fld["name"]] = val
+        rec: dict = {}
+        for fld in schema.get("baseFields", []):
+            v = _extract_single(base, fld)
+            if v is not None:
+                rec[fld["name"]] = v
+        rec.update(_extract_item(base, schema.get("fields", [])))
+        rec = {k: _stringify(v) for k, v in rec.items()}
         if any(v for v in rec.values()):
             out.append(rec)
     return out

@@ -393,7 +393,9 @@ def test_schema_extract_xpath(spark):
     recs = schema_extract(pages, schema).first()["records"]
     assert len(recs) == 2
     assert recs[0]["name"] == "Widget" and recs[0]["price2"] == "$8.88"
-    assert recs[1]["name"] == "Gadget" and recs[1]["price2"] == ""
+    # reference semantics: a field whose selector matches nothing is OMITTED
+    # from the record unless the schema gives a default
+    assert recs[1]["name"] == "Gadget" and "price2" not in recs[1]
     assert recs[0]["link"] == "/w1" and recs[1]["link"] == "/g1"
 
 
@@ -460,3 +462,81 @@ def test_embedding_dedup_requires_explicit_all_pairs(spark):
     with _pytest.raises(ValueError):
         embedding_cosine_dedup(emb)
     assert embedding_cosine_dedup(emb, all_pairs=True).count() == 1
+
+
+def test_schema_extract_nested_and_computed(spark):
+    """nested / nested_list / list-with-fields / computed / baseFields /
+    default — the reference's full field-type surface
+    (extraction_strategy.py:1060-1229). Structured values are JSON-encoded
+    inside the map column."""
+    import json
+
+    html = b"""<html><body>
+      <div class="product" data-sku="SKU-1">
+        <h2>Widget</h2>
+        <div class="brand"><span class="bname">Acme</span>
+          <span class="country">DE</span></div>
+        <ul><li class="feat" data-w="9">fast</li>
+            <li class="feat" data-w="3">light</li></ul>
+        <span class="price">10</span>
+      </div>
+    </body></html>"""
+    pages = spark.createDataFrame([("https://s.com/", html)], ["url", "html"])
+    schema = {
+        "baseSelector": "div.product",
+        "baseFields": [
+            {"name": "sku", "type": "attribute", "attribute": "data-sku"},
+        ],
+        "fields": [
+            {"name": "name", "selector": "h2", "type": "text"},
+            {"name": "brand", "selector": "div.brand", "type": "nested",
+             "fields": [
+                 {"name": "bname", "selector": "span.bname", "type": "text"},
+                 {"name": "country", "selector": "span.country", "type": "text"},
+             ]},
+            {"name": "features", "selector": "li.feat", "type": "nested_list",
+             "fields": [
+                 {"name": "label", "type": "text"},
+                 {"name": "weight", "type": "attribute", "attribute": "data-w"},
+             ]},
+            {"name": "price", "selector": "span.price", "type": "text"},
+            {"name": "missing", "selector": "span.nope", "type": "text",
+             "default": "n/a"},
+            {"name": "shout", "type": "computed",
+             "expression": "name.upper() + '!'"},
+        ],
+    }
+    recs = schema_extract(pages, schema).first()["records"]
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["sku"] == "SKU-1" and r["name"] == "Widget"
+    assert json.loads(r["brand"]) == {"bname": "Acme", "country": "DE"}
+    assert json.loads(r["features"]) == [
+        {"label": "fast", "weight": "9"}, {"label": "light", "weight": "3"},
+    ]
+    assert r["missing"] == "n/a" and r["shout"] == "WIDGET!"
+
+
+def test_css_attribute_operators(spark):
+    """CSS [attr^=], [attr$=], [attr*=], [attr~=] and stacked attr blocks."""
+    html = b"""<html><body>
+      <a href="https://ext.com/a" rel="nofollow external" id="x1">one</a>
+      <a href="/local/b.pdf" id="x2">two</a>
+      <a href="https://ext.com/c.pdf" rel="external" id="x3">three</a>
+    </body></html>"""
+    pages = spark.createDataFrame([("https://s.com/", html)], ["url", "html"])
+
+    def ids(selector):
+        schema = {"baseSelector": "body", "fields": [
+            {"name": "hit", "selector": selector, "type": "nested_list",
+             "fields": [{"name": "id", "type": "attribute", "attribute": "id"}]},
+        ]}
+        import json
+        recs = schema_extract(pages, schema).first()["records"]
+        return [d["id"] for d in json.loads(recs[0]["hit"])] if recs else []
+
+    assert ids('a[href^="https://"]') == ["x1", "x3"]
+    assert ids('a[href$=".pdf"]') == ["x2", "x3"]
+    assert ids('a[href*="ext.com"]') == ["x1", "x3"]
+    assert ids('a[rel~="external"]') == ["x1", "x3"]
+    assert ids('a[href^="https://"][href$=".pdf"]') == ["x3"]
