@@ -488,6 +488,25 @@ def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence chunking (NlpSentenceChunking parity: split after .!? +
+    whitespace, strip, dedup — the reference returns list(set(...)))."""
+    from crawl4ai_custom_spark.operators.chunking import sentence_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return sentence_chunks(docs).select("id", "sentence")
+
+
+def q_chunk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation: 20-word pseudo-sentence blocks,
+    vocabulary-Jaccard cohesion, boundary below 0.12, blocks joined per
+    topic."""
+    from crawl4ai_custom_spark.operators.chunking import topic_segment_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return topic_segment_chunks(docs).select("id", "chunk_index", "chunk")
+
+
 def q_headpeek(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.headpeek import peek_head
 
@@ -1449,6 +1468,58 @@ ORACLES["q_chunk_merge"] = """
                   else toks[f*52 + 1 : n] end, ' ')) > 0
 """
 
+ORACLES["q_chunk_sentence"] = """
+    select distinct doc_id as id, trim(sentence) as sentence
+    from (
+      select doc_id,
+             unnest(string_split(
+               regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+               chr(1))) as sentence
+      from documents
+    )
+    where length(trim(sentence)) > 0
+"""
+
+ORACLES["q_chunk_topics"] = """
+    with base as (
+      select doc_id as id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as toks
+      from documents
+    ),
+    blocks as (
+      select id, u.i as block_index,
+             toks[u.i*20 + 1 : u.i*20 + 20] as block_toks
+      from base,
+           lateral unnest(generate_series(0, greatest(len(toks)-1, 0)//20)) as u(i)
+      where len(toks[u.i*20 + 1 : u.i*20 + 20]) > 0
+    ),
+    v as (
+      select *, list_distinct(list_transform(block_toks, x -> lower(x))) as vocab
+      from blocks
+    ),
+    c as (
+      select *, lag(vocab) over (partition by id order by block_index) as pvocab
+      from v
+    ),
+    d as (
+      select *,
+             case when pvocab is null then 1
+                  when len(list_intersect(vocab, pvocab))::DOUBLE
+                       / len(list_distinct(list_concat(vocab, pvocab))) < 0.12
+                  then 1 else 0 end as boundary
+      from c
+    ),
+    s as (
+      select *, sum(boundary) over (partition by id order by block_index) - 1
+             as segment
+      from d
+    )
+    select id, segment::INT as chunk_index,
+           array_to_string(flatten(list(block_toks order by block_index)), ' ')
+             as chunk
+    from s group by id, segment
+"""
+
 ORACLES["q_headpeek"] = """
     select doc_id,
            source || ' ' || doc_id as head_title,
@@ -1683,6 +1754,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
     "q_chunk_merge": q_chunk_merge,
+    "q_chunk_sentence": q_chunk_sentence,
+    "q_chunk_topics": q_chunk_topics,
     "q_headpeek": q_headpeek,
     "q_link_preview": q_link_preview,
     "q_seo_filter": q_seo_filter,

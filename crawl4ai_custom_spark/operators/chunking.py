@@ -133,3 +133,77 @@ def token_budget_chunks(
         .where(F.length("chunk") > 0)
         .select("id", "chunk_index", "chunk")
     )
+
+
+def sentence_chunks(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence chunking — NlpSentenceChunking parity
+    (/root/reference/crawl4ai/chunking_strategy.py:64-89): split on sentence
+    boundaries, strip, DEDUP (the reference returns ``list(set(sens))``).
+    The reference tokenizes with NLTK punkt (not in this container); its own
+    commented-out regex spec — split after .!? followed by whitespace — is
+    what we implement, via a sentinel substitution (no lookbehind, so the
+    exact same regex runs in the DuckDB/RE2 oracle)."""
+    sep = "\x01"
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + sep)
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(marked, sep)).alias("sentence"),
+        )
+        .select("id", F.trim("sentence").alias("sentence"))
+        .where(F.length("sentence") > 0)
+        .distinct()
+    )
+
+
+def topic_segment_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 20,
+    boundary_threshold: float = 0.12,
+) -> DataFrame:
+    """Topic segmentation — TextTiling re-expressed as dataflow
+    (TopicSegmentationChunking, chunking_strategy.py:93-137, which wraps
+    nltk TextTilingTokenizer): fixed pseudo-sentence blocks, lexical
+    cohesion (vocabulary Jaccard) between adjacent blocks, a topic boundary
+    wherever cohesion drops below threshold, blocks concatenated per topic.
+    All native exprs (slice/lag/cumsum/flatten) — scales as one window +
+    one groupBy per document partition, no UDF."""
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(block_words))
+    blocks = F.transform(starts, lambda s: F.slice(toks, s + 1, block_words))
+    b = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(blocks).alias("block_index", "block_toks"),
+    ).where(F.size("block_toks") > 0)
+    b = b.withColumn(
+        "vocab", F.array_distinct(F.transform("block_toks", F.lower))
+    )
+    w = Window.partitionBy("id").orderBy("block_index")
+    prev = F.lag("vocab").over(w)
+    cohesion = (
+        F.size(F.array_intersect(F.col("vocab"), prev)).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("vocab"), prev)))
+    )
+    b = b.withColumn(
+        "boundary",
+        F.when(prev.isNull() | (cohesion < F.lit(boundary_threshold)), 1)
+        .otherwise(0),
+    ).withColumn("segment", F.sum("boundary").over(w) - 1)
+    agg = b.groupBy("id", "segment").agg(
+        F.array_sort(
+            F.collect_list(F.struct("block_index", "block_toks"))
+        ).alias("bs")
+    )
+    chunk = F.concat_ws(
+        " ", F.flatten(F.transform("bs", lambda s: s["block_toks"]))
+    )
+    return agg.select(
+        "id", F.col("segment").cast("int").alias("chunk_index"),
+        chunk.alias("chunk"),
+    )

@@ -540,3 +540,27 @@ def test_css_attribute_operators(spark):
     assert ids('a[href*="ext.com"]') == ["x1", "x3"]
     assert ids('a[rel~="external"]') == ["x1", "x3"]
     assert ids('a[href^="https://"][href$=".pdf"]') == ["x3"]
+
+
+def test_sentence_and_topic_chunkers(spark):
+    from crawl4ai_custom_spark.operators.chunking import (
+        sentence_chunks,
+        topic_segment_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "First one. Second here! Third? First one. No-break.end")],
+        ["doc_id", "text"],
+    )
+    sents = {r["sentence"] for r in sentence_chunks(docs).collect()}
+    # dedup (reference list(set(...))); no split without whitespace after '.'
+    assert sents == {"First one.", "Second here!", "Third?", "No-break.end"}
+
+    # two lexically disjoint halves -> cohesion 0 at the block seam -> 2 topics
+    half_a = " ".join(f"alpha{i}" for i in range(20))
+    half_b = " ".join(f"beta{i}" for i in range(20))
+    tdocs = spark.createDataFrame([(1, half_a + " " + half_b)], ["doc_id", "text"])
+    segs = topic_segment_chunks(tdocs, block_words=20).collect()
+    assert len(segs) == 2
+    by_idx = {r["chunk_index"]: r["chunk"] for r in segs}
+    assert by_idx[0].startswith("alpha0") and by_idx[1].startswith("beta0")
