@@ -1666,8 +1666,9 @@ ORACLES["q_media_sniff"] = """
 ORACLES["q_extract_text"] = """
     select 'https://' || source || '.example.com/doc/' || doc_id as url,
            trim(regexp_replace(source || ' ' || text, '\\s+', ' ', 'g')) as extracted_text,
-           '# ' || source || chr(10) || chr(10)
-             || trim(regexp_replace(text, '\\s+', ' ', 'g')) as raw_markdown
+           '# ' || source || chr(10)
+             || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+             as raw_markdown
     from documents
 """
 

@@ -115,11 +115,14 @@ class Node:
 
     # ---- text -----------------------------------------------------------
     def text(self, *, sep: str = " ", strip: bool = True) -> str:
-        """All descendant text, whitespace-normalized."""
+        """All descendant text. Whitespace-normalized unless strip=False
+        (pre/code callers need the raw bytes, newlines included)."""
         parts: list[str] = []
         self._collect_text(parts)
-        t = _WS_RE.sub(" ", sep.join(parts))
-        return t.strip() if strip else t
+        joined = sep.join(parts)
+        if not strip:
+            return joined
+        return _WS_RE.sub(" ", joined).strip()
 
     def _collect_text(self, parts: list[str]) -> None:
         for c in self.children:

@@ -1,0 +1,101 @@
+"""Generate golden markdown fixtures FROM THE REFERENCE implementation.
+
+Loads the reference's vendored html2text subpackage directly from its path
+(bypassing crawl4ai/__init__.py, whose import chain needs packages this
+container lacks), runs CustomHTML2Text with DefaultMarkdownGenerator's
+default options (markdown_generation_strategy.py:180-200), and writes
+(html -> reference raw_markdown) pairs to tests/fixtures/ref_markdown.json.
+
+Run once; the fixtures are checked in so the differential test
+(tests/test_ref_differential.py) runs without the reference present.
+Only reference OUTPUTS are captured — no reference code is copied.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REF = "/root/reference/crawl4ai/html2text"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures", "ref_markdown.json")
+
+# A corpus covering the constructs a web-text pipeline actually meets.
+CORPUS: dict[str, str] = {
+    "heading_para": '<h1>Title</h1><p>Hello <b>world</b> &amp; '
+                    '<a href="/x" title="T">link</a>.</p>',
+    "paras": "<p>one</p><p>two</p><p>three</p>",
+    "headings_seq": "<h1>A</h1><h2>B</h2><p>t</p>",
+    "ul": "<ul><li>a</li><li>b</li></ul><p>after</p>",
+    "ul_nested": "<ul><li>a</li><li>b<ul><li>b1</li></ul></li></ul>",
+    "ol_nested": "<ol><li>one<ol><li>inner</li></ol></li><li>two</li></ol>",
+    "list_then_heading": "<p>before</p><ul><li>a</li></ul><h2>Head</h2>",
+    "li_with_para": "<ul><li><p>para in li</p></li><li>plain</li></ul>",
+    "pre_code": '<pre><code class="language-py">x = 1\ny = 2</code></pre>',
+    "pre_then_para": "<pre>code here</pre><p>after</p>",
+    "pre_entities": "<pre><code>x&lt;1</code></pre>",
+    "blockquote_hr_br": "<blockquote><p>quoted</p></blockquote><hr>"
+                        "<p>after<br>break</p>",
+    "table": "<table><tr><th>A</th><th>B</th></tr>"
+             "<tr><td>1</td><td>2</td></tr></table>",
+    "table_body": "<table><thead><tr><th>A</th><th>B</th></tr></thead>"
+                  "<tbody><tr><td>1</td><td>2</td></tr>"
+                  "<tr><td>3</td><td>4</td></tr></tbody></table><p>after</p>",
+    "inline_mix": '<p>em <i>ital</i> and <code>inline</code> and '
+                  '<img src="/i.png" alt="pic"></p>',
+    "links": '<p>a <a href="/x">x</a> b <a href="https://e.com/">e</a></p>',
+    "entities": "<p>A&nbsp;B &lt;tag&gt; &copy; &mdash; &rsquo;</p>",
+    "emph_adjacent": "<p><strong>b</strong> _plain_ <em>i</em></p>",
+    "div_text": "<div>just text</div>",
+    "specials": "<p>escape * star _ under # hash</p>",
+    "skip_tags": "<script>var x;</script><style>.a{}</style><p>visible</p>",
+    "article_page": "<html><head><title>T</title></head><body><article>"
+                    "<h2>Post</h2><p>Intro para with a "
+                    '<a href="https://site.example/ref">ref</a>.</p>'
+                    "<ul><li>point one</li><li>point two</li></ul>"
+                    "<p>Closing.</p></article></body></html>",
+    "docs_page": "<html><body><main><h1>Guide</h1>"
+                 "<p>Install with:</p><pre><code>pip install x</code></pre>"
+                 "<h2>Options</h2><table><tr><th>flag</th><th>meaning</th></tr>"
+                 "<tr><td>-v</td><td>verbose</td></tr></table></main>"
+                 "</body></html>",
+    "messy_whitespace": "<p>  lots   of\n  spaces </p>\n\n<p>next</p>",
+    "empty_emphasis": "<p>x <b></b> y <i> </i> z</p>",
+    "anchor_no_href": "<p><a>bare anchor</a> end</p>",
+}
+
+
+def load_ref_html2text():
+    spec = importlib.util.spec_from_file_location(
+        "ref_html2text", os.path.join(REF, "__init__.py"),
+        submodule_search_locations=[REF],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_html2text"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main() -> None:
+    mod = load_ref_html2text()
+    h = mod.CustomHTML2Text()
+    h.update_params(**{
+        "body_width": 0, "ignore_emphasis": False, "ignore_links": False,
+        "ignore_images": False, "protect_links": False,
+        "single_line_break": True, "mark_code": True, "escape_snob": False,
+    })
+    fixtures = {}
+    for name, html in CORPUS.items():
+        raw = h.handle(html)
+        raw = raw.replace("    ```", "```")  # generator post-step, mgs.py:214
+        fixtures[name] = {"html": html, "ref_raw_markdown": raw}
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(fixtures, f, indent=1, ensure_ascii=False)
+    print(f"wrote {len(fixtures)} fixtures -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,10 +116,13 @@ def test_markdown_blocks():
     assert "# Widget One" in md.raw_markdown
     assert "## Specifications" in md.raw_markdown
     assert "**Widget One**" in md.raw_markdown
-    assert "```bash\nwidgetctl install --now\n```" in md.raw_markdown
-    assert "- Fast spin-up" in md.raw_markdown
-    assert "| Property | Value |" in md.raw_markdown
-    assert "[Widget Two](https://shop.example.com/products/widget-2?b=2&a=1)" in md.raw_markdown
+    # reference byte contract: plain fences (language class dropped),
+    # '  * ' bullets, 'a| b' table cells (see tests/test_ref_differential.py)
+    assert "```\nwidgetctl install --now\n```" in md.raw_markdown
+    assert "  * Fast spin-up" in md.raw_markdown
+    assert "Property| Value" in md.raw_markdown
+    # anchor title attributes render as (url "title"), as in the reference
+    assert '[Widget Two](https://shop.example.com/products/widget-2?b=2&a=1 "W2")' in md.raw_markdown
 
 
 def test_markdown_citations():
@@ -177,6 +180,6 @@ def test_markdown_nested_lists_and_blockquote():
     <ol><li>one<ul><li>sub a</li></ul></li><li>two</li></ol></body>"""
     md, _ = html_to_markdown(html)
     assert "> Quoted wisdom" in md
-    assert "1. one" in md
-    assert "  - sub a" in md
-    assert "2. two" in md
+    assert "  1. one" in md
+    assert "    * sub a" in md
+    assert "  2. two" in md
