@@ -748,6 +748,59 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "raw_markdown")
 
 
+def q_queue_wait_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue wait statistics (async_dispatcher.py:508-520) over a synthetic
+    admitted log derived from documents (wave/discovered_wave arithmetic is
+    what's being pinned; the engine emits the same shape per crawl via
+    CrawlRun.admitted_log)."""
+    from crawl4ai_custom_spark.operators.politeness import queue_wait_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        (F.col("doc_id") % 5).alias("wave"),
+        F.greatest(
+            F.lit(0), (F.col("doc_id") % 5) - (F.col("doc_id") % 3)
+        ).alias("discovered_wave"),
+    )
+    return queue_wait_stats(log)
+
+
+def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index recursion + <loc> extraction (async_url_seeder.py:765-
+    1004): per-source root <sitemapindex> -> two child sitemaps -> page urls;
+    roots are auto-detected (documents never referenced as children)."""
+    from crawl4ai_custom_spark.sources.sitemap import sitemap_page_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/p/"), F.col("doc_id"), F.lit("</loc></url>"),
+    )
+    child = (
+        docs.groupBy("source", (F.col("doc_id") % 2).alias("par"))
+        .agg(F.concat_ws("", F.collect_list(entry)).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/sitemap-"), F.col("par"),
+                     F.lit(".xml")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("body"),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    roots = docs.select("source").distinct().select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/sitemap.xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"), F.col("source"),
+            F.lit(".example.com/sitemap-0.xml</loc></sitemap>"),
+            F.lit("<sitemap><loc>https://"), F.col("source"),
+            F.lit(".example.com/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    sm = child.unionByName(roots)
+    return sitemap_page_urls(sm).select("sitemap_url", "loc")
+
+
 def q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full schema surface in one gate: baseFields, nested,
     nested_list, computed (extraction_strategy.py:1060-1229). Nested values
@@ -1694,6 +1747,25 @@ ORACLES["q_seeder_rank"] = """
     limit 200
 """
 
+ORACLES["q_queue_wait_stats"] = """
+    with log as (
+      select doc_id % 5 as wave,
+             greatest(0, (doc_id % 5) - (doc_id % 3)) as discovered_wave
+      from documents
+    )
+    select wave, count(*) as admitted,
+           max(wave - discovered_wave)::BIGINT as max_wait_waves,
+           round(avg(wave - discovered_wave), 4) as avg_wait_waves
+    from log group by wave
+"""
+
+ORACLES["q_sitemap_scan"] = """
+    select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
+             || '.xml' as sitemap_url,
+           'https://' || source || '.example.com/p/' || doc_id as loc
+    from documents
+"""
+
 ORACLES["q_schema_extract_nested"] = """
     select doc_id,
       'SKU-' || doc_id as sku,
@@ -1770,6 +1842,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seeder_rank": q_seeder_rank,
     "q_regex_extract": q_regex_extract,
     "q_schema_extract_nested": q_schema_extract_nested,
+    "q_sitemap_scan": q_sitemap_scan,
+    "q_queue_wait_stats": q_queue_wait_stats,
 }
 
 

@@ -59,9 +59,11 @@ from .robots import robots_gate
 from .scorers import (
     composite_score,
     content_type_score,
+    domain_authority_score,
     freshness_score,
     keyword_relevance_score,
     link_intrinsic_score,
+    page_context_terms,
     path_depth_score,
 )
 from .seen import PartitionedBloom, filter_unseen_exact
@@ -135,6 +137,12 @@ class CrawlConfig:
     # discovered link and blend a contextual relevance score into the
     # frontier priority (reference link_preview.py + calculate_total_score;
     # needs keywords). Costs one extra pages-join per wave.
+    page_context_scoring: bool = True  # parent-page term-overlap + docs-site
+    # bonus inside the intrinsic link score (utils.py:3216-3373) — pure
+    # native exprs over columns the wave already carries, ~free
+    domain_authority: tuple[tuple[str, float], ...] = ()  # registrable
+    # domain -> weight pairs blended into the composite link score
+    # (DomainAuthorityScorer, deep_crawling/scorers.py:414-519)
 
 
 @dataclass
@@ -240,16 +248,19 @@ class FrontierEngine:
     # ------------------------------------------------------------------
     def _score_links(self, links: DataFrame) -> DataFrame:
         """links: (href, text, title, base_domain, is_internal, link_pos,
-        parent_url, parent_depth)."""
+        parent_url, parent_depth [, parent_terms, parent_host])."""
         cfg = self.cfg
         href = F.col("href")
+        ctx_terms = F.col("parent_terms") if "parent_terms" in links.columns else None
+        ctx_host = F.col("parent_host") if "parent_host" in links.columns else None
         parts = [
             (path_depth_score(href), 0.2),
             (content_type_score(href), 0.2),
             (freshness_score(href), 0.1),
             (
                 link_intrinsic_score(
-                    href, F.col("text"), F.col("title"), F.col("is_internal")
+                    href, F.col("text"), F.col("title"), F.col("is_internal"),
+                    ctx_terms, ctx_host,
                 )
                 / F.lit(10.0),
                 0.3,
@@ -257,6 +268,13 @@ class FrontierEngine:
         ]
         if cfg.keywords:
             parts.append((keyword_relevance_score(href, list(cfg.keywords)), 0.4))
+        if cfg.domain_authority:
+            parts.append((
+                domain_authority_score(
+                    F.col("registrable_domain"), dict(cfg.domain_authority)
+                ),
+                0.2,
+            ))
         scored = links.withColumn("score", composite_score(parts))
         if cfg.link_preview_scoring and cfg.keywords:
             # three-tier scoring (reference link_preview.py +
@@ -287,7 +305,8 @@ class FrontierEngine:
                 ),
             )
             intrinsic10 = link_intrinsic_score(
-                href, F.col("text"), F.col("title"), F.col("is_internal")
+                href, F.col("text"), F.col("title"), F.col("is_internal"),
+                ctx_terms, ctx_host,
             )
             scored = scored.withColumn(
                 "score", total_score(intrinsic10, contextual) / F.lit(10.0)
@@ -497,11 +516,33 @@ class FrontierEngine:
             n_ok = _parquet_count_eq(results_path, "status_code", 200)
             _mark("t_fetch_extract")
 
-            # ---- link discovery (hrefs already canonical from the kernel)
+            # ---- link discovery (hrefs already canonical from the kernel).
+            # Parent-page context (extract_page_context parity) is computed
+            # ONCE per page before the explode, so every link row carries a
+            # precomputed term array — native exprs, no extra pass.
+            parent_cols = []
+            if cfg.page_context_scoring:
+                headlines = F.concat_ws(
+                    " ",
+                    F.regexp_extract_all(
+                        F.coalesce("raw_markdown", F.lit("")),
+                        F.lit(r"(?m)^#{1,3} (.+)$"), F.lit(1),
+                    ),
+                )
+                parent_cols = [
+                    page_context_terms(
+                        F.col("title"), headlines,
+                        F.element_at("metadata", F.lit("description")),
+                    ).alias("parent_terms"),
+                    F.lower(
+                        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+                    ).alias("parent_host"),
+                ]
             links = (
                 results.select(
                     F.col("url").alias("parent_url"),
                     F.col("depth").alias("parent_depth"),
+                    *parent_cols,
                     F.posexplode_outer("links").alias("link_pos", "link"),
                 )
                 .where(F.col("link").isNotNull())
@@ -509,6 +550,7 @@ class FrontierEngine:
                     "parent_url",
                     "parent_depth",
                     "link_pos",
+                    *(["parent_terms", "parent_host"] if parent_cols else []),
                     F.col("link.href").alias("href"),
                     F.col("link.text").alias("text"),
                     F.col("link.title").alias("title"),

@@ -142,3 +142,22 @@ def aged_score(score: F.Column, wait_waves: F.Column,
     where aged priority = -wait_time in an ascending queue)."""
     w = wait_waves.cast("double")
     return F.when(w > fairness_waves, F.lit(1e9) + w).otherwise(score)
+
+
+def queue_wait_stats(admitted_log: DataFrame) -> DataFrame:
+    """Per-wave queue statistics — dispatcher parity
+    (/root/reference/crawl4ai/async_dispatcher.py:508-520: total queued,
+    max wait, avg wait). Wait is measured in waves: the gap between a url's
+    discovery wave and the wave that finally admitted it (0 = admitted the
+    wave after discovery). One conditional aggregation over the admitted
+    log — O(rows), no shuffle beyond the groupBy."""
+    wait = (F.col("wave") - F.col("discovered_wave")).cast("long")
+    return (
+        admitted_log.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("admitted"),
+            F.max(wait).alias("max_wait_waves"),
+            F.round(F.avg(wait), 4).alias("avg_wait_waves"),
+        )
+        .orderBy("wave")
+    )

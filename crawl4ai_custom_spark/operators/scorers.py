@@ -99,11 +99,83 @@ def composite_score(
     return total.cast("double")
 
 
+_PUNCT_STRIP = r'^[.,!?;:"()\[\]{}]+|[.,!?;:"()\[\]{}]+$'
+
+
+def _term_set(text: Column) -> Column:
+    """Reference tokenization (utils.py:3249-3252): split on whitespace,
+    strip edge punctuation, keep words longer than 2 chars, lowercase."""
+    toks = F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+")
+    stripped = F.transform(
+        toks, lambda w: F.regexp_replace(w, _PUNCT_STRIP, "")
+    )
+    return F.array_distinct(F.filter(stripped, lambda w: F.length(w) > 2))
+
+
+def page_context_terms(
+    title: Column, headlines: Column, meta_description: Column
+) -> Column:
+    """extract_page_context term set (utils.py:3216-3258): title + h1-h3
+    headline text + meta description, tokenized once per PAGE so every link
+    scores against a precomputed array (the same once-per-page optimization
+    the reference makes)."""
+    return _term_set(
+        F.concat_ws(
+            " ",
+            F.coalesce(title, F.lit("")),
+            F.coalesce(headlines, F.lit("")),
+            F.coalesce(meta_description, F.lit("")),
+        )
+    )
+
+
+def is_docs_site(host: Column) -> Column:
+    """'docs.', 'api.', 'developer.', 'reference.' in the page host
+    (utils.py:3243-3245)."""
+    low = F.lower(F.coalesce(host, F.lit("")))
+    return (
+        low.contains("docs.") | low.contains("api.")
+        | low.contains("developer.") | low.contains("reference.")
+    )
+
+
+def context_overlap_score(link_text: Column, page_terms: Column) -> Column:
+    """Term-overlap relevance, up to +2.0 (utils.py:3345-3357):
+    overlap / min(|link_words|, 10) * 2.0 when any overlap."""
+    lw = _term_set(link_text)
+    overlap = F.size(F.array_intersect(lw, page_terms))
+    ratio = overlap.cast("double") / F.least(F.size(lw), F.lit(10)).cast("double")
+    return F.when(
+        (F.size(lw) > 0) & (overlap > 0), ratio * F.lit(2.0)
+    ).otherwise(F.lit(0.0))
+
+
+def docs_site_bonus(parent_host: Column, link_text: Column) -> Column:
+    """+1.0 on documentation sites when the link text names a doc artifact
+    (utils.py:3359-3365)."""
+    kw = F.lower(F.coalesce(link_text, F.lit("")))
+    has_kw = (
+        kw.contains("api") | kw.contains("reference") | kw.contains("guide")
+        | kw.contains("tutorial") | kw.contains("example")
+    )
+    return F.when(is_docs_site(parent_host) & has_kw, F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def link_intrinsic_score(
-    href: Column, text: Column, title: Column, is_internal: Column
+    href: Column,
+    text: Column,
+    title: Column,
+    is_internal: Column,
+    page_terms: Column | None = None,
+    parent_host: Column | None = None,
 ) -> Column:
     """0..10 heuristic link quality (utils.py:3261-3373 family): text quality,
-    title presence, path hints (docs/admin), https, depth moderation."""
+    title presence, path hints (docs/admin), https, depth moderation; plus —
+    when the parent page context is supplied — the reference's term-overlap
+    component (<= 2.0, utils.py:3345-3357) and docs-site bonus (+1.0,
+    :3359-3365)."""
     low = F.lower(href)
     s = F.lit(5.0)
     s = s + F.when(F.length(F.trim(text)) > 3, 1.0).otherwise(0.0)
@@ -114,4 +186,8 @@ def link_intrinsic_score(
     s = s - F.when(low.rlike(r"/(login|signup|admin|cart|checkout|account)(/|$)"), 2.0).otherwise(0.0)
     depth = url_depth_col(href)
     s = s - F.when(depth > 5, (depth - 5).cast("double") * 0.25).otherwise(0.0)
+    if page_terms is not None:
+        s = s + context_overlap_score(text, page_terms)
+    if parent_host is not None:
+        s = s + docs_site_bonus(parent_host, text)
     return F.greatest(F.lit(0.0), F.least(F.lit(10.0), s)).cast("double")

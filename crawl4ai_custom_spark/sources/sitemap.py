@@ -1,0 +1,115 @@
+"""Sitemap source: <loc> extraction + sitemap-index recursion as dataflow.
+
+Reference parity: AsyncUrlSeeder's sitemap path
+(/root/reference/crawl4ai/async_url_seeder.py:765-1004) — fetch sitemap.xml,
+recurse through <sitemapindex> children, yield every <url><loc>, gz
+tolerated. Re-expressed over a TABLE of already-fetched sitemap documents
+(url, xml): extraction is a native regexp_extract_all (no XML parser needed
+for the sitemap protocol's flat <loc> shape — the reference itself regexes),
+and index recursion is a bounded iterative join (sitemap nesting is <= 2-3
+levels by spec convention), each round O(Δ) like the frontier waves.
+
+Scale notes: the regex runs inside whole-stage codegen over the xml column;
+recursion joins are equi-joins on url (broadcast when the child list is
+small). Gzipped payloads go through one small Arrow-batched gunzip stage
+first (decompress_sitemaps) — the only Python hop, and only for .gz rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sitemap entries: <url><loc>page</loc></url>; index entries:
+# <sitemap><loc>child-sitemap</loc></sitemap>
+_URL_LOC = r"(?s)<url>.*?<loc>\s*([^<]+?)\s*</loc>"
+_INDEX_LOC = r"(?s)<sitemap>.*?<loc>\s*([^<]+?)\s*</loc>"
+
+
+def decompress_sitemaps(df: DataFrame, payload_col: str = "payload",
+                        out_col: str = "xml") -> DataFrame:
+    """(url, payload binary) -> + xml string; gunzips rows with the gzip
+    magic (1f 8b), decodes the rest as utf-8. One mapInPandas stage."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField(out_col, StringType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            xmls = []
+            for p in pdf[payload_col]:
+                b = bytes(p) if p is not None else b""
+                if b[:2] == b"\x1f\x8b":
+                    try:
+                        b = gzip.decompress(b)
+                    except OSError:
+                        b = b""
+                xmls.append(b.decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"url": pdf["url"], out_col: xmls})
+
+    return df.select("url", payload_col).mapInPandas(fn, schema)
+
+
+def sitemap_page_urls(
+    sitemaps: DataFrame,
+    roots: DataFrame | None = None,
+    url_col: str = "url",
+    xml_col: str = "xml",
+    max_depth: int = 3,
+) -> DataFrame:
+    """All page urls reachable from ``roots`` through the sitemap graph.
+
+    sitemaps: (url, xml) — every fetched sitemap document.
+    roots:    (url) subset to start from; None -> every document that is
+              not itself referenced as a child (i.e. the true roots).
+    Returns (sitemap_url, loc) — one row per page url, tagged with the
+    LEAF sitemap document that listed it.
+    """
+    docs = sitemaps.select(
+        F.col(url_col).alias("url"), F.col(xml_col).alias("xml")
+    )
+    children_of = docs.select(
+        "url",
+        F.explode_outer(
+            F.regexp_extract_all("xml", F.lit(_INDEX_LOC), F.lit(1))
+        ).alias("child"),
+    )
+    if roots is None:
+        referenced = children_of.where(F.col("child").isNotNull()).select(
+            F.col("child").alias("url")
+        ).distinct()
+        current = docs.select("url").join(referenced, "url", "left_anti")
+    else:
+        current = roots.select(F.col(url_col).alias("url")).distinct()
+
+    reachable = current
+    for _ in range(max_depth):
+        nxt = (
+            current.join(children_of, "url")
+            .where(F.col("child").isNotNull())
+            .select(F.col("child").alias("url"))
+            .distinct()
+            .join(reachable, "url", "left_anti")  # cycle guard
+        )
+        # bounded recursion (spec-shallow); an empty round short-circuits
+        if nxt.isEmpty():
+            break
+        reachable = reachable.unionByName(nxt)
+        current = nxt
+
+    return (
+        reachable.join(docs, "url")
+        .select(
+            F.col("url").alias("sitemap_url"),
+            F.explode(
+                F.regexp_extract_all("xml", F.lit(_URL_LOC), F.lit(1))
+            ).alias("loc"),
+        )
+    )

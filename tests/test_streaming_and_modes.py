@@ -81,3 +81,46 @@ def test_salted_admission_equals_unsalted(spark):
         .groupBy("registrable_domain").count().collect()
     )
     assert all(r["count"] <= 10 for r in per_dom)
+
+
+def test_sitemap_recursion_and_gzip(spark):
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.sources.sitemap import (
+        decompress_sitemaps,
+        sitemap_page_urls,
+    )
+
+    idx = ("<sitemapindex><sitemap><loc> https://a.com/s1.xml </loc></sitemap>"
+           "<sitemap><loc>https://a.com/s2.xml.gz</loc></sitemap></sitemapindex>")
+    s1 = "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"
+    s2 = ("<urlset><url><loc>https://a.com/p2</loc></url>"
+          "<url><loc>https://a.com/p3</loc></url></urlset>")
+    raw = spark.createDataFrame(
+        [
+            ("https://a.com/sitemap.xml", bytearray(idx.encode())),
+            ("https://a.com/s1.xml", bytearray(s1.encode())),
+            ("https://a.com/s2.xml.gz", bytearray(gzip.compress(s2.encode()))),
+        ],
+        ["url", "payload"],
+    )
+    sm = decompress_sitemaps(raw)
+    out = sitemap_page_urls(sm)
+    rows = {(r["sitemap_url"], r["loc"]) for r in out.collect()}
+    assert rows == {
+        ("https://a.com/s1.xml", "https://a.com/p1"),
+        ("https://a.com/s2.xml.gz", "https://a.com/p2"),
+        ("https://a.com/s2.xml.gz", "https://a.com/p3"),
+    }
+    # self-referential index must not loop (cycle guard)
+    cyc = spark.createDataFrame(
+        [("https://c.com/s.xml",
+          "<sitemapindex><sitemap><loc>https://c.com/s.xml</loc></sitemap>"
+          "</sitemapindex>")],
+        ["url", "xml"],
+    )
+    assert sitemap_page_urls(
+        cyc, roots=cyc.select(F.col("url"))
+    ).count() == 0
