@@ -748,6 +748,52 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "raw_markdown")
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF pipeline round-trip: build a deterministic 2-page FlateDecode PDF
+    per document, then run the real stdlib parser (kernel/pdfmini.py) via the
+    mapInPandas operator; the oracle knows exactly what text must come out."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from crawl4ai_custom_spark.operators.pdf import extract_pdf_text
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+            r"[^\x20-\x7e]", "",
+        ), 1, 60,
+    )
+    src = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("page1"),
+        prefix.alias("page2"),
+    )
+
+    schema = StructType([
+        StructField("media_id", LongType()), StructField("payload", BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawl4ai_custom_spark.kernel.pdfmini import build_simple_pdf
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [
+                    build_simple_pdf([p1, p2])
+                    for p1, p2 in zip(pdf["page1"], pdf["page2"])
+                ],
+            })
+
+    pdfs = src.mapInPandas(build, schema)
+    return extract_pdf_text(pdfs).select("media_id", "n_pages", "text")
+
+
 def q_queue_wait_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queue wait statistics (async_dispatcher.py:508-520) over a synthetic
     admitted log derived from documents (wave/discovered_wave arithmetic is
@@ -1747,6 +1793,20 @@ ORACLES["q_seeder_rank"] = """
     limit 200
 """
 
+ORACLES["q_pdf_extract"] = """
+    with p as (
+      select doc_id as media_id,
+             substr(regexp_replace(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               '[^\\x20-\\x7e]', '', 'g'), 1, 60) as page2
+      from documents
+    )
+    select media_id, 2 as n_pages,
+           case when length(page2) = 0 then 'Doc ' || media_id
+                else 'Doc ' || media_id || ' ' || page2 end as text
+    from p
+"""
+
 ORACLES["q_queue_wait_stats"] = """
     with log as (
       select doc_id % 5 as wave,
@@ -1844,6 +1904,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_schema_extract_nested": q_schema_extract_nested,
     "q_sitemap_scan": q_sitemap_scan,
     "q_queue_wait_stats": q_queue_wait_stats,
+    "q_pdf_extract": q_pdf_extract,
 }
 
 

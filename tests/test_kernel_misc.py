@@ -98,3 +98,29 @@ def test_robots_agent_groups():
 def test_robots_empty_allows_everything():
     assert can_fetch("", "/x")
     assert can_fetch("User-agent: *\nDisallow:", "/x")
+
+
+def test_pdf_kernel_roundtrip():
+    from crawl4ai_custom_spark.kernel.pdfmini import (
+        build_simple_pdf,
+        pdf_page_count,
+        pdf_text,
+    )
+
+    pdf = build_simple_pdf(["Hello (world)", "Back\\slash page"])
+    assert pdf_page_count(pdf) == 2
+    assert pdf_text(pdf) == "Hello (world) Back\\slash page"
+    plain = build_simple_pdf(["uncompressed"], compress=False)
+    assert pdf_text(plain) == "uncompressed"
+    assert pdf_text(b"not a pdf") == "" and pdf_page_count(b"") == 0
+
+
+def test_pdf_operator(spark):
+    from crawl4ai_custom_spark.kernel.pdfmini import build_simple_pdf
+    from crawl4ai_custom_spark.operators.pdf import extract_pdf_text
+
+    rows = [(i, bytearray(build_simple_pdf([f"page one {i}", f"two {i}"])))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in extract_pdf_text(df).collect()}
+    assert out[3]["n_pages"] == 2 and out[3]["text"] == "page one 3 two 3"
