@@ -294,3 +294,71 @@ def test_transient_status_retries_with_backoff(spark, tmp_path):
                      & (F.col("status_code") == 503)).count() == 3
     assert res.where((F.col("url") == "https://s.com/flaky")
                      & F.col("success")).count() == 0
+
+
+def test_context_and_authority_change_link_ranking(spark):
+    """Item parity with utils.py:3216-3373 + DomainAuthorityScorer wiring:
+    (a) parent-page term overlap lifts a matching link above an otherwise
+    identical one; (b) cfg.domain_authority reorders the composite."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+
+    pages = spark.createDataFrame(
+        [("https://x.com/", b"<html></html>", "x")],
+        ["url", "html", "lang"],
+    ).withColumn("warc_ts", F.current_timestamp())
+
+    def links_df(with_ctx):
+        cols = {
+            "parent_url": "https://x.com/", "parent_depth": 0, "link_pos": 0,
+        }
+        rows = [
+            ("https://x.com/a.html", "quantum widgets guide", ""),
+            ("https://x.com/b.html", "unrelated anchor words", ""),
+        ]
+        data = [
+            (cols["parent_url"], cols["parent_depth"], cols["link_pos"],
+             href, text, title, "x.com", True)
+            for href, text, title in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            ["parent_url", "parent_depth", "link_pos", "href", "text",
+             "title", "registrable_domain", "is_internal"],
+        )
+        if with_ctx:
+            df = df.withColumn(
+                "parent_terms",
+                F.array(F.lit("quantum"), F.lit("widgets"), F.lit("physics")),
+            ).withColumn("parent_host", F.lit("docs.x.com"))
+        return df
+
+    eng = FrontierEngine(spark, pages, cfg=CrawlConfig())
+    plain = {r["href"]: r["score"]
+             for r in eng._score_links(links_df(False)).collect()}
+    ctx = {r["href"]: r["score"]
+           for r in eng._score_links(links_df(True)).collect()}
+    # without context the two links tie; with it the overlapping one wins
+    assert plain["https://x.com/a.html"] == plain["https://x.com/b.html"]
+    assert ctx["https://x.com/a.html"] > ctx["https://x.com/b.html"]
+
+    # domain authority reorders two equal links on different domains
+    data = [
+        ("https://x.com/", 0, 0, "https://low.com/p.html", "same words here",
+         "", "low.com", False),
+        ("https://x.com/", 0, 0, "https://high.com/p.html", "same words here",
+         "", "high.com", False),
+    ]
+    df = spark.createDataFrame(
+        data,
+        ["parent_url", "parent_depth", "link_pos", "href", "text", "title",
+         "registrable_domain", "is_internal"],
+    )
+    eng2 = FrontierEngine(
+        spark, pages,
+        cfg=CrawlConfig(domain_authority=(("high.com", 1.0), ("low.com", 0.0))),
+    )
+    auth = {r["registrable_domain"]: r["score"]
+            for r in eng2._score_links(df).collect()}
+    assert auth["high.com"] > auth["low.com"]
