@@ -135,6 +135,37 @@ def main() -> None:
         sections.append(("Seen anti-join — bucketed layout", p, checks))
         spark.sql("drop table if exists plan_audit_seen")
 
+    # ---- source gate: no unbounded driver-side collect -------------------
+    # Every .collect() in the package must be a scalar aggregate, a bounded
+    # limit, or an explicitly allowlisted bounded context (query-term lists,
+    # tiny coverage rows). Unbounded column collects are the classic
+    # driver-OOM at 100 TB (round-1 verdict, adaptive_session term set).
+    allow = {
+        "operators/adaptive.py",   # coverage rows: <= |query terms|; avg scalar
+        "operators/filters.py",    # stats rows: one per filter in the chain
+        "operators/textstats.py",  # bounded query-term list
+    }
+    collect_viol = []
+    pkg = os.path.join(ROOT, "crawl4ai_custom_spark")
+    for dirpath, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as fh:
+                src_lines = fh.readlines()
+            for ln, line in enumerate(src_lines, 1):
+                if ".collect()" not in line:
+                    continue
+                ctx = "".join(src_lines[max(0, ln - 6):ln])  # stmt may wrap
+                bounded = (".agg(" in ctx or ".limit(" in ctx
+                           or "first()" in ctx)
+                if not bounded and rel not in allow:
+                    collect_viol.append(f"{rel}:{ln}: {line.strip()}")
+    if collect_viol:
+        failures.extend("unbounded collect? " + v for v in collect_viol)
+
     # ---- write PLANS.md --------------------------------------------------
     lines = [
         "# PLANS — physical-plan audit of the scale-critical operators",
