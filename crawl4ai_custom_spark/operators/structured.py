@@ -75,7 +75,7 @@ def regex_catalog_extract(
 
 _SIMPLE = re.compile(
     r"^(?P<tag>[a-z0-9]+)?(?P<id>#[\w-]+)?(?P<cls>(?:\.[\w-]+)+)?"
-    r"(?P<attr>(?:\[[^\]]+\])*)$"
+    r"(?P<attr>(?:\[[^\]]+\])*)(?P<pseudo>:[\w-]+(?:\(\d+\))?)?$"
 )
 
 # [attr], [attr=v], and the CSS attribute operators the reference's lxml
@@ -106,6 +106,28 @@ def _match_attr(node: Node, inner: str) -> bool:
     return got == v
 
 
+def _match_pseudo(node: Node, pseudo: str) -> bool:
+    """:nth-child(n) / :first-child / :last-child — the table-scraping
+    pseudo-classes the reference's lxml engine special-cases
+    (extraction_strategy.py:1468-1472 td:nth-child)."""
+    parent = getattr(node, "parent", None)
+    if parent is None:
+        return False
+    siblings = [c for c in parent.children if isinstance(c, Node)]
+    try:
+        pos = siblings.index(node) + 1  # CSS is 1-based
+    except ValueError:
+        return False
+    m = re.match(r":nth-child\((\d+)\)$", pseudo)
+    if m:
+        return pos == int(m.group(1))
+    if pseudo == ":first-child":
+        return pos == 1
+    if pseudo == ":last-child":
+        return pos == len(siblings)
+    return False  # unsupported pseudo -> no match, never a wrong one
+
+
 def _match_simple(node: Node, sel: str) -> bool:
     m = _SIMPLE.match(sel)
     if not m:
@@ -123,6 +145,9 @@ def _match_simple(node: Node, sel: str) -> bool:
         for block in re.findall(r"\[([^\]]+)\]", attr):
             if not _match_attr(node, block):
                 return False
+    pseudo = m.group("pseudo")
+    if pseudo and not _match_pseudo(node, pseudo):
+        return False
     return True
 
 

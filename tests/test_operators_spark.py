@@ -564,3 +564,24 @@ def test_sentence_and_topic_chunkers(spark):
     assert len(segs) == 2
     by_idx = {r["chunk_index"]: r["chunk"] for r in segs}
     assert by_idx[0].startswith("alpha0") and by_idx[1].startswith("beta0")
+
+
+def test_css_pseudo_classes(spark):
+    """:nth-child / :first-child / :last-child (the td:nth-child(N) pattern
+    the reference special-cases for table scraping)."""
+    import json
+
+    html = b"""<html><body><table>
+      <tr><td id="r1c1">a</td><td id="r1c2">b</td></tr>
+      <tr><td id="r2c1">c</td><td id="r2c2">d</td></tr>
+    </table></body></html>"""
+    pages = spark.createDataFrame([("https://s.com/", html)], ["url", "html"])
+    schema = {"baseSelector": "tr", "fields": [
+        {"name": "second", "selector": "td:nth-child(2)", "type": "attribute",
+         "attribute": "id"},
+        {"name": "first", "selector": "td:first-child", "type": "text"},
+    ]}
+    from crawl4ai_custom_spark.operators.structured import schema_extract
+    recs = schema_extract(pages, schema).first()["records"]
+    assert [r["second"] for r in recs] == ["r1c2", "r2c2"]
+    assert [r["first"] for r in recs] == ["a", "c"]
