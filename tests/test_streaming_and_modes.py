@@ -124,3 +124,84 @@ def test_sitemap_recursion_and_gzip(spark):
     assert sitemap_page_urls(
         cyc, roots=cyc.select(F.col("url"))
     ).count() == 0
+
+
+def test_structured_streaming_hourly_matches_batch(spark, tmp_path):
+    """readStream + watermark + windowed agg drained with AvailableNow must
+    equal the batch aggregation over the same files."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.streaming.structured import (
+        read_events_stream,
+        run_available_now,
+        stream_events_hourly,
+    )
+
+    import shutil
+
+    src_dir = str(tmp_path / "events_src")
+    import os as _os
+    _os.makedirs(src_dir, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                _os.path.join(src_dir, "part-0.parquet"))
+    src = src_dir
+    stream = read_events_stream(spark, src)
+    run_available_now(
+        stream_events_hourly(stream), "hourly_stream",
+        str(tmp_path / "ckpt1"), output_mode="complete",
+    )
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in spark.sql("select * from hourly_stream").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    want = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_structured_streaming_sessionize_state(spark, tmp_path):
+    """applyInPandasWithState session counts must match the batch gap rule."""
+    from pyspark.sql import functions as F, Window
+
+    from crawl4ai_custom_spark.streaming.structured import (
+        read_events_stream,
+        run_available_now,
+        stream_sessionize,
+    )
+
+    import os as _os
+    import shutil
+
+    src = str(tmp_path / "events_src")
+    _os.makedirs(src, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                _os.path.join(src, "part-0.parquet"))
+    stream = read_events_stream(spark, src)
+    run_available_now(
+        stream_sessionize(stream), "sess_stream",
+        str(tmp_path / "ckpt2"), output_mode="update",
+    )
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    batch = (
+        spark.read.parquet(src).withColumn("sec", sec)
+        .withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+        .withColumn("new", F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+        .groupBy("user_id").agg(F.sum("new").alias("n_sessions"))
+    )
+    want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got == want and len(got) > 5
