@@ -135,6 +135,27 @@ def main() -> None:
         sections.append(("Seen anti-join — bucketed layout", p, checks))
         spark.sql("drop table if exists plan_audit_seen")
 
+    # 6. salted mega-host admission: two-stage top-k (north rule's explicit
+    # skew splitting) — stage 1 windows on (domain, salt) so no single task
+    # ever holds a whole mega-host's frontier
+    fr = spark.range(2000).select(
+        F.concat(F.lit("https://mega.com/p"), F.col("id")).alias("url_canon"),
+        F.lit("mega.com").alias("registrable_domain"),
+        F.lit(1).alias("depth"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    audit(
+        "Politeness admission — salted two-stage top-k (mega-host skew split)",
+        admit(fr, empty_host_state(spark),
+              PolitenessConfig(wave_seconds=20.0, salt_partitions=8)),
+        [
+            (r"pmod\(xxhash64", "salt key = pmod(xxhash64(url)) — stage 1 "
+             "partitions each domain 8 ways before the exact pass"),
+            (r"(?s)Window.*Window", "two Window operators: salted local "
+             "top-k, then the exact per-domain top-k on the pruned rows"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
