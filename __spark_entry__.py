@@ -403,6 +403,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic data-derived centroids (8), single-bucket
+    corpus assignment, 2-probe queries, exact cosine within candidates."""
+    from crawl4ai_custom_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.textstats import profile_documents
 
@@ -1374,6 +1386,56 @@ ORACLES["q_ann_lsh"] = """
     from ranked where rank <= 5
 """
 
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLES["q_ann_ivf"] = f"""
+    with corpus as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+    ),
+    cents as (
+      select vec_id as centroid_id, v as centroid
+      from corpus order by vec_id asc limit 8
+    ),
+    affinities as (
+      select c.vec_id, c.v, ct.centroid_id,
+             row_number() over (
+               partition by c.vec_id
+               order by {_COS_SQL.format(a="c.v", b="ct.centroid")} desc,
+                        ct.centroid_id asc
+             ) as crank
+      from corpus c cross join cents ct
+    ),
+    cassign as (
+      select vec_id, v, centroid_id as bucket from affinities where crank = 1
+    ),
+    qassign as (
+      select vec_id as query_id, v as qv, centroid_id as bucket
+      from affinities where crank <= 2 and vec_id < 20
+    ),
+    cand as (
+      select distinct q.query_id, c.vec_id as neighbor_id, q.qv, c.v as cv
+      from qassign q join cassign c using (bucket)
+      where q.query_id <> c.vec_id
+    ),
+    scored as (
+      select query_id, neighbor_id,
+             {_COS_SQL.format(a="qv", b="cv")} as cos
+      from cand
+    ),
+    ranked as (
+      select query_id, neighbor_id, cos,
+             row_number() over (partition by query_id
+                                order by cos desc, neighbor_id asc) as rank
+      from scored
+    )
+    select query_id, neighbor_id, rank::INTEGER as rank,
+           round(cos, 4) as cosine
+    from ranked where rank <= 5
+"""
+
 _PAD = "' ' || lower(text) || ' '"
 
 
@@ -1879,6 +1941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "q_neardup_clusters": q_neardup_clusters,
+    "q_ann_ivf": q_ann_ivf,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,

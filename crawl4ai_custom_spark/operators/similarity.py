@@ -157,3 +157,87 @@ def lsh_topk(
         .select("query_id", "neighbor_id",
                 F.col("cosine").cast("double").alias("cosine"), "rank")
     )
+
+
+def data_centroids(corpus: DataFrame, n_centroids: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """IVF coarse quantizer: the n_centroids corpus vectors with smallest
+    ids (deterministic, oracle-reproducible — same convention as
+    data_hyperplanes). A production deployment would k-means these; the
+    assignment/probe dataflow below is identical either way."""
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               nprobe: int = 1) -> DataFrame:
+    """Adds ``bucket`` = the centroid_id(s) with highest cosine; nprobe > 1
+    emits one row per probed bucket (query-side multiprobe). Broadcast join
+    + window rank — no shuffle of the big side beyond the rank."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("caff", cosine(F.col("v"), F.col("centroid")))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("caff"), F.asc("centroid_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w)).where(
+        F.col("crank") <= nprobe
+    )
+    return df.join(
+        ranked.select(F.col("id").alias(id_col),
+                      F.col("centroid_id").alias("bucket")),
+        id_col,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN top-k: corpus rows live in their single nearest-centroid
+    bucket; queries probe their nprobe nearest buckets; exact cosine + top-k
+    within the probed candidates. The scale path next to lsh_topk — the
+    candidate set shrinks ~n_centroids/nprobe-fold, and everything is
+    native (broadcast centroid join, window rank, zip_with dot)."""
+    cents = data_centroids(corpus, n_centroids, id_col, vec_col)
+    cb = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    qb = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    cand = qb.join(cb, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = (
+        cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("cosine").cast("double").alias("cosine"), "rank")
+    )

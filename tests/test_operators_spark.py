@@ -585,3 +585,20 @@ def test_css_pseudo_classes(spark):
     recs = schema_extract(pages, schema).first()["records"]
     assert [r["second"] for r in recs] == ["r1c2", "r2c2"]
     assert [r["first"] for r in recs] == ["a", "c"]
+
+
+def test_ivf_topk_recall(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, q, k=3).collect()}
+    ivf = ivf_topk(emb, q, k=3, n_centroids=6, nprobe=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert ivf.agg(F.max("rank")).first()[0] <= 3
+    # on this smooth manifold multiprobe IVF recovers most true neighbors
+    assert len(bf & got) >= len(bf) // 2
