@@ -167,6 +167,14 @@ class CrawlRun:
             os.path.join(self.checkpoint_dir, "wave=*", "stats.parquet")
         )
 
+    def queue_stats(self, spark: SparkSession) -> DataFrame:
+        """Per-wave queue statistics (total admitted, max/avg wave-wait) —
+        dispatcher parity (async_dispatcher.py:508-520), computed from the
+        admitted log."""
+        from .politeness import queue_wait_stats
+
+        return queue_wait_stats(self.admitted_log(spark))
+
 
 class FrontierEngine:
     def __init__(

@@ -362,3 +362,27 @@ def test_context_and_authority_change_link_ranking(spark):
     auth = {r["registrable_domain"]: r["score"]
             for r in eng2._score_links(df).collect()}
     assert auth["high.com"] > auth["low.com"]
+
+
+def test_crawlrun_queue_stats(spark, site_dir, tmp_path):
+    import os
+
+    from crawl4ai_custom_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    eng = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site_dir, "pages.parquet")),
+        spark.read.parquet(os.path.join(site_dir, "robots.parquet")),
+        CrawlConfig(max_depth=2, max_pages=60,
+                    politeness=PolitenessConfig(wave_seconds=1e9)),
+        checkpoint_dir=str(tmp_path / "c"), out_dir=str(tmp_path / "o"),
+    )
+    seeds = [r["url"] for r in
+             spark.read.parquet(os.path.join(site_dir, "seeds.parquet")).collect()]
+    run = eng.run(seeds)
+    qs = {r["wave"]: r for r in run.queue_stats(spark).collect()}
+    assert set(qs) == set(range(run.waves))
+    # BFS with no budget pressure: everything admits the wave after discovery
+    assert all(r["max_wait_waves"] == 0 for r in qs.values())
+    assert sum(r["admitted"] for r in qs.values()) == run.pages_crawled

@@ -154,3 +154,56 @@ def test_extract_page_total_on_arbitrary_bytes(payload):
     for link in row["links"]:
         href = link["href"]
         assert href is None or href.startswith(("http://", "https://"))
+
+
+def test_pdf_roundtrip_property():
+    """build_simple_pdf -> pdf_text recovers every page's text exactly
+    (modulo the parser's space join) for arbitrary printable content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_custom_spark.kernel.pdfmini import (
+        build_simple_pdf,
+        pdf_page_count,
+        pdf_text,
+    )
+
+    printable = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1, max_size=80,
+    ).map(str.strip).filter(bool)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(printable, min_size=1, max_size=4))
+    def check(pages):
+        pdf = build_simple_pdf(pages)
+        assert pdf_page_count(pdf) == len(pages)
+        assert pdf_text(pdf) == " ".join(pages)
+
+    check()
+
+
+def test_efficient_canonicalize_agrees_on_clean_urls():
+    """On already-clean urls (no tracking params, no trailing slash, no
+    credentials/ports) the fast path and the frontier key agree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_custom_spark.kernel.urlnorm import (
+        canonicalize_url,
+        efficient_canonicalize_url,
+    )
+
+    seg = st.text(alphabet="abcdefgh123", min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(seg, min_size=0, max_size=3), seg)
+    def check(path_segs, host):
+        url = f"https://{host}.com/" + "/".join(path_segs)
+        url = url.rstrip("/") or f"https://{host}.com"
+        full = canonicalize_url(url)
+        fast = efficient_canonicalize_url(url)
+        if full is not None and fast:
+            assert full.rstrip("/") == fast.rstrip("/") or full == fast
+
+    check()
