@@ -76,32 +76,39 @@ FRONTIER_DDL = (
 )
 
 
-def _parquet_rows(path: str) -> int:
+def _parquet_rows(path: str, fallback: DataFrame | None = None) -> int:
     """Row count of a just-written parquet directory from file footers —
     zero Spark jobs. The driver loop needs several per-wave scalar counts;
     footer metadata gives them for free. (Iceberg equivalent: snapshot
-    manifest record counts — also metadata-only.)"""
+    manifest record counts — also metadata-only.) On a non-local
+    checkpoint filesystem (hdfs/s3) the glob finds nothing and we fall back
+    to a metadata-only Spark count of the given parquet-backed frame."""
     import glob
 
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files and fallback is not None:
+        return fallback.count()
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _parquet_count_eq(path: str, column: str, value: int) -> int:
+def _parquet_count_eq(path: str, column: str, value: int,
+                      fallback: DataFrame | None = None) -> int:
     """Count rows where ``column == value`` by reading ONLY that column
     (pyarrow column pruning; O(Δ) bytes, no Spark job). Used for the
-    per-wave fetched-ok tally over the wave's own results delta."""
+    per-wave fetched-ok tally over the wave's own results delta. Falls back
+    to a pruned Spark count when the path is not on a local filesystem."""
     import glob
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files and fallback is not None:
+        return fallback.where(F.col(column) == value).count()
     n = 0
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in files:
         col = pq.read_table(f, columns=[column]).column(0)
         n += pc.sum(pc.equal(col, value).cast("int64")).as_py() or 0
     return n
@@ -455,7 +462,7 @@ class FrontierEngine:
             # straight from parquet footers — no Spark job. No depth check is
             # needed: the link filter chain admits only depth <= max_depth, so
             # the frontier can never contain a deeper row.
-            n_frontier = _parquet_rows(frontier_path)
+            n_frontier = _parquet_rows(frontier_path, fallback=frontier)
             _mark("t_frontier_agg")
             if n_frontier == 0 or crawled >= cfg.max_pages:
                 break
@@ -482,7 +489,7 @@ class FrontierEngine:
             admitted_path = os.path.join(wave_dir, "admitted.parquet")
             admitted.write.mode("overwrite").parquet(admitted_path)
             admitted = spark.read.parquet(admitted_path)
-            n_admitted = _parquet_rows(admitted_path)  # footer-only, no job
+            n_admitted = _parquet_rows(admitted_path, fallback=admitted)  # footer-only
             _mark("t_admission")
             if n_admitted == 0:
                 break
@@ -521,7 +528,8 @@ class FrontierEngine:
             results = spark.read.parquet(results_path)
             # filtered tally from a single pruned column of the O(Δ) results
             # delta we just wrote — avoids a whole Spark job per wave
-            n_ok = _parquet_count_eq(results_path, "status_code", 200)
+            n_ok = _parquet_count_eq(results_path, "status_code", 200,
+                                     fallback=results)
             _mark("t_fetch_extract")
 
             # ---- link discovery (hrefs already canonical from the kernel).
@@ -605,7 +613,7 @@ class FrontierEngine:
             new_links_path = os.path.join(wave_dir, "new_links.parquet")
             new_links.write.mode("overwrite").parquet(new_links_path)
             new_links = spark.read.parquet(new_links_path)
-            n_new = _parquet_rows(new_links_path)  # footer-only, no job
+            n_new = _parquet_rows(new_links_path, fallback=new_links)  # footer-only
 
             # ---- next frontier + state folds, each written exactly once via
             # the snapshot (the Iceberg-MERGE-per-wave pattern). The robots
