@@ -131,8 +131,12 @@ def main() -> None:
     for name in (
         "q_minhash_lsh",
         "q_dedup_exact",
+        "q_neardup_clusters",
         "q_text_profile",
         "q_ann_bruteforce",
+        "q_ann_ivf",
+        "q_chunk_sentence",
+        "q_pdf_extract",
         "q_pricing_summary",
         "q_top_revenue_nations",
         "q_sessionize",
