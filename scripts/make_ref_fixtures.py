@@ -64,6 +64,17 @@ CORPUS: dict[str, str] = {
     "messy_whitespace": "<p>  lots   of\n  spaces </p>\n\n<p>next</p>",
     "empty_emphasis": "<p>x <b></b> y <i> </i> z</p>",
     "anchor_no_href": "<p><a>bare anchor</a> end</p>",
+    "sup_sub_del": "<p>x<sup>2</sup> and H<sub>2</sub>O and <del>gone</del> "
+                   "<s>also</s></p>",
+    "bq_multi_para": "<blockquote><p>one</p><p>two</p></blockquote>",
+    "bq_nested": "<blockquote><blockquote><p>deep</p></blockquote>"
+                 "</blockquote>",
+    "img_inside_link": '<p><a href="/x"><img src="/i.png" alt="pic"></a></p>',
+    "heading_with_link": '<h2>Head <a href="/h">with link</a></h2>',
+    "li_inline_bold": "<ul><li>item <b>bold</b> tail</li></ul>",
+    "multi_br": "<p>a<br/>b<br>c</p>",
+    "figure_caption": '<figure><img src="/f.png" alt="fig">'
+                      "<figcaption>Cap</figcaption></figure>",
 }
 
 
