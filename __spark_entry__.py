@@ -742,6 +742,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("feature", 1) + 1e-9, 4).alias("f0"))
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode gate: build a deterministic grayscale PNG per doc
+    (cycling scanline filters, so Sub/Up/Average/Paeth are all exercised),
+    parse the actual bytes with the stdlib codec (kernel/imagecodec.py), and
+    emit exact integer pixel statistics. The oracle recomputes every pixel
+    from the closed form via generate_series — an exact value oracle over a
+    real encode->decode round trip."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        decode_media_stats,
+        synth_png_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = decode_media_stats(synth_png_payloads(docs))
+    return out.select("media_id", "format", "decoder", "width", "height",
+                      "n_values", "val_sum", "val_min", "val_max")
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode gate: deterministic PCM16 WAV per doc, parsed by the
+    stdlib RIFF codec; exact integer sample statistics, closed-form oracle."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        decode_media_stats,
+        synth_wav_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = decode_media_stats(synth_wav_payloads(docs))
+    return out.select("media_id", "format", "decoder",
+                      F.col("width").alias("sample_rate"),
+                      "n_values", "val_sum", "val_min", "val_max")
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.extraction import extract_pages
 
@@ -1252,6 +1285,31 @@ ORACLES["q_simhash_neardup"] = f"""
     )
     select id_a, id_b, bit_count(xor(sh_a, sh_b)) as hamming
     from cand where bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+ORACLES["q_image_decode"] = """
+    with d as (select doc_id, 8 + doc_id % 5 as w, 8 + doc_id % 3 as h
+               from documents where doc_id < 200),
+    ix as (select doc_id, w, h, unnest(generate_series(0, w*h - 1)) as i
+           from d),
+    px as (select doc_id, w, h, (doc_id*37 + i*11 + 7) % 256 as v from ix)
+    select doc_id as media_id, 'png' as format, 'png-stdlib' as decoder,
+           any_value(w)::INT as width, any_value(h)::INT as height,
+           count(*)::BIGINT as n_values, sum(v)::BIGINT as val_sum,
+           min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
+    from px group by doc_id
+"""
+
+ORACLES["q_audio_decode"] = """
+    with d as (select doc_id, 64 + doc_id % 50 as n
+               from documents where doc_id < 200),
+    ix as (select doc_id, unnest(generate_series(0, n - 1)) as i from d),
+    s as (select doc_id, ((doc_id*13 + i*7) % 65536) - 32768 as v from ix)
+    select doc_id as media_id, 'riff' as format, 'wav-stdlib' as decoder,
+           16000 as sample_rate,
+           count(*)::BIGINT as n_values, sum(v)::BIGINT as val_sum,
+           min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
+    from s group by doc_id
 """
 
 ORACLES["q_multimodal_features"] = """
@@ -1960,6 +2018,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_nations": q_top_revenue_nations,
     "q_multimodal_features": q_multimodal_features,
+    "q_image_decode": q_image_decode,
+    "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,
     "q_extract_text": q_extract_text,
     "q_seeder_rank": q_seeder_rank,

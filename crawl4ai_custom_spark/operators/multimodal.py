@@ -1,16 +1,24 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The engine treats media payloads exactly like html: opaque ``binary`` columns
-with a typed metadata struct, flowing through Arrow-batched stages. The
-actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-step is STUBBED — ``decode_stub=True`` produces deterministic fake features
-(documented, tested); with real codec libs installed the same mapInPandas
-plumbing runs unchanged (swap `_decode_image_stub` for a real decoder).
+with a typed metadata struct, flowing through Arrow-batched stages.
 
-What IS real and tested here:
+Decode is REAL for PNG (gray8/rgb8, all five scanline filters) and WAV
+(PCM16) via the pure-stdlib codecs in `kernel/imagecodec.py` —
+`decode_media_stats` parses actual bytes on executors and emits exact
+integer statistics (dimensions, value sum/min/max), which the DuckDB gate
+oracle recomputes from first principles (`q_image_decode`,
+`q_audio_decode`). Formats a stdlib cannot honestly decode (jpeg, gif,
+video) surface as `decoder='unsupported'` rows — never silently faked. The
+byte-histogram stub (`_decode_image_stub`) remains as the
+format-independent fallback feature and is itself exactly oracled
+(`q_multimodal_features`).
+
+What IS here:
 - schema & plumbing: (media_id, kind, payload binary, meta struct)
 - deterministic metadata sniffing (magic bytes -> format) — native exprs
-- batch-shaped feature extraction via mapInPandas (Arrow batches in/out)
+- REAL PNG/WAV decode inside mapInPandas (Arrow batches in/out)
+- batch-shaped feature extraction via mapInPandas
 - frame sampling logic (which offsets to take) — pure arithmetic
 """
 
@@ -115,6 +123,130 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("decoder", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_values", LongType()),
+        StructField("val_sum", LongType()),
+        StructField("val_min", LongType()),
+        StructField("val_max", LongType()),
+    ]
+)
+
+
+def _sniff_bytes(p: bytes) -> str:
+    if not p:
+        return "unknown"
+    for name, magic in MAGIC.items():
+        if bytes(p[: len(magic)]) == magic:
+            return name
+    return "unknown"
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path: parse PNG/WAV payload bytes on executors and emit
+    exact integer statistics over the decoded values (pixels / samples).
+
+    media(media_id long, payload binary) -> DECODE_SCHEMA. Unsupported
+    formats (jpeg/gif/video containers) come back with decoder='unsupported'
+    and null stats — explicit, never faked.
+    """
+    from ..kernel.imagecodec import decode_png, decode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = _sniff_bytes(p)
+                row = {
+                    "media_id": mid, "format": fmt, "decoder": "unsupported",
+                    "width": None, "height": None, "n_values": None,
+                    "val_sum": None, "val_min": None, "val_max": None,
+                }
+                try:
+                    if fmt == "png":
+                        px = decode_png(bytes(p))
+                        h, w = px.shape[:2]
+                        v = px.astype(np.int64)
+                        row.update(decoder="png-stdlib", width=w, height=h,
+                                   n_values=int(v.size), val_sum=int(v.sum()),
+                                   val_min=int(v.min()), val_max=int(v.max()))
+                    elif fmt == "riff":
+                        samples, rate = decode_wav(bytes(p))
+                        v = samples.astype(np.int64)
+                        row.update(decoder="wav-stdlib", width=rate, height=1,
+                                   n_values=int(v.size), val_sum=int(v.sum()),
+                                   val_min=int(v.min()), val_max=int(v.max()))
+                except (ValueError, NotImplementedError):
+                    row["decoder"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(fn, DECODE_SCHEMA)
+
+
+def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale PNG per row: w = 8 + id%5, h = 8 + id%3,
+    pixel[i] = (id*37 + i*11 + 7) % 256 (row-major). Encoded with cycling
+    scanline filters so the decode gate exercises Sub/Up/Average/Paeth too.
+    The closed form lets the DuckDB oracle recompute every pixel via
+    generate_series — an exact oracle over a REAL encode->decode round trip.
+    """
+    from ..kernel.imagecodec import encode_png
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 8 + mid % 3
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((mid * 37 + i * 11 + 7) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(mid)
+                payloads.append(encode_png(px, filter_mode="cycle"))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        fn, out_schema
+    )
+
+
+def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 WAV per row: n = 64 + id%50 samples,
+    sample[i] = ((id*13 + i*7) % 65536) - 32768, rate 16000."""
+    from ..kernel.imagecodec import encode_wav
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 64 + mid % 50
+                i = np.arange(n, dtype=np.int64)
+                s = (((mid * 13 + i * 7) % 65536) - 32768).astype(np.int16)
+                ids.append(mid)
+                payloads.append(encode_wav(s, 16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        fn, out_schema
+    )
 
 
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id",

@@ -1,6 +1,7 @@
 """Unit tests: textproc (BM25/tokenize), bloom filter, robots.txt matcher."""
 
 import numpy as np
+import pytest
 
 from crawl4ai_custom_spark.kernel.bloom import BloomFilter, optimal_params
 from crawl4ai_custom_spark.kernel.robotstxt import can_fetch, parse_robots
@@ -124,3 +125,57 @@ def test_pdf_operator(spark):
     df = spark.createDataFrame(rows, ["media_id", "payload"])
     out = {r["media_id"]: r for r in extract_pdf_text(df).collect()}
     assert out[3]["n_pages"] == 2 and out[3]["text"] == "page one 3 two 3"
+
+
+def test_imagecodec_png_roundtrip_all_filters():
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (6, 1), (1, 9), (16, 16), (7, 13)]:
+        gray = rng.integers(0, 256, shape, dtype=np.uint8)
+        rgb = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        for mode in ("none", "cycle"):  # 'cycle' hits Sub/Up/Average/Paeth
+            assert np.array_equal(decode_png(encode_png(gray, mode)), gray)
+            assert np.array_equal(decode_png(encode_png(rgb, mode)), rgb)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_imagecodec_wav_roundtrip():
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    s = (rng.integers(0, 65536, 777) - 32768).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(dec, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_decode_media_stats_real_and_unsupported(spark):
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import encode_png, encode_wav
+    from crawl4ai_custom_spark.operators.multimodal import decode_media_stats
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    rows = [
+        (1, bytearray(encode_png(px, "cycle"))),
+        (2, bytearray(encode_wav(np.array([-3, 0, 7], dtype=np.int16), 16000))),
+        (3, bytearray(b"\xff\xd8\xffJPEGDATA")),  # jpeg: honest 'unsupported'
+        (4, bytearray(b"\x89PNG but truncated")),  # bad png: 'error'
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in decode_media_stats(df).collect()}
+    assert out[1]["decoder"] == "png-stdlib"
+    assert (out[1]["width"], out[1]["height"]) == (8, 6)
+    assert out[1]["val_sum"] == int(px.sum()) and out[1]["val_max"] == 47
+    assert out[2]["decoder"] == "wav-stdlib"
+    assert out[2]["n_values"] == 3 and out[2]["val_sum"] == 4
+    assert out[2]["val_min"] == -3 and out[2]["width"] == 16000
+    assert out[3]["decoder"] == "unsupported" and out[3]["format"] == "jpeg"
+    assert out[4]["decoder"] == "error" and out[4]["val_sum"] is None
