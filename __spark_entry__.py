@@ -428,6 +428,45 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate: inject deterministic emails/SSNs/phones/IPs into
+    document texts, redact with the native regexp chain, and verify the
+    per-family counts AND the md5 of the redacted text exactly (the oracle
+    runs the identical RE2-compatible regexes in the same order)."""
+    from crawl4ai_custom_spark.operators.pii import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 120),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example"), (d % 7).cast("string"), F.lit(".com"),
+            F.lit(" ip 10."), (d % 250).cast("string"), F.lit(".0.1"),
+            F.when(d % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ip", "any_pii",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination gate: flag corpus docs sharing word 3-grams
+    with a 'benchmark' subset (every 37th doc); exact overlap counts."""
+    from crawl4ai_custom_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") < 500)
+    out = decontaminate(corpus, bench, n=3, min_overlap=1)
+    return out.select("doc_id", "n_contaminated_grams", "contaminated")
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.adaptive import term_stats
 
@@ -454,6 +493,16 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     return sliding_word_chunks(docs, words=20, stride=10)
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact OverlappingWindowChunking semantics, oracled: 20-word
+    windows advancing by 15, short final chunk, raw-text passthrough for
+    short docs (chunking_strategy.py:215-256)."""
+    from crawl4ai_custom_spark.operators.chunking import overlapping_word_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return overlapping_word_chunks(docs, words=20, overlap=5)
 
 
 def q_adaptive_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,6 +1603,66 @@ ORACLES["q_text_profile"] = f"""
     from documents
 """
 
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of redact_pii: the SAME regexes from PII_PATTERNS run in
+    the SAME order (all RE2-compatible by design), counting before each
+    replace on the progressively redacted text."""
+    from crawl4ai_custom_spark.operators.pii import PII_PATTERNS
+
+    injected = (
+        "select doc_id, substr(text, 1, 120)"
+        " || ' contact user' || doc_id || '@example' || (doc_id % 7) || '.com'"
+        " || ' ip 10.' || (doc_id % 250) || '.0.1'"
+        " || case when doc_id % 3 = 0 then ' ssn 123-45-6789' else '' end"
+        " || case when doc_id % 4 = 0 then ' call 555-123-4567' else '' end"
+        " as t from documents where doc_id < 400"
+    )
+    ctes = [f"injected as ({injected})"]
+    carried: list[str] = []
+    prev = "injected"
+    for kind, pat, rep in PII_PATTERNS:
+        ctes.append(
+            f"s_{kind} as (select doc_id{''.join(', ' + c for c in carried)}, "
+            f"len(regexp_extract_all(t, '{pat}'))::INT as n_{kind}, "
+            f"regexp_replace(t, '{pat}', '{rep}', 'g') as t from {prev})"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"s_{kind}"
+    total = " + ".join(carried)
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect doc_id, {', '.join(carried)}, ({total}) > 0 as any_pii, "
+        f"md5(t) as redacted_md5 from {prev}"
+    )
+
+
+ORACLES["q_pii_redact"] = _pii_oracle_sql()
+
+_DECONTAM_GRAMS_SQL = """
+      select distinct doc_id as id, {hash} as shingle_hash
+      from (
+        select doc_id, array_to_string(l[i+1:i+3], ' ') as shingle
+        from (select doc_id, string_split({norm}, ' ') as l from {src}),
+             unnest(range(0, greatest(len(l)-3, 0) + 1)) as t(i)
+      ) where length(shingle) > 0
+"""
+
+ORACLES["q_decontam"] = f"""
+    with corpus as (select doc_id, text from documents where doc_id < 500),
+    bench as (select doc_id, text from documents where doc_id % 37 = 0),
+    doc_grams as ({_DECONTAM_GRAMS_SQL.format(hash=_HASH_SQL.format(x="shingle"), norm=_NORM_TEXT_SQL, src="corpus")}),
+    bench_grams as (
+      select distinct shingle_hash from ({_DECONTAM_GRAMS_SQL.format(hash=_HASH_SQL.format(x="shingle"), norm=_NORM_TEXT_SQL, src="bench")})
+    ),
+    ov as (
+      select id, count(*) as n
+      from doc_grams join bench_grams using (shingle_hash) group by id
+    )
+    select c.doc_id, coalesce(ov.n, 0)::BIGINT as n_contaminated_grams,
+           coalesce(ov.n, 0) >= 1 as contaminated
+    from corpus c left join ov on ov.id = c.doc_id
+"""
+
 ORACLES["q_term_stats"] = """
     with toks as (
       select doc_id as id,
@@ -1597,6 +1706,25 @@ ORACLES["q_bm25_rank"] = """
       from tf join dft using (term) join dl using (id) cross join consts c
     )
     select id, round(sum(part), 4) as bm25 from scored group by id
+"""
+
+ORACLES["q_chunk_overlap"] = """
+    with t as (
+      select doc_id as id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as l
+      from documents where doc_id < 50
+    ),
+    small as (
+      select id, 0 as chunk_index, text as chunk from t where len(l) <= 20
+    ),
+    big as (
+      select id, i::INT as chunk_index,
+             array_to_string(l[i*15+1 : i*15+20], ' ') as chunk
+      from t, unnest(range(0, ceil((len(l) - 20) / 15.0)::BIGINT + 1)) as u(i)
+      where len(l) > 20
+    )
+    select * from (select * from small union all select * from big)
+    where length(chunk) > 0
 """
 
 ORACLES["q_chunk_sliding"] = """
@@ -2003,10 +2131,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
+    "q_pii_redact": q_pii_redact,
+    "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
+    "q_chunk_overlap": q_chunk_overlap,
     "q_chunk_merge": q_chunk_merge,
     "q_chunk_sentence": q_chunk_sentence,
     "q_chunk_topics": q_chunk_topics,

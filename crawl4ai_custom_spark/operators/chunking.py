@@ -4,10 +4,14 @@ Reference parity: crawl4ai/chunking_strategy.py:28-256 (Regex, FixedLengthWord,
 SlidingWindow, OverlappingWindow chunkers) — re-expressed as explode-based
 DataFrame transforms so chunking SCALES (a chunk table, not per-row lists):
 
-  regex_chunks          split on a regex (default paragraph break)
-  fixed_word_chunks     consecutive w-word windows
-  sliding_word_chunks   w-word windows advancing by stride s (overlapping)
-  char_window_chunks    fixed character windows with overlap
+  identity_chunks          whole text as one chunk (IdentityChunking)
+  regex_chunks             split on a regex (default paragraph break)
+  fixed_word_chunks        consecutive w-word windows
+  sliding_word_chunks      w-word windows advancing by stride s (overlapping)
+  overlapping_word_chunks  reference-exact OverlappingWindowChunking: w-word
+                           windows advancing by w-overlap, short tail chunk,
+                           raw-text passthrough when n <= w
+  char_window_chunks       fixed character windows with overlap
 
 Every function returns (id, chunk_index, chunk) rows. All native exprs:
 split / sequence / slice / transform / posexplode — no Python UDFs.
@@ -54,6 +58,41 @@ def sliding_word_chunks(docs: DataFrame, id_col: str = "doc_id",
     last_start = F.greatest(n - words, F.lit(0))
     starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, words)))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_index", "chunk"),
+    ).where(F.length("chunk") > 0)
+
+
+def identity_chunks(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """IdentityChunking (chunking_strategy.py:28-35): the whole text as a
+    single chunk — the no-op end of the strategy lattice."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("chunk_index"),
+        F.col(text_col).alias("chunk"),
+    ).where(F.length("chunk") > 0)
+
+
+def overlapping_word_chunks(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", words: int = 1000,
+                            overlap: int = 100) -> DataFrame:
+    """Reference-exact OverlappingWindowChunking (chunking_strategy.py:215-256):
+    windows of `words` tokens advancing by `words - overlap`; the final chunk
+    may be short; texts with <= `words` tokens pass through as the RAW text
+    (original whitespace preserved), exactly like the reference."""
+    if not 0 <= overlap < words:
+        raise ValueError("need 0 <= overlap < words")
+    step = words - overlap
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # last start index k*step where k = ceil((n - words) / step); while
+    # start < n always holds because kmax*step < n - overlap <= n
+    kmax = F.ceil((n - F.lit(words)).cast("double") / F.lit(float(step))).cast("int")
+    starts = F.sequence(F.lit(0), F.greatest(kmax, F.lit(0)) * step, F.lit(step))
+    many = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, words)))
+    chunks = F.when(n <= words, F.array(F.col(text_col))).otherwise(many)
     return docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(chunks).alias("chunk_index", "chunk"),

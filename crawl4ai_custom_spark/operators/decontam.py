@@ -1,0 +1,66 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a held-out evaluation/benchmark set.
+
+The standard training-data hygiene step (13-gram overlap in GPT-3/PaLM
+lineage): any document containing an n-gram that also appears in a benchmark
+document is contaminated and must be dropped or scrubbed.
+
+Scale shape (100 TB corpus vs small benchmark set):
+- benchmark n-grams: shingle -> distinct hash — a SMALL table (benchmarks are
+  thousands of docs), broadcast to every executor;
+- corpus side: shingle explode is linear; the semi-join against the broadcast
+  set never shuffles the corpus; the per-doc overlap count is one groupBy on
+  doc id (the only shuffle, keyed evenly).
+
+Reuses the oracle-shared shingle machinery from `dedup.shingle_table`
+(stable 60-bit md5 hashing), so DuckDB verifies exact counts
+(`q_decontam` gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_table
+
+
+def benchmark_ngram_set(bench: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 13) -> DataFrame:
+    """Distinct n-gram hashes of the benchmark set: (shingle_hash)."""
+    return shingle_table(bench, id_col, text_col, k=n).select(
+        "shingle_hash"
+    ).distinct()
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, min_overlap: int = 1,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """docs + (n_contaminated_grams, contaminated) columns.
+
+    `contaminated` = shares >= min_overlap distinct n-grams with the
+    benchmark set. Keep `broadcast_bench=True` whenever the benchmark side is
+    driver-estimable small (the normal case); set False only for
+    benchmark-vs-benchmark style joins of two large corpora.
+    """
+    bench_grams = benchmark_ngram_set(bench, id_col, text_col, n)
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = shingle_table(docs, id_col, text_col, k=n)
+    overlap = (
+        doc_grams.join(bench_grams, "shingle_hash", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.join(overlap, docs[id_col] == overlap["id"], "left")
+        .drop("id")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated_grams") >= min_overlap
+        )
+    )

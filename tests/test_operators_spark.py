@@ -602,3 +602,89 @@ def test_ivf_topk_recall(spark):
     assert ivf.agg(F.max("rank")).first()[0] <= 3
     # on this smooth manifold multiprobe IVF recovers most true neighbors
     assert len(bf & got) >= len(bf) // 2
+
+
+def test_overlapping_and_identity_chunks_match_reference_sim(spark):
+    """Differential vs a literal transcription of the reference's
+    OverlappingWindowChunking.chunk loop (chunking_strategy.py:239-256)."""
+
+    def ref_overlap(text, window, overlap):
+        words = text.split()
+        if len(words) <= window:
+            return [text]
+        chunks, start = [], 0
+        while start < len(words):
+            end = start + window
+            chunks.append(" ".join(words[start:end]))
+            if end >= len(words):
+                break
+            start = end - overlap
+        return chunks
+
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(23))),   # short tail chunk
+        (2, " ".join(f"w{i}" for i in range(20))),   # aligned exactly
+        (3, "one  two   three"),                     # passthrough, raw ws
+        (4, " ".join(f"w{i}" for i in range(7))),    # n == window
+        (5, ""),                                     # empty -> no rows
+        (6, " ".join(f"w{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    from crawl4ai_custom_spark.operators.chunking import (
+        identity_chunks,
+        overlapping_word_chunks,
+    )
+
+    out = overlapping_word_chunks(df, words=7, overlap=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], {})[r["chunk_index"]] = r["chunk"]
+    for doc_id, text in texts:
+        expected = [c for c in ref_overlap(text, 7, 3) if c]
+        mine = [got.get(doc_id, {})[i] for i in sorted(got.get(doc_id, {}))]
+        assert mine == expected, (doc_id, mine, expected)
+
+    ident = {r["id"]: r for r in identity_chunks(df).collect()}
+    assert ident[3]["chunk"] == "one  two   three" and ident[3]["chunk_index"] == 0
+    assert 5 not in ident  # empty text yields no chunk
+
+
+def test_pii_redaction_counts_and_text(spark):
+    from crawl4ai_custom_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@sub.example.org or 10.0.0.1 thanks"),
+        (2, "ssn 123-45-6789 phone 555-123-4567"),
+        (3, "clean text, nothing here"),
+        (4, "double x@y.io and z@w.co"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> or <IP> thanks"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "ssn <SSN> phone <PHONE>"
+    assert out[3]["any_pii"] is False and out[3]["text_redacted"] == rows[2][1]
+    assert out[4]["n_email"] == 2
+
+
+def test_decontaminate_flags_overlap(spark):
+    from crawl4ai_custom_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 3-grams
+            (2, "completely different words entirely here"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # verbatim
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, n=3, min_overlap=1).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 0
+    assert out[3]["contaminated"] and out[3]["n_contaminated_grams"] == 7
