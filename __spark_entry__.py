@@ -428,6 +428,39 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter gate: build 3-line docs where every
+    even doc repeats its first line, then verify duplicate-line fractions and
+    top-bigram fraction exactly."""
+    from crawl4ai_custom_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    l1 = F.substring("text", 1, 40)
+    l2 = F.substring("text", 41, 40)
+    l3 = F.when(F.col("doc_id") % 2 == 0, l1).otherwise(
+        F.substring("text", 81, 40))
+    mdocs = docs.select("doc_id", F.concat_ws("\n", l1, l2, l3).alias("text"))
+    out = repetition_stats(mdocs)
+    return out.select(
+        "doc_id", "n_lines",
+        F.round(F.col("dup_line_frac") + 1e-9, 4).alias("dup_line_frac"),
+        F.round(F.col("dup_line_char_frac") + 1e-9, 4).alias("dup_line_char_frac"),
+        F.round(F.col("top_bigram_frac") + 1e-9, 4).alias("top_bigram_frac"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling: keep 1/2 of en, 1/4 of de,
+    1/8 otherwise, via the oracle-shared 60-bit hash — reproducible across
+    engines, pure scan-level filter (no shuffle, no RNG state)."""
+    from crawl4ai_custom_spark.operators.textstats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                            default_rate=0.125)
+    return out.select("doc_id", "lang")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing gate: inject deterministic emails/SSNs/phones/IPs into
     document texts, redact with the native regexp chain, and verify the
@@ -1638,6 +1671,64 @@ def _pii_oracle_sql() -> str:
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_repetition"] = """
+    with mdocs as (
+      select doc_id,
+             substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
+             || case when doc_id % 2 = 0 then substr(text, 1, 40)
+                     else substr(text, 81, 40) end as text
+      from documents where doc_id < 300
+    ),
+    lines as (
+      select doc_id, unnest(string_split(text, chr(10))) as line from mdocs
+    ),
+    nz as (select doc_id, line from lines where length(trim(line)) > 0),
+    per_line as (select doc_id, line, count(*) as c from nz group by 1, 2),
+    ls as (
+      select doc_id, sum(c) as n_lines, count(*) as n_distinct,
+             sum(length(line) * c) as line_chars,
+             sum(length(line) * (c - 1)) as dup_chars
+      from per_line group by doc_id
+    ),
+    toks as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') as l
+      from mdocs
+    ),
+    bg as (
+      select doc_id, array_to_string(l[i+1 : i+2], ' ') as bigram
+      from toks, unnest(range(0, greatest(len(l) - 2, 0) + 1)) as t(i)
+      where len(l) >= 2
+    ),
+    per_bg as (select doc_id, bigram, count(*) as c from bg group by 1, 2),
+    bs as (
+      select doc_id, sum(c) as n_bigrams, max(c) as top_c
+      from per_bg group by doc_id
+    )
+    select m.doc_id,
+           coalesce(ls.n_lines, 0)::BIGINT as n_lines,
+           round(case when coalesce(ls.n_lines, 0) > 0
+                 then (ls.n_lines - ls.n_distinct)::DOUBLE / ls.n_lines
+                 else 0.0 end + 1e-9, 4) as dup_line_frac,
+           round(case when coalesce(ls.line_chars, 0) > 0
+                 then ls.dup_chars::DOUBLE / ls.line_chars
+                 else 0.0 end + 1e-9, 4) as dup_line_char_frac,
+           round(case when coalesce(bs.n_bigrams, 0) > 0
+                 then bs.top_c::DOUBLE / bs.n_bigrams
+                 else 0.0 end + 1e-9, 4) as top_bigram_frac
+    from mdocs m
+    left join ls on ls.doc_id = m.doc_id
+    left join bs on bs.doc_id = m.doc_id
+"""
+
+ORACLES["q_stratified_sample"] = f"""
+    select doc_id, lang from documents
+    where ({_HASH_SQL.format(x="'mix-v1' || doc_id")}) % 1000000
+          < (case lang when 'en' then 0.5 when 'de' then 0.25
+             else 0.125 end * 1000000)::BIGINT
+"""
+
 _DECONTAM_GRAMS_SQL = """
       select distinct doc_id as id, {hash} as shingle_hash
       from (
@@ -2132,6 +2223,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
     "q_pii_redact": q_pii_redact,
+    "q_repetition": q_repetition,
+    "q_stratified_sample": q_stratified_sample,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

@@ -167,3 +167,93 @@ def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_obs": F.length(t),
         }
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    public paper — the standard crawl-quality repetition filters):
+
+      n_lines                 non-empty lines
+      dup_line_frac           (n_lines - distinct_lines) / n_lines
+      dup_line_char_frac      chars in repeat occurrences beyond the first /
+                              total line chars
+      top_bigram_frac         occurrences of the most frequent word 2-gram /
+                              total 2-grams
+
+    Shape at 100 TB: two groupBys keyed by (id, unit) then (id) — linear,
+    evenly keyed, no driver state; all native exprs.
+    """
+    did = F.col(id_col)
+    lines = (
+        docs.select(did.alias("id"),
+                    F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .where(F.length(F.trim("line")) > 0)
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum(F.length("line") * F.col("c")).alias("line_chars"),
+        F.sum(F.length("line") * (F.col("c") - 1)).alias("dup_line_chars"),
+    )
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = F.when(n >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    )).otherwise(F.array())
+    bg = docs.select(did.alias("id"), F.explode(bigrams).alias("bigram"))
+    per_bg = bg.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = per_bg.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c")
+    )
+
+    base = docs.select(did.alias("id"))
+    out = (
+        base.join(line_stats, "id", "left").join(bg_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.when(F.coalesce("n_lines", F.lit(0)) > 0,
+                   (F.col("n_lines") - F.col("n_distinct_lines"))
+                   / F.col("n_lines")).otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
+            F.when(F.coalesce("line_chars", F.lit(0)) > 0,
+                   F.col("dup_line_chars") / F.col("line_chars"))
+            .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+                   F.col("top_bigram_c") / F.col("n_bigrams"))
+            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0, salt: str = "mix-v1"
+                      ) -> DataFrame:
+    """Deterministic hash-based stratified sampling — how training mixtures
+    are actually drawn at corpus scale (reproducible across runs & engines,
+    no RNG state, no shuffle: a pure filter the scan can evaluate).
+
+    Keeps a row iff stable_hash60(salt || id) % 1_000_000 <
+    rate(stratum) * 1e6. The oracle reproduces the identical arithmetic.
+    """
+    from .urlops import stable_hash60
+
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        rate = (F.when(cond, F.lit(v)) if rate is None
+                else rate.when(cond, F.lit(v)))
+    rate = (rate.otherwise(F.lit(default_rate)) if rate is not None
+            else F.lit(default_rate))
+    bucket = F.pmod(
+        stable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return docs.where(bucket < (rate * 1_000_000).cast("long"))

@@ -688,3 +688,42 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] >= 2
     assert not out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 0
     assert out[3]["contaminated"] and out[3]["n_contaminated_grams"] == 7
+
+
+def test_repetition_stats_known_values(spark):
+    from crawl4ai_custom_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\n\n"),       # 3 lines, 'aaa' twice
+            (2, "x y x y x y"),             # top bigram 'x y' 3 of 5
+            (3, ""),                        # empty -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 3
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(out[1]["dup_line_char_frac"] - 3 / 9) < 1e-9
+    assert abs(out[2]["top_bigram_frac"] - 3 / 5) < 1e-9
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from crawl4ai_custom_spark.operators.textstats import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    a = {r["doc_id"] for r in
+         stratified_sample(df, {"en": 0.5, "de": 0.25}).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df, {"en": 0.5, "de": 0.25}).collect()}
+    assert a == b  # deterministic, no RNG state
+    bigger = {r["doc_id"] for r in
+              stratified_sample(df, {"en": 1.0, "de": 0.5}).collect()}
+    assert a <= bigger  # raising rates only adds rows (hash thresholding)
+    en = sum(1 for i in a if i % 2 == 0) / 200
+    de = sum(1 for i in a if i % 2 == 1) / 200
+    assert 0.35 < en < 0.65 and 0.1 < de < 0.4
