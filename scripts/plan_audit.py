@@ -156,6 +156,42 @@ def main() -> None:
         ],
     )
 
+    # 7. PII redaction: a pure codegen projection — NO shuffle, NO Python
+    from crawl4ai_custom_spark.operators.pii import redact_pii
+
+    docs_small = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text of doc "), F.col("id")).alias("text"),
+    )
+    p = plan_of(redact_pii(docs_small))
+    checks = []
+    for ok, label, why in [
+        (p.count("Exchange") == 0, "zero Exchange",
+         "redaction is a map over the scan — at 100 TB it costs one pass, "
+         "no shuffle"),
+        ("Python" not in p and "MapInPandas" not in p, "no Python stage",
+         "regexp chain runs JVM-side inside whole-stage codegen"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"pii redaction: {label}")
+    sections.append(("PII redaction — shuffle-free codegen projection", p, checks))
+
+    # 8. decontamination: benchmark grams BROADCAST; corpus side only
+    # shuffles for the per-doc overlap count
+    from crawl4ai_custom_spark.operators.decontam import decontaminate
+
+    bench_small = docs_small.where(F.col("doc_id") % 50 == 0)
+    audit(
+        "Decontamination — broadcast benchmark n-gram set",
+        decontaminate(docs_small, bench_small, n=3),
+        [
+            (r"BroadcastHashJoin",
+             "benchmark grams (small) ship to executors; the 100 TB corpus "
+             "side is never shuffled by the semi-join"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
