@@ -428,6 +428,22 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
+    each, native exprs) from documents, parse them byte-exactly with the
+    Arrow-staged WARC parser, and verify every header/payload field against
+    the closed-form oracle."""
+    from crawl4ai_custom_spark.sources.warc import (
+        build_warc_blobs,
+        parse_warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = parse_warc_records(build_warc_blobs(docs))
+    return out.select("blob_id", "record_index", "warc_type", "target_uri",
+                      "content_length", "payload")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter gate: build 3-line docs where every
     even doc repeats its first line, then verify duplicate-line fractions and
@@ -1671,6 +1687,17 @@ def _pii_oracle_sql() -> str:
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_warc_parse"] = """
+    select (doc_id // 20) as blob_id,
+           row_number() over (partition by doc_id // 20 order by doc_id) - 1
+             as record_index,
+           'response' as warc_type,
+           'https://' || source || '.example.com/doc/' || doc_id as target_uri,
+           octet_length(encode(text))::BIGINT as content_length,
+           text as payload
+    from documents where doc_id < 500
+"""
+
 ORACLES["q_repetition"] = """
     with mdocs as (
       select doc_id,
@@ -2224,6 +2251,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_profile": q_text_profile,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
+    "q_warc_parse": q_warc_parse,
     "q_stratified_sample": q_stratified_sample,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,

@@ -205,3 +205,53 @@ def test_structured_streaming_sessionize_state(spark, tmp_path):
     )
     want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert got == want and len(got) > 5
+
+
+def test_warc_parse_gzip_garbage_and_pages_adapter(spark):
+    """WARC parser: multi-member gzip blobs, garbage between records,
+    non-response records filtered by the pages adapter."""
+    import gzip
+
+    from crawl4ai_custom_spark.sources.warc import (
+        parse_warc_records,
+        warc_records_as_pages,
+    )
+
+    def rec(uri, body, wtype="response"):
+        b = body.encode()
+        return (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(b)}\r\n\r\n"
+        ).encode() + b + b"\r\n\r\n"
+
+    plain = (
+        rec("https://a.com/1", "hello <b>world</b>")
+        + b"JUNK BYTES BETWEEN RECORDS"
+        + rec("https://a.com/meta", "metadata", wtype="warcinfo")
+        + rec("https://a.com/2", "body with WARC/1.0 inside and \r\n\r\n too")
+    )
+    # two gzip members concatenated, like CC's per-record gz framing
+    gz = gzip.compress(rec("https://gz.com/1", "gz one")) + gzip.compress(
+        rec("https://gz.com/2", "gz two")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(plain))], ["blob_id", "payload"]
+    )
+    out = parse_warc_records(df).collect()
+    assert [r["target_uri"] for r in out] == [
+        "https://a.com/1", "https://a.com/meta", "https://a.com/2"
+    ]
+    assert out[2]["payload"] == "body with WARC/1.0 inside and \r\n\r\n too"
+    assert out[0]["record_index"] == 0 and out[2]["record_index"] == 2
+
+    gzdf = spark.createDataFrame([(2, bytearray(gz))], ["blob_id", "payload"])
+    gzout = parse_warc_records(gzdf, gz=True).collect()
+    assert [r["payload"] for r in gzout] == ["gz one", "gz two"]
+
+    pages = warc_records_as_pages(parse_warc_records(df)).collect()
+    assert len(pages) == 2  # warcinfo record dropped
+    assert {r["url"] for r in pages} == {"https://a.com/1", "https://a.com/2"}
+    assert bytes(pages[0]["html"]).decode() in (
+        "hello <b>world</b>", "body with WARC/1.0 inside and \r\n\r\n too"
+    )
