@@ -75,6 +75,25 @@ CORPUS: dict[str, str] = {
     "multi_br": "<p>a<br/>b<br>c</p>",
     "figure_caption": '<figure><img src="/f.png" alt="fig">'
                       "<figcaption>Cap</figcaption></figure>",
+    "dl_dt_dd": "<dl><dt>term</dt><dd>definition</dd>"
+                "<dt>t2</dt><dd>d2</dd></dl>",
+    "table_colspan": '<table><tr><th colspan="2">Wide</th></tr>'
+                     "<tr><td>1</td><td>2</td></tr></table>",
+    "deep_nested_list": "<ul><li>a<ul><li>b<ul><li>c</li></ul></li></ul>"
+                        "</li></ul>",
+    "ol_start": '<ol start="5"><li>five</li><li>six</li></ol>',
+    "code_in_li": "<ul><li>use <code>pip</code> now</li></ul>",
+    "hr_between": "<p>a</p><hr/><p>b</p>",
+    "h3_to_h6": "<h3>c</h3><h4>d</h4><h5>e</h5><h6>f</h6><p>t</p>",
+    "entities_numeric": "<p>&#65;&#x42; &amp;#65;</p>",
+    "strong_em_nested": "<p><strong><em>both</em></strong> tail</p>",
+    "space_around_emph": "<p>a <b> b </b> c</p>",
+    "empty_paras": "<p></p><p>x</p><p>  </p><p>y</p>",
+    "unicode_text": "<p>naïve café — ünïcødé 中文 ok</p>",
+    "link_in_list": '<ul><li><a href="/a">A</a> then</li>'
+                    '<li>pre <a href="/b">B</a></li></ul>',
+    "para_in_blockquote_list": "<blockquote><ul><li>q item</li></ul>"
+                               "</blockquote>",
 }
 
 
@@ -91,14 +110,17 @@ def load_ref_html2text():
 
 def main() -> None:
     mod = load_ref_html2text()
-    h = mod.CustomHTML2Text()
-    h.update_params(**{
-        "body_width": 0, "ignore_emphasis": False, "ignore_links": False,
-        "ignore_images": False, "protect_links": False,
-        "single_line_break": True, "mark_code": True, "escape_snob": False,
-    })
     fixtures = {}
     for name, html in CORPUS.items():
+        # CustomHTML2Text keeps state across handle() calls — a fresh
+        # instance per document matches how the generator drives it
+        # (markdown_generation_strategy.py builds one per convert).
+        h = mod.CustomHTML2Text()
+        h.update_params(**{
+            "body_width": 0, "ignore_emphasis": False, "ignore_links": False,
+            "ignore_images": False, "protect_links": False,
+            "single_line_break": True, "mark_code": True, "escape_snob": False,
+        })
         raw = h.handle(html)
         raw = raw.replace("    ```", "```")  # generator post-step, mgs.py:214
         fixtures[name] = {"html": html, "ref_raw_markdown": raw}
