@@ -428,6 +428,22 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank gate: deterministic 2-out-degree graph over
+    doc ids, 3 power iterations (join + groupBy per round — the classic
+    web-scale iterative dataflow); oracle unrolls the same 3 iterations."""
+    from crawl4ai_custom_spark.operators.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 400).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 400).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .where(F.col("src") != F.col("dst")).distinct())
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round(F.col("rank") + 1e-12, 8).alias("rank"))
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -1687,6 +1703,40 @@ def _pii_oracle_sql() -> str:
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_pagerank"] = """
+    with docs as (select doc_id from documents where doc_id < 400),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 400 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 400 from docs
+      ) where src <> dst
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    nn as (select count(*)::DOUBLE as n from nodes),
+    deg as (select src, count(*) as d from edges group by src),
+    r0 as (select node, 1.0 / nn.n as rank from nodes cross join nn),
+    c1 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r0 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r1 as (select nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.s, 0) as rank
+           from nodes cross join nn left join c1 on c1.node = nodes.node),
+    c2 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r1 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r2 as (select nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.s, 0) as rank
+           from nodes cross join nn left join c2 on c2.node = nodes.node),
+    c3 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r2 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r3 as (select nodes.node, 0.15 / nn.n + 0.85 * coalesce(c3.s, 0) as rank
+           from nodes cross join nn left join c3 on c3.node = nodes.node)
+    select node, round(rank + 1e-12, 8) as rank from r3
+"""
+
 ORACLES["q_warc_parse"] = """
     select (doc_id // 20) as blob_id,
            row_number() over (partition by doc_id // 20 order by doc_id) - 1
@@ -2252,6 +2302,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,
+    "q_pagerank": q_pagerank,
     "q_stratified_sample": q_stratified_sample,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,

@@ -1,0 +1,80 @@
+"""Link-graph analytics: host graph construction + PageRank.
+
+The reference scores domains with a static heuristic
+(DomainAuthorityScorer, deep_crawling/scorers.py); at corpus scale the
+principled version of "domain authority" is PageRank over the host graph —
+the classic web-scale iterative dataflow. Implemented the way the engine
+runs all its iterative ops (frontier waves, cluster_pairs): each power
+iteration is one join + one groupBy, with optional parquet materialization
+per round so the plan never grows with iteration count.
+
+Semantics (simplified PageRank, the common formulation):
+  rank_0(v)   = 1/N
+  rank_i+1(v) = (1-d)/N + d * sum over in-edges (u,v) of rank_i(u)/deg(u)
+Dangling-node mass is dropped (not redistributed) — both the operator and
+the DuckDB oracle (`q_pagerank`) implement exactly this, so results match
+to fixed rounding.
+
+Scale shape: edges shuffle once per iteration keyed by src then dst — the
+standard PageRank-on-MapReduce pattern; ranks and degrees are (node, value)
+tables that co-partition with the join keys. No driver-side state beyond
+the node count scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_edges(links: DataFrame, src_url: str = "url",
+               dst_url: str = "href") -> DataFrame:
+    """(page url, link href) -> distinct (src_host, dst_host) edges,
+    self-loops dropped — the host-graph input to pagerank."""
+    host = lambda c: F.lower(F.regexp_extract(F.col(c), r"https?://([^/:]+)", 1))  # noqa: E731
+    return (
+        links.select(host(src_url).alias("src"), host(dst_url).alias("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != "")
+               & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """(src, dst) edges -> (node, rank) after `iterations` power steps.
+
+    Pass checkpoint_dir to materialize ranks each round (mandatory for
+    double-digit iteration counts: truncates lineage like cluster_pairs)."""
+    import os
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+            .alias("rank"),
+        )
+        if checkpoint_dir is not None:
+            out = os.path.join(checkpoint_dir, f"ranks_{it % 2}")
+            ranks.write.mode("overwrite").parquet(out)
+            ranks = spark.read.parquet(out)
+    return ranks

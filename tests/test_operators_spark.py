@@ -727,3 +727,32 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     en = sum(1 for i in a if i % 2 == 0) / 200
     de = sum(1 for i in a if i % 2 == 1) / 200
     assert 0.35 < en < 0.65 and 0.1 < de < 0.4
+
+
+def test_pagerank_known_graph_and_host_edges(spark):
+    from crawl4ai_custom_spark.operators.linkgraph import host_edges, pagerank
+
+    # 2-node cycle: symmetric, ranks must both be 0.5 at every iteration
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    r = {x["node"]: x["rank"] for x in pagerank(cyc, iterations=4).collect()}
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+
+    # star: hub h pointed at by s1..s3 -> h outranks the spokes; total mass
+    # shrinks by the dangling hub's share (documented simplification)
+    star = spark.createDataFrame(
+        [("s1", "h"), ("s2", "h"), ("s3", "h")], ["src", "dst"]
+    )
+    rs = {x["node"]: x["rank"] for x in pagerank(star, iterations=2).collect()}
+    assert rs["h"] > rs["s1"] == rs["s2"] == rs["s3"]
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/x", "https://b.com/y"),
+            ("https://a.com/x2", "https://B.com/z"),   # host case-folds
+            ("https://a.com/x", "https://a.com/self"), # self-loop dropped
+            ("http://c.com:8080/p", "https://a.com/"),
+        ],
+        ["url", "href"],
+    )
+    e = {(x["src"], x["dst"]) for x in host_edges(links).collect()}
+    assert e == {("a.com", "b.com"), ("c.com", "a.com")}
