@@ -141,6 +141,10 @@ def main() -> None:
         "q_top_revenue_nations",
         "q_sessionize",
         "q_url_canonicalize",
+        "q_pii_redact",
+        "q_decontam",
+        "q_pagerank",
+        "q_warc_parse",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count(), repeats=2)
 

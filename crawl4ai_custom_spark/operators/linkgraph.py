@@ -78,3 +78,19 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             ranks.write.mode("overwrite").parquet(out)
             ranks = spark.read.parquet(out)
     return ranks
+
+
+def pagerank_authority(ranks: DataFrame, top_n: int = 1000,
+                       floor: float = 0.1) -> dict[str, float]:
+    """Top-N hosts by rank -> {host: weight in [floor, 1]}, max-normalized —
+    plugs straight into `CrawlConfig.domain_authority` /
+    `scorers.domain_authority_score`, replacing the reference's hand-tuned
+    static map with measured link authority.
+
+    Bounded collect (top_n rows after a distributed top-k) — the production
+    shape: a small broadcastable authority map refreshed per crawl epoch."""
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(top_n).collect()
+    if not top:
+        return {}
+    mx = max(r["rank"] for r in top) or 1.0
+    return {r["node"]: max(floor, r["rank"] / mx) for r in top}

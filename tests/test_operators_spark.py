@@ -756,3 +756,33 @@ def test_pagerank_known_graph_and_host_edges(spark):
     )
     e = {(x["src"], x["dst"]) for x in host_edges(links).collect()}
     assert e == {("a.com", "b.com"), ("c.com", "a.com")}
+
+
+def test_pagerank_authority_feeds_domain_scoring(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.linkgraph import (
+        pagerank,
+        pagerank_authority,
+    )
+    from crawl4ai_custom_spark.operators.scorers import domain_authority_score
+
+    # hub.com is pointed at by everyone -> top authority
+    edges = spark.createDataFrame(
+        [("a.com", "hub.com"), ("b.com", "hub.com"), ("c.com", "hub.com"),
+         ("hub.com", "a.com")],
+        ["src", "dst"],
+    )
+    auth = pagerank_authority(pagerank(edges, iterations=5), top_n=2)
+    assert set(auth) == {"hub.com", "a.com"}
+    assert auth["hub.com"] == 1.0 and auth["a.com"] < 1.0
+
+    df = spark.createDataFrame(
+        [("hub.com",), ("a.com",), ("unknown.org",)], ["registrable_domain"]
+    )
+    out = {r["registrable_domain"]: r["s"] for r in df.select(
+        "registrable_domain",
+        domain_authority_score(F.col("registrable_domain"), auth).alias("s"),
+    ).collect()}
+    assert out["hub.com"] == 1.0 and out["unknown.org"] == 0.5
+    assert 0.1 <= out["a.com"] < 1.0
