@@ -428,6 +428,63 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-crawl gate: two synthetic captures of the same urls
+    (ids 0-49 vanish, 450-499 appear, every 3rd changes content) diffed via
+    fingerprint full-outer join; oracle states each url's change class in
+    closed form."""
+    from crawl4ai_custom_spark.operators.recrawl import (
+        capture_fingerprint,
+        crawl_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"),
+                   F.col("doc_id").cast("string"))
+    old = docs.where(F.col("doc_id") < 450).select(
+        url.alias("url"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 5).cast("string")).alias("html"),
+    )
+    new = docs.where(F.col("doc_id") >= 50).select(
+        url.alias("url"),
+        F.concat(
+            F.lit("c"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 5 + 1)
+            .otherwise(F.col("doc_id") % 5).cast("string"),
+        ).alias("html"),
+    )
+    return crawl_diff(capture_fingerprint(old), capture_fingerprint(new))
+
+
+def q_revisit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven revisit scheduling: 3-epoch change log, Laplace-
+    smoothed change rate blended with page score — exact closed-form oracle."""
+    from crawl4ai_custom_spark.operators.recrawl import revisit_priority
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"),
+                   F.col("doc_id").cast("string"))
+    epochs = []
+    for e in range(3):
+        m = (F.col("doc_id") + e) % 4
+        change = (
+            F.when(m == 0, F.lit("changed"))
+            .when(m == 3, F.lit("gone"))
+            .otherwise(F.lit("unchanged"))
+        )
+        epochs.append(docs.select(
+            url.alias("url"), change.alias("change"),
+            ((F.col("doc_id") % 10) / 10.0).alias("score"),
+        ))
+    log = epochs[0].unionByName(epochs[1]).unionByName(epochs[2])
+    out = revisit_priority(log, score_col="score")
+    return out.select(
+        "url", "n_obs", "n_changed",
+        F.round(F.col("change_rate") + 1e-9, 6).alias("change_rate"),
+        F.round(F.col("revisit_score") + 1e-9, 6).alias("revisit_score"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank gate: deterministic 2-out-degree graph over
     doc ids, 3 power iterations (join + groupBy per round — the classic
@@ -1703,6 +1760,30 @@ def _pii_oracle_sql() -> str:
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_crawl_diff"] = """
+    select 'https://' || source || '.com/' || doc_id as url,
+           case when doc_id < 50 then 'gone'
+                when doc_id >= 450 then 'new'
+                when doc_id % 3 = 0 then 'changed'
+                else 'unchanged' end as change
+    from documents where doc_id < 500
+"""
+
+ORACLES["q_revisit_priority"] = """
+    with d as (
+      select doc_id, source,
+             case doc_id % 4 when 0 then 3 else 2 end as n_obs,
+             case doc_id % 4 when 1 then 0 else 1 end as n_changed
+      from documents where doc_id < 400
+    )
+    select 'https://' || source || '.com/' || doc_id as url,
+           n_obs::BIGINT as n_obs, n_changed::BIGINT as n_changed,
+           round((n_changed + 1.0) / (n_obs + 3.0) + 1e-9, 6) as change_rate,
+           round(0.7 * ((n_changed + 1.0) / (n_obs + 3.0))
+                 + 0.3 * ((doc_id % 10) / 10.0) + 1e-9, 6) as revisit_score
+    from d
+"""
+
 ORACLES["q_pagerank"] = """
     with docs as (select doc_id from documents where doc_id < 400),
     edges as (
@@ -2303,6 +2384,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,
     "q_pagerank": q_pagerank,
+    "q_crawl_diff": q_crawl_diff,
+    "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,

@@ -786,3 +786,34 @@ def test_pagerank_authority_feeds_domain_scoring(spark):
     ).collect()}
     assert out["hub.com"] == 1.0 and out["unknown.org"] == 0.5
     assert 0.1 <= out["a.com"] < 1.0
+
+
+def test_crawl_diff_and_revisit_priority(spark):
+    from crawl4ai_custom_spark.operators.recrawl import (
+        capture_fingerprint,
+        crawl_diff,
+        revisit_priority,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "bye")], ["url", "html"]
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "hello")], ["url", "html"]
+    )
+    d = {r["url"]: r["change"] for r in
+         crawl_diff(capture_fingerprint(old), capture_fingerprint(new)).collect()}
+    assert d == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}
+
+    log = spark.createDataFrame(
+        [("u1", "changed"), ("u1", "changed"), ("u1", "unchanged"),
+         ("u2", "unchanged"), ("u2", "unchanged"),
+         ("u3", "gone")],
+        ["url", "change"],
+    )
+    p = {r["url"]: r for r in revisit_priority(log).collect()}
+    assert p["u1"]["n_obs"] == 3 and p["u1"]["n_changed"] == 2
+    assert abs(p["u1"]["change_rate"] - 3 / 6) < 1e-12  # (2+1)/(3+3)
+    assert abs(p["u2"]["change_rate"] - 1 / 5) < 1e-12  # (0+1)/(2+3)
+    assert "u3" not in p  # gone rows leave the frontier
+    assert p["u1"]["revisit_score"] > p["u2"]["revisit_score"]
