@@ -1,0 +1,163 @@
+"""End-to-end training-data pipeline: compose the engine's operators into
+the standard crawl -> corpus flow, one DataFrame in, one sharded corpus out.
+
+    WARC blobs (or a pages table)
+      -> extract (html -> text/markdown)            operators/extraction.py
+      -> language / quality / repetition filters    operators/textstats.py
+      -> PII redaction                              operators/pii.py
+      -> exact + near dedup -> keepers              operators/dedup.py
+      -> benchmark decontamination                  operators/decontam.py
+      -> stratified mixture sampling                operators/textstats.py
+      -> chunking to a token budget                 operators/chunking.py
+      -> deterministic shard assignment
+
+Every stage is the already-gated operator — this module only wires them, so
+the pipeline's correctness is the conjunction of the per-operator oracles;
+`tests/test_pipeline.py` asserts the end-to-end invariants (no PII survives,
+no duplicate fingerprints, no contaminated docs, shards balanced and
+deterministic).
+
+Scale notes: stage order minimizes bytes in flight — cheap scan-level
+filters (lang/quality, codegen) run BEFORE the shuffling stages (dedup)
+and the Python stage (extraction) output is immediately column-pruned.
+Shard assignment is a pure projection (hash mod n), so the final write is
+one `partitionBy("shard")` parquet job with no extra shuffle beyond the
+write's own partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusConfig:
+    min_quality: float = 0.35
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
+    max_dup_line_frac: float = 0.5
+    redact_pii: bool = True
+    near_dedup: bool = True
+    jaccard_threshold: float = 0.6
+    decontam_ngram: int = 13
+    mixture: dict[str, float] = field(default_factory=dict)  # lang -> rate
+    default_rate: float = 1.0
+    chunk_tokens: int = 0       # 0 = no chunking, keep whole docs
+    n_shards: int = 16
+    shard_salt: str = "shards-v1"
+
+
+def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
+                       bench: DataFrame | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """documents(doc_id, text[, lang, ...]) -> training corpus with
+    (doc_id, text, lang_pred, quality, shard [, chunk_index]).
+
+    Pass `bench` to decontaminate against a benchmark table of the same
+    shape. All filters are explicit columns first, then one `.where`, so
+    the pipeline is auditable stage by stage.
+    """
+    from .operators.decontam import decontaminate
+    from .operators.dedup import (
+        dedup_keepers,
+        exact_dedup,
+        minhash_lsh_dedup,
+        normalized_text,
+    )
+    from .operators.pii import redact_pii
+    from .operators.textstats import (
+        profile_documents,
+        repetition_stats,
+        stratified_sample,
+    )
+    from .operators.urlops import stable_hash60
+
+    cfg = cfg or CorpusConfig()
+
+    # 1. profile + quality/language gates (pure codegen — runs in the scan)
+    prof = profile_documents(docs, text_col=text_col)
+    prof = prof.where(
+        (F.col("quality") >= cfg.min_quality)
+        & F.col("lang_pred").isin(*cfg.allowed_langs)
+    )
+
+    # 2. repetition gate (two keyed groupBys)
+    rep = repetition_stats(prof, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), "dup_line_frac"
+    )
+    prof = prof.join(rep, id_col, "left").where(
+        F.coalesce("dup_line_frac", F.lit(0.0)) <= cfg.max_dup_line_frac
+    ).drop("dup_line_frac")
+
+    # 3. PII redaction (codegen projection) — the redacted text REPLACES the
+    # original so nothing downstream ever sees raw PII
+    if cfg.redact_pii:
+        prof = (
+            redact_pii(prof, text_col=text_col)
+            .drop(text_col)
+            .withColumnRenamed(f"{text_col}_redacted", text_col)
+        )
+
+    # 4. exact dedup: drop every row after the first of each fingerprint
+    fp = F.md5(normalized_text(F.col(text_col)))
+    w_first = F.row_number().over(
+        Window.partitionBy(fp).orderBy(F.col(id_col))
+    )
+    prof = prof.withColumn("_rn", w_first).where(F.col("_rn") == 1).drop("_rn")
+
+    # 5. near dedup -> keepers only
+    if cfg.near_dedup:
+        pairs = minhash_lsh_dedup(
+            prof, id_col=id_col, text_col=text_col,
+            jaccard_threshold=cfg.jaccard_threshold,
+        ).select("id_a", "id_b")
+        prof = dedup_keepers(
+            prof, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+        ).where(F.col("is_keeper")).drop("cluster_id", "is_keeper")
+
+    # 6. decontamination (broadcast benchmark grams)
+    if bench is not None:
+        prof = decontaminate(
+            prof, bench, id_col=id_col, text_col=text_col,
+            n=cfg.decontam_ngram,
+        ).where(~F.col("contaminated")).drop(
+            "contaminated", "n_contaminated_grams"
+        )
+
+    # 7. mixture sampling (scan-level hash filter)
+    if cfg.mixture:
+        prof = stratified_sample(
+            prof, cfg.mixture, stratum_col="lang_pred", id_col=id_col,
+            default_rate=cfg.default_rate,
+        )
+
+    # 8. optional chunking to a token budget
+    if cfg.chunk_tokens > 0:
+        from .operators.chunking import token_budget_chunks
+
+        chunks = token_budget_chunks(
+            prof, id_col=id_col, text_col=text_col,
+            token_threshold=cfg.chunk_tokens,
+        )
+        prof = (
+            chunks.withColumnRenamed("chunk", text_col)
+            .withColumnRenamed("id", id_col)
+        )
+
+    # 9. deterministic shard assignment (pure projection)
+    shard = F.pmod(
+        stable_hash60(
+            F.concat(F.lit(cfg.shard_salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(cfg.n_shards),
+    ).cast("int")
+    return prof.withColumn("shard", shard)
+
+
+def write_training_shards(corpus: DataFrame, out_dir: str) -> None:
+    """One parquet job partitioned by shard — the write's own partitioning
+    is the only movement; downstream trainers read shard=K dirs."""
+    corpus.write.mode("overwrite").partitionBy("shard").parquet(out_dir)

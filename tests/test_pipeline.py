@@ -1,0 +1,106 @@
+"""End-to-end training-corpus pipeline invariants.
+
+Each stage is oracle-gated on its own; here we assert the COMPOSITION
+behaves: every hazard class planted in the input is gone from the output,
+survivors are intact, and sharding is deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_custom_spark.pipelines import CorpusConfig, build_training_set
+
+_TOPICS = [
+    "storage engines and the compaction strategy of the log structured tree",
+    "network protocols and the retry behavior of the transport layer stack",
+    "query planners and the cost model of the join reordering search",
+    "memory allocators and the fragmentation pattern of the arena design",
+    "file formats and the encoding scheme of the columnar page layout",
+    "schedulers and the fairness property of the work stealing queue",
+]
+
+
+def _doc(i: int) -> str:
+    # distinct content per doc (rotating topic + unique trailing sentences)
+    # so clean docs stay well below the near-dup Jaccard threshold
+    t = _TOPICS[i % len(_TOPICS)]
+    return (
+        f"The chapter number {i} of the handbook describes {t} in detail. "
+        f"A worked example number {i * 7} walks the reader through the "
+        f"failure mode number {i * 13} and the recovery steps that the "
+        f"operators of deployment {i} should rehearse regularly."
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _doc(i)) for i in range(30)]  # 30 clean, mutually distinct
+    # exact duplicate of doc 3
+    rows.append((100, _doc(3)))
+    # near duplicate of doc 4 (small tail edit)
+    rows.append((101, _doc(4) + " Extra tail."))
+    # PII-laden doc (otherwise distinct content)
+    rows.append((102, "The appendix of the handbook lists the contact "
+                      "channels of the support team and the escalation "
+                      "rules of the on call rotation for the weekend. "
+                      "Contact alice@example.com or 555-123-4567."))
+    # junk (low quality): short, no stopwords
+    rows.append((103, "xxxx zzzz 1234!!!"))
+    # benchmark-contaminated doc (verbatim benchmark text)
+    rows.append((104, "The quick brown fox jumps over the lazy dog near the "
+                      "river bank while the observers quietly take notes "
+                      "about the jumping technique and the landing form."))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(9000, "The quick brown fox jumps over the lazy dog near the river "
+                "bank while the observers quietly take notes about the "
+                "jumping technique and the landing form.")],
+        ["doc_id", "text"],
+    )
+
+
+def test_pipeline_invariants(spark, corpus, bench, tmp_path):
+    cfg = CorpusConfig(decontam_ngram=5)
+    out = build_training_set(corpus, cfg, bench=bench,
+                             checkpoint_dir=str(tmp_path / "cc")).cache()
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+
+    assert 103 not in ids            # junk filtered by quality gate
+    assert 104 not in ids            # contaminated vs benchmark
+    assert not (100 in ids and 3 in ids)   # exact dup collapsed
+    assert not (101 in ids and 4 in ids)   # near dup collapsed to keeper
+    assert 102 in ids                # PII doc survives...
+    pii_text = next(r["text"] for r in rows if r["doc_id"] == 102)
+    assert "<EMAIL>" in pii_text and "<PHONE>" in pii_text
+    assert not re.search(r"[\w.]+@[\w.]+", pii_text)  # ...but scrubbed
+
+    # no duplicate fingerprints anywhere in the output
+    n_fp = out.select(F.md5(F.lower(F.trim("text"))).alias("f")).distinct().count()
+    assert n_fp == len(rows)
+
+    # shards: in range and deterministic across runs
+    assert all(0 <= r["shard"] < cfg.n_shards for r in rows)
+    again = {(r["doc_id"], r["shard"]) for r in
+             build_training_set(corpus, cfg, bench=bench,
+                                checkpoint_dir=str(tmp_path / "cc2")).collect()}
+    assert {(r["doc_id"], r["shard"]) for r in rows} == again
+
+
+def test_pipeline_chunking_and_mixture(spark, corpus):
+    cfg = CorpusConfig(chunk_tokens=24, near_dedup=False,
+                       mixture={"en": 0.5}, default_rate=0.0)
+    out = build_training_set(corpus, cfg).collect()
+    assert out, "mixture at 0.5 must keep some docs"
+    # every chunk respects the token budget under the 0.75 words->tokens rate
+    for r in out:
+        assert len(r["text"].split()) * 0.75 <= cfg.chunk_tokens + 1e-9
+    assert {r["doc_id"] for r in out} < {i for i in range(30)} | {100, 101, 102, 104}
