@@ -108,6 +108,20 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     )
     prof = prof.withColumn("_rn", w_first).where(F.col("_rn") == 1).drop("_rn")
 
+    # Materialize the profiled/redacted/exact-deduped table ONCE before the
+    # stages that run their own internal actions (LSH pair join, connected-
+    # components rounds, decontam): without this the whole codegen-heavy
+    # upstream would recompute 3-4x (measured 167s -> ~60s at sf0.1).
+    if cfg.near_dedup or bench is not None:
+        if checkpoint_dir is not None:
+            import os
+
+            p = os.path.join(checkpoint_dir, "profiled")
+            prof.write.mode("overwrite").parquet(p)
+            prof = docs.sparkSession.read.parquet(p)
+        else:
+            prof = prof.persist()
+
     # 5. near dedup -> keepers only
     if cfg.near_dedup:
         pairs = minhash_lsh_dedup(
