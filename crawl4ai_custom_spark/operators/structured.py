@@ -179,7 +179,7 @@ def css_select(root: Node, selector: str) -> list[Node]:
 
 # ---------------------------------------------------------------------------
 # mini XPath engine (the JsonXPathExtractionStrategy subset: / and //
-# axes, *, [@attr], [@attr='v'], [n]; '.' prefix for relative paths)
+# axes, *, [@attr], [@attr='v'], [n], [last()]; '.' prefix for relative paths)
 # ---------------------------------------------------------------------------
 
 _XP_STEP = re.compile(r"^(?P<tag>[\w*-]+)(?P<preds>(?:\[[^\]]+\])*)$")
@@ -191,6 +191,8 @@ def _xp_preds(nodes: list[Node], preds: list[str]) -> list[Node]:
         if p.isdigit():  # positional, 1-based, within this context group
             i = int(p) - 1
             nodes = [nodes[i]] if 0 <= i < len(nodes) else []
+        elif p == "last()":
+            nodes = nodes[-1:]
         elif p.startswith("@"):
             if "=" in p:
                 k, v = p[1:].split("=", 1)

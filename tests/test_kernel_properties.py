@@ -207,3 +207,55 @@ def test_efficient_canonicalize_agrees_on_clean_urls():
             assert full.rstrip("/") == fast.rstrip("/") or full == fast
 
     check()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.booleans(),
+    st.sampled_from(["none", "cycle"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, rgb, filter_mode, seed):
+    """P: decode(encode(px)) == px for every shape/colortype/filter mix."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filter_mode)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.text(st.characters(codec="utf-8",
+                              blacklist_characters="\r\n"),
+                min_size=0, max_size=60),
+        st.sampled_from(["response", "warcinfo", "request"]),
+    ),
+    min_size=0, max_size=6,
+))
+def test_warc_roundtrip_property(records):
+    """P: parsing a well-formed blob of N records yields exactly those N
+    records with byte-exact payloads (utf-8, Content-Length in bytes)."""
+    from crawl4ai_custom_spark.sources.warc import _parse_blob
+
+    blob = b""
+    for i, (body, wtype) in enumerate(records):
+        b = body.encode("utf-8")
+        blob += (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: https://x.test/{i}\r\n"
+            f"Content-Length: {len(b)}\r\n\r\n"
+        ).encode() + b + b"\r\n\r\n"
+    out = _parse_blob(blob)
+    assert len(out) == len(records)
+    for i, ((body, wtype), rec) in enumerate(zip(records, out)):
+        assert rec["payload"] == body
+        assert rec["warc_type"] == wtype
+        assert rec["target_uri"] == f"https://x.test/{i}"
+        assert rec["record_index"] == i
