@@ -121,3 +121,27 @@ def run_available_now(stream_df: DataFrame, out_table: str,
         .start()
     )
     q.awaitTermination()
+
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary"
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a pages directory — the continuous-ingestion
+    shape: a fetcher fleet appends parquet files, Spark streams them in."""
+    r = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def stream_extract_pages(pages: DataFrame) -> DataFrame:
+    """Continuous extraction: the SAME mapInPandas extraction stage the batch
+    engine uses, applied to a streaming DataFrame — html arrives, cleaned
+    text/markdown/links leave. Stateless, so it needs no watermark; each
+    micro-batch is one Arrow-staged pass (identical per-row semantics to
+    batch extract_pages — asserted by the batch-equivalence test)."""
+    from ..operators.extraction import extract_pages
+
+    return extract_pages(pages)

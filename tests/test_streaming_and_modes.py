@@ -255,3 +255,41 @@ def test_warc_parse_gzip_garbage_and_pages_adapter(spark):
     assert bytes(pages[0]["html"]).decode() in (
         "hello <b>world</b>", "body with WARC/1.0 inside and \r\n\r\n too"
     )
+
+
+def test_structured_streaming_extraction_matches_batch(spark, site_dir, tmp_path):
+    """The streaming ingestion path (readStream -> extract mapInPandas)
+    yields byte-identical rows to the batch extraction of the same files."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.extraction import extract_pages
+    from crawl4ai_custom_spark.streaming.structured import (
+        read_pages_stream,
+        run_available_now,
+        stream_extract_pages,
+    )
+
+    src = spark.read.parquet(
+        site_dir + "/pages.parquet"
+    ).select("url", "warc_ts", "html").limit(60)
+    pdir = str(tmp_path / "pages_stream")
+    # two separate files -> two micro-batch inputs
+    src.where(F.crc32("url") % 2 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(pdir)
+    src.where(F.crc32("url") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(pdir)
+
+    stream = stream_extract_pages(read_pages_stream(spark, pdir))
+    run_available_now(stream, "stream_extract_out",
+                      str(tmp_path / "ckpt"), output_mode="append")
+    got = {
+        (r["url"], r["text"], r["raw_markdown"])
+        for r in spark.sql("select * from stream_extract_out").collect()
+    }
+    want = {
+        (r["url"], r["text"], r["raw_markdown"])
+        for r in extract_pages(
+            spark.read.parquet(pdir).select("url", "html")
+        ).collect()
+    }
+    assert got == want and len(got) == 60
