@@ -428,6 +428,49 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup gate: docs in triples where the two mirrors
+    declare <link rel=canonical> to the triple's base url; collapse picks
+    one deterministic representative per canonical group."""
+    from crawl4ai_custom_spark.operators.headpeek import canonical_collapse
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://ex.com/p/"), d.cast("string"))
+    target = F.concat(F.lit("https://ex.com/p/"), (d - d % 3).cast("string"))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(d % 3 != 0,
+               F.concat(F.lit('<link rel="canonical" href="'), target,
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    out = canonical_collapse(pages)
+    return out.select("url", "canonical_url", "is_canonical_rep")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt `Sitemap:` directive discovery (the reference's fallback
+    sitemap-location step), case-insensitive, multiple directives."""
+    from crawl4ai_custom_spark.sources.sitemap import robots_sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    robots = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("-"),
+                 F.col("doc_id").cast("string"), F.lit(".com/robots.txt")
+                 ).alias("url"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://"),
+            F.col("source"), F.lit(".com/sitemap.xml"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("\nsitemap: https://cdn."), F.col("source"),
+                            F.lit(".com/s2.xml.gz"))).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return robots_sitemap_urls(robots)
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-crawl gate: two synthetic captures of the same urls
     (ids 0-49 vanish, 450-499 appear, every 3rd changes content) diffed via
@@ -1760,6 +1803,36 @@ def _pii_oracle_sql() -> str:
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_canonical_collapse"] = """
+    with p as (
+      select 'https://ex.com/p/' || doc_id as url,
+             case when doc_id % 3 = 0 then 'https://ex.com/p/' || doc_id
+                  else 'https://ex.com/p/' || (doc_id - doc_id % 3) end
+               as canonical_url
+      from documents where doc_id < 500
+    )
+    select url, canonical_url,
+           url = min(url) over (partition by canonical_url)
+             as is_canonical_rep
+    from p
+"""
+
+ORACLES["q_robots_sitemaps"] = """
+    with base as (
+      select doc_id, source,
+             'https://' || source || '-' || doc_id || '.com/robots.txt'
+               as robots_url
+      from documents where doc_id < 300
+    )
+    select robots_url, 0 as sitemap_index,
+           'https://' || source || '.com/sitemap.xml' as sitemap_url
+    from base
+    union all
+    select robots_url, 1 as sitemap_index,
+           'https://cdn.' || source || '.com/s2.xml.gz' as sitemap_url
+    from base where doc_id % 2 = 0
+"""
+
 ORACLES["q_crawl_diff"] = """
     select 'https://' || source || '.com/' || doc_id as url,
            case when doc_id < 50 then 'gone'
@@ -2385,6 +2458,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warc_parse": q_warc_parse,
     "q_pagerank": q_pagerank,
     "q_crawl_diff": q_crawl_diff,
+    "q_canonical_collapse": q_canonical_collapse,
+    "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
     "q_decontam": q_decontam,

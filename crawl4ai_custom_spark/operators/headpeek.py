@@ -150,3 +150,46 @@ def head_relevance_score(head_title_c: Column, head_desc: Column,
         )
     raw = hits(head_title_c) * 3 + hits(head_desc) * 2 + hits(head_kws)
     return (raw.cast("double") / F.lit(6.0 * len(query_words))).cast("double")
+
+
+def canonical_url(head: Column) -> Column:
+    """href of <link rel="canonical"> (either attribute order), with the
+    meta name=canonical form as fallback; '' when absent."""
+    c1 = F.regexp_extract(
+        head,
+        r'(?is)<link\s+[^>]*rel=["\']canonical["\'][^>]*href=["\']([^"\']*)["\']',
+        1,
+    )
+    c2 = F.regexp_extract(
+        head,
+        r'(?is)<link\s+[^>]*href=["\']([^"\']*)["\'][^>]*rel=["\']canonical["\']',
+        1,
+    )
+    return F.when(c1 != "", c1).when(c2 != "", c2).otherwise(
+        meta_content(head, "canonical")
+    )
+
+
+def canonical_collapse(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """rel=canonical dedup: every page claiming the same canonical URL
+    collapses to one representative (deterministic: lexicographically first
+    url). Adds `canonical_url` (self when the page declares none) and
+    `is_canonical_rep`; filter on the flag to drop the mirrors — how a
+    crawler's post-pass removes parametrized/mirror duplicates without
+    content hashing. Shape: one window over canonical_url (a single keyed
+    shuffle), regexes in codegen."""
+    from pyspark.sql import Window
+
+    head = head_section(F.col(html_col))
+    canon = canonical_url(head)
+    out = pages.withColumn(
+        "canonical_url",
+        F.when(canon == "", F.col(url_col)).otherwise(canon),
+    )
+    w = Window.partitionBy("canonical_url").orderBy(F.col(url_col))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_canonical_rep", F.col("_rn") == 1)
+        .drop("_rn")
+    )

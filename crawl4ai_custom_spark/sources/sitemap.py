@@ -113,3 +113,22 @@ def sitemap_page_urls(
             ).alias("loc"),
         )
     )
+
+
+_ROBOTS_SITEMAP = r"(?im)^\s*sitemap:\s*(\S+)"
+
+
+def robots_sitemap_urls(robots: DataFrame, url_col: str = "url",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """`Sitemap:` directives from robots.txt bodies — the reference's
+    fallback discovery step (async_url_seeder.py:768 step 2: "parse
+    robots.txt for alternative sitemap URLs"). Native regexp over the text
+    column + one explode; feed the result to sitemap_page_urls."""
+    from pyspark.sql import functions as F
+
+    return robots.select(
+        F.col(url_col).alias("robots_url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_ROBOTS_SITEMAP), F.lit(1))
+        ).alias("sitemap_index", "sitemap_url"),
+    )

@@ -817,3 +817,41 @@ def test_crawl_diff_and_revisit_priority(spark):
     assert abs(p["u2"]["change_rate"] - 1 / 5) < 1e-12  # (0+1)/(2+3)
     assert "u3" not in p  # gone rows leave the frontier
     assert p["u1"]["revisit_score"] > p["u2"]["revisit_score"]
+
+
+def test_canonical_collapse_and_robots_sitemaps(spark):
+    from crawl4ai_custom_spark.operators.headpeek import canonical_collapse
+    from crawl4ai_custom_spark.sources.sitemap import robots_sitemap_urls
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x?ref=1",
+             b'<head><link rel="canonical" href="https://a.com/x"></head>'),
+            ("https://a.com/x", b"<head><title>t</title></head>"),
+            # reversed attribute order
+            ("https://a.com/x?utm=2",
+             b'<head><link href="https://a.com/x" rel="canonical"></head>'),
+            ("https://b.com/solo", b"<head></head>"),
+        ],
+        ["url", "html"],
+    )
+    out = {r["url"]: r for r in canonical_collapse(pages).collect()}
+    assert all(out[u]["canonical_url"] == "https://a.com/x"
+               for u in ("https://a.com/x", "https://a.com/x?ref=1",
+                         "https://a.com/x?utm=2"))
+    reps = [u for u, r in out.items() if r["is_canonical_rep"]]
+    assert sorted(reps) == ["https://a.com/x", "https://b.com/solo"]
+
+    robots = spark.createDataFrame(
+        [("https://a.com/robots.txt",
+          "User-agent: *\nSitemap: https://a.com/s1.xml\n"
+          "Disallow: /x\nSITEMAP:   https://a.com/s2.xml.gz"),
+         ("https://b.com/robots.txt", "User-agent: *\nDisallow: /")],
+        ["url", "robots_txt"],
+    )
+    sm = robots_sitemap_urls(robots).collect()
+    got = [(r["robots_url"], r["sitemap_index"], r["sitemap_url"]) for r in sm]
+    assert got == [
+        ("https://a.com/robots.txt", 0, "https://a.com/s1.xml"),
+        ("https://a.com/robots.txt", 1, "https://a.com/s2.xml.gz"),
+    ]
