@@ -593,6 +593,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
+    < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
+    recomputes the identical smoothed model."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        lm_quality_score,
+        unigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(docs.where(F.col("doc_id") < 300))
+    out = lm_quality_score(docs.where(F.col("doc_id") < 500), lm)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("avg_nll") + 1e-9, 6).alias("avg_nll"),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing gate: inject deterministic emails/SSNs/phones/IPs into
     document texts, redact with the native regexp chain, and verify the
@@ -1801,6 +1819,40 @@ def _pii_oracle_sql() -> str:
     )
 
 
+ORACLES["q_lm_score"] = """
+    with ref_toks as (
+      select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) as term
+      from documents where doc_id < 300
+    ),
+    counts as (select term, count(*) as c from ref_toks group by term),
+    scal as (select sum(c) as total, count(*) as vocab from counts),
+    lm as (
+      select term, ln((c + 1.0) / (total + vocab)) as logp
+      from counts cross join scal
+    ),
+    doc_toks as (
+      select doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) as term
+      from documents where doc_id < 500
+    ),
+    scored as (
+      select d.doc_id,
+             coalesce(lm.logp, ln(1.0 / (scal.total + scal.vocab))) as logp
+      from doc_toks d cross join scal left join lm on lm.term = d.term
+    ),
+    agg as (
+      select doc_id, count(*) as n_tokens, -avg(logp) as avg_nll
+      from scored group by doc_id
+    )
+    select docs.doc_id,
+           coalesce(agg.n_tokens, 0)::BIGINT as n_tokens,
+           round(coalesce(agg.avg_nll, 0.0) + 1e-9, 6) as avg_nll
+    from (select doc_id from documents where doc_id < 500) docs
+    left join agg on agg.doc_id = docs.doc_id
+"""
+
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
 ORACLES["q_canonical_collapse"] = """
@@ -2462,6 +2514,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
+    "q_lm_score": q_lm_score,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

@@ -257,3 +257,71 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
         F.lit(1_000_000),
     )
     return docs.where(bucket < (rate * 1_000_000).cast("long"))
+
+
+def unigram_lm(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language model with add-one smoothing from a reference
+    corpus: (term, logp) + the shared (total, vocab) scalars as columns.
+    The CCNet-style LM-quality dataflow (public: Wenzek et al. 2020) with
+    the n-gram model behind the same seam a KenLM swap would use — training
+    is one explode + groupBy; the scalars stay IN the dataflow (one-row
+    cross join), never on the driver. In a long pipeline, materialize the
+    returned (small, vocab-sized) table to parquet once — its lineage
+    otherwise recomputes the reference-corpus explode at every broadcast."""
+    toks = ref_docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 1)
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scal = counts.agg(
+        F.sum("c").alias("lm_total"), F.count(F.lit(1)).alias("lm_vocab")
+    )
+    return counts.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.log((F.col("c") + 1.0) / (F.col("lm_total") + F.col("lm_vocab")))
+        .alias("logp"),
+        "lm_total", "lm_vocab",
+    )
+
+
+def lm_quality_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc mean negative log-likelihood under the unigram LM (lower =
+    more reference-like; the LM-filter signal used to rank crawl text
+    against a clean corpus). Unknown terms get the smoothed unseen mass
+    1/(total+vocab). Shape: explode -> broadcast join -> one keyed agg."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 1)
+        ).alias("term"),
+    )
+    scal = lm.select("lm_total", "lm_vocab").limit(1)
+    scored = (
+        toks.join(F.broadcast(lm.select("term", "logp")), "term", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            F.coalesce(
+                "logp",
+                F.log(1.0 / (F.col("lm_total") + F.col("lm_vocab"))),
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("logp")).alias("avg_nll"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, docs[id_col] == agg["id"], "left")
+        .drop("id")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )

@@ -855,3 +855,34 @@ def test_canonical_collapse_and_robots_sitemaps(spark):
         ("https://a.com/robots.txt", 0, "https://a.com/s1.xml"),
         ("https://a.com/robots.txt", 1, "https://a.com/s2.xml.gz"),
     ]
+
+
+def test_unigram_lm_quality_ordering(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        lm_quality_score,
+        unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    lm = unigram_lm(ref)
+    model = {r["term"]: r for r in lm.collect()}
+    # 'the' appears 4x of 12 tokens (len>1 filter keeps all these words)
+    total, vocab = model["the"]["lm_total"], model["the"]["lm_vocab"]
+    assert total == 12 and vocab == 7
+    assert abs(model["the"]["logp"] - math.log(5 / 19)) < 1e-12
+
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"),            # all in-vocab, frequent
+         (11, "quantum flux capacitor"), # all unknown
+         (12, "")],                      # empty
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_quality_score(docs, lm).collect()}
+    assert out[10]["avg_nll"] < out[11]["avg_nll"]  # reference-like ranks better
+    assert abs(out[11]["avg_nll"] - (-math.log(1 / 19))) < 1e-12
+    assert out[12]["n_tokens"] == 0 and out[12]["avg_nll"] == 0.0
