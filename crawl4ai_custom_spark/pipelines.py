@@ -38,6 +38,7 @@ class CorpusConfig:
     min_quality: float = 0.35
     allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
     max_dup_line_frac: float = 0.5
+    lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
     redact_pii: bool = True
     near_dedup: bool = True
     jaccard_threshold: float = 0.6
@@ -51,6 +52,7 @@ class CorpusConfig:
 
 def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
                        bench: DataFrame | None = None,
+                       lm_ref: DataFrame | None = None,
                        id_col: str = "doc_id", text_col: str = "text",
                        checkpoint_dir: str | None = None) -> DataFrame:
     """documents(doc_id, text[, lang, ...]) -> training corpus with
@@ -91,6 +93,16 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     prof = prof.join(rep, id_col, "left").where(
         F.coalesce("dup_line_frac", F.lit(0.0)) <= cfg.max_dup_line_frac
     ).drop("dup_line_frac")
+
+    # 2b. optional LM gate: mean NLL under a clean-corpus unigram LM
+    if lm_ref is not None and cfg.lm_max_nll is not None:
+        from .operators.textstats import lm_quality_score, unigram_lm
+
+        nll = lm_quality_score(prof, unigram_lm(lm_ref, text_col=text_col),
+                               id_col=id_col, text_col=text_col)
+        prof = prof.join(
+            nll.select(id_col, "avg_nll"), id_col, "left"
+        ).where(F.coalesce("avg_nll", F.lit(0.0)) <= cfg.lm_max_nll).drop("avg_nll")
 
     # 3. PII redaction (codegen projection) — the redacted text REPLACES the
     # original so nothing downstream ever sees raw PII

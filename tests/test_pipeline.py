@@ -104,3 +104,20 @@ def test_pipeline_chunking_and_mixture(spark, corpus):
     for r in out:
         assert len(r["text"].split()) * 0.75 <= cfg.chunk_tokens + 1e-9
     assert {r["doc_id"] for r in out} < {i for i in range(30)} | {100, 101, 102, 104}
+
+
+def test_pipeline_lm_gate(spark, corpus):
+    """With an LM reference and a tight NLL cap, off-distribution docs drop."""
+    lm_ref = spark.createDataFrame(
+        [(9100, _doc(0)), (9101, _doc(1)), (9102, _doc(2))],
+        ["doc_id", "text"],
+    )
+    open_cfg = CorpusConfig(near_dedup=False, lm_max_nll=1e9)
+    tight_cfg = CorpusConfig(near_dedup=False, lm_max_nll=4.0)
+    all_ids = {r["doc_id"] for r in
+               build_training_set(corpus, open_cfg, lm_ref=lm_ref).collect()}
+    kept = {r["doc_id"] for r in
+            build_training_set(corpus, tight_cfg, lm_ref=lm_ref).collect()}
+    assert kept < all_ids  # the cap must actually drop some docs
+    # docs sharing the reference topics rank best and survive
+    assert 0 in kept and 1 in kept
