@@ -192,6 +192,38 @@ def main() -> None:
         ],
     )
 
+    # 9. stratified sampling: a pure scan-level filter — no shuffle, no RNG
+    from crawl4ai_custom_spark.operators.textstats import (
+        lm_quality_score,
+        stratified_sample,
+        unigram_lm,
+    )
+
+    strat_in = docs_small.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    p = plan_of(stratified_sample(strat_in, {"en": 0.5, "de": 0.25}))
+    checks = []
+    ok = p.count("Exchange") == 0
+    checks.append((("PASS  " if ok else "FAIL  ") + "zero Exchange",
+                   "mixture sampling evaluates at the scan; 100 TB costs "
+                   "one filtered pass"))
+    if not ok:
+        failures.append("stratified sample: zero Exchange")
+    sections.append(("Stratified sampling — scan-level hash filter", p, checks))
+
+    # 10. LM scoring: the model ships BROADCAST; the corpus tokens only
+    # shuffle once for the per-doc aggregate
+    audit(
+        "LM quality score — broadcast model join",
+        lm_quality_score(docs_small, unigram_lm(bench_small)),
+        [
+            (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+             "the vocab-sized LM ships to executors; corpus tokens are "
+             "never shuffled by the join"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
