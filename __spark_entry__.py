@@ -593,6 +593,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup gate: every doc carries injected nav/footer
+    boilerplate (and every 5th a semi-common line); lines occurring in > 3
+    distinct docs vanish corpus-wide, per-doc unique lines survive."""
+    from crawl4ai_custom_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COMMON NAV HEADER\n"),
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("SEMI COMMON LINE\n"))
+            .otherwise(F.lit("")),
+            F.lit("COMMON FOOTER LINE"),
+        ).alias("text"),
+    )
+    out = line_dedup(injected, max_docs=3)
+    return out.select(
+        "doc_id", F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
     < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
@@ -1819,6 +1843,43 @@ def _pii_oracle_sql() -> str:
     )
 
 
+ORACLES["q_line_dedup"] = """
+    with m as (
+      select doc_id,
+             'COMMON NAV HEADER' || chr(10) || substr(text, 1, 60) || chr(10)
+             || case when doc_id % 5 = 0 then 'SEMI COMMON LINE' || chr(10)
+                     else '' end
+             || 'COMMON FOOTER LINE' as text
+      from documents where doc_id < 400
+    ),
+    tl as (select doc_id, string_split(text, chr(10)) as l from m),
+    lines as (
+      select doc_id, i as pos, l[i+1] as line, trim(l[i+1]) as key
+      from tl, unnest(range(0, len(l))) as t(i)
+    ),
+    heavy as (
+      select key from lines where key <> ''
+      group by key having count(distinct doc_id) > 3
+    ),
+    kept as (
+      select doc_id, pos, line from lines
+      where key = '' or key not in (select key from heavy)
+    ),
+    reb as (
+      select doc_id, string_agg(line, chr(10) order by pos) as clean,
+             count(*) as n_kept
+      from kept group by doc_id
+    ),
+    tot as (select doc_id, count(*) as n_lines from lines group by doc_id)
+    select m.doc_id,
+           (coalesce(tot.n_lines, 0) - coalesce(reb.n_kept, 0))::BIGINT
+             as n_lines_removed,
+           md5(coalesce(reb.clean, '')) as clean_md5
+    from m
+    left join reb on reb.doc_id = m.doc_id
+    left join tot on tot.doc_id = m.doc_id
+"""
+
 ORACLES["q_lm_score"] = """
     with ref_toks as (
       select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2515,6 +2576,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
     "q_lm_score": q_lm_score,
+    "q_line_dedup": q_line_dedup,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

@@ -403,3 +403,54 @@ def dedup_keepers(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", max_docs: int = 2) -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020 §2.2, public
+    paper): drop every line whose trimmed form occurs in more than
+    `max_docs` distinct documents across the WHOLE corpus — the standard
+    boilerplate/nav/footer removal pass.
+
+    Returns docs with `<text_col>` rebuilt (original line order, blank
+    lines preserved) plus `n_lines_removed`.
+
+    Scale shape: one explode keyed by (trimmed line) for the global count —
+    boilerplate lines are heavy keys but the count aggregates partially
+    map-side; the rebuild is one groupBy(id) with an array_sort, no window.
+    """
+    did = F.col(id_col)
+    lines = docs.select(
+        did.alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim("line"))
+    counted = (
+        lines.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+        .select("key", F.lit(True).alias("drop"))
+    )
+    marked = lines.join(counted, "key", "left")
+    kept = marked.where(F.col("drop").isNull() | (F.col("key") == ""))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left").drop("id")
+        .join(totals, docs[id_col] == totals["id"], "left").drop("id")
+        .withColumn(
+            "n_lines_removed",
+            F.coalesce("_n_lines", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)),
+        )
+        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        .drop("_clean", "_n_kept", "_n_lines")
+    )

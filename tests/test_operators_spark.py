@@ -886,3 +886,23 @@ def test_unigram_lm_quality_ordering(spark):
     assert out[10]["avg_nll"] < out[11]["avg_nll"]  # reference-like ranks better
     assert abs(out[11]["avg_nll"] - (-math.log(1 / 19))) < 1e-12
     assert out[12]["n_tokens"] == 0 and out[12]["avg_nll"] == 0.0
+
+
+def test_line_dedup_removes_global_boilerplate(spark):
+    from crawl4ai_custom_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\nunique one\n\nFOOTER"),
+            (2, "NAV\nunique two\nFOOTER"),
+            (3, "NAV\nunique three\nFOOTER"),
+            (4, "all original content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_docs=2).collect()}
+    assert out[1]["text"] == "unique one\n"  # blank line preserved
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "unique two"
+    assert out[4]["text"] == "all original content here"
+    assert out[4]["n_lines_removed"] == 0
