@@ -415,6 +415,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: corpus as m=4 codes over
+    deterministic 16-entry codebooks; queries score every corpus vector as
+    the sum of per-subspace table lookups. Oracle rebuilds codebooks, codes,
+    and distance tables identically."""
+    from crawl4ai_custom_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return pq_topk(emb, queries, k=5, m=4, n_codes=16)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.textstats import profile_documents
 
@@ -1750,6 +1762,60 @@ ORACLES["q_ann_ivf"] = f"""
     from ranked where rank <= 5
 """
 
+ORACLES["q_ann_pq"] = """
+    with corpus as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+    ),
+    base as (
+      select vec_id as src_id, v,
+             row_number() over (order by vec_id asc) - 1 as code
+      from (select * from corpus order by vec_id asc limit 16)
+    ),
+    cb as (
+      select s.i as subspace, code, v[s.i*16+1 : s.i*16+16] as centroid
+      from base, unnest(range(0, 4)) as s(i)
+    ),
+    csub as (
+      select vec_id as id, s.i as subspace, v[s.i*16+1 : s.i*16+16] as sv
+      from corpus, unnest(range(0, 4)) as s(i)
+    ),
+    cdist as (
+      select id, subspace, code,
+             list_sum(list_transform(range(1, 17),
+                                     j -> (sv[j] - centroid[j])^2)) as d2
+      from csub join cb using (subspace)
+    ),
+    ccodes as (
+      select id as neighbor_id, subspace, code from (
+        select *, row_number() over (partition by id, subspace
+                                     order by d2 asc, code asc) as rn
+        from cdist) where rn = 1
+    ),
+    qsub as (
+      select id as query_id, subspace, sv from csub where id < 20
+    ),
+    qtab as (
+      select query_id, subspace, code,
+             list_sum(list_transform(range(1, 17),
+                                     j -> (sv[j] - centroid[j])^2)) as d2
+      from qsub join cb using (subspace)
+    ),
+    pairs as (
+      select query_id, neighbor_id, round(sum(d2) + 1e-9, 6) as approx_l2
+      from ccodes join qtab using (subspace, code)
+      where query_id <> neighbor_id
+      group by query_id, neighbor_id
+    ),
+    ranked as (
+      select *, row_number() over (partition by query_id
+                                   order by approx_l2 asc, neighbor_id asc)
+               as rank
+      from pairs
+    )
+    select query_id, neighbor_id, approx_l2, rank::INTEGER as rank
+    from ranked where rank <= 5
+"""
+
 _PAD = "' ' || lower(text) || ' '"
 
 
@@ -2577,6 +2643,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stratified_sample": q_stratified_sample,
     "q_lm_score": q_lm_score,
     "q_line_dedup": q_line_dedup,
+    "q_ann_pq": q_ann_pq,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

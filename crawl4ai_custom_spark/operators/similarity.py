@@ -241,3 +241,110 @@ def ivf_topk(
         .select("query_id", "neighbor_id",
                 F.col("cosine").cast("double").alias("cosine"), "rank")
     )
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two array<double> columns — sequential left-to-
+    right fold, same evaluation order as the SQL oracle's list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 4, n_codes: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Product-quantization codebooks: (subspace, code, centroid slice).
+
+    Same deterministic convention as data_centroids: the n_codes corpus
+    vectors with smallest ids serve as the codebook (code = id rank), sliced
+    per subspace — oracle-reproducible; a production deployment k-means each
+    subspace, the encode/ADC dataflow below is identical either way."""
+    w = Window.orderBy(F.asc("src_id"))
+    base = (
+        corpus.orderBy(F.asc(id_col)).limit(n_codes)
+        .select(F.col(id_col).alias("src_id"),
+                F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    return base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        "code", "v",
+    ).select(
+        "subspace", "code",
+        F.expr(f"slice(v, subspace * (size(v) div {m}) + 1,"
+               f" size(v) div {m})").alias("centroid"),
+    )
+
+
+def _subspace_slices(df: DataFrame, m: int, id_col: str, vec_col: str
+                     ) -> DataFrame:
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    return v.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        "v",
+    ).select(
+        "id", "subspace",
+        F.expr(f"slice(v, subspace * (size(v) div {m}) + 1,"
+               f" size(v) div {m})").alias("sv"),
+    )
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(id, subspace, code): each subvector snaps to its nearest codebook
+    centroid (squared L2, ties to the lower code). Broadcast codebook join +
+    one window — m*n_codes candidate rows per vector, all native."""
+    sub = _subspace_slices(df, m, id_col, vec_col)
+    scored = sub.join(F.broadcast(codebooks), "subspace").withColumn(
+        "d2", _l2_sq(F.col("sv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("id", "subspace").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "subspace", "code")
+    )
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
+            n_codes: int = 16, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC approximate top-k: corpus stored as m-byte codes; each query
+    precomputes an (subspace, code) -> distance table against the codebooks
+    and scores every corpus vector as the SUM of m table lookups
+    (asymmetric distance computation — the memory-bound web-scale ANN
+    layout; Jégou et al. 2011, public paper).
+
+    approx_l2 is rounded BEFORE ranking so equal-code neighbors tie exactly
+    and the (approx_l2, neighbor_id) order is engine-independent. Combine
+    with IVF bucketing for sublinear scan at 10^10 vectors — this operator
+    is the within-bucket scorer."""
+    cb = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    ccodes = pq_encode(corpus, cb, m, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "subspace", "code"
+    )
+    qtab = _subspace_slices(queries, m, id_col, vec_col).join(
+        F.broadcast(cb), "subspace"
+    ).select(
+        F.col("id").alias("query_id"), "subspace", "code",
+        _l2_sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    pairs = (
+        ccodes.join(qtab, ["subspace", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2") + 1e-9, 6).alias("approx_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_l2", "rank")
+    )

@@ -906,3 +906,35 @@ def test_line_dedup_removes_global_boilerplate(spark):
     assert out[2]["text"] == "unique two"
     assert out[4]["text"] == "all original content here"
     assert out[4]["n_lines_removed"] == 0
+
+
+def test_pq_encode_and_adc_recall(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_codebooks(emb, m=2, n_codes=8)
+    assert cb.count() == 16  # 2 subspaces x 8 codes
+    codes = pq_encode(emb, cb, m=2)
+    assert codes.count() == 120  # one code per (vector, subspace)
+    assert codes.agg(F.max("code")).first()[0] <= 7
+    # codebook source vectors encode to their own code exactly (d2 == 0)
+    own = {r["id"]: r["code"] for r in codes.where(
+        (F.col("id") < 8) & (F.col("subspace") == 0)).collect()}
+    assert own == {i: i for i in range(8)}
+
+    q = emb.where(F.col("vec_id") < 3)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, q, k=3).collect()}
+    pq = pq_topk(emb, q, k=3, m=2, n_codes=8)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    assert pq.agg(F.max("rank")).first()[0] <= 3
+    # coarse 8-code quantization still recovers some true neighbors on the
+    # smooth manifold
+    assert len(bf & got) >= 1
