@@ -348,3 +348,47 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_l2", "rank")
     )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 8, nprobe: int = 2, m: int = 4,
+               n_codes: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the production web-scale ANN layout — coarse centroids prune
+    the scan to nprobe buckets, PQ/ADC scores only the surviving candidates.
+    Pure composition of the two oracled parts: the bucket join shrinks the
+    candidate set ~n_centroids/nprobe-fold, then codes are scored by table
+    lookups instead of full vectors."""
+    cents = data_centroids(corpus, n_centroids, id_col, vec_col)
+    cb = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    cbuck = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), "bucket"
+    )
+    ccodes = pq_encode(corpus, cb, m, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "subspace", "code"
+    ).join(cbuck, "neighbor_id")
+    qbuck = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    qtab = _subspace_slices(queries, m, id_col, vec_col).join(
+        F.broadcast(cb), "subspace"
+    ).select(
+        F.col("id").alias("query_id"), "subspace", "code",
+        _l2_sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    cand = ccodes.join(qbuck, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).dropDuplicates(["query_id", "neighbor_id", "subspace"])
+    pairs = (
+        cand.join(qtab, ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2") + 1e-9, 6).alias("approx_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_l2", "rank")
+    )

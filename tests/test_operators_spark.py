@@ -938,3 +938,23 @@ def test_pq_encode_and_adc_recall(spark):
     # coarse 8-code quantization still recovers some true neighbors on the
     # smooth manifold
     assert len(bf & got) >= 1
+
+
+def test_ivfpq_composition(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    full = {(r["query_id"], r["neighbor_id"]): r["approx_l2"]
+            for r in pq_topk(emb, q, k=3, m=2, n_codes=8).collect()}
+    # probing EVERY bucket makes IVF-PQ degenerate to plain PQ/ADC
+    same = {(r["query_id"], r["neighbor_id"]): r["approx_l2"]
+            for r in ivfpq_topk(emb, q, k=3, n_centroids=4, nprobe=4,
+                                m=2, n_codes=8).collect()}
+    assert same == full
+    pruned = ivfpq_topk(emb, q, k=3, n_centroids=6, nprobe=2,
+                        m=2, n_codes=8).collect()
+    assert pruned and all(r["rank"] <= 3 for r in pruned)
