@@ -39,6 +39,7 @@ class CorpusConfig:
     allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
     max_dup_line_frac: float = 0.5
     lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
+    line_dedup_max_docs: int | None = None  # C4 global line dedup when set
     redact_pii: bool = True
     near_dedup: bool = True
     jaccard_threshold: float = 0.6
@@ -78,6 +79,15 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     from .operators.urlops import stable_hash60
 
     cfg = cfg or CorpusConfig()
+
+    # 0. optional C4 global line dedup FIRST: boilerplate must vanish before
+    # quality/repetition are measured, or nav/footer noise skews both
+    if cfg.line_dedup_max_docs is not None:
+        from .operators.dedup import line_dedup
+
+        docs = line_dedup(docs, id_col=id_col, text_col=text_col,
+                          max_docs=cfg.line_dedup_max_docs).drop(
+            "n_lines_removed")
 
     # 1. profile + quality/language gates (pure codegen — runs in the scan)
     prof = profile_documents(docs, text_col=text_col)

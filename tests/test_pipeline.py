@@ -121,3 +121,19 @@ def test_pipeline_lm_gate(spark, corpus):
     assert kept < all_ids  # the cap must actually drop some docs
     # docs sharing the reference topics rank best and survive
     assert 0 in kept and 1 in kept
+
+
+def test_pipeline_line_dedup_stage(spark):
+    """Global boilerplate lines vanish before quality is measured."""
+    docs = spark.createDataFrame(
+        [(i, "SITE NAV MENU\n" + _doc(i) + "\nCOPYRIGHT FOOTER")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    cfg = CorpusConfig(near_dedup=False, line_dedup_max_docs=3)
+    out = build_training_set(docs, cfg).collect()
+    assert len(out) == 8
+    for r in out:
+        assert "SITE NAV MENU" not in r["text"]
+        assert "COPYRIGHT FOOTER" not in r["text"]
+        assert "handbook" in r["text"]  # real content intact
