@@ -440,6 +440,41 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation gate: 40 link targets, 7 rotating anchor
+    texts; per-target counts + top-3 anchors (count desc, text asc)."""
+    from crawl4ai_custom_spark.operators.linkgraph import anchor_text_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    links = docs.select(
+        F.concat(F.lit("https://t.com/"),
+                 (F.col("doc_id") % 40).cast("string")).alias("href"),
+        F.concat(F.lit("anchor "),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"),
+    )
+    return anchor_text_stats(links, top_n=3)
+
+
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution gate: chains of length doc_id%4 plus
+    planted self-loops (doc_id%100==1); 4 unrolled hops resolve every real
+    chain and flag the loops unresolved."""
+    from crawl4ai_custom_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://r.com/"), d.cast("string"))
+    pages = docs.select(
+        url.alias("url"),
+        F.when(d % 4 == 0, 200).otherwise(301).alias("status_code"),
+        F.when(d % 4 == 0, F.lit(None).cast("string"))
+        .when(d % 100 == 1, url)  # self-loop
+        .otherwise(F.concat(F.lit("https://r.com/"), (d - 1).cast("string")))
+        .alias("redirect_to"),
+    )
+    return resolve_redirects(pages, max_hops=4)
+
+
 def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel=canonical dedup gate: docs in triples where the two mirrors
     declare <link rel=canonical> to the triple's base url; collapse picks
@@ -1982,6 +2017,46 @@ ORACLES["q_lm_score"] = """
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_anchor_stats"] = """
+    with links as (
+      select 'https://t.com/' || (doc_id % 40) as href,
+             'anchor ' || (doc_id % 7) as anchor
+      from documents where doc_id < 500
+    ),
+    per as (select href, anchor, count(*) as n from links group by 1, 2),
+    ranked as (
+      select href, anchor, n,
+             row_number() over (partition by href
+                                order by n desc, anchor asc) as rn
+      from per
+    ),
+    top as (
+      select href, string_agg(anchor, '|' order by rn) as top_anchors
+      from ranked where rn <= 3 group by href
+    ),
+    tot as (
+      select href, sum(n)::BIGINT as n_incoming,
+             count(*)::BIGINT as n_unique_anchors
+      from per group by href
+    )
+    select tot.href, n_incoming, n_unique_anchors, top_anchors
+    from tot join top using (href)
+"""
+
+ORACLES["q_redirects"] = """
+    with base as (
+      select doc_id, doc_id % 4 as r, doc_id % 100 as h
+      from documents where doc_id < 500
+    )
+    select 'https://r.com/' || doc_id as url,
+           case when h between 1 and 3
+                then 'https://r.com/' || (doc_id - h + 1)
+                else 'https://r.com/' || (doc_id - r) end as final_url,
+           (case when h between 1 and 3 then 4 else r end)::INT as n_hops,
+           not (h between 1 and 3) as resolved
+    from base
+"""
+
 ORACLES["q_canonical_collapse"] = """
     with p as (
       select 'https://ex.com/p/' || doc_id as url,
@@ -2638,6 +2713,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
+    "q_anchor_stats": q_anchor_stats,
+    "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,

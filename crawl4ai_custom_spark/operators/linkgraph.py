@@ -23,7 +23,7 @@ the node count scalar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,42 @@ def pagerank_authority(ranks: DataFrame, top_n: int = 1000,
         return {}
     mx = max(r["rank"] for r in top) or 1.0
     return {r["node"]: max(floor, r["rank"] / mx) for r in top}
+
+
+def anchor_text_stats(links: DataFrame, href_col: str = "href",
+                      text_col: str = "text", top_n: int = 3) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic incoming-link
+    relevance signal (how the web describes a page): for every link target,
+    the number of incoming links, distinct anchor texts, and the top-N
+    anchors by count (count desc, text asc), joined as one string.
+
+    Shape: two keyed groupBys + one window over the (already aggregated)
+    per-(href, text) counts — never over raw links.
+    """
+    per = (
+        links.select(F.col(href_col).alias("href"),
+                     F.trim(F.col(text_col)).alias("anchor"))
+        .where(F.col("anchor") != "")
+        .groupBy("href", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("href").orderBy(F.desc("n"), F.asc("anchor"))
+    top = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_n)
+        .groupBy("href")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "anchor"))),
+                    lambda s: s["anchor"],
+                ),
+                "|",
+            ).alias("top_anchors")
+        )
+    )
+    totals = per.groupBy("href").agg(
+        F.sum("n").alias("n_incoming"),
+        F.count(F.lit(1)).alias("n_unique_anchors"),
+    )
+    return totals.join(top, "href")

@@ -958,3 +958,33 @@ def test_ivfpq_composition(spark):
     pruned = ivfpq_topk(emb, q, k=3, n_centroids=6, nprobe=2,
                         m=2, n_codes=8).collect()
     assert pruned and all(r["rank"] <= 3 for r in pruned)
+
+
+def test_anchor_stats_and_redirect_resolution(spark):
+    from crawl4ai_custom_spark.operators.linkgraph import anchor_text_stats
+    from crawl4ai_custom_spark.operators.redirects import resolve_redirects
+
+    links = spark.createDataFrame(
+        [("https://t/a", "Home"), ("https://t/a", "Home"),
+         ("https://t/a", "home page"), ("https://t/a", "  "),  # blank dropped
+         ("https://t/b", "Docs")],
+        ["href", "text"],
+    )
+    out = {r["href"]: r for r in anchor_text_stats(links, top_n=2).collect()}
+    assert out["https://t/a"]["n_incoming"] == 3
+    assert out["https://t/a"]["n_unique_anchors"] == 2
+    assert out["https://t/a"]["top_anchors"] == "Home|home page"
+    assert out["https://t/b"]["top_anchors"] == "Docs"
+
+    pages = spark.createDataFrame(
+        [("a", 301, "b"), ("b", 302, "c"), ("c", 200, None),
+         ("x", 301, "y"), ("y", 301, "x"),  # 2-cycle
+         ("z", 200, None)],
+        ["url", "status_code", "redirect_to"],
+    )
+    res = {r["url"]: r for r in
+           resolve_redirects(pages, max_hops=4).collect()}
+    assert res["a"]["final_url"] == "c" and res["a"]["n_hops"] == 2
+    assert res["a"]["resolved"] and res["c"]["n_hops"] == 0
+    assert not res["x"]["resolved"] and res["x"]["n_hops"] == 4
+    assert res["z"]["resolved"]
