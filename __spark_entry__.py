@@ -440,6 +440,26 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template clustering gate: parametrized urls (3 path shapes ×
+    numeric ids) collapse to their templates with counts + deterministic
+    example."""
+    from crawl4ai_custom_spark.operators.urlops import template_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://s.com/product/"),
+                                F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("https://s.com/page?p="),
+                               (F.col("doc_id") % 50).cast("string"),
+                               F.lit("&y=2024")))
+        .otherwise(F.concat(F.lit("https://s.com/"), F.col("source"),
+                            F.lit("/post-"), F.col("doc_id").cast("string")))
+    )
+    return template_stats(docs.select(url.alias("url")))
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation gate: 40 link targets, 7 rotating anchor
     texts; per-target counts + top-3 anchors (count desc, text asc)."""
@@ -2017,6 +2037,20 @@ ORACLES["q_lm_score"] = """
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_url_templates"] = """
+    with u as (
+      select case doc_id % 3
+        when 0 then 'https://s.com/product/' || doc_id
+        when 1 then 'https://s.com/page?p=' || (doc_id % 50) || '&y=2024'
+        else 'https://s.com/' || source || '/post-' || doc_id
+      end as url
+      from documents where doc_id < 500
+    )
+    select regexp_replace(url, '\\d+', '{N}', 'g') as template,
+           count(*)::BIGINT as n_urls, min(url) as example_url
+    from u group by 1
+"""
+
 ORACLES["q_anchor_stats"] = """
     with links as (
       select 'https://t.com/' || (doc_id % 40) as href,
@@ -2714,6 +2748,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,
+    "q_url_templates": q_url_templates,
     "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,

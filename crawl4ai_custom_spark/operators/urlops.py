@@ -123,3 +123,23 @@ def with_canonical(df: DataFrame, url_col: str = "url",
         canonicalize_abs_udf(F.col(url_col)).alias(out_col),
     ).withColumn("registrable_domain", registrable_domain_udf(F.col(out_col)))
     return df.join(canon, url_col, "left")
+
+
+def url_template(url: Column) -> Column:
+    """Collapse numeric segments to '{N}' — the standard parametrized-page
+    template key (/product/12345 -> /product/{N}). Native regexp, RE2-safe
+    so the oracle runs the identical pattern."""
+    return F.regexp_replace(url, r"\d+", "{N}")
+
+
+def template_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-template page counts + deterministic example — how a crawler
+    spots infinite parameter spaces (calendars, pagination, session ids)
+    before burning budget on them. One groupBy on the templated key."""
+    t = url_template(F.col(url_col))
+    return (
+        urls.select(t.alias("template"), F.col(url_col).alias("u"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.min("u").alias("example_url"))
+    )
