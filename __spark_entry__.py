@@ -415,6 +415,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means gate: deterministic init, two materialized rounds with
+    round-6 centroid quantization (engine-independent trajectories); the
+    oracle unrolls the identical two rounds in SQL."""
+    from crawl4ai_custom_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iterations=2)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k: corpus as m=4 codes over
     deterministic 16-entry codebooks; queries score every corpus vector as
@@ -1817,6 +1827,56 @@ ORACLES["q_ann_ivf"] = f"""
     from ranked where rank <= 5
 """
 
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB twin of kmeans_lloyd: same deterministic init, same round-6
+    centroid quantization between rounds (so the trajectories are
+    bit-identical), `iterations` rounds unrolled."""
+    cos = _COS_SQL
+    parts = [
+        "with v as (select vec_id as id, embedding::DOUBLE[] as v from embeddings)",
+        f"""c0 as (
+          select row_number() over (order by id asc) - 1 as cluster,
+                 list_transform(v, x -> round(x, 6)) as centroid
+          from (select * from v order by id asc limit {k}))""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        a, d, m, cm, c = f"a{it}", f"d{it}", f"m{it}", f"cm{it}", f"c{it}"
+        parts += [
+            f"""{a} as (
+              select id, v, cluster from (
+                select v.id, v.v, c.cluster,
+                       row_number() over (partition by v.id
+                         order by {cos.format(a="v.v", b="c.centroid")} desc,
+                                  c.cluster asc) as rn
+                from v cross join {prev} c) where rn = 1)""",
+            f"""{d} as (
+              select cluster, s.i as dim, v[s.i+1] as val
+              from {a}, unnest(range(0, len(v))) as s(i))""",
+            f"""{m} as (
+              select cluster, dim, round(avg(val), 6) as mv
+              from {d} group by 1, 2)""",
+            f"""{cm} as (
+              select cluster, list(mv order by dim) as centroid
+              from {m} group by cluster)""",
+            f"""{c} as (
+              select p.cluster, coalesce({cm}.centroid, p.centroid) as centroid
+              from {prev} p left join {cm} using (cluster))""",
+        ]
+        prev = c
+    final = f"""af as (
+      select id, cluster from (
+        select v.id, c.cluster,
+               row_number() over (partition by v.id
+                 order by {cos.format(a="v.v", b="c.centroid")} desc,
+                          c.cluster asc) as rn
+        from v cross join {prev} c) where rn = 1)"""
+    parts.append(final)
+    return ",\n".join(parts) + "\nselect id as vec_id, cluster from af"
+
+
+ORACLES["q_kmeans"] = _kmeans_oracle_sql(8, 2)
+
 ORACLES["q_ann_pq"] = """
     with corpus as (
       select vec_id, embedding::DOUBLE[] as v from embeddings
@@ -2756,6 +2816,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_score": q_lm_score,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
+    "q_kmeans": q_kmeans,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

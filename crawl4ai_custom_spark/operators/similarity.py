@@ -392,3 +392,76 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_l2", "rank")
     )
+
+
+def kmeans_lloyd(vectors: DataFrame, k: int = 8, iterations: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Lloyd's k-means as iterative dataflow: init = the k smallest-id
+    vectors (deterministic); each round broadcasts the centroids, assigns
+    every vector to its max-cosine centroid, and recomputes each centroid
+    as the element-wise member mean. Returns (id, cluster) assignments
+    under the FINAL centroids.
+
+    Determinism contract: centroid coordinates are rounded to 6 decimals
+    between rounds, so iteration inputs are bit-identical across engines
+    and the SQL oracle replays the exact same trajectory (mean-reduction
+    FP noise never compounds). Rounds materialize to parquet when
+    checkpoint_dir is given (lineage truncation, same pattern as
+    cluster_pairs/pagerank).
+
+    Shape per round: one broadcast join + argmax window + a (cluster, dim)
+    grouped mean — linear in |vectors| * dims, no driver state.
+    """
+    import os
+
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    w0 = Window.orderBy(F.asc("id"))
+    cents = (
+        v.orderBy(F.asc("id")).limit(k)
+        .withColumn("cluster", F.row_number().over(w0) - 1)
+        .select("cluster",
+                F.transform("v", lambda x: F.round(x, 6)).alias("centroid"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cents_df)).withColumn(
+            "aff", cosine(F.col("v"), F.col("centroid"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("aff"), F.asc("cluster"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "v", "cluster")
+        )
+
+    for it in range(iterations):
+        a = assign(cents)
+        dims = a.select(
+            "cluster", F.posexplode("v").alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        # clusters that lost every member keep their previous centroid
+        cents = (
+            cents.select("cluster", F.col("centroid").alias("_prev"))
+            .join(means, "cluster", "left")
+            .select("cluster", F.coalesce("centroid", "_prev").alias("centroid"))
+        )
+        if checkpoint_dir is not None:
+            out = os.path.join(checkpoint_dir, f"centroids_{it % 2}")
+            cents.write.mode("overwrite").parquet(out)
+            cents = spark.read.parquet(out)
+
+    return assign(cents).select(F.col("id").alias(id_col), "cluster")

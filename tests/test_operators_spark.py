@@ -988,3 +988,22 @@ def test_anchor_stats_and_redirect_resolution(spark):
     assert res["a"]["resolved"] and res["c"]["n_hops"] == 0
     assert not res["x"]["resolved"] and res["x"]["n_hops"] == 4
     assert res["z"]["resolved"]
+
+
+def test_kmeans_separable_clusters(spark):
+    from crawl4ai_custom_spark.operators.similarity import kmeans_lloyd
+
+    # two well-separated direction bundles (cosine geometry)
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3), 0.1 * i, 1.0, 0.0]))       # bundle A
+        rows.append((100 + i, [0.0, 0.5, 10.0 + (i % 4), 9.0]))     # bundle B
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd(emb, k=2, iterations=3).collect()}
+    a = {out[i] for i in range(20)}
+    b = {out[100 + i] for i in range(20)}
+    assert len(a) == 1 and len(b) == 1 and a != b  # perfect separation
+    again = {r["vec_id"]: r["cluster"] for r in
+             kmeans_lloyd(emb, k=2, iterations=3).collect()}
+    assert again == out  # deterministic trajectory
