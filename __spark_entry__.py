@@ -415,6 +415,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence-packing gate: 30-word chunks of docs laid
+    end-to-end per shard (doc_id % 4), every 64 tokens starts a new
+    sequence; exact cumulative-offset oracle."""
+    from crawl4ai_custom_spark.operators.chunking import (
+        fixed_word_chunks,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    chunks = fixed_word_chunks(docs, words=30).withColumn(
+        "shard", (F.col("id") % 4).cast("int")
+    )
+    out = pack_sequences(chunks, seq_tokens=64)
+    return out.select("shard", "id", "chunk_index", "n_tokens",
+                      "seq_id", "seq_offset")
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means gate: deterministic init, two materialized rounds with
     round-6 centroid quantization (engine-independent trajectories); the
@@ -1877,6 +1895,36 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
 
 ORACLES["q_kmeans"] = _kmeans_oracle_sql(8, 2)
 
+ORACLES["q_pack_sequences"] = """
+    with t as (
+      select doc_id as id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as l
+      from documents where doc_id < 200
+    ),
+    chunks as (
+      select id, i::INT as chunk_index,
+             array_to_string(l[i*30+1 : i*30+30], ' ') as chunk
+      from t, unnest(range(0, ((greatest(len(l) - 1, 0)) // 30) + 1)) as u(i)
+    ),
+    nz as (
+      select id, chunk_index, (id % 4)::INT as shard,
+             ceil(len(list_filter(string_split_regex(chunk, '\\s+'),
+                                  x -> x <> '')) * 0.75)::BIGINT as n_tokens
+      from chunks where length(chunk) > 0
+    ),
+    packed as (
+      select shard, id, chunk_index, n_tokens,
+             coalesce(sum(n_tokens) over (
+               partition by shard order by id asc, chunk_index asc
+               rows between unbounded preceding and 1 preceding), 0) as before
+      from nz
+    )
+    select shard, id, chunk_index, n_tokens,
+           (before // 64)::BIGINT as seq_id,
+           (before % 64)::BIGINT as seq_offset
+    from packed
+"""
+
 ORACLES["q_ann_pq"] = """
     with corpus as (
       select vec_id, embedding::DOUBLE[] as v from embeddings
@@ -2817,6 +2865,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
+    "q_pack_sequences": q_pack_sequences,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,

@@ -19,7 +19,7 @@ split / sequence / slice / transform / posexplode — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -245,4 +245,34 @@ def topic_segment_chunks(
     return agg.select(
         "id", F.col("segment").cast("int").alias("chunk_index"),
         chunk.alias("chunk"),
+    )
+
+
+def pack_sequences(chunks: DataFrame, seq_tokens: int = 2048,
+                   shard_col: str = "shard", id_col: str = "id",
+                   index_col: str = "chunk_index", text_col: str = "chunk",
+                   word_token_rate: float = 0.75) -> DataFrame:
+    """Offset-pack chunks into fixed-size training sequences, per shard:
+    chunks are laid end-to-end in deterministic (id, chunk_index) order and
+    every `seq_tokens` tokens starts a new sequence id — the standard
+    pretraining sequence-packing layout (documents straddle boundaries; the
+    trainer clips/attends within sequences).
+
+    Adds: n_tokens (ceil(words * rate)), seq_id, seq_offset. Scale shape:
+    ONE window per shard key — packing parallelism == shard count, exactly
+    how packing runs in practice (one worker per shard)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    n_tok = F.ceil(F.size(toks) * F.lit(word_token_rate)).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.asc(id_col), F.asc(index_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = chunks.withColumn("n_tokens", n_tok).withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        out.withColumn("seq_id", (F.col("_before") / seq_tokens).cast("long"))
+        .withColumn("seq_offset", F.col("_before") % seq_tokens)
+        .drop("_before")
     )

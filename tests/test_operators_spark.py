@@ -1007,3 +1007,25 @@ def test_kmeans_separable_clusters(spark):
     again = {r["vec_id"]: r["cluster"] for r in
              kmeans_lloyd(emb, k=2, iterations=3).collect()}
     assert again == out  # deterministic trajectory
+
+
+def test_pack_sequences_offsets(spark):
+    from crawl4ai_custom_spark.operators.chunking import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(0, 1, 0, "a b c d"),        # 4 words -> 3 tokens
+         (0, 1, 1, "e f g h i j k l"),  # 8 -> 6
+         (0, 2, 0, "m n o p"),        # 3
+         (1, 9, 0, "x y")],           # other shard starts fresh
+        ["shard", "id", "chunk_index", "chunk"],
+    )
+    out = {(r["shard"], r["id"], r["chunk_index"]): r
+           for r in pack_sequences(chunks, seq_tokens=8).collect()}
+    a = out[(0, 1, 0)]
+    assert (a["n_tokens"], a["seq_id"], a["seq_offset"]) == (3, 0, 0)
+    b = out[(0, 1, 1)]
+    assert (b["n_tokens"], b["seq_id"], b["seq_offset"]) == (6, 0, 3)
+    c = out[(0, 2, 0)]
+    assert (c["seq_id"], c["seq_offset"]) == (1, 1)  # 3+6=9 -> second seq
+    d = out[(1, 9, 0)]
+    assert (d["seq_id"], d["seq_offset"]) == (0, 0)  # per-shard reset
