@@ -468,6 +468,53 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=next/prev pagination discovery gate: alternating attribute
+    orders, chain heads/tails missing their respective links."""
+    from crawl4ai_custom_spark.operators.headpeek import pagination_links
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://p.com/list/"), d.cast("string"))
+    nx = F.concat(F.lit("https://p.com/list/"), (d + 1).cast("string"))
+    pv = F.concat(F.lit("https://p.com/list/"), (d - 1).cast("string"))
+    link_next = F.when(
+        d % 3 != 2,
+        F.when(d % 2 == 0,
+               F.concat(F.lit('<link rel="next" href="'), nx, F.lit('">')))
+        .otherwise(F.concat(F.lit('<link href="'), nx,
+                            F.lit('" rel="next">'))),
+    ).otherwise(F.lit(""))
+    link_prev = F.when(
+        d % 3 != 0,
+        F.concat(F.lit('<link rel="prev" href="'), pv, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>x</title>"), link_next,
+                    link_prev, F.lit("</head><body>b</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    out = pagination_links(pages)
+    return out.select("url", "next_url", "prev_url")
+
+
+def q_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host outlink-profile gate (link-farm signal): 10 source hosts, every
+    4th link internal, externals spread over 25 hosts."""
+    from crawl4ai_custom_spark.operators.linkgraph import host_outdegree_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    links = docs.select(
+        F.concat(F.lit("https://h"), (d % 10).cast("string"),
+                 F.lit(".com/p/"), d.cast("string")).alias("url"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("https://h"), (d % 10).cast("string"),
+                        F.lit(".com/q/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("https://ext"), (d % 25).cast("string"),
+                            F.lit(".org/x"))).alias("href"),
+    )
+    return host_outdegree_stats(links)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template clustering gate: parametrized urls (3 path shapes ×
     numeric ids) collapse to their templates with counts + deterministic
@@ -2145,6 +2192,35 @@ ORACLES["q_lm_score"] = """
 
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
+ORACLES["q_pagination"] = """
+    select 'https://p.com/list/' || doc_id as url,
+           case when doc_id % 3 <> 2
+                then 'https://p.com/list/' || (doc_id + 1) end as next_url,
+           case when doc_id % 3 <> 0
+                then 'https://p.com/list/' || (doc_id - 1) end as prev_url
+    from documents where doc_id < 400
+"""
+
+ORACLES["q_outdegree"] = """
+    with l as (
+      select 'https://h' || (doc_id % 10) || '.com/p/' || doc_id as url,
+             case when doc_id % 4 = 0
+                  then 'https://h' || (doc_id % 10) || '.com/q/' || doc_id
+                  else 'https://ext' || (doc_id % 25) || '.org/x' end as href
+      from documents where doc_id < 500
+    ),
+    e as (
+      select lower(regexp_extract(url, 'https?://([^/:]+)', 1)) as s,
+             lower(regexp_extract(href, 'https?://([^/:]+)', 1)) as d
+      from l
+    )
+    select s as src_host, count(*)::BIGINT as n_outlinks,
+           count(distinct d)::BIGINT as n_distinct_hosts,
+           round(avg(case when d <> s then 1.0 else 0.0 end) + 1e-9, 6)
+             as external_frac
+    from e where s <> '' and d <> '' group by s
+"""
+
 ORACLES["q_url_templates"] = """
     with u as (
       select case doc_id % 3
@@ -2857,6 +2933,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,
     "q_url_templates": q_url_templates,
+    "q_pagination": q_pagination,
+    "q_outdegree": q_outdegree,
     "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,

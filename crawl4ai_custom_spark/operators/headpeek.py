@@ -193,3 +193,31 @@ def canonical_collapse(pages: DataFrame, url_col: str = "url",
         .withColumn("is_canonical_rep", F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def rel_link(head: Column, rel: str) -> Column:
+    """href of <link rel="<rel>"> (either attribute order); '' when absent."""
+    c1 = F.regexp_extract(
+        head,
+        r'(?is)<link\s+[^>]*rel=["\']' + rel + r'["\'][^>]*href=["\']([^"\']*)["\']',
+        1,
+    )
+    c2 = F.regexp_extract(
+        head,
+        r'(?is)<link\s+[^>]*href=["\']([^"\']*)["\'][^>]*rel=["\']' + rel + r'["\']',
+        1,
+    )
+    return F.when(c1 != "", c1).otherwise(c2)
+
+
+def pagination_links(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """rel=next / rel=prev discovery — how a crawler walks paginated
+    listings without guessing URL patterns. Adds next_url / prev_url
+    (null when absent); codegen regexes over the bounded head section."""
+    head = head_section(F.col(html_col))
+    nz = lambda c: F.when(c == "", F.lit(None)).otherwise(c)  # noqa: E731
+    return pages.withColumns({
+        "next_url": nz(rel_link(head, "next")),
+        "prev_url": nz(rel_link(head, "prev")),
+    })

@@ -133,3 +133,23 @@ def anchor_text_stats(links: DataFrame, href_col: str = "href",
         F.count(F.lit(1)).alias("n_unique_anchors"),
     )
     return totals.join(top, "href")
+
+
+def host_outdegree_stats(links: DataFrame, src_url: str = "url",
+                         dst_url: str = "href") -> DataFrame:
+    """Per-source-host outlink profile: total outlinks, distinct target
+    hosts, external fraction — the classic link-farm/spam signal (a host
+    spraying links at thousands of distinct external hosts is not a
+    content site). One groupBy on the source host."""
+    host = lambda c: F.lower(F.regexp_extract(F.col(c), r"https?://([^/:]+)", 1))  # noqa: E731
+    e = links.select(host(src_url).alias("src_host"),
+                     host(dst_url).alias("dst_host"))
+    e = e.where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    return e.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("n_outlinks"),
+        F.countDistinct("dst_host").alias("n_distinct_hosts"),
+        F.round(
+            F.avg((F.col("dst_host") != F.col("src_host")).cast("double"))
+            + 1e-9, 6,
+        ).alias("external_frac"),
+    )

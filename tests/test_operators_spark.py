@@ -1029,3 +1029,34 @@ def test_pack_sequences_offsets(spark):
     assert (c["seq_id"], c["seq_offset"]) == (1, 1)  # 3+6=9 -> second seq
     d = out[(1, 9, 0)]
     assert (d["seq_id"], d["seq_offset"]) == (0, 0)  # per-shard reset
+
+
+def test_pagination_and_outdegree(spark):
+    from crawl4ai_custom_spark.operators.headpeek import pagination_links
+    from crawl4ai_custom_spark.operators.linkgraph import host_outdegree_stats
+
+    pages = spark.createDataFrame(
+        [("p1", b'<head><link rel="next" href="/2"></head>'),
+         ("p2", b'<head><link href="/3" rel="next">'
+                b'<link rel="prev" href="/1"></head>'),
+         ("p3", b"<head><title>end</title></head>")],
+        ["url", "html"],
+    )
+    out = {r["url"]: r for r in pagination_links(pages).collect()}
+    assert out["p1"]["next_url"] == "/2" and out["p1"]["prev_url"] is None
+    assert out["p2"]["next_url"] == "/3" and out["p2"]["prev_url"] == "/1"
+    assert out["p3"]["next_url"] is None
+
+    links = spark.createDataFrame(
+        [("https://a.com/1", "https://a.com/2"),
+         ("https://a.com/1", "https://x.org/"),
+         ("https://a.com/3", "https://y.org/"),
+         ("https://spam.net/", "https://z1.biz/"),
+         ("https://spam.net/", "https://z2.biz/")],
+        ["url", "href"],
+    )
+    od = {r["src_host"]: r for r in host_outdegree_stats(links).collect()}
+    assert od["a.com"]["n_outlinks"] == 3
+    assert od["a.com"]["n_distinct_hosts"] == 3
+    assert abs(od["a.com"]["external_frac"] - 2 / 3) < 1e-4
+    assert od["spam.net"]["external_frac"] == 1.0
