@@ -496,6 +496,29 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "next_url", "prev_url")
 
 
+def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction gate: every doc declares en + its own
+    lang variant (skipped when already en); exact (url, lang, alt) rows."""
+    from crawl4ai_custom_spark.operators.headpeek import hreflang_alternates
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m.com/"), d.cast("string"))
+    link_en = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://m.com/en/'),
+        d.cast("string"), F.lit('">'))
+    link_own = F.when(
+        F.col("lang") != "en",
+        F.concat(F.lit('<link rel="alternate" hreflang="'), F.col("lang"),
+                 F.lit('" href="https://m.com/'), F.col("lang"), F.lit("/"),
+                 d.cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>t</title>"), link_en, link_own,
+                    F.lit("</head><body>b</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return hreflang_alternates(pages)
+
+
 def q_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host outlink-profile gate (link-farm signal): 10 source hosts, every
     4th link internal, externals spread over 25 hosts."""
@@ -2201,6 +2224,16 @@ ORACLES["q_pagination"] = """
     from documents where doc_id < 400
 """
 
+ORACLES["q_hreflang"] = """
+    select 'https://m.com/' || doc_id as url, 0 as alt_index,
+           'en' as hreflang, 'https://m.com/en/' || doc_id as alt_url
+    from documents where doc_id < 400
+    union all
+    select 'https://m.com/' || doc_id, 1, lang,
+           'https://m.com/' || lang || '/' || doc_id
+    from documents where doc_id < 400 and lang <> 'en'
+"""
+
 ORACLES["q_outdegree"] = """
     with l as (
       select 'https://h' || (doc_id % 10) || '.com/p/' || doc_id as url,
@@ -2934,6 +2967,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anchor_stats": q_anchor_stats,
     "q_url_templates": q_url_templates,
     "q_pagination": q_pagination,
+    "q_hreflang": q_hreflang,
     "q_outdegree": q_outdegree,
     "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,

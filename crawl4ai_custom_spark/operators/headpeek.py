@@ -221,3 +221,24 @@ def pagination_links(pages: DataFrame, url_col: str = "url",
         "next_url": nz(rel_link(head, "next")),
         "prev_url": nz(rel_link(head, "prev")),
     })
+
+
+def hreflang_alternates(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """<link rel="alternate" hreflang=...> extraction — how a multilingual
+    crawl groups language variants of the same page (and avoids crawling
+    every locale of every url). One regexp_extract_all + posexplode over the
+    bounded head; emits (url, hreflang, alt_url) rows."""
+    head = head_section(F.col(html_col))
+    pat = (r'(?is)<link\s+[^>]*rel=["\']alternate["\'][^>]*'
+           r'hreflang=["\']([^"\']+)["\'][^>]*href=["\']([^"\']*)["\']')
+    langs = F.regexp_extract_all(head, F.lit(pat), F.lit(1))
+    hrefs = F.regexp_extract_all(head, F.lit(pat), F.lit(2))
+    pairs = F.zip_with(langs, hrefs,
+                       lambda l, h: F.struct(l.alias("hl"), h.alias("hu")))
+    return (
+        pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(pairs).alias("alt_index", "p"))
+        .select("url", "alt_index", F.col("p.hl").alias("hreflang"),
+                F.col("p.hu").alias("alt_url"))
+    )

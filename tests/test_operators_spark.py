@@ -1060,3 +1060,19 @@ def test_pagination_and_outdegree(spark):
     assert od["a.com"]["n_distinct_hosts"] == 3
     assert abs(od["a.com"]["external_frac"] - 2 / 3) < 1e-4
     assert od["spam.net"]["external_frac"] == 1.0
+
+
+def test_hreflang_alternates(spark):
+    from crawl4ai_custom_spark.operators.headpeek import hreflang_alternates
+
+    pages = spark.createDataFrame(
+        [("p1", b'<head>'
+                b'<link rel="alternate" hreflang="en" href="/en/x">'
+                b'<link rel="alternate" hreflang="de-AT" href="/de/x">'
+                b'<link rel="canonical" href="/x"></head>'),
+         ("p2", b"<head><title>none</title></head>")],
+        ["url", "html"],
+    )
+    out = [(r["url"], r["alt_index"], r["hreflang"], r["alt_url"])
+           for r in hreflang_alternates(pages).collect()]
+    assert out == [("p1", 0, "en", "/en/x"), ("p1", 1, "de-AT", "/de/x")]
