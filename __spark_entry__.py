@@ -496,6 +496,30 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "next_url", "prev_url")
 
 
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect gate: every 3rd doc declares an HTML redirect
+    (varying delay/spacing/quotes); exact (url, redirect_to) extraction."""
+    from crawl4ai_custom_spark.operators.headpeek import meta_refresh_redirects
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://mr.com/"), d.cast("string"))
+    target = F.concat(F.lit("https://mr.com/new/"), d.cast("string"))
+    meta = F.when(
+        d % 3 == 0,
+        F.when(d % 2 == 0,
+               F.concat(F.lit('<meta http-equiv="refresh" content="0;url='),
+                        target, F.lit('">')))
+        .otherwise(F.concat(
+            F.lit("<meta http-equiv='refresh' content='5; url = "),
+            target, F.lit("'>"))),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>t</title>"), meta,
+                    F.lit("</head><body>b</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return meta_refresh_redirects(pages)
+
+
 def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hreflang alternate extraction gate: every doc declares en + its own
     lang variant (skipped when already en); exact (url, lang, alt) rows."""
@@ -2224,6 +2248,12 @@ ORACLES["q_pagination"] = """
     from documents where doc_id < 400
 """
 
+ORACLES["q_meta_refresh"] = """
+    select 'https://mr.com/' || doc_id as url, 301 as status_code,
+           'https://mr.com/new/' || doc_id as redirect_to
+    from documents where doc_id < 400 and doc_id % 3 = 0
+"""
+
 ORACLES["q_hreflang"] = """
     select 'https://m.com/' || doc_id as url, 0 as alt_index,
            'en' as hreflang, 'https://m.com/en/' || doc_id as alt_url
@@ -2968,6 +2998,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_templates": q_url_templates,
     "q_pagination": q_pagination,
     "q_hreflang": q_hreflang,
+    "q_meta_refresh": q_meta_refresh,
     "q_outdegree": q_outdegree,
     "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,

@@ -242,3 +242,27 @@ def hreflang_alternates(pages: DataFrame, url_col: str = "url",
         .select("url", "alt_index", F.col("p.hl").alias("hreflang"),
                 F.col("p.hu").alias("alt_url"))
     )
+
+
+def meta_refresh_target(head: Column) -> Column:
+    """url of <meta http-equiv="refresh" content="N;url=..."> — the
+    HTML-level redirect a status-code-only pipeline would miss; '' when
+    absent. Case-insensitive, tolerant of spaces and quote styles."""
+    pat = (r'(?is)<meta\s+[^>]*http-equiv=["\']refresh["\'][^>]*'
+           r'content=["\']\s*\d+\s*;\s*url\s*=\s*([^"\'>\s]+)')
+    return F.regexp_extract(head, pat, 1)
+
+
+def meta_refresh_redirects(pages: DataFrame, url_col: str = "url",
+                           html_col: str = "html") -> DataFrame:
+    """(url, status_code=301-equivalent, redirect_to) rows for pages whose
+    html declares a meta refresh — union these into the input of
+    `redirects.resolve_redirects` so HTML redirects join the 3xx chains."""
+    head = head_section(F.col(html_col))
+    t = meta_refresh_target(head)
+    return (
+        pages.select(F.col(url_col).alias("url"), t.alias("redirect_to"))
+        .where(F.col("redirect_to") != "")
+        .withColumn("status_code", F.lit(301))
+        .select("url", "status_code", "redirect_to")
+    )

@@ -1076,3 +1076,29 @@ def test_hreflang_alternates(spark):
     out = [(r["url"], r["alt_index"], r["hreflang"], r["alt_url"])
            for r in hreflang_alternates(pages).collect()]
     assert out == [("p1", 0, "en", "/en/x"), ("p1", 1, "de-AT", "/de/x")]
+
+
+def test_meta_refresh_feeds_redirect_resolution(spark):
+    from crawl4ai_custom_spark.operators.headpeek import meta_refresh_redirects
+    from crawl4ai_custom_spark.operators.redirects import resolve_redirects
+
+    pages = spark.createDataFrame(
+        [("a", b'<head><meta http-equiv="refresh" content="0;url=b"></head>'),
+         ("b", b"<head><title>landing</title></head>"),
+         ("c", b'<head><META HTTP-EQUIV=\'Refresh\' CONTENT=\'2; url = d\'>'
+               b"</head>")],
+        ["url", "html"],
+    )
+    mr = {r["url"]: r["redirect_to"]
+          for r in meta_refresh_redirects(pages).collect()}
+    assert mr == {"a": "b", "c": "d"}
+
+    # compose: meta refreshes resolve through the redirect engine
+    redirect_rows = meta_refresh_redirects(pages)
+    base = pages.selectExpr("url", "200 as status_code",
+                            "cast(null as string) as redirect_to")
+    combined = base.join(redirect_rows.select("url"), "url", "left_anti"
+                         ).unionByName(redirect_rows)
+    res = {r["url"]: r for r in resolve_redirects(combined).collect()}
+    assert res["a"]["final_url"] == "b" and res["a"]["resolved"]
+    assert res["c"]["final_url"] == "d"
