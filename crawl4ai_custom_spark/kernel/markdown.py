@@ -1,13 +1,52 @@
-"""HTML -> Markdown generation, from scratch over the htmldom tree.
+"""HTML -> Markdown generation: an event-driven emitter on stdlib
+``html.parser``, behavior-pinned byte-for-byte against the reference's
+CustomHTML2Text under DefaultMarkdownGenerator's default options
+(body_width=0, single_line_break=True, mark_code=True, no escaping —
+/root/reference/crawl4ai/markdown_generation_strategy.py:180-200,
+/root/reference/crawl4ai/html2text/__init__.py:1035-1150) WITHOUT porting
+that code: the observable semantics below were derived by studying the
+reference's behavior and pinned against captured fixtures
+(tests/fixtures/ref_markdown.json via scripts/make_ref_fixtures.py);
+tests/test_ref_differential.py asserts the byte-identity rate.
 
-Byte-contract parity with the reference's DefaultMarkdownGenerator +
-CustomHTML2Text under its default options (body_width=0,
-single_line_break=True, mark_code=True — markdown_generation_strategy.py:
-180-200, html2text/__init__.py) WITHOUT porting that code: the emission
-rules below were pinned empirically against the reference implementation
-(tests/fixtures/ref_markdown.json, generated by
-scripts/make_ref_fixtures.py) and verified by
-tests/test_ref_differential.py, which reports the byte-identity rate.
+Why event-driven rather than a DOM walk: the reference converts the HTML
+*token stream* (its converter subclasses html.parser.HTMLParser), so
+whitespace, entity-chunk boundaries, and tag-soup recovery are properties
+of the stream, not of a normalized tree.  Driving the same stdlib parser
+gives byte parity on real-world pages for free.
+
+Pinned emission semantics (the observable contract):
+  * paragraph breaks are LAZY: block tags set a pending break count
+    (single_line_break => one '\\n'); the break is materialized by the next
+    output, carrying the blockquote prefix and any pending '  ' (<br>/table
+    row) toggle.  Document end flushes exactly one '\\n'.
+  * text runs are whitespace-collapsed; a leading space becomes a pending
+    space emitted before the next output unless a line break intervenes;
+    trailing spaces stay attached to the text (so 'x </p>' keeps its space).
+  * emphasis marks are emitted even when the element is empty ('****');
+    text immediately after an emphasis OPEN is stripped; text following
+    emphasis content gets a separating space when it starts with a word
+    character (not inside a/code/headers); an emphasis opening right after
+    a word character inserts ' _' / after '*' inserts ' **'.
+  * entities fold per the unifiable table (&mdash; -> '--', &nbsp; -> a
+    placeholder collapsed to ' ' at the end); LITERAL unicode passes
+    through untouched; attribute values are never folded.
+  * links: inline '[text](url "title")'; '<url>' autolink when the link
+    text equals an absolute href; empty '<a href=..></a>' -> '[](url)';
+    mailto: hrefs are ignored; '[', ']', '(', ')' and '\\' are escaped
+    inside urls/alt/titles.
+  * pre -> plain ``` fences with raw (uncollapsed) content; inline code ->
+    backticks, newlines flattened to spaces, content never escaped.
+  * lists: two-space indent per level ('   ' for a ul directly inside an
+    ol), '* ' / 'n. ' markers, <ol start=N> honored, one blank line after
+    the outermost list ends.
+  * tables: 'a| b' cell joins, '---' separator mirroring the header row's
+    cell count (no colspan expansion), every row soft-broken with '  '.
+  * blockquote: '> ' prefixes carried by the pending-break machinery
+    (nesting '> > '), the first inner block's break suppressed.
+  * dl: blank line before each non-first <dt>, <dd> indented four spaces.
+  * backslashes before markdown-significant chars are doubled; no other
+    escaping (escape_snob/dot/plus/dash all off in the pinned config).
 
 Outputs:
   raw_markdown            — plain conversion, links inline [text](href)
@@ -15,41 +54,33 @@ Outputs:
   references_markdown     — '## References' block listing ⟨n⟩: url
   fit_markdown / fit_html — conversion of the content-filtered HTML
                             (see content_filter.py)
-
-Reference emission rules reproduced here:
-  * blocks separated by a single newline (single_line_break=True)
-  * lists: two-space indent per level, '* ' / 'n. ' markers, and the whole
-    list followed by one blank-blank ('\\n\\n') gap
-  * pre/code: plain ``` fences (language class dropped), one blank after
-  * tables: 'a| b' cell joins, every row line ends with two spaces; NO
-    padding — separator mirrors the first row's cell count (no colspan
-    expansion, like the reference)
-  * hr -> '* * *'; em/i -> '_x_'; strong/b -> '**x**'
-  * entity unification applies to ENTITY forms only (&mdash; -> '--',
-    &eacute; -> 'e', ...); literal unicode passes through untouched
-  * <dl>: blank line before each <dt>, <dd> indented four spaces
-  * <ol start=N> honored; lists inside blockquotes carry a quoted blank line
-  * trailing spaces stripped from the final line only
 """
 
 from __future__ import annotations
 
+import html.entities
 import re
 from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from urllib.parse import urljoin
 
-from .htmldom import BLOCK_TAGS, Comment, Node, parse_html
+from .htmldom import Node
 
 _WS = re.compile(r"\s+")
-_SKIP = frozenset("script style noscript template head title meta link".split())
+# text following emphasis content gets a separating space when it starts
+# with a word-ish character (not bracket/brace/space/sentence punctuation)
+_AFTER_STRESS = re.compile(r"[^][(){}\s.!?]")
+_ABS_URL = re.compile(r"^[a-zA-Z+]+://")
+_MD_CHARS = re.compile(r"([\\\[\]\(\)])")
+_BACKSLASH = re.compile(r"(\\)(?=[\\`*_{}\[\]()#+\-.!])")
+_NBSP_PH = "&nbsp_place_holder;"
 
-# html2text's "unifiable" table: ENTITY references fold to ASCII; literal
-# unicode characters pass through untouched (pinned by the unicode_text
-# fixture). Applied as a pre-parse substitution over &name; / &#n; / &#xh;
-# forms, matching handle_entityref/handle_charref semantics.
+# entity references that fold to ASCII (literal unicode chars pass through
+# untouched; numeric charrefs fold via the same table, except nbsp)
 _ENTITY_UNIFY = {
     "rsquo": "'", "lsquo": "'", "rdquo": '"', "ldquo": '"',
-    "copy": "(C)", "mdash": "--", "nbsp": " ", "rarr": "->", "larr": "<-",
-    "middot": "*", "ndash": "-", "oelig": "oe", "aelig": "ae",
+    "copy": "(C)", "mdash": "--", "nbsp": _NBSP_PH, "rarr": "->",
+    "larr": "<-", "middot": "*", "ndash": "-", "oelig": "oe", "aelig": "ae",
     "agrave": "a", "aacute": "a", "acirc": "a", "atilde": "a", "auml": "a",
     "aring": "a", "egrave": "e", "eacute": "e", "ecirc": "e", "euml": "e",
     "igrave": "i", "iacute": "i", "icirc": "i", "iuml": "i",
@@ -57,35 +88,21 @@ _ENTITY_UNIFY = {
     "ugrave": "u", "uacute": "u", "ucirc": "u", "uuml": "u",
     "lrm": "", "rlm": "",
 }
-import html as _html  # noqa: E402
-
-# char -> ascii, for numeric charrefs of the same table
-_CHAR_UNIFY = {
-    _html.unescape(f"&{name};"): repl for name, repl in _ENTITY_UNIFY.items()
-    if _html.unescape(f"&{name};") != f"&{name};"
+_CHARREF_UNIFY = {
+    html.entities.name2codepoint[k]: v
+    for k, v in _ENTITY_UNIFY.items() if k != "nbsp"
 }
-_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
 
 
-def _fold_entities(html_s: str) -> str:
-    """Fold unifiable ENTITY forms to ASCII before parsing (literal unicode
-    chars are left alone, matching the reference)."""
-    def sub(m):
-        body = m.group(1)
-        if body.startswith("#"):
-            try:
-                cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
-                ch = chr(cp)
-            except (ValueError, OverflowError):
-                return m.group(0)
-            return _CHAR_UNIFY.get(ch, m.group(0))
-        return _ENTITY_UNIFY.get(body.lower(), m.group(0))
-
-    return _ENTITY_RE.sub(sub, html_s)
+def _escape_md(s: str) -> str:
+    """Escape markdown-sensitive chars inside other constructs (urls, alt)."""
+    return _MD_CHARS.sub(r"\\\1", s)
 
 
-def _unify(s: str) -> str:  # literal chars pass through (reference parity)
-    return s
+def _header_level(tag: str) -> int:
+    if len(tag) == 2 and tag[0] == "h" and "0" < tag[1] <= "9":
+        return int(tag[1])
+    return 0
 
 
 @dataclass
@@ -97,241 +114,456 @@ class MarkdownResult:
     fit_html: str = ""
 
 
-@dataclass
-class _Ctx:
-    citations: bool = False
-    refs: list[tuple[str, str]] = field(default_factory=list)  # (url, title)
-    ref_index: dict[str, int] = field(default_factory=dict)
+class _Converter(HTMLParser):
+    """One-document HTML→markdown conversion pass."""
 
-    def cite(self, href: str, title: str) -> int:
+    def __init__(self, *, citations: bool = False, baseurl: str = ""):
+        super().__init__(convert_charrefs=False)
+        self.citations = citations
+        self.baseurl = baseurl
+        self.outlist: list[str] = []
+        self.last_was_nl = False
+        # pending-output state
+        self.pending_breaks = 0        # lazy paragraph/line breaks
+        self.pending_space = False     # deferred leading space
+        self.br_toggle = ""            # '  ' when a soft (two-space) break is due
+        self.at_start = True           # suppresses break/space at doc/bq/li start
+        # text-flow state
+        self.quiet = 0                 # head/script/style depth
+        self.stressed = False          # just opened emphasis: strip next text
+        self.after_stress = False      # emphasis content emitted: maybe space
+        self.preceding_data = ""
+        self.current_tag = ""
+        # structure state
+        self.bq_level = 0
+        self.list_stack: list[list] = []   # [kind, counter]
+        self.last_was_list = False
+        self.inside_pre = False
+        self.inside_code = False
+        self.tt_code = False           # kbd/tt backtick toggle
+        self.quote_open = False        # <q> toggle
+        # links
+        self.inside_link = False
+        self.link_stack: list[dict | None] = []
+        self.auto_link: str | None = None   # href that may become <url>
+        self.empty_link = False
+        self.link_text_from: int = 0
+        # abbreviations (<abbr title=..>) — flushed at document end
+        self.abbr_title: str | None = None
+        self.abbr_data: str | None = None
+        self.abbr_list: dict[str, str] = {}
+        # citations
+        self.refs: list[tuple[str, str]] = []
+        self.ref_index: dict[str, int] = {}
+
+    # ---- low-level output ------------------------------------------------
+
+    def _out(self, s: str) -> None:
+        self.outlist.append(s)
+        if s:
+            self.last_was_nl = s[-1] == "\n"
+
+    def _emit(self, data: str, *, collapse: bool = False,
+              force: bool | str = False) -> None:
+        """Emit text, materializing any pending break/space first."""
+        if self.abbr_data is not None:
+            self.abbr_data += data
+        if self.quiet:
+            return
+        if collapse and not self.inside_pre:
+            data = _WS.sub(" ", data)
+            if data and data[0] == " ":
+                self.pending_space = True
+                data = data[1:]
+        if not data and not force:
+            return
+        prefix = ">" * self.bq_level
+        if self.bq_level and not (force and data and data[0] == ">"):
+            prefix += " "
+        if self.at_start:
+            self.pending_space = False
+            self.pending_breaks = 0
+            self.at_start = False
+        if force == "end":
+            self.pending_breaks = 0
+            self._out("\n")
+            self.pending_space = False
+        if self.pending_breaks:
+            self._out((self.br_toggle + "\n" + prefix) * self.pending_breaks)
+            self.pending_space = False
+            self.br_toggle = ""
+        if self.pending_space:
+            if not self.last_was_nl:
+                self._out(" ")
+            self.pending_space = False
+        if self.abbr_list and force == "end":
+            for abbr, definition in self.abbr_list.items():
+                self._out("  *[" + abbr + "]: " + definition + "\n")
+        self.pending_breaks = 0
+        self._out(data)
+
+    def _break(self) -> None:                 # block separation (one line)
+        self.pending_breaks = 1
+
+    def _line(self) -> None:                  # minimum one line break
+        if self.pending_breaks == 0:
+            self.pending_breaks = 1
+
+    def _soft_break(self) -> None:            # line break rendered as '  \n'
+        self._line()
+        self.br_toggle = "  "
+
+    # ---- text ------------------------------------------------------------
+
+    def handle_data(self, data: str) -> None:
+        self._text(data, entity=False)
+
+    def _text(self, data: str, *, entity: bool) -> None:
+        if not data:
+            return
+        if self.inside_pre:                  # raw bytes inside fences
+            self._emit(data)
+            return
+        if self.inside_code:                 # inline code: flatten newlines
+            self._emit(data.replace("\n", " "))
+            return
+        if self.stressed:
+            data = data.strip()
+            self.stressed = False
+            self.after_stress = True
+        elif self.after_stress:
+            if (_AFTER_STRESS.match(data[:1])
+                    and not _header_level(self.current_tag)
+                    and self.current_tag not in ("a", "code", "pre")):
+                data = " " + data
+            self.after_stress = False
+        if self.auto_link is not None:
+            href = self.auto_link
+            if (not self.citations and href == data
+                    and _ABS_URL.match(href)):
+                self._emit("<" + data + ">")
+                self.empty_link = False
+                return
+            if not self.citations:
+                self._emit("[")
+            self.auto_link = None
+            self.empty_link = False
+        if not self.tt_code and not entity:
+            data = _BACKSLASH.sub(r"\\\1", data)
+        self.preceding_data = data
+        self._emit(data, collapse=True)
+
+    def handle_entityref(self, name: str) -> None:
+        if name in _ENTITY_UNIFY:
+            ref = _ENTITY_UNIFY[name]
+        else:
+            ref = html.entities.html5.get(name + ";", "&" + name + ";")
+        if ref:
+            self._text(ref, entity=True)
+
+    def handle_charref(self, name: str) -> None:
+        try:
+            cp = int(name[1:], 16) if name[:1] in ("x", "X") else int(name)
+        except ValueError:
+            return
+        if cp in _CHARREF_UNIFY:
+            ref = _CHARREF_UNIFY[cp]
+        else:
+            try:
+                ref = chr(cp)
+            except ValueError:
+                ref = ""
+        if ref:
+            self._text(ref, entity=True)
+
+    # ---- tags ------------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._tag(tag, dict(attrs), True)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._tag(tag, {}, False)
+
+    def _tag(self, tag: str, attrs: dict, start: bool) -> None:
+        # fenced code: fully intercepted, never reaches the generic path
+        if tag == "pre":
+            if start:
+                self._emit("```\n")
+                self.inside_pre = True
+            else:
+                self._emit("\n```\n")
+                self.inside_pre = False
+            return
+        if tag == "code":
+            if self.inside_pre:
+                return
+            if not self.inside_link:
+                self._emit("`")
+            self.inside_code = start
+            if not self.inside_link:
+                return
+            # inside a link the generic path ALSO runs (backtick + flags)
+
+        self.current_tag = tag
+
+        # first output-producing tag inside an anchor opens the bracket
+        if (start and self.auto_link is not None
+                and tag not in ("p", "div", "style", "dl", "dt")
+                and tag != "img"):
+            if not self.citations:
+                self._emit("[")
+            self.auto_link = None
+            self.empty_link = False
+
+        lvl = _header_level(tag)
+        if lvl:
+            if self.link_stack:
+                # header illegally nested in a link: '#' goes before the '['
+                if start and self.outlist and self.outlist[-1] == "[":
+                    self.outlist.pop()
+                    self.pending_space = False
+                    self._emit("#" * lvl + " ")
+                    self._emit("[")
+                if not start:
+                    self.pending_breaks = 0  # don't split the link name
+                    return
+            else:
+                self._break()
+                if start:
+                    self._emit("#" * lvl + " ")
+                else:
+                    return
+
+        if tag in ("p", "div"):
+            # no break inside a link name or between table cells
+            if not self.link_stack and not self.split_next_td:
+                self._break()
+
+        if tag == "br" and start:
+            self._emit("  \n> " if self.bq_level else "  \n")
+
+        if tag == "hr" and start:
+            self._break()
+            self._emit("* * *")
+            self._break()
+
+        if tag in ("head", "style", "script"):
+            self.quiet += 1 if start else -1
+        if tag == "body":
+            self.quiet = 0   # some pages never close <head>
+
+        if tag == "blockquote":
+            if start:
+                self._break()
+                self._emit("> ", force=True)
+                self.at_start = True
+                self.bq_level += 1
+            else:
+                self.bq_level -= 1
+                self._break()
+
+        if tag in ("em", "i", "u"):
+            if (start and self.preceding_data
+                    and self.preceding_data[-1] not in " \t\n\r\v\f"
+                    and self.preceding_data[-1] not in
+                    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"):
+                self._emit(" _")
+                self.preceding_data += " "
+            else:
+                self._emit("_")
+            if start:
+                self.stressed = True
+
+        if tag in ("strong", "b"):
+            if start and self.preceding_data and self.preceding_data[-1] == "*":
+                self._emit(" **")
+                self.preceding_data += " "
+            else:
+                self._emit("**")
+            if start:
+                self.stressed = True
+
+        if tag in ("del", "strike", "s"):
+            if start and self.preceding_data and self.preceding_data[-1] == "~":
+                self._emit(" ~~")
+                self.preceding_data += " "
+            else:
+                self._emit("~~")
+            if start:
+                self.stressed = True
+
+        if tag in ("kbd", "tt", "code"):
+            self._emit("`")
+            self.tt_code = not self.tt_code
+
+        if tag == "abbr":
+            if start:
+                self.abbr_title = attrs.get("title")
+                self.abbr_data = ""
+            else:
+                if self.abbr_title is not None:
+                    assert self.abbr_data is not None
+                    self.abbr_list[self.abbr_data] = self.abbr_title
+                    self.abbr_title = None
+                self.abbr_data = None
+
+        if tag == "q":
+            self._emit('"')
+            self.quote_open = not self.quote_open
+
+        if tag == "a":
+            self._a(attrs, start)
+
+        if tag == "img" and start:
+            self._img(attrs)
+
+        if tag == "dl" and start:
+            self._break()
+            self.pending_breaks = 0
+        elif tag == "dt" and start:
+            if self.pending_breaks == 0:   # not the first term
+                self._emit("\n\n")
+            self.pending_breaks = 0
+        elif tag == "dt" and not start:
+            self._emit("\n")
+        elif tag == "dd" and start:
+            self._emit("    ")
+        elif tag == "dd" and not start:
+            self.pending_breaks = 0
+
+        if tag in ("ol", "ul"):
+            if not self.list_stack and not self.last_was_list:
+                self._break()
+            if start:
+                try:
+                    start_num = int(attrs.get("start") or 1) - 1
+                except ValueError:
+                    start_num = 0
+                self.list_stack.append([tag, start_num])
+            elif self.list_stack:
+                self.list_stack.pop()
+                if not self.list_stack:
+                    self._emit("\n")
+            self.last_was_list = True
+        else:
+            self.last_was_list = False
+
+        if tag == "li":
+            self._line()
+            if start:
+                li = self.list_stack[-1] if self.list_stack else ["ul", 0]
+                # two spaces per level; three for a ul directly inside an ol
+                parent = None
+                for kind, _n in self.list_stack:
+                    self._emit("   " if parent == "ol" and kind == "ul"
+                               else "  ")
+                    parent = kind
+                if li[0] == "ol":
+                    li[1] += 1
+                    self._emit(f"{li[1]}. ")
+                else:
+                    self._emit("* ")
+                self.at_start = True
+
+        if tag in ("table", "tr", "td", "th"):
+            if tag == "table" and start:
+                self.table_header_pending = True
+            if tag in ("td", "th") and start:
+                if self.split_next_td:
+                    self._emit("| ")
+                self.split_next_td = True
+            if tag == "tr" and start:
+                self.td_count = 0
+            if tag == "tr" and not start:
+                self.split_next_td = False
+                self._soft_break()
+                if getattr(self, "table_header_pending", False):
+                    self._emit("|".join(["---"] * self.td_count))
+                    self._soft_break()
+                    self.table_header_pending = False
+            if tag in ("td", "th") and start:
+                self.td_count = getattr(self, "td_count", 0) + 1
+
+    # split_next_td/td_count defaults (first table may open with <td>)
+    split_next_td = False
+    td_count = 0
+    table_header_pending = False
+
+    # ---- links -----------------------------------------------------------
+
+    def _cite(self, href: str, title: str) -> int:
         if href not in self.ref_index:
             self.ref_index[href] = len(self.refs) + 1
             self.refs.append((href, title))
         return self.ref_index[href]
 
-
-def _inline_self(node: Node, ctx: _Ctx) -> str:
-    """Render a node INCLUDING its own inline formatting (b/em/a/img/...).
-    _inline formats a node's children; when the node itself is the thing to
-    render (a lone <b> inside a <li>, an <img> inside <figure>) wrap it in a
-    throwaway container so its own tag is honored."""
-    wrapper = Node("span")
-    wrapper.children = [node]
-    return _inline(wrapper, ctx)
-
-
-def _inline(node: Node, ctx: _Ctx) -> str:
-    parts: list[str] = []
-    for c in node.children:
-        if isinstance(c, str):
-            parts.append(_unify(_WS.sub(" ", c)))
-        elif isinstance(c, Comment):
-            continue
-        elif c.tag in _SKIP:
-            continue
-        elif c.tag in ("strong", "b"):
-            t = _inline(c, ctx).strip()
-            if t:
-                parts.append(f"**{t}**")
-        elif c.tag in ("em", "i"):
-            t = _inline(c, ctx).strip()
-            if t:
-                parts.append(f"_{t}_")
-        elif c.tag in ("del", "s", "strike"):
-            t = _inline(c, ctx).strip()
-            if t:
-                parts.append(f"~~{t}~~")
-        elif c.tag == "code":
-            t = c.text()
-            if t:
-                parts.append(f"`{t}`")
-        elif c.tag == "a":
-            txt = _inline(c, ctx).strip() or (c.get("href") or "")
-            href = c.get("href") or ""
-            title = c.get("title") or ""
-            if not href:
-                parts.append(txt)
-            elif ctx.citations:
-                n = ctx.cite(href, title or txt)
-                parts.append(f"{txt}⟨{n}⟩")
-            elif title:
-                parts.append(f'[{txt}]({href} "{title}")')
+    def _a(self, attrs: dict, start: bool) -> None:
+        if start:
+            self.inside_link = True
+            href = attrs.get("href")
+            if href is not None and not href.startswith("mailto:"):
+                self.link_stack.append(attrs)
+                self.auto_link = href
+                self.empty_link = True
+                self.link_text_from = len(self.outlist)
             else:
-                parts.append(f"[{txt}]({href})")
-        elif c.tag == "img":
-            alt = c.get("alt") or ""
-            src = c.get("src") or ""
-            parts.append(f"![{alt}]({src})")
-        elif c.tag == "br":
-            parts.append("  \n")
-        else:
-            parts.append(_inline(c, ctx))
-    return "".join(parts)
-
-
-def _table_md(t: Node, ctx: _Ctx) -> str:
-    rows: list[list[str]] = []
-    for tr in t.iter("tr"):
-        cells = [
-            _inline(c, ctx).strip().replace("|", "\\|")
-            for c in tr.children
-            if isinstance(c, Node) and c.tag in ("td", "th")
-        ]
-        if cells:
-            rows.append(cells)
-    if not rows:
-        return ""
-    # reference row format: cells joined with '| ', two trailing spaces;
-    # NO padding — the separator mirrors the FIRST row's cell count
-    # (html2text does not expand colspan; pinned by table_colspan fixture)
-    out = ["| ".join(rows[0]) + "  ", "|".join(["---"] * len(rows[0])) + "  "]
-    out += ["| ".join(r) + "  " for r in rows[1:]]
-    return "\n".join(out)
-
-
-def _list_md(node: Node, ctx: _Ctx, ordered: bool, depth: int) -> str:
-    lines: list[str] = []
-    try:
-        i = int(node.get("start") or 1) - 1  # <ol start=N> honored
-    except (TypeError, ValueError):
-        i = 0
-    for c in node.children:
-        if not isinstance(c, Node) or c.tag != "li":
-            continue
-        i += 1
-        bullet = f"{i}. " if ordered else "* "
-        sub: list[str] = []
-        inline_parts: list[str] = []
-        for g in c.children:
-            if isinstance(g, Node) and g.tag in ("ul", "ol"):
-                sub.append(_list_md(g, ctx, g.tag == "ol", depth + 1))
-            elif isinstance(g, Node) and g.tag in BLOCK_TAGS:
-                inline_parts.append(_inline(g, ctx))
-            elif isinstance(g, str):
-                inline_parts.append(_unify(_WS.sub(" ", g)))
-            elif isinstance(g, Node):
-                inline_parts.append(_inline_self(g, ctx))
-        text = _WS.sub(" ", "".join(inline_parts)).strip()
-        lines.append("  " * (depth + 1) + bullet + text)
-        lines.extend(s for s in sub if s)
-    return "\n".join(lines)
-
-
-def _blocks(node: Node, ctx: _Ctx, out: list[tuple[str, str]]) -> None:
-    """Appends (kind, text) blocks; kind drives inter-block spacing."""
-    for c in node.children:
-        if isinstance(c, str):
-            t = _unify(_WS.sub(" ", c)).strip()
-            if t:
-                out.append(("text", t))
-        elif isinstance(c, Comment):
-            continue
-        elif c.tag in _SKIP:
-            continue
-        elif c.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            lvl = int(c.tag[1])
-            t = _inline(c, ctx).strip()
-            if t:
-                out.append(("text", "#" * lvl + " " + t))
-        elif c.tag == "p":
-            t = _inline(c, ctx).strip()
-            if t:
-                out.append(("text", t))
-        elif c.tag == "pre":
-            code = c.find("code")
-            raw = (code if code is not None else c).text(sep="", strip=False)
-            raw = raw.strip("\n")
-            # reference (mark_code fences) drops the language class
-            out.append(("pre", f"```\n{raw}\n```"))
-        elif c.tag == "blockquote":
-            inner: list[tuple[str, str]] = []
-            _blocks(c, ctx, inner)
-            if not inner:
-                t = _inline(c, ctx).strip()
-                inner = [("text", t)] if t else []
-            if inner:
-                # a list inside a blockquote carries its own quoted blank
-                # line + an unquoted one (pinned by para_in_blockquote_list /
-                # bq_list_then_p fixtures)
-                pieces: list[str] = []
-                for kind, b in inner:
-                    pieces.extend("> " + line for line in b.split("\n"))
-                    if kind == "list":
-                        pieces.extend(["> ", ""])
-                if pieces and pieces[-1] == "":
-                    pieces.pop()  # trailing blank becomes the block's own \n
-                    out.append(("pre", "\n".join(pieces)))
-                else:
-                    out.append(("text", "\n".join(pieces)))
-        elif c.tag in ("ul", "ol"):
-            md = _list_md(c, ctx, c.tag == "ol", 0)
-            if md:
-                out.append(("list", md))
-        elif c.tag == "dl":
-            # reference shape: blank line before each <dt>, <dd> indented
-            # four spaces, no gap after the last <dd> (dl fixtures)
-            pieces: list[str] = []
-            for g in c.children:
-                if isinstance(g, Node) and g.tag == "dt":
-                    t = _inline(g, ctx).strip()
-                    if t:
-                        pieces.append("\n" + t)
-                elif isinstance(g, Node) and g.tag == "dd":
-                    t = _inline(g, ctx).strip()
-                    if t:
-                        pieces.append("    " + t)
-            if pieces:
-                out.append(("dlist", "\n".join(pieces)))
-        elif c.tag == "table":
-            md = _table_md(c, ctx)
-            if md:
-                out.append(("table", md))
-        elif c.tag == "hr":
-            out.append(("text", "* * *"))
-        elif c.tag in BLOCK_TAGS or c.tag in ("html", "body", "#root", "main",
-                                              "article", "section", "span"):
-            # container: does it hold block children?
-            if any(isinstance(g, Node) and g.tag in BLOCK_TAGS for g in c.children):
-                _blocks(c, ctx, out)
+                self.link_stack.append(None)
+            return
+        self.inside_link = False
+        if not self.link_stack:
+            return
+        a = self.link_stack.pop()
+        if self.auto_link and not self.empty_link:
+            self.auto_link = None     # autolink already emitted as <url>
+        elif a is not None:
+            text = "".join(self.outlist[self.link_text_from:]).strip()
+            if self.empty_link:
+                if not self.citations:
+                    self._emit("[")
+                self.empty_link = False
+                self.auto_link = None
+            url = urljoin(self.baseurl, a.get("href") or "")
+            title = a.get("title") or ""
+            if self.citations:
+                n = self._cite(url, title or text)
+                self._emit(f"⟨{n}⟩")
             else:
-                t = _inline(c, ctx).strip()
-                if t:
-                    out.append(("text", t))
-        else:
-            # unknown/inline tag at block level: render the node ITSELF
-            # (a lone <img>/<b> must keep its own formatting)
-            t = _inline_self(c, ctx).strip()
-            if t:
-                out.append(("text", t))
+                self.pending_breaks = 0
+                t = f' "{_escape_md(title)}"' if title.strip() else ""
+                self._emit(f"]({_escape_md(url)}{t})")
+
+    def _img(self, attrs: dict) -> None:
+        src = attrs.get("src")
+        if src is None:
+            return
+        alt = attrs.get("alt") or ""
+        if self.auto_link is not None:
+            if not self.citations:
+                self._emit("[")
+            self.auto_link = None
+            self.empty_link = False
+        self._emit("![" + _escape_md(alt) + "]")
+        self._emit("(" + _escape_md(urljoin(self.baseurl, src)) + ")")
+
+    # ---- document --------------------------------------------------------
+
+    def convert(self, html_s: str) -> str:
+        self.feed(html_s)
+        self.feed("")
+        self.close()
+        self._line()
+        self._emit("", force="end")
+        out = "".join(self.outlist).replace(_NBSP_PH, " ")
+        # the generator's fence-dedent post-step (reference mgs.py:214)
+        return out.replace("    ```", "```")
 
 
-def _assemble(blocks: list[tuple[str, str]]) -> str:
-    """Reference spacing: one newline between blocks; lists followed by a
-    blank-blank gap; fences followed by one blank; trailing spaces stripped
-    from the final line only (table rows keep their two-space line breaks
-    everywhere else)."""
-    if not blocks:
-        return ""
-    parts: list[str] = []
-    for idx, (kind, text) in enumerate(blocks):
-        if idx == 0 and kind == "dlist" and text.startswith("\n"):
-            parts.append("\n")  # doc-level blank before a leading <dt>
-        parts.append(text + "\n")
-        if kind == "list":
-            parts.append("\n\n")
-        elif kind == "pre":
-            parts.append("\n")
-    s = "".join(parts)
-    return re.sub(r"[ \t]+\n\Z", "\n", s)  # \Z: $ would also strip the
-    # quoted-blank '> ' line before a final newline
-
-
-def html_to_markdown(html: str | Node, *, citations: bool = False) -> tuple[str, list[tuple[str, str]]]:
-    root = html if isinstance(html, Node) else parse_html(_fold_entities(html))
-    ctx = _Ctx(citations=citations)
-    out: list[tuple[str, str]] = []
-    _blocks(root, ctx, out)
-    return _assemble(out), ctx.refs
+def html_to_markdown(html: str | Node, *, citations: bool = False,
+                     base_url: str = "") -> tuple[str, list[tuple[str, str]]]:
+    if isinstance(html, Node):
+        html = html.to_html()
+    conv = _Converter(citations=citations, baseurl=base_url)
+    return conv.convert(html), conv.refs
 
 
 def references_block(refs: list[tuple[str, str]]) -> str:
@@ -344,11 +576,13 @@ def references_block(refs: list[tuple[str, str]]) -> str:
     return "\n".join(lines)
 
 
-def generate_markdown(html: str | Node, fit_html: str | None = None) -> MarkdownResult:
+def generate_markdown(html: str | Node, fit_html: str | None = None,
+                      base_url: str = "") -> MarkdownResult:
     """Full markdown bundle for one page's cleaned HTML."""
-    root = html if isinstance(html, Node) else parse_html(_fold_entities(html))
-    raw, _ = html_to_markdown(root)
-    cited, refs = html_to_markdown(root, citations=True)
+    if isinstance(html, Node):
+        html = html.to_html()
+    raw, _ = html_to_markdown(html, base_url=base_url)
+    cited, refs = html_to_markdown(html, citations=True, base_url=base_url)
     res = MarkdownResult(
         raw_markdown=raw,
         markdown_with_citations=cited,

@@ -132,3 +132,60 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Real-page differential corpus: the reference's own 768 KB wikipedia fixture
+# (/root/reference/tests/async/sample_wikipedia.html, exercised by
+# tests/async/test_content_scraper_strategy.py:30-58) plus a seeded run of
+# the reference's dummy-site generator
+# (/root/reference/tests/general/generate_dummy_site.py). Captured through
+# the same reference converter and stored gzipped.
+
+PAGES_OUT = os.path.join(os.path.dirname(OUT), "ref_markdown_pages.json.gz")
+WIKI = "/root/reference/tests/async/sample_wikipedia.html"
+DUMMY_GEN = "/root/reference/tests/general/generate_dummy_site.py"
+
+
+def make_page_fixtures() -> None:
+    import glob
+    import gzip
+    import random
+    import runpy
+    import tempfile
+
+    mod = load_ref_html2text()
+
+    def ref_md(html: str) -> str:
+        h = mod.CustomHTML2Text()
+        h.update_params(**{
+            "body_width": 0, "ignore_emphasis": False, "ignore_links": False,
+            "ignore_images": False, "protect_links": False,
+            "single_line_break": True, "mark_code": True, "escape_snob": False,
+        })
+        return h.handle(html).replace("    ```", "```")
+
+    pages: dict[str, str] = {}
+    with open(WIKI, encoding="utf-8") as f:
+        pages["wikipedia_apple"] = f.read()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        random.seed(42)
+        argv, sys.argv = sys.argv, [DUMMY_GEN, "-o", tmp, "-n", "FakeShop"]
+        try:
+            runpy.run_path(DUMMY_GEN, run_name="__main__")
+        finally:
+            sys.argv = argv
+        paths = sorted(glob.glob(os.path.join(tmp, "**", "*.html"),
+                                 recursive=True))
+        # one of each page family + breadth across categories
+        for p in paths[::7]:
+            name = "dummy_" + os.path.relpath(p, tmp).replace("/", "_")
+            with open(p, encoding="utf-8") as f:
+                pages[name] = f.read()
+
+    fixtures = {n: {"html": h, "ref_raw_markdown": ref_md(h)}
+                for n, h in pages.items()}
+    with gzip.open(PAGES_OUT, "wt", encoding="utf-8") as f:
+        json.dump(fixtures, f, ensure_ascii=False)
+    print(f"wrote {len(fixtures)} page fixtures -> {PAGES_OUT}")
