@@ -933,6 +933,31 @@ def q_adaptive_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingStrategy adaptive-crawl math (adaptive_crawler.py:617-1270)
+    on precomputed embeddings: coverage gaps = 1 - best cosine per query
+    variation vs the KB; candidate links scored by scaled gap improvement
+    (x2, radius 0.2) averaged over needy gaps, damped by the KB-overlap
+    penalty (2 * excess over 0.85). Queries = vec_id<8, KB = 50..149,
+    links = 200..259."""
+    from crawl4ai_custom_spark.operators.adaptive_embedding import (
+        coverage_gaps,
+        rank_links_by_gaps,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    kb = emb.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 150))
+    links = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 260)).select(
+        F.col("vec_id").alias("url"), "embedding")
+    gaps = coverage_gaps(queries, kb).join(
+        queries.select("query_id", "embedding"), "query_id")
+    out = rank_links_by_gaps(links, gaps, kb)
+    return out.select(F.col("link_id").cast("long").alias("link_id"),
+                      F.round("score", 4).alias("score"))
+
+
 def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget chunk merge (reference chunk_documents, utils.py:76-160):
     threshold=48 tokens @ 0.75/word -> m=64 words, overlap=9 -> o=12,
@@ -960,7 +985,9 @@ def q_chunk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic."""
     from crawl4ai_custom_spark.operators.chunking import topic_segment_chunks
 
-    docs = _t(spark, sf_dir, "documents")
+    # capped input: keeps this gate's cost uniform with the other 68 so a
+    # budgeted driver pass covers every query (the oracle mirrors the cap)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return topic_segment_chunks(docs).select("id", "chunk_index", "chunk")
 
 
@@ -1307,7 +1334,8 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots are auto-detected (documents never referenced as children)."""
     from crawl4ai_custom_spark.sources.sitemap import sitemap_page_urls
 
-    docs = _t(spark, sf_dir, "documents")
+    # capped input (mirrored by the oracle): uniform per-gate cost
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/p/"), F.col("doc_id"), F.lit("</loc></url>"),
@@ -1829,6 +1857,54 @@ ORACLES["q_embedding_neardup_bucketed"] = """
     where list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+ORACLES["q_adaptive_embedding"] = """
+    with q as (
+      select vec_id as query_id, embedding::DOUBLE[] as v
+      from embeddings where vec_id < 8
+    ),
+    kb as (
+      select embedding::DOUBLE[] as v
+      from embeddings where vec_id >= 50 and vec_id < 150
+    ),
+    l as (
+      select vec_id as link_id, embedding::DOUBLE[] as v
+      from embeddings where vec_id >= 200 and vec_id < 260
+    ),
+    gap as (
+      select q.query_id, any_value(q.v) as qv,
+             1 - max(list_dot_product(q.v, kb.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(kb.v, kb.v)))) as gap
+      from q cross join kb group by q.query_id
+    ),
+    needy as (select * from gap where gap > 0.2),
+    imp as (
+      select l.link_id,
+             sum(case when (1 - list_dot_product(l.v, n.qv)
+                     / (sqrt(list_dot_product(l.v, l.v))
+                        * sqrt(list_dot_product(n.qv, n.qv)))) < n.gap
+                 then (n.gap - (1 - list_dot_product(l.v, n.qv)
+                       / (sqrt(list_dot_product(l.v, l.v))
+                          * sqrt(list_dot_product(n.qv, n.qv))))) * 2
+                 else 0 end) as total
+      from l cross join needy n group by l.link_id
+    ),
+    ov as (
+      select l.link_id,
+             max(list_dot_product(l.v, kb.v)
+                 / (sqrt(list_dot_product(l.v, l.v))
+                    * sqrt(list_dot_product(kb.v, kb.v)))) as max_sim
+      from l cross join kb group by l.link_id
+    )
+    select l.link_id,
+           round(
+             (coalesce(imp.total, 0) / (select count(*) from needy))
+             * (1 - case when ov.max_sim > 0.85
+                    then (ov.max_sim - 0.85) * 2 else 0 end),
+           4) as score
+    from l left join imp using (link_id) left join ov using (link_id)
 """
 
 ORACLES["q_ann_bruteforce"] = """
@@ -2688,7 +2764,7 @@ ORACLES["q_chunk_topics"] = """
     with base as (
       select doc_id as id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as toks
-      from documents
+      from documents where doc_id < 150
     ),
     blocks as (
       select id, u.i as block_index,
@@ -2928,7 +3004,7 @@ ORACLES["q_sitemap_scan"] = """
     select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
              || '.xml' as sitemap_url,
            'https://' || source || '.example.com/p/' || doc_id as loc
-    from documents
+    from documents where doc_id < 150
 """
 
 ORACLES["q_schema_extract_nested"] = """
@@ -3012,6 +3088,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,
+    "q_adaptive_embedding": q_adaptive_embedding,
     "q_bm25_rank": q_bm25_rank,
     "q_chunk_sliding": q_chunk_sliding,
     "q_chunk_overlap": q_chunk_overlap,

@@ -143,3 +143,106 @@ def adaptive_crawl(
         stopped_reason=reason,
         new_terms_history=history,
     )
+
+
+@dataclass
+class EmbeddingAdaptiveResult:
+    confidence: float
+    validation: float
+    quality: float
+    waves: int
+    pages: int
+    kb_docs: int
+    stopped_reason: str
+    confidence_history: list[float] = field(default_factory=list)
+
+
+def embedding_adaptive_crawl(
+    engine: FrontierEngine,
+    seeds,
+    query_embeddings: DataFrame,
+    embed_results,
+    *,
+    validation_split: float = 0.2,
+    max_pages: int = 10_000,
+    max_total_waves: int = 16,
+    cfg=None,
+) -> EmbeddingAdaptiveResult:
+    """strategy="embedding": crawl until the semantic space of the query
+    variations is covered (EmbeddingStrategy, adaptive_crawler.py:617-1270).
+
+    query_embeddings: (query_id, embedding array<double>) — the query plus
+        its variations, PRECOMPUTED (the text->vector model call is the
+        out-of-scope seam, like operators/llm_boundary.py). The last
+        ceil(20%) of query_id order is held out for validation, mirroring
+        the reference's train/val split (:760-781).
+    embed_results: callable (results DataFrame) -> (doc_id, embedding) —
+        embedding provider for crawled pages (deterministic fake in tests).
+
+    The KB lives in parquet beside the crawl checkpoint (never on the
+    driver); each wave appends only new-doc embeddings that survive the
+    0.95 redundancy filter, then confidence/validation run as dataflow.
+    """
+    import os
+
+    from .adaptive_embedding import (
+        EmbeddingAdaptiveConfig,
+        EmbeddingStopState,
+        kb_confidence,
+        kb_dedup_filter,
+        quality_confidence,
+        should_stop,
+        validation_score,
+    )
+
+    cfg = cfg or EmbeddingAdaptiveConfig()
+    spark = engine.spark
+    ids = sorted(r[0] for r in query_embeddings.select("query_id").collect())
+    n_val = max(2, int(len(ids) * validation_split))
+    val_ids = set(ids[-n_val:])
+    train_q = query_embeddings.where(~F.col("query_id").isin(list(val_ids)))
+    val_q = query_embeddings.where(F.col("query_id").isin(list(val_ids)))
+
+    kb_path = os.path.join(engine.checkpoint_dir, "_state", "kb_embeddings")
+    state = EmbeddingStopState()
+    conf = val = 0.0
+    pages = waves = kb_docs = 0
+    stopped = False
+
+    for wave, results, run in stream_crawl(engine, seeds, max_total_waves):
+        waves = wave + 1
+        ok = results.where(F.col("status_code") == 200)
+        new_emb = embed_results(ok)
+        if os.path.isdir(kb_path):
+            kb = spark.read.parquet(kb_path)
+            fresh = kb_dedup_filter(new_emb, kb,
+                                    threshold=cfg.kb_similarity_threshold)
+        else:
+            fresh = new_emb
+        fresh.write.mode("append").parquet(kb_path)
+        kb = spark.read.parquet(kb_path)
+        kb_docs = kb.count()
+        pages += ok.count()
+
+        conf = kb_confidence(train_q, kb, tau=cfg.coverage_tau)
+        if should_stop(
+            state, conf, pages, frontier_empty=False, max_pages=max_pages,
+            validate=lambda: validation_score(val_q, kb), cfg=cfg,
+        ):
+            stopped = True
+            break
+    if not stopped and not state.stopped_reason:
+        state.stopped_reason = "max_waves_or_frontier"
+    if os.path.isdir(kb_path):
+        val = validation_score(val_q, spark.read.parquet(kb_path))
+    quality = quality_confidence(conf, val, state.validation_passed, cfg)
+    return EmbeddingAdaptiveResult(
+        confidence=round(conf, 4),
+        validation=round(val, 4),
+        quality=round(quality, 4),
+        waves=waves,
+        pages=pages,
+        kb_docs=kb_docs,
+        stopped_reason=state.stopped_reason,
+        confidence_history=[round(c, 4) for c in state.confidence_history],
+    )

@@ -20,9 +20,11 @@ crawler in tests/test_frontier.py.
 Strategies:
   bfs        admit the whole frontier each wave (depth-synchronous)
   best_first admit the global top ``batch_size`` by score; rest carries over
-  dfs        admit 1 url per wave in LIFO order (depth DESC, discovery DESC,
-             link position ASC) — sequential semantics, fixture-scale only
-             (documented non-scalable mode, as in SURVEY.md §7)
+  dfs        admit the longest politeness-admissible PREFIX of the LIFO
+             stack each wave (depth DESC, discovery DESC, link position
+             ASC; pop order preserved, politeness-blocked rows end the
+             wave) — batched sequential semantics; the stack-order window
+             is global by design, so this mode trades scale for ordering
 
 Lineage truncation: frontier/host_state round-trip through the checkpoint
 parquet every wave — each wave's plan starts from a scan, not from an
@@ -51,6 +53,7 @@ from .politeness import (
     RETRY_STATUSES,
     PolitenessConfig,
     admit,
+    admit_dfs_prefix,
     aged_score,
     empty_host_state,
     fold_wave_outcomes,
@@ -250,14 +253,13 @@ class FrontierEngine:
         elif cfg.strategy == "best_first":
             cap = min(cfg.batch_size, remaining_budget)
         else:  # dfs
-            cap = 1
-        if cfg.strategy == "dfs":
-            # LIFO pop: politeness still applies (a blocked-out row waits)
-            admitted = admit(
-                frontier.orderBy(*self._admission_order()).limit(8),
-                host_state, cfg.politeness, global_budget=None,
+            # batched LIFO: admit the longest politeness-admissible prefix
+            # of the stack per wave (pop order preserved) — waves shrink
+            # ~|prefix|x vs the old one-url-per-wave sequential mode
+            return admit_dfs_prefix(
+                frontier, host_state, cfg.politeness,
+                self._admission_order(), remaining_budget,
             )
-            return admitted.orderBy(*self._admission_order()).limit(cap)
         return admit(frontier, host_state, cfg.politeness, global_budget=cap)
 
     # ------------------------------------------------------------------

@@ -161,3 +161,44 @@ def queue_wait_stats(admitted_log: DataFrame) -> DataFrame:
         )
         .orderBy("wave")
     )
+
+
+def admit_dfs_prefix(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    cfg: PolitenessConfig,
+    order: list,
+    cap: int,
+) -> DataFrame:
+    """Longest politeness-admissible PREFIX of the DFS stack, pop order
+    preserved (dfs_strategy.py LIFO semantics, batched): walk the stack in
+    ``order``; each row consumes one unit of its host's wave budget; the
+    first row whose host budget is exhausted ends the wave — admitting
+    anything past it would reorder pops relative to sequential DFS.
+
+    One plan, no extra action: global stack position + per-host running
+    count via windows, cutoff = min stack position of any over-budget row
+    (an unpartitioned min window over the already-single-partition stack
+    ordering — DFS is the documented sequential-semantics mode, so the
+    global window is the point, not an accident)."""
+    fr = frontier.join(F.broadcast(host_state), "registrable_domain", "left")
+    fr = fr.withColumn("_budget", domain_budget_col(cfg))
+    w_stack = Window.orderBy(*order)
+    w_host = Window.partitionBy("registrable_domain").orderBy(*order)
+    ranked = (
+        fr.withColumn("_pos", F.row_number().over(w_stack))
+        .withColumn("_hpos", F.row_number().over(w_host))
+    )
+    cutoff = F.min(
+        F.when(F.col("_hpos") > F.col("_budget"), F.col("_pos"))
+    ).over(w_stack.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+    return (
+        ranked.withColumn("_cut", cutoff)
+        .where(
+            (F.col("_pos") < F.coalesce(F.col("_cut"), F.lit(1 << 31)))
+            & (F.col("_pos") <= int(cap))
+        )
+        .drop("_pos", "_hpos", "_cut", "_budget", "current_delay",
+              "fail_count")
+    )

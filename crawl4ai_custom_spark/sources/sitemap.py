@@ -75,12 +75,15 @@ def sitemap_page_urls(
     docs = sitemaps.select(
         F.col(url_col).alias("url"), F.col(xml_col).alias("xml")
     )
+    # the edge table is consulted once per recursion round (plus the root
+    # detection anti-join); persist it so each round's isEmpty() action
+    # re-reads a few KB per sitemap instead of re-running the upstream plan
     children_of = docs.select(
         "url",
         F.explode_outer(
             F.regexp_extract_all("xml", F.lit(_INDEX_LOC), F.lit(1))
         ).alias("child"),
-    )
+    ).persist()
     if roots is None:
         referenced = children_of.where(F.col("child").isNotNull()).select(
             F.col("child").alias("url")
@@ -89,20 +92,18 @@ def sitemap_page_urls(
     else:
         current = roots.select(F.col(url_col).alias("url")).distinct()
 
+    # bounded recursion (sitemap nesting is spec-shallow): unroll max_depth
+    # joins LAZILY — one Spark action total, instead of an isEmpty() job per
+    # round; duplicates from diamonds/cycles fold in the final distinct
     reachable = current
     for _ in range(max_depth):
-        nxt = (
+        current = (
             current.join(children_of, "url")
             .where(F.col("child").isNotNull())
             .select(F.col("child").alias("url"))
-            .distinct()
-            .join(reachable, "url", "left_anti")  # cycle guard
         )
-        # bounded recursion (spec-shallow); an empty round short-circuits
-        if nxt.isEmpty():
-            break
-        reachable = reachable.unionByName(nxt)
-        current = nxt
+        reachable = reachable.unionByName(current)
+    reachable = reachable.distinct()
 
     return (
         reachable.join(docs, "url")

@@ -37,24 +37,50 @@ def test_stream_crawl_emits_waves_incrementally(spark, pages_df, tmp_path):
 
 
 def test_dfs_mode_goes_deep_first(spark, pages_df, tmp_path):
+    # tight per-host budget (wave_seconds/base_delay = 2 pops per host per
+    # wave) so the batched LIFO prefix still exhibits depth-first descent
     cfg = CrawlConfig(strategy="dfs", max_depth=3, max_pages=12,
+                      politeness=PolitenessConfig(base_delay=2.0,
+                                                  wave_seconds=4.0),
+                      use_bloom=False, check_robots=False)
+    eng = FrontierEngine(spark, pages_df, None, cfg,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         out_dir=str(tmp_path / "out"))
+    run = eng.run(["https://mega.example-shop.com/"])
+    adm = run.admitted_log(spark).orderBy("wave", "order_in_wave").collect()
+    # batched LIFO: within every wave the admitted rows are EXACTLY the
+    # stack prefix in pop order (depth DESC, discovery DESC, link_pos ASC)
+    from itertools import groupby
+    for wave, rows in groupby(adm, key=lambda r: r["wave"]):
+        rows = list(rows)
+        key = lambda r: (-r["depth"], -r["discovered_wave"], r["link_pos"],
+                         r["url_canon"])
+        assert rows == sorted(rows, key=key), f"pop order broken in wave {wave}"
+        assert [r["order_in_wave"] for r in rows] == list(range(1, len(rows) + 1))
+    depths = [r["depth"] for r in adm]
+    # LIFO: the crawl descends to depth 3 while depth-1 candidates (the
+    # seed's own links, run.stats[0]) are still uncrawled — a BFS would
+    # finish every depth-1 page before touching depth 2
+    first_d3 = next((i for i, d in enumerate(depths) if d == 3), None)
+    assert first_d3 is not None
+    n_d1_crawled = sum(1 for d in depths if d == 1)
+    assert n_d1_crawled < run.stats[0]["new_links"]
+    assert run.pages_crawled == len(depths) <= cfg.max_pages
+
+
+def test_dfs_batched_admission_shrinks_waves(spark, pages_df, tmp_path):
+    """With an unconstrained politeness budget the whole stack is one
+    admissible prefix, so the crawl needs ~max_depth waves, not ~max_pages
+    (>= 5x fewer than the old one-url-per-wave sequential mode)."""
+    cfg = CrawlConfig(strategy="dfs", max_depth=3, max_pages=40,
                       politeness=PolitenessConfig(wave_seconds=1e9),
                       use_bloom=False, check_robots=False)
     eng = FrontierEngine(spark, pages_df, None, cfg,
                          checkpoint_dir=str(tmp_path / "ckpt"),
                          out_dir=str(tmp_path / "out"))
     run = eng.run(["https://mega.example-shop.com/"])
-    adm = run.admitted_log(spark).orderBy("wave").collect()
-    assert all(r["order_in_wave"] == 1 and len({x["wave"] for x in adm}) == len(adm)
-               for r in adm)  # one url per wave (sequential semantics)
-    depths = [r["depth"] for r in adm]
-    # LIFO: after the seed, the crawl descends before finishing a level —
-    # some depth-3 page is admitted before all depth-1 pages are done
-    first_d3 = next((i for i, d in enumerate(depths) if d == 3), None)
-    last_d1 = max((i for i, d in enumerate(depths) if d == 1), default=None)
-    assert first_d3 is not None and last_d1 is not None
-    assert first_d3 < last_d1
-    assert run.pages_crawled == len(depths) <= cfg.max_pages
+    assert run.pages_crawled > 5
+    assert run.waves * 5 <= run.pages_crawled
 
 
 def test_salted_admission_equals_unsalted(spark):
