@@ -106,7 +106,9 @@ class WebCrawler:
         if isinstance(urls, DataFrame):
             want = urls.select(F.col("url"))
         else:
-            want = self.spark.createDataFrame([(u,) for u in urls], ["url"])
+            from .session import local_df
+
+            want = local_df(self.spark, [(u,) for u in urls], "url string")
         want = want.select(
             canonicalize_abs_udf(F.col("url")).alias("url_canon")
         ).where(F.col("url_canon").isNotNull()).dropDuplicates(["url_canon"])

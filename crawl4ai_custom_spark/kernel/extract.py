@@ -20,7 +20,11 @@ from typing import Any
 
 from .content_filter import BM25ContentFilter, PruningContentFilter
 from .htmldom import parse_html
-from .markdown import MarkdownResult, html_to_markdown, references_block
+from .markdown import (
+    MarkdownResult,
+    convert_links_to_citations,
+    html_to_markdown,
+)
 from .scraper import ScrapeConfig, scrap
 
 
@@ -52,7 +56,9 @@ def extract_page(
     # directly instead of re-parsing serialized fragments.
     tree = sr.body_node if sr.body_node is not None else parse_html(sr.cleaned_html)
     raw_md, _ = html_to_markdown(tree)
-    cited_md, refs = html_to_markdown(tree, citations=True)
+    # citations are a regex post-pass over the raw markdown (reference
+    # pipeline shape, mgs.py:82-146) — no second conversion
+    cited_md, references_md = convert_links_to_citations(raw_md)
 
     fit_html = ""
     fit_md = ""
@@ -70,7 +76,7 @@ def extract_page(
     md = MarkdownResult(
         raw_markdown=raw_md,
         markdown_with_citations=cited_md,
-        references_markdown=references_block(refs),
+        references_markdown=references_md,
         fit_markdown=fit_md,
         fit_html=fit_html,
     )

@@ -64,7 +64,7 @@ from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
-from .htmldom import Node
+from .htmldom import VOID_TAGS, Comment, Node
 
 _WS = re.compile(r"\s+")
 # text following emphasis content gets a separating space when it starts
@@ -117,9 +117,8 @@ class MarkdownResult:
 class _Converter(HTMLParser):
     """One-document HTML→markdown conversion pass."""
 
-    def __init__(self, *, citations: bool = False, baseurl: str = ""):
+    def __init__(self, *, baseurl: str = ""):
         super().__init__(convert_charrefs=False)
-        self.citations = citations
         self.baseurl = baseurl
         self.outlist: list[str] = []
         self.last_was_nl = False
@@ -147,14 +146,10 @@ class _Converter(HTMLParser):
         self.link_stack: list[dict | None] = []
         self.auto_link: str | None = None   # href that may become <url>
         self.empty_link = False
-        self.link_text_from: int = 0
         # abbreviations (<abbr title=..>) — flushed at document end
         self.abbr_title: str | None = None
         self.abbr_data: str | None = None
         self.abbr_list: dict[str, str] = {}
-        # citations
-        self.refs: list[tuple[str, str]] = []
-        self.ref_index: dict[str, int] = {}
 
     # ---- low-level output ------------------------------------------------
 
@@ -239,13 +234,11 @@ class _Converter(HTMLParser):
             self.after_stress = False
         if self.auto_link is not None:
             href = self.auto_link
-            if (not self.citations and href == data
-                    and _ABS_URL.match(href)):
+            if href == data and _ABS_URL.match(href):
                 self._emit("<" + data + ">")
                 self.empty_link = False
                 return
-            if not self.citations:
-                self._emit("[")
+            self._emit("[")
             self.auto_link = None
             self.empty_link = False
         if not self.tt_code and not entity:
@@ -310,8 +303,7 @@ class _Converter(HTMLParser):
         if (start and self.auto_link is not None
                 and tag not in ("p", "div", "style", "dl", "dt")
                 and tag != "img"):
-            if not self.citations:
-                self._emit("[")
+            self._emit("[")
             self.auto_link = None
             self.empty_link = False
 
@@ -491,12 +483,6 @@ class _Converter(HTMLParser):
 
     # ---- links -----------------------------------------------------------
 
-    def _cite(self, href: str, title: str) -> int:
-        if href not in self.ref_index:
-            self.ref_index[href] = len(self.refs) + 1
-            self.refs.append((href, title))
-        return self.ref_index[href]
-
     def _a(self, attrs: dict, start: bool) -> None:
         if start:
             self.inside_link = True
@@ -505,7 +491,6 @@ class _Converter(HTMLParser):
                 self.link_stack.append(attrs)
                 self.auto_link = href
                 self.empty_link = True
-                self.link_text_from = len(self.outlist)
             else:
                 self.link_stack.append(None)
             return
@@ -516,21 +501,15 @@ class _Converter(HTMLParser):
         if self.auto_link and not self.empty_link:
             self.auto_link = None     # autolink already emitted as <url>
         elif a is not None:
-            text = "".join(self.outlist[self.link_text_from:]).strip()
             if self.empty_link:
-                if not self.citations:
-                    self._emit("[")
+                self._emit("[")
                 self.empty_link = False
                 self.auto_link = None
             url = urljoin(self.baseurl, a.get("href") or "")
             title = a.get("title") or ""
-            if self.citations:
-                n = self._cite(url, title or text)
-                self._emit(f"⟨{n}⟩")
-            else:
-                self.pending_breaks = 0
-                t = f' "{_escape_md(title)}"' if title.strip() else ""
-                self._emit(f"]({_escape_md(url)}{t})")
+            self.pending_breaks = 0
+            t = f' "{_escape_md(title)}"' if title.strip() else ""
+            self._emit(f"]({_escape_md(url)}{t})")
 
     def _img(self, attrs: dict) -> None:
         src = attrs.get("src")
@@ -538,8 +517,7 @@ class _Converter(HTMLParser):
             return
         alt = attrs.get("alt") or ""
         if self.auto_link is not None:
-            if not self.citations:
-                self._emit("[")
+            self._emit("[")
             self.auto_link = None
             self.empty_link = False
         self._emit("![" + _escape_md(alt) + "]")
@@ -551,6 +529,36 @@ class _Converter(HTMLParser):
         self.feed(html_s)
         self.feed("")
         self.close()
+        return self._finish()
+
+    def convert_node(self, node: Node) -> str:
+        """Drive the same event machine straight off a DOM tree — skips the
+        serialize+retokenize round-trip for the in-pipeline (scrap -> md)
+        path. Equivalent to convert(node.to_html()) up to entity-chunk
+        boundaries (the DOM has entities already resolved, matching the
+        reference's real lxml-parsed pipeline rather than its raw-string
+        fixture path)."""
+        if node.tag == "#root":
+            self._walk(node)
+        else:
+            self._tag(node.tag, node.attrs, True)
+            if node.tag not in VOID_TAGS:
+                self._walk(node)
+                self._tag(node.tag, {}, False)
+        return self._finish()
+
+    def _walk(self, node: Node) -> None:
+        for c in node.children:
+            cls = c.__class__
+            if cls is str:
+                self._text(c, entity=False)
+            elif cls is Node:
+                self._tag(c.tag, c.attrs, True)
+                if c.tag not in VOID_TAGS:
+                    self._walk(c)
+                    self._tag(c.tag, {}, False)
+
+    def _finish(self) -> str:
         self._line()
         self._emit("", force="end")
         out = "".join(self.outlist).replace(_NBSP_PH, " ")
@@ -558,35 +566,72 @@ class _Converter(HTMLParser):
         return out.replace("    ```", "```")
 
 
-def html_to_markdown(html: str | Node, *, citations: bool = False,
-                     base_url: str = "") -> tuple[str, list[tuple[str, str]]]:
+def html_to_markdown(html: str | Node, *,
+                     base_url: str = "") -> tuple[str, list]:
+    """(raw_markdown, []) — the second element is kept for signature
+    stability; citations are a post-pass (convert_links_to_citations)."""
+    conv = _Converter(baseurl=base_url)
     if isinstance(html, Node):
-        html = html.to_html()
-    conv = _Converter(citations=citations, baseurl=base_url)
-    return conv.convert(html), conv.refs
+        return conv.convert_node(html), []
+    return conv.convert(html), []
+
+
+# inline/image markdown links: [text](url "title") — text non-empty
+_MD_LINK = re.compile(r'!?\[([^\]]+)\]\(([^)]+?)(?:\s+"([^"]*)")?\)')
+
+
+def convert_links_to_citations(markdown: str,
+                               base_url: str = "") -> tuple[str, str]:
+    """Citations as a single regex pass over the RAW markdown, matching the
+    reference's converter byte-for-byte
+    (markdown_generation_strategy.py:82-146): every link/image becomes
+    ``text⟨n⟩`` / ``![text⟨n⟩]`` with n assigned per unique url in order
+    of first appearance; returns (cited_markdown, references_markdown)."""
+    refs: dict[str, tuple[int, str]] = {}
+
+    def number_for(url: str, text: str, title: str | None) -> int:
+        if url not in refs:
+            desc = [p for p in (title, text if text != title else "")
+                    if p]
+            refs[url] = (len(refs) + 1,
+                         ": " + " - ".join(desc) if desc else "")
+        return refs[url][0]
+
+    def replace(m: re.Match) -> str:
+        text, url, title = m.groups()
+        if base_url and not url.startswith(("http://", "https://",
+                                            "mailto:")):
+            url = urljoin(base_url, url)
+        n = number_for(url, text, title)
+        return (f"![{text}⟨{n}⟩]" if m.group(0).startswith("!")
+                else f"{text}⟨{n}⟩")
+
+    cited = _MD_LINK.sub(replace, markdown)
+    lines = ["\n\n## References\n\n"]
+    lines += [f"⟨{n}⟩ {url}{desc}\n"
+              for url, (n, desc) in sorted(refs.items(),
+                                           key=lambda kv: kv[1][0])]
+    return cited, "".join(lines)
 
 
 def references_block(refs: list[tuple[str, str]]) -> str:
+    """Legacy shim over the reference-format references list."""
     if not refs:
         return ""
-    lines = ["## References", ""]
-    for i, (href, title) in enumerate(refs, 1):
-        label = f" {title}" if title else ""
-        lines.append(f"⟨{i}⟩{label}: {href}")
-    return "\n".join(lines)
+    return "".join([f"⟨{i}⟩ {href}{(': ' + title) if title else ''}\n"
+                    for i, (href, title) in enumerate(refs, 1)])
 
 
 def generate_markdown(html: str | Node, fit_html: str | None = None,
                       base_url: str = "") -> MarkdownResult:
-    """Full markdown bundle for one page's cleaned HTML."""
-    if isinstance(html, Node):
-        html = html.to_html()
+    """Full markdown bundle for one page's cleaned HTML: ONE conversion
+    pass, then the citation regex post-pass (reference pipeline shape)."""
     raw, _ = html_to_markdown(html, base_url=base_url)
-    cited, refs = html_to_markdown(html, citations=True, base_url=base_url)
+    cited, references = convert_links_to_citations(raw, base_url)
     res = MarkdownResult(
         raw_markdown=raw,
         markdown_with_citations=cited,
-        references_markdown=references_block(refs),
+        references_markdown=references,
     )
     if fit_html is not None:
         res.fit_html = fit_html

@@ -215,3 +215,57 @@ def links_table(extracted: DataFrame) -> DataFrame:
     return extracted.select(
         F.col("url").alias("page_url"), F.explode("links").alias("link")
     ).select("page_url", "link.*")
+
+
+def extract_pages_with_meta(pages: DataFrame, cfg: ExtractConfig | None = None,
+                            min_parallelism: int | None = None) -> DataFrame:
+    """One-pass fetch+extract with metadata passthrough: every column of
+    ``pages`` except (html, _do_extract) is carried through the Python
+    stage alongside the extraction output — no rejoin afterwards.
+
+    ``pages`` must have (url string, html binary, _do_extract boolean, ...).
+    Rows with _do_extract false (fetch miss / non-200) short-circuit to
+    null extraction columns (success=false, exec_partition=-1) inside the
+    worker, exactly the shape the old meta-join produced.
+
+    This exists for the crawl wave loop: admission -> fetch join ->
+    extraction -> results is ONE write job instead of two writes plus a
+    url equi-join per wave."""
+    cfg = cfg or ExtractConfig()
+    meta_fields = [f for f in pages.schema.fields
+                   if f.name not in ("html", "_do_extract")]
+    meta_names = [f.name for f in meta_fields]
+    extract_names = [f.name for f in EXTRACT_SCHEMA.fields if f.name != "url"]
+    schema = StructType(meta_fields + [f for f in EXTRACT_SCHEMA.fields
+                                       if f.name != "url"])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            htmls = pdf["html"]
+            do = pdf["_do_extract"]
+            for i in range(len(pdf)):
+                rec: dict[str, Any] = {k: pdf[k].iloc[i] for k in meta_names}
+                html = htmls.iloc[i]
+                if bool(do.iloc[i]) and html is not None:
+                    t0 = time.perf_counter()
+                    row = extract_page(rec["url"], html or b"", cfg)
+                    ms = (time.perf_counter() - t0) * 1000.0
+                    full = _row_to_out(row, len(html or b""), ms)
+                    full["exec_partition"] = pid
+                else:
+                    full = {k: None for k in extract_names}
+                    full["success"] = False
+                    full["exec_partition"] = -1
+                rec.update({k: full[k] for k in extract_names})
+                out.append(rec)
+            yield pd.DataFrame(out, columns=meta_names + extract_names)
+
+    spark = pages.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    df = pages.repartition(target)
+    return df.mapInPandas(fn, schema)

@@ -140,8 +140,11 @@ class FilterChain:
 
     def apply(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         if not self.filters:
-            return df, df.sparkSession.createDataFrame(
-                [], "filter string, total long, passed long, rejected long"
+            from ..session import local_df
+
+            return df, local_df(
+                df.sparkSession, [],
+                "filter string, total long, passed long, rejected long",
             )
         with_flags = df
         flag_cols = []
@@ -162,8 +165,11 @@ class FilterChain:
             passed = stat_row[col] or 0
             stats.append((name, seen_before, passed, seen_before - passed))
             seen_before = passed
-        stats_df = df.sparkSession.createDataFrame(
-            stats, "filter string, total long, passed long, rejected long"
+        from ..session import local_df
+
+        stats_df = local_df(
+            df.sparkSession, stats,
+            "filter string, total long, passed long, rejected long",
         )
         last_flag = flag_cols[-1][1]
         out = with_flags.where(F.col(last_flag)).drop(*[c for _, c in flag_cols])

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..kernel.extract import ExtractConfig
 from ..state.checkpoint import CheckpointStore
-from .extraction import extract_pages
+from .extraction import extract_pages_with_meta
 from .filters import FilterChain, content_type_filter, domain_filter, url_pattern_filter
 from .politeness import (
     RETRY_STATUSES,
@@ -167,7 +167,14 @@ class CrawlRun:
         return spark.read.parquet(os.path.join(self.results_dir, "*", "results.parquet"))
 
     def admitted_log(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.results_dir, "*", "admitted.parquet"))
+        """The admission log is a projection of the per-wave results delta
+        (one row per admitted url) — no separate admitted table exists."""
+        return self.results(spark).select(
+            F.col("url").alias("url_canon"), "url_hash",
+            "registrable_domain", "parent_url", "depth", "score",
+            "discovered_wave", "link_pos", "retry_count",
+            "order_in_wave", "wave",
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-(wave, executor-partition, domain) fetch/extract metrics —
@@ -210,14 +217,51 @@ class FrontierEngine:
         page_cols = [F.col("url").alias("url_canon"), "html", "warc_ts", "lang"]
         if "status_code" in pages.columns:
             page_cols.append(F.col("status_code").alias("_page_status"))
+        self._pages_input = pages
+        self._page_cols = page_cols
         self.pages = latest_pages(pages).select(*page_cols)
 
     # ------------------------------------------------------------------
     def _seed_frontier(self, seed_urls: list[str] | DataFrame) -> DataFrame:
-        if isinstance(seed_urls, DataFrame):
-            seeds = seed_urls.select(F.col("url"))
-        else:
-            seeds = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+        if not isinstance(seed_urls, DataFrame):
+            # a handful of literal seeds: run the SAME kernel functions the
+            # pandas UDFs wrap, driver-side — spinning up Arrow workers
+            # across 32 partitions for 6 rows costs seconds of fixed
+            # overhead per stage. (A DataFrame input — e.g. a million-url
+            # seeder output — still takes the distributed path below.)
+            from ..kernel import urlnorm
+
+            import re as _re
+
+            # same predicate as urlops.url_is_valid (native rlike twin)
+            valid = _re.compile(r"^https?://[^/?#]*\.[^/?#]+")
+            rows, seen = [], set()
+            for u in seed_urls:
+                if not u or not valid.match(u):
+                    continue
+                c = urlnorm.canonicalize_url(u)
+                if not c or c in seen:
+                    continue
+                seen.add(c)
+                rows.append((c, urlnorm.registrable_domain(c)))
+            import pandas as _pd
+
+            # Arrow path: a plain-list createDataFrame round-trips through
+            # parallelize + Python workers (seconds of spinup for 2 rows)
+            df = self.spark.createDataFrame(_pd.DataFrame(
+                rows, columns=["url_canon", "registrable_domain"]
+            ).astype("object")).coalesce(1)
+            return (
+                df.withColumn("url_hash", F.xxhash64("url_canon"))
+                .withColumn("parent_url", F.lit(None).cast("string"))
+                .withColumn("depth", F.lit(0))
+                .withColumn("score", F.lit(1.0))
+                .withColumn("discovered_wave", F.lit(0))
+                .withColumn("link_pos", F.lit(0))
+                .withColumn("retry_count", F.lit(0))
+                .select(*[f.split(" ")[0] for f in FRONTIER_DDL.split(", ")])
+            )
+        seeds = seed_urls.select(F.col("url"))
         fr = (
             seeds.where(url_is_valid(F.col("url")))
             .select(canonicalize_abs_udf(F.col("url")).alias("url_canon"))
@@ -382,9 +426,20 @@ class FrontierEngine:
         # materialize the latest-capture "web" once: every wave's fetch join
         # scans this parquet with pushdown instead of re-running the window
         # (guarded — repeated run() calls, e.g. streaming emission, must not
-        # overwrite the materialization they are reading from)
+        # overwrite the materialization they are reading from). When the
+        # input is ALREADY one-row-per-url (a pre-deduped latest table, the
+        # common production layout), the window is a no-op and the rewrite
+        # would copy the entire web once per crawl — the uniqueness probe
+        # below scans only the url column (column-pruned, no html IO).
         if not getattr(self, "_pages_materialized", False):
-            self.pages = self._materialize(self.pages, "pages_latest")
+            probe = self._pages_input.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("url").alias("d"),
+            ).first()
+            if probe["n"] == probe["d"]:
+                self.pages = self._pages_input.select(*self._page_cols)
+            else:
+                self.pages = self._materialize(self.pages, "pages_latest")
             self._pages_materialized = True
 
         # The seen set is APPEND-ONLY: a union view over immutable delta
@@ -450,7 +505,21 @@ class FrontierEngine:
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_DDL.split(", ")]
         wave = start_wave
         max_waves = cfg.max_waves or (1000 if cfg.strategy == "dfs" else 64)
+        import threading
         import time as _time
+
+        # the previous wave's snapshot commit runs on this thread while the
+        # CURRENT wave's admission+extract job executes — the commit latency
+        # hides behind the wave's dominant job. Joined right after the
+        # results delta lands (before anything reads the snapshot files).
+        commit_thread: threading.Thread | None = None
+        next_frontier_upper = -1  # unknown until a wave computes it
+
+        def _join_commit() -> None:
+            nonlocal commit_thread
+            if commit_thread is not None:
+                commit_thread.join()
+                commit_thread = None
 
         while wave < max_waves:
             _t = {"_w0": _time.time()}
@@ -463,10 +532,20 @@ class FrontierEngine:
             # gating already happened on each row's entry), so its count comes
             # straight from parquet footers — no Spark job. No depth check is
             # needed: the link filter chain admits only depth <= max_depth, so
-            # the frontier can never contain a deeper row.
-            n_frontier = _parquet_rows(frontier_path, fallback=frontier)
+            # the frontier can never contain a deeper row. While a snapshot
+            # commit is still in flight the footer isn't on disk yet: defer
+            # the count (the admitted==0 break covers an empty frontier).
+            if commit_thread is None:
+                n_frontier = _parquet_rows(frontier_path, fallback=frontier)
+            elif next_frontier_upper == 0:
+                # provably empty (no leftover, no discoveries, no retries):
+                # skip the would-be-empty fused job entirely
+                n_frontier = 0
+            else:
+                n_frontier = -1  # backfilled after the commit joins
             _mark("t_frontier_agg")
             if n_frontier == 0 or crawled >= cfg.max_pages:
+                _join_commit()
                 break
 
             adm_frontier = frontier
@@ -486,48 +565,57 @@ class FrontierEngine:
             admitted = admitted.withColumn(
                 "order_in_wave", F.row_number().over(order_w)
             ).withColumn("wave", F.lit(wave))
-
-            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
-            admitted_path = os.path.join(wave_dir, "admitted.parquet")
-            admitted.write.mode("overwrite").parquet(admitted_path)
-            admitted = spark.read.parquet(admitted_path)
-            n_admitted = _parquet_rows(admitted_path, fallback=admitted)  # footer-only
             _mark("t_admission")
-            if n_admitted == 0:
-                break
 
-            # ---- "fetch" (join materialized latest pages) + extraction, all
-            # in ONE write job; 404 rows keep null extraction columns
+            # ---- admission + "fetch" (join materialized latest pages) +
+            # extraction + results: ONE write job per wave. The admitted
+            # view is re-derived from the written results parquet (every
+            # admitted row appears exactly once — the pages view is unique
+            # by url_canon), so the old separate admitted.parquet write and
+            # the meta⋈extracted url join are both gone.
+            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
             fetched = admitted.join(self.pages, "url_canon", "left")
             status = F.when(F.col("html").isNull(), 404).otherwise(
                 F.coalesce(F.col("_page_status"), F.lit(200))
                 if "_page_status" in self.pages.columns
                 else F.lit(200)
             )
-            fetched = fetched.withColumn("status_code", status)
-            extracted = extract_pages(
-                fetched.where(F.col("status_code") == 200)
-                .select(F.col("url_canon").alias("url"), "html"),
+            fetched = (
+                fetched.withColumn("status_code", status)
+                .withColumn("_do_extract", F.col("status_code") == 200)
+            )
+            results = extract_pages_with_meta(
+                fetched.select(
+                    F.col("url_canon").alias("url"), "html", "_do_extract",
+                    "url_hash", "registrable_domain", "parent_url", "depth",
+                    "score", "discovered_wave", "link_pos", "retry_count",
+                    "status_code", "order_in_wave", "wave",
+                ),
                 cfg.extract,
-            )
-            meta_cols = fetched.select(
-                F.col("url_canon").alias("url"), "registrable_domain", "depth",
-                "score", "parent_url", "status_code", "order_in_wave",
-            )
-            results = (
-                meta_cols.join(extracted, "url", "left")
-                .withColumn("success", F.coalesce(F.col("success"), F.lit(False)))
-                .withColumn("wave", F.lit(wave))
-                # exec_partition comes from the extraction worker itself
-                # (TaskContext.partitionId); fetch-miss rows never ran there
-                .withColumn(
-                    "exec_partition",
-                    F.coalesce(F.col("exec_partition"), F.lit(-1)),
-                )
             )
             results_path = os.path.join(wave_dir, "results.parquet")
             results.write.mode("overwrite").parquet(results_path)
             results = spark.read.parquet(results_path)
+            n_admitted = _parquet_rows(results_path, fallback=results)  # footer-only
+            # the overlapped snapshot commit has now been fully hidden behind
+            # the admission+extract job: join it and REBASE frontier /
+            # host_state onto the committed parquet scans, truncating the
+            # one-wave-deep lazy lineage the admission ran on
+            if commit_thread is not None:
+                _join_commit()
+                snap = self.store.read(wave - 1)
+                frontier, host_state = snap["frontier"], snap["host_state"]
+                if n_frontier < 0:
+                    n_frontier = _parquet_rows(frontier_path, fallback=frontier)
+            if n_admitted == 0:
+                _mark("t_fetch_extract")
+                break
+            admitted = results.select(
+                F.col("url").alias("url_canon"), "url_hash",
+                "registrable_domain", "parent_url", "depth", "score",
+                "discovered_wave", "link_pos", "retry_count",
+                "order_in_wave", "wave",
+            )
             # filtered tally from a single pruned column of the O(Δ) results
             # delta we just wrote — avoids a whole Spark job per wave
             n_ok = _parquet_count_eq(results_path, "status_code", 200,
@@ -646,6 +734,18 @@ class FrontierEngine:
                     .withColumn("retry_count", F.col("retry_count") + 1)
                 )
                 next_frontier = next_frontier.unionByName(retries)
+            # driver-side upper bound on |next frontier| from footer-only
+            # tallies: lets the next loop iteration prove emptiness and
+            # break WITHOUT waiting for the async commit or running a job
+            n_transient = (
+                sum(_parquet_count_eq(results_path, "status_code", s,
+                                      fallback=results)
+                    for s in RETRY_STATUSES)
+                if cfg.politeness.max_retries > 0 else 0
+            )
+            next_frontier_upper = (
+                max(0, n_frontier - n_admitted) + n_new + n_transient
+            )
             seen_paths.append(new_links_path)  # append-only seen delta
             if len(seen_paths) >= cfg.seen_compact_every:
                 compact = os.path.join(
@@ -690,29 +790,44 @@ class FrontierEngine:
             # re-admit already-seen urls
             if bloom is not None:
                 bloom.add(new_links.select("url_hash"))
-            self.store.write(
-                wave,
-                {
-                    "frontier": next_frontier,
-                    "host_state": next_host_state,
-                    "bloom": bloom.state if bloom is not None else None,
-                    "stats": lineage,
+            # snapshot commit runs CONCURRENTLY with the next wave's
+            # admission+extract job (joined right after that wave's results
+            # land). next_frontier/next_host_state read only already-
+            # materialized parquet (this wave's results/new_links + the
+            # previous snapshot), so the next admission's lineage is one
+            # wave deep until the post-join rebase truncates it. Manifest
+            # meta gets an immutable copy — `stats` keeps mutating here.
+            import copy as _copy
+
+            commit_thread = threading.Thread(
+                target=self.store.write,
+                args=(
+                    wave,
+                    {
+                        "frontier": next_frontier,
+                        "host_state": next_host_state,
+                        "bloom": bloom.state if bloom is not None else None,
+                        "stats": lineage,
+                    },
+                ),
+                kwargs={
+                    "meta": {
+                        "pages_crawled": crawled,
+                        "stats": _copy.deepcopy(stats),
+                        # the seen set is the union of these immutable deltas
+                        "seen_deltas": list(seen_paths),
+                    },
                 },
-                meta={
-                    "pages_crawled": crawled,
-                    "stats": stats,
-                    # the seen set is the union of these immutable deltas
-                    "seen_deltas": list(seen_paths),
-                },
+                daemon=True,
             )
-            # lineage truncation: every wave starts from the snapshot scan
-            snap = self.store.read(wave)
-            frontier, host_state = snap["frontier"], snap["host_state"]
+            commit_thread.start()
+            frontier, host_state = next_frontier, next_host_state
             frontier_path = os.path.join(self.store._wave_dir(wave), "frontier.parquet")
             _mark("t_state_commit")
             _t.pop("_w0", None)
             stats[-1].update(_t)
             wave += 1
+        _join_commit()
 
         return CrawlRun(
             results_dir=self.out_dir,

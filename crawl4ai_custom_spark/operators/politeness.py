@@ -45,7 +45,13 @@ class PolitenessConfig:
 
 
 def empty_host_state(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], HOST_STATE_DDL)
+    # JVM-side empty relation: createDataFrame([], ddl) goes through
+    # parallelize + a Python-worker stage (~seconds of spinup cost)
+    return spark.range(0).select(
+        F.lit(None).cast("string").alias("registrable_domain"),
+        F.lit(None).cast("double").alias("current_delay"),
+        F.lit(None).cast("int").alias("fail_count"),
+    )
 
 
 def domain_budget_col(cfg: PolitenessConfig) -> F.Column:

