@@ -1232,6 +1232,23 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_values", "val_sum", "val_min", "val_max")
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode gate: deterministic baseline JPEG per doc built
+    from constant 8x8 blocks (all-ones quant table => DC-only blocks =>
+    exact round-trip), parsed back by the from-scratch Huffman+IDCT decoder
+    (kernel/jpegmini.py); the oracle recomputes every pixel stat from the
+    block closed form."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        decode_media_stats,
+        synth_jpeg_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = decode_media_stats(synth_jpeg_payloads(docs))
+    return out.select("media_id", "format", "decoder", "width", "height",
+                      "n_values", "val_sum", "val_min", "val_max")
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode gate: deterministic PCM16 WAV per doc, parsed by the
     stdlib RIFF codec; exact integer sample statistics, closed-form oracle."""
@@ -1302,13 +1319,36 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [
-                    build_simple_pdf([p1, p2])
-                    for p1, p2 in zip(pdf["page1"], pdf["page2"])
+                    build_simple_pdf(
+                        [p1, p2],
+                        info={"title": p1, "producer": "pdfmini",
+                              "created": "D:20260115093000"},
+                        images_per_page=int(mid) % 3,
+                    )
+                    for mid, p1, p2 in zip(pdf["media_id"], pdf["page1"],
+                                           pdf["page2"])
                 ],
             })
 
     pdfs = src.mapInPandas(build, schema)
-    return extract_pdf_text(pdfs).select("media_id", "n_pages", "text")
+    from crawl4ai_custom_spark.operators.pdf import extract_pdf_pages
+
+    full = extract_pdf_text(pdfs).select("media_id", "n_pages", "text")
+    pages = extract_pdf_pages(pdfs).select(
+        "media_id", "page_number", "page_text", "n_images",
+        F.col("n_pages").alias("meta_pages"), "title", "producer",
+        "created", "encrypted",
+    )
+    # one gate, both surfaces: the whole-doc text row (page_number 0) plus
+    # one row per page with metadata fanned on
+    return full.select(
+        "media_id", F.lit(0).alias("page_number"),
+        F.col("text").alias("page_text"), F.lit(-1).alias("n_images"),
+        F.col("n_pages").alias("meta_pages"), F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("producer"),
+        F.lit(None).cast("string").alias("created"),
+        F.lit(None).cast("string").alias("encrypted"),
+    ).unionByName(pages)
 
 
 def q_queue_wait_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1326,6 +1366,40 @@ def q_queue_wait_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("discovered_wave"),
     )
     return queue_wait_stats(log)
+
+
+def q_serp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-SERP schema pack (google_search/crawler.py:1-131): the preset
+    organic schema over SERP-shaped pages (two results per page), flattened
+    to one row per extracted result."""
+    from crawl4ai_custom_spark.crawlers import SERP_ORGANIC_SCHEMA
+    from crawl4ai_custom_spark.operators.structured import schema_extract
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<html><body><div class="g"><h3>R'), F.col("doc_id"),
+        F.lit(' a</h3><a href="https://r.example/'), F.col("doc_id"),
+        F.lit('/a">x</a><div class="snippet">s'), F.col("doc_id") % 7,
+        F.lit('</div><span class="date">'), F.col("doc_id") % 24,
+        F.lit(' hours ago</span></div><div class="g"><h3>R'),
+        F.col("doc_id"),
+        F.lit(' b</h3><a href="https://r.example/'), F.col("doc_id"),
+        F.lit('/b">x</a><div class="snippet">t'), F.col("doc_id") % 5,
+        F.lit("</div></div></body></html>"),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    out = schema_extract(pages, SERP_ORGANIC_SCHEMA)
+    rec = F.explode("records").alias("rec")
+    return out.select(F.col("url").cast("long").alias("doc_id"), rec).select(
+        "doc_id",
+        F.col("rec.title").alias("title"),
+        F.col("rec.link").alias("link"),
+        F.col("rec.snippet").alias("snippet"),
+        F.col("rec.date").alias("result_date"),
+    )
 
 
 def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,6 +1845,19 @@ ORACLES["q_image_decode"] = """
            count(*)::BIGINT as n_values, sum(v)::BIGINT as val_sum,
            min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
     from px group by doc_id
+"""
+
+ORACLES["q_jpeg_decode"] = """
+    with d as (select doc_id, 2 + doc_id % 2 as by, 2 + doc_id % 3 as bx
+               from documents where doc_id < 200),
+    ix as (select doc_id, by, bx, unnest(generate_series(0, by*bx - 1)) as k
+           from d),
+    blk as (select doc_id, by, bx, (doc_id*53 + k*17 + 5) % 256 as v from ix)
+    select doc_id as media_id, 'jpeg' as format, 'jpeg-stdlib' as decoder,
+           (any_value(bx) * 8)::INT as width, (any_value(by) * 8)::INT as height,
+           (count(*) * 64)::BIGINT as n_values, (sum(v) * 64)::BIGINT as val_sum,
+           min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
+    from blk group by doc_id
 """
 
 ORACLES["q_audio_decode"] = """
@@ -2976,15 +3063,30 @@ ORACLES["q_seeder_rank"] = """
 
 ORACLES["q_pdf_extract"] = """
     with p as (
-      select doc_id as media_id,
+      select doc_id as media_id, 'Doc ' || doc_id as page1,
              substr(regexp_replace(
                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                '[^\\x20-\\x7e]', '', 'g'), 1, 60) as page2
       from documents
     )
-    select media_id, 2 as n_pages,
-           case when length(page2) = 0 then 'Doc ' || media_id
-                else 'Doc ' || media_id || ' ' || page2 end as text
+    select media_id, 0 as page_number,
+           case when length(page2) = 0 then page1
+                else page1 || ' ' || page2 end as page_text,
+           -1 as n_images, 2 as meta_pages,
+           NULL as title, NULL as producer, NULL as created,
+           NULL as encrypted
+    from p
+    union all
+    select media_id, 1 as page_number, page1 as page_text,
+           (media_id % 3)::INT as n_images, 2 as meta_pages,
+           page1 as title, 'pdfmini' as producer,
+           '2026-01-15T09:30:00' as created, 'false' as encrypted
+    from p
+    union all
+    select media_id, 2 as page_number, page2 as page_text,
+           (media_id % 3)::INT as n_images, 2 as meta_pages,
+           page1 as title, 'pdfmini' as producer,
+           '2026-01-15T09:30:00' as created, 'false' as encrypted
     from p
 """
 
@@ -2998,6 +3100,20 @@ ORACLES["q_queue_wait_stats"] = """
            max(wave - discovered_wave)::BIGINT as max_wait_waves,
            round(avg(wave - discovered_wave), 4) as avg_wait_waves
     from log group by wave
+"""
+
+ORACLES["q_serp_extract"] = """
+    select doc_id, 'R' || doc_id || ' a' as title,
+           'https://r.example/' || doc_id || '/a' as link,
+           's' || (doc_id % 7) as snippet,
+           (doc_id % 24) || ' hours ago' as result_date
+    from documents where doc_id < 300
+    union all
+    select doc_id, 'R' || doc_id || ' b' as title,
+           'https://r.example/' || doc_id || '/b' as link,
+           't' || (doc_id % 5) as snippet,
+           NULL as result_date
+    from documents where doc_id < 300
 """
 
 ORACLES["q_sitemap_scan"] = """
@@ -3104,12 +3220,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_revenue_nations": q_top_revenue_nations,
     "q_multimodal_features": q_multimodal_features,
     "q_image_decode": q_image_decode,
+    "q_jpeg_decode": q_jpeg_decode,
     "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,
     "q_extract_text": q_extract_text,
     "q_seeder_rank": q_seeder_rank,
     "q_regex_extract": q_regex_extract,
     "q_schema_extract_nested": q_schema_extract_nested,
+    "q_serp_extract": q_serp_extract,
     "q_sitemap_scan": q_sitemap_scan,
     "q_queue_wait_stats": q_queue_wait_stats,
     "q_pdf_extract": q_pdf_extract,

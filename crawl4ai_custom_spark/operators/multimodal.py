@@ -158,6 +158,7 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     and null stats — explicit, never faked.
     """
     from ..kernel.imagecodec import decode_png, decode_wav
+    from ..kernel.jpegmini import decode_jpeg
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,13 +178,24 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                         row.update(decoder="png-stdlib", width=w, height=h,
                                    n_values=int(v.size), val_sum=int(v.sum()),
                                    val_min=int(v.min()), val_max=int(v.max()))
+                    elif fmt == "jpeg":
+                        px = decode_jpeg(bytes(p))
+                        h, w = px.shape[:2]
+                        v = px.astype(np.int64)
+                        row.update(decoder="jpeg-stdlib", width=w, height=h,
+                                   n_values=int(v.size), val_sum=int(v.sum()),
+                                   val_min=int(v.min()), val_max=int(v.max()))
                     elif fmt == "riff":
                         samples, rate = decode_wav(bytes(p))
                         v = samples.astype(np.int64)
                         row.update(decoder="wav-stdlib", width=rate, height=1,
                                    n_values=int(v.size), val_sum=int(v.sum()),
                                    val_min=int(v.min()), val_max=int(v.max()))
-                except (ValueError, NotImplementedError):
+                except NotImplementedError:
+                    # honest fence: progressive/subsampled jpeg, exotic
+                    # png color types — recognized but not decodable here
+                    row["decoder"] = "unsupported"
+                except (ValueError, EOFError):
                     row["decoder"] = "error"
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
@@ -255,4 +267,35 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline JPEG per row from constant 8x8 blocks:
+    by = 2 + id%2 block rows, bx = 2 + id%3 block cols,
+    block value b(k) = (id*53 + k*17 + 5) % 256 (row-major block index).
+    All-ones quant table + DC-only blocks => the decode is EXACT, so the
+    DuckDB oracle recomputes every pixel stat from this closed form."""
+    from ..kernel.jpegmini import encode_jpeg_flat_blocks
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                by, bx = 2 + mid % 2, 2 + mid % 3
+                k = np.arange(by * bx, dtype=np.int64)
+                blocks = ((mid * 53 + k * 17 + 5) % 256).astype(
+                    np.uint8).reshape(by, bx)
+                ids.append(mid)
+                payloads.append(encode_jpeg_flat_blocks(blocks))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        fn, out_schema
     )

@@ -53,3 +53,62 @@ def extract_pdf_text(pdfs: DataFrame, id_col: str = "media_id",
     return pdfs.select(
         F.col(id_col).alias(id_col), F.col(payload_col)
     ).mapInPandas(fn, PDF_SCHEMA)
+
+
+PDF_PAGES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("page_number", IntegerType()),
+        StructField("page_text", StringType()),
+        StructField("n_images", IntegerType()),
+        StructField("n_pages", IntegerType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("producer", StringType()),
+        StructField("created", StringType()),
+        StructField("modified", StringType()),
+        StructField("encrypted", StringType()),
+        StructField("file_size", IntegerType()),
+    ]
+)
+
+
+def extract_pdf_pages(pdfs: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Per-page rows with document metadata fanned onto each
+    (reference PDFPage + PDFMetadata surface, processor.py:25-49): one
+    row per (pdf, page) carrying page text, embedded-image count, and the
+    /Info metadata (dates as ISO strings, encrypted as 'true'/'false').
+    Same single mapInPandas shape as extract_pdf_text — the fan-out
+    happens inside the Arrow batch, no separate explode stage."""
+    from ..kernel.pdfmini import pdf_metadata, pdf_pages
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(p) if p is not None else b""
+                meta = pdf_metadata(data)
+                pages = pdf_pages(data) or [
+                    {"page_number": 0, "text": "", "n_images": 0}
+                ]
+                for pg in pages:
+                    rows.append({
+                        "media_id": mid,
+                        "page_number": pg["page_number"],
+                        "page_text": pg["text"],
+                        "n_images": pg["n_images"],
+                        "n_pages": meta["pages"],
+                        "title": meta["title"],
+                        "author": meta["author"],
+                        "producer": meta["producer"],
+                        "created": meta["created"],
+                        "modified": meta["modified"],
+                        "encrypted": "true" if meta["encrypted"] else "false",
+                        "file_size": meta["file_size"],
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_PAGES_SCHEMA])
+
+    return pdfs.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(fn, PDF_PAGES_SCHEMA)

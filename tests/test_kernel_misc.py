@@ -166,7 +166,8 @@ def test_decode_media_stats_real_and_unsupported(spark):
     rows = [
         (1, bytearray(encode_png(px, "cycle"))),
         (2, bytearray(encode_wav(np.array([-3, 0, 7], dtype=np.int16), 16000))),
-        (3, bytearray(b"\xff\xd8\xffJPEGDATA")),  # jpeg: honest 'unsupported'
+        # progressive jpeg (SOF2): recognized, honestly 'unsupported'
+        (3, bytearray(b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x08\x00\x08\x01")),
         (4, bytearray(b"\x89PNG but truncated")),  # bad png: 'error'
     ]
     df = spark.createDataFrame(rows, ["media_id", "payload"])
@@ -179,3 +180,98 @@ def test_decode_media_stats_real_and_unsupported(spark):
     assert out[2]["val_min"] == -3 and out[2]["width"] == 16000
     assert out[3]["decoder"] == "unsupported" and out[3]["format"] == "jpeg"
     assert out[4]["decoder"] == "error" and out[4]["val_sum"] is None
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """DC-only blocks + all-ones quant table round-trip exactly."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        decode_jpeg, encode_jpeg_flat_blocks,
+    )
+
+    blocks = np.array([[0, 255, 128], [17, 203, 64]], dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_flat_blocks(blocks))
+    assert img.shape == (16, 24)
+    assert np.array_equal(img, np.kron(blocks, np.ones((8, 8), np.uint8)))
+
+
+def test_jpeg_general_gray_ac_path():
+    """Full DCT encode -> decode matches an independent numpy
+    reconstruction of the quantized coefficients (exercises zigzag,
+    run-length, ZRL, EOB and the Huffman bit paths)."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        _C, decode_jpeg, encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    img = decode_jpeg(encode_jpeg_gray(px))
+    rec = np.zeros_like(px)
+    for yb in range(2):
+        for xb in range(2):
+            b = px[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+            q = np.round(_C @ b @ _C.T)
+            rec[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = _C.T @ q @ _C + 128.0
+    assert np.array_equal(img, np.clip(np.round(rec), 0, 255).astype(np.uint8))
+    # near-lossless vs the original at quant=1
+    assert np.abs(img.astype(int) - px).max() <= 2
+
+
+def test_jpeg_color_444_decode():
+    """3-component 4:4:4 interleaved scan -> RGB via the standard YCbCr
+    transform; stream hand-assembled from flat DC-only component blocks."""
+    import struct
+
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel import jpegmini as J
+
+    y_v, cb_v, cr_v = 120, 140, 160
+    dc = J._huff_codes(J._DC_BITS, J._DC_VALS)
+    ac = J._huff_codes(J._AC_BITS, J._AC_VALS)
+    w = J._BitWriter()
+    for v in (y_v, cb_v, cr_v):            # one MCU, three components
+        diff = int(round(8 * (v - 128)))
+        t = abs(diff).bit_length()
+        w.write(dc[t])
+        if t:
+            w.write(format(diff if diff >= 0 else diff + (1 << t) - 1,
+                           f"0{t}b"))
+        w.write(ac[0x00])
+    w.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(J._DC_BITS[1:]) + bytes(J._DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(J._AC_BITS[1:]) + bytes(J._AC_VALS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(w.out) + b"\xff\xd9"
+    )
+    img = J.decode_jpeg(data)
+    assert img.shape == (8, 8, 3)
+    r = round(y_v + 1.402 * (cr_v - 128))
+    g = round(y_v - 0.344136 * (cb_v - 128) - 0.714136 * (cr_v - 128))
+    b = round(y_v + 1.772 * (cb_v - 128))
+    assert (img[0, 0] == [r, g, b]).all()
+    assert (img == img[0, 0]).all()
+
+
+def test_jpeg_honest_fences():
+    import pytest
+
+    from crawl4ai_custom_spark.kernel.jpegmini import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        # progressive SOF2
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08" + b"\x08\x00\x08\x00\x08\x01")

@@ -1102,3 +1102,67 @@ def test_meta_refresh_feeds_redirect_resolution(spark):
     res = {r["url"]: r for r in resolve_redirects(combined).collect()}
     assert res["a"]["final_url"] == "b" and res["a"]["resolved"]
     assert res["c"]["final_url"] == "d"
+
+
+def test_schema_extract_serp(spark):
+    """Google-SERP schema pack (reference google_search/crawler.py:1-131):
+    the three cached schema families over a SERP-shaped fixture page."""
+    from crawl4ai_custom_spark.crawlers import serp_extract, serp_schemas
+
+    html = b"""<html><body>
+      <div class="g"><h3>Result One</h3><a href="https://r1.com/">x</a>
+        <div class="snippet">First snippet</div>
+        <span class="date">1 hour ago</span></div>
+      <div class="g"><h3>Result Two</h3><a href="https://r2.com/">x</a>
+        <div class="snippet">Second snippet</div></div>
+      <div class="story"><div class="story-title">Story A</div>
+        <a href="https://news.com/a">s</a><span class="source">Wire</span>
+        <span class="date">2 hours ago</span></div>
+      <div class="suggested"><ul>
+        <li><a>apple pie recipe</a></li>
+        <li><a>apple sauce</a></li></ul></div>
+    </body></html>"""
+    pages = spark.createDataFrame([("https://g.example/search?q=apple", html)],
+                                  ["url", "html"])
+    row = serp_extract(pages).first()
+    organic = row["organic"]
+    assert len(organic) == 2
+    assert organic[0]["title"] == "Result One"
+    assert organic[0]["link"] == "https://r1.com/"
+    assert organic[0]["snippet"] == "First snippet"
+    assert organic[0]["date"] == "1 hour ago"
+    assert organic[1].get("date") is None  # absent field stays absent
+    assert row["top_stories"][0]["source"] == "Wire"
+    assert [r["query"] for r in row["suggested"]] == [
+        "apple pie recipe", "apple sauce"]
+    assert set(serp_schemas()) == {
+        "organic_schema", "top_stories_schema", "suggested_query_schema"}
+
+
+def test_pdf_pages_and_metadata():
+    """Per-page text, embedded-image counts, and /Info metadata round-trip
+    (reference PDFPage/PDFMetadata surface, processor.py:25-49)."""
+    from crawl4ai_custom_spark.kernel.pdfmini import (
+        build_simple_pdf, pdf_metadata, pdf_pages,
+    )
+
+    pdf = build_simple_pdf(
+        ["First page text", "Second (escaped) \\ page"],
+        info={"title": "My Doc", "author": "A. Author",
+              "producer": "pdfmini", "created": "D:20260115093000",
+              "modified": "D:20260201"},
+        images_per_page=2,
+    )
+    meta = pdf_metadata(pdf)
+    assert meta["title"] == "My Doc" and meta["author"] == "A. Author"
+    assert meta["created"] == "2026-01-15T09:30:00"
+    assert meta["modified"] == "2026-02-01T00:00:00"
+    assert meta["pages"] == 2 and meta["encrypted"] is False
+    pages = pdf_pages(pdf)
+    assert [p["page_number"] for p in pages] == [1, 2]
+    assert pages[0]["text"] == "First page text"
+    assert pages[1]["text"] == "Second (escaped) \\ page"
+    assert all(p["n_images"] == 2 for p in pages)
+    # garbage in -> empty out, never a crash
+    assert pdf_pages(b"not a pdf") == []
+    assert pdf_metadata(b"")["pages"] == 0
