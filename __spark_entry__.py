@@ -1402,6 +1402,61 @@ def q_serp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-driven collection pipeline (market_intel/collect.py:1-632):
+    seeds -> catalog discovery (seam) -> homepage resolution via the pages
+    table -> structured extraction; three resumable phases, flattened to
+    one record row per resolved product."""
+    import tempfile
+
+    from crawl4ai_custom_spark.market_intel import MarketIntelPipeline
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    cat = docs.select(
+        F.concat(F.lit("https://catalog.example/p"), F.col("doc_id")).alias("url"),
+        F.encode(F.concat(
+            F.lit('<html><body><a href="/in">i</a><a href="https://prod'),
+            F.col("doc_id"), F.lit('.example/">s</a></body></html>'),
+        ), "utf-8").alias("html"),
+    )
+    home = docs.select(
+        F.concat(F.lit("https://prod"), F.col("doc_id"),
+                 F.lit(".example/")).alias("url"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>T"), F.col("doc_id") % 9,
+            F.lit('</title><meta name="description" content="d'),
+            F.col("doc_id") % 5,
+            F.lit('"></head><body><h1>Product '), F.col("doc_id"),
+            F.lit("</h1></body></html>"),
+        ), "utf-8").alias("html"),
+    )
+    pages = cat.unionByName(home)
+
+    def catalog_fn(seeds):
+        # deterministic catalog seam: every seed maps to all doc products
+        return seeds.crossJoin(docs.select("doc_id")).select(
+            "seed",
+            F.concat(F.lit("P"), F.col("doc_id")).alias("name"),
+            F.concat(F.lit("https://catalog.example/p"),
+                     F.col("doc_id")).alias("catalog_url"),
+            F.col("doc_id").cast("string").alias("catalog_id"),
+        )
+
+    pipe = MarketIntelPipeline(
+        spark, pages, tempfile.mkdtemp(prefix="mi_gate_"), catalog_fn,
+    )
+    from crawl4ai_custom_spark.market_intel import MarketIntelConfig
+
+    pipe.cfg = MarketIntelConfig(max_products_per_seed=1000)
+    out = pipe.run(["intel"])
+    return out.select(
+        "seed", "name", "catalog_url", "homepage_url",
+        F.col("product.name").alias("product_name"),
+        F.col("product.title").alias("product_title"),
+        F.col("product.description").alias("product_description"),
+    )
+
+
 def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-index recursion + <loc> extraction (async_url_seeder.py:765-
     1004): per-source root <sitemapindex> -> two child sitemaps -> page urls;
@@ -3116,6 +3171,16 @@ ORACLES["q_serp_extract"] = """
     from documents where doc_id < 300
 """
 
+ORACLES["q_market_intel"] = """
+    select 'intel' as seed, 'P' || doc_id as name,
+           'https://catalog.example/p' || doc_id as catalog_url,
+           'https://prod' || doc_id || '.example/' as homepage_url,
+           'Product ' || doc_id as product_name,
+           'T' || (doc_id % 9) as product_title,
+           'd' || (doc_id % 5) as product_description
+    from documents where doc_id < 120
+"""
+
 ORACLES["q_sitemap_scan"] = """
     select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
              || '.xml' as sitemap_url,
@@ -3228,6 +3293,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_regex_extract": q_regex_extract,
     "q_schema_extract_nested": q_schema_extract_nested,
     "q_serp_extract": q_serp_extract,
+    "q_market_intel": q_market_intel,
     "q_sitemap_scan": q_sitemap_scan,
     "q_queue_wait_stats": q_queue_wait_stats,
     "q_pdf_extract": q_pdf_extract,

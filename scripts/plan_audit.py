@@ -92,7 +92,14 @@ def main() -> None:
         F.regexp_extract("url", r"https?://([^/]+)", 1).alias("registrable_domain"),
         F.lit(1).alias("depth"), F.rand(7).alias("score"),
     )
-    admitted = admit(fr, empty_host_state(spark),
+    # a non-empty host_state: Catalyst folds a provably-empty relation and
+    # ELIMINATES the join outright, hiding the production join shape
+    from crawl4ai_custom_spark.session import local_df
+    host_state = local_df(
+        spark, [("a.com", 2.0, 0)],
+        "registrable_domain string, current_delay double, fail_count int",
+    )
+    admitted = admit(fr, host_state,
                      PolitenessConfig(wave_seconds=6.0), global_budget=50)
     audit(
         "Politeness admission — broadcast host_state, windowed top-k, global top-k",
@@ -224,6 +231,65 @@ def main() -> None:
         ],
     )
 
+    # 11. embedding coverage gaps: the handful of query variations is
+    # BROADCAST against the KB scan; per-query max-sim folds through a
+    # partial aggregation so the KB (the big side) never shuffles pre-agg
+    from crawl4ai_custom_spark.operators.adaptive_embedding import (
+        coverage_gaps,
+    )
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    queries_small = spark.range(6).select(
+        F.col("id").alias("query_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    audit(
+        "Embedding coverage gaps — broadcast queries, partial max-sim agg",
+        coverage_gaps(queries_small, emb),
+        [
+            (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+             "query variations (~10 rows) ship to executors; the KB scan "
+             "is the streamed side"),
+            (r"partial_max|HashAggregate.*keys=\[query_id",
+             "best-cosine folds map-side before the tiny per-query shuffle"),
+        ],
+    )
+
+    # 12. fused wave extraction: meta passthrough through ONE python stage —
+    # no meta⋈extracted rejoin in the plan
+    from crawl4ai_custom_spark.operators.extraction import (
+        extract_pages_with_meta,
+    )
+
+    fused_in = spark.range(100).select(
+        F.concat(F.lit("https://x.com/"), F.col("id")).alias("url"),
+        F.encode(F.lit("<p>x</p>"), "utf-8").alias("html"),
+        F.lit(True).alias("_do_extract"),
+        F.col("id").alias("depth"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    p = plan_of(extract_pages_with_meta(fused_in))
+    checks = []
+    for ok, label, why in [
+        (p.count("MapInPandas") == 1, "one MapInPandas",
+         "admission+fetch+extract+meta is a single Arrow stage per wave"),
+        ("SortMergeJoin" not in p and "ShuffledHashJoin" not in p,
+         "no meta rejoin",
+         "metadata rides through the python stage — the old per-wave "
+         "meta⋈extracted url equi-join is gone"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"fused extraction: {label}")
+    sections.append(
+        ("Fused wave extraction — metadata passthrough, no rejoin", p, checks)
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
@@ -231,6 +297,7 @@ def main() -> None:
     # driver-OOM at 100 TB (round-1 verdict, adaptive_session term set).
     allow = {
         "operators/adaptive.py",   # coverage rows: <= |query terms|; avg scalar
+        "operators/adaptive_session.py",  # query-variation ids: ~10 by contract
         "operators/filters.py",    # stats rows: one per filter in the chain
         "operators/textstats.py",  # bounded query-term list
     }
