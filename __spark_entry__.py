@@ -842,11 +842,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" ip 10."), (d % 250).cast("string"), F.lit(".0.1"),
             F.when(d % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
             F.when(d % 4 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit(" tel (555) 987-6543")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" intl +1-202-555-0147")).otherwise(F.lit("")),
+            F.when(d % 8 == 0, F.lit(" dot 303.555.0143")).otherwise(F.lit("")),
         ).alias("text"),
     )
     out = redact_pii(injected)
     return out.select(
-        "doc_id", "n_email", "n_ssn", "n_phone", "n_ip", "any_pii",
+        "doc_id", "n_email", "n_cc", "n_ssn", "n_phone", "n_ip", "any_pii",
         F.md5("text_redacted").alias("redacted_md5"),
     )
 
@@ -2363,6 +2367,10 @@ def _pii_oracle_sql() -> str:
         " || ' ip 10.' || (doc_id % 250) || '.0.1'"
         " || case when doc_id % 3 = 0 then ' ssn 123-45-6789' else '' end"
         " || case when doc_id % 4 = 0 then ' call 555-123-4567' else '' end"
+        " || case when doc_id % 5 = 0 then ' card 4111 1111 1111 1111' else '' end"
+        " || case when doc_id % 6 = 0 then ' tel (555) 987-6543' else '' end"
+        " || case when doc_id % 7 = 0 then ' intl +1-202-555-0147' else '' end"
+        " || case when doc_id % 8 = 0 then ' dot 303.555.0143' else '' end"
         " as t from documents where doc_id < 400"
     )
     ctes = [f"injected as ({injected})"]

@@ -241,7 +241,7 @@ class _Converter(HTMLParser):
             self._emit("[")
             self.auto_link = None
             self.empty_link = False
-        if not self.tt_code and not entity:
+        if not self.tt_code and not entity and "\\" in data:
             data = _BACKSLASH.sub(r"\\\1", data)
         self.preceding_data = data
         self._emit(data, collapse=True)

@@ -396,6 +396,21 @@ def cluster_pairs(
         labels = nxt.select("id", "label")
         if n_changed == 0:
             break
+    else:
+        # labels did not stabilize within max_iters (graph diameter >
+        # max_iters — pathological chain shapes): a partial labeling would
+        # silently yield multiple keepers per cluster downstream
+        # (dedup_keepers), so surface it loudly instead
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs: label propagation NOT converged after "
+            f"{max_iters} rounds ({n_changed} labels still changing) — "
+            f"components wider than {max_iters} hops are split; raise "
+            f"max_iters for chain-shaped duplicate graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -204,7 +204,17 @@ def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
         )
     except Exception:
         max_part = 134217728
-    if size_bytes is None or size_bytes < target * max_part:
+    # non-file-backed plans (in-memory relations, post-shuffle inputs) have
+    # no real size statistic — Catalyst reports a huge default/product
+    # estimate that would wrongly skip the repartition and under-parallelize
+    # the CPU-bound python stage. Treat the sentinel range as "unknown" and
+    # fall back to the actual partition-count check.
+    if size_bytes is not None and size_bytes >= (1 << 60):
+        size_bytes = None
+    if size_bytes is None:
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    elif size_bytes < target * max_part:
         df = df.repartition(target)
     return df.mapInPandas(make_extract_fn(cfg, fields), schema_for(fields))
 

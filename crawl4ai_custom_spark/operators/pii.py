@@ -19,14 +19,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (kind, pattern, replacement) — applied IN ORDER; order matters where
-# families overlap textually (email must run before ip so "a@10.0.0.1-like"
-# hosts inside an address are consumed by the email rule first; ssn's
-# 3-2-4 shape is disjoint from phone's 3-3-4).
+# families overlap textually: email before ip (hosts inside an address are
+# consumed by the email rule), card before phone/ssn (grouped 16-digit
+# runs must not be eaten 3-3-4 at a time), phone before ip (a dotted
+# 3-3-4 inside a malformed 4-digit-octet "ip" is claimed as phone).
+# Covered shapes per family (documented scope — NOT "all PII"):
+#   email  user@host.tld
+#   cc     16 digits, plain or 4-4-4-4 grouped by dash/space (shape only,
+#          no Luhn check — RE2 has no way to validate checksums)
+#   ssn    ddd-dd-dddd
+#   phone  ddd-ddd-dddd, ddd.ddd.dddd, (ddd) ddd-dddd, +c[c] ddd ddd dddd
+#   ip     dotted-quad IPv4 (IPv6 is out of scope)
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}",
      "<EMAIL>"),
+    ("cc", r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b", "<CC>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("phone",
+     r"\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}"
+     r"|\+\d{1,2}[-. ]?\d{3}[-. ]?\d{3}[-. ]?\d{4}"
+     r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+     "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

@@ -286,13 +286,128 @@ def _extract_single(base: Node, fld: dict):
     return val if val is not None else fld.get("default")
 
 
+_SAFE_CALLS = {
+    "len": len, "str": str, "int": int, "float": float, "abs": abs,
+    "min": min, "max": max, "round": round, "upper": str.upper,
+    "lower": str.lower, "strip": str.strip, "title": str.title,
+}
+_SAFE_NODES = (
+    "Expression", "BinOp", "UnaryOp", "BoolOp", "Compare", "IfExp", "Call",
+    "Name", "Load", "Constant", "Subscript", "Index", "Slice", "Tuple",
+    "List", "Dict", "JoinedStr", "FormattedValue", "Attribute",
+    # operators
+    "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod", "Pow", "USub", "UAdd",
+    "Not", "And", "Or", "Eq", "NotEq", "Lt", "LtE", "Gt", "GtE", "In",
+    "NotIn", "Is", "IsNot",
+)
+_SAFE_STR_METHODS = frozenset(
+    "upper lower strip lstrip rstrip title replace split join startswith "
+    "endswith format zfill capitalize".split()
+)
+
+
+def _eval_restricted(expr: str, names: dict):
+    """AST-whitelisted expression evaluator for computed fields: literals,
+    arithmetic/boolean/comparison operators, subscripts, f-strings, a small
+    call whitelist, and str methods — no attribute walks to dunders, no
+    imports, no statements. Extraction schemas are config, but config from
+    a shared catalog must not be arbitrary code execution on executors
+    (empty-__builtins__ eval is escapable; this is not)."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _SAFE_NODES:
+            raise ValueError(f"disallowed syntax in computed field: {kind}")
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_") or node.attr not in _SAFE_STR_METHODS:
+                raise ValueError(f"disallowed attribute: {node.attr}")
+        if isinstance(node, ast.Name) and node.id.startswith("__"):
+            raise ValueError(f"disallowed name: {node.id}")
+
+    def ev(n):
+        if isinstance(n, ast.Expression):
+            return ev(n.body)
+        if isinstance(n, ast.Constant):
+            return n.value
+        if isinstance(n, ast.Name):
+            if n.id in names:
+                return names[n.id]
+            if n.id in _SAFE_CALLS:
+                return _SAFE_CALLS[n.id]
+            raise ValueError(f"unknown name: {n.id}")
+        if isinstance(n, ast.Attribute):
+            obj = ev(n.value)
+            if not isinstance(obj, str):
+                raise ValueError("attribute access only on strings")
+            return getattr(obj, n.attr)
+        if isinstance(n, ast.Call):
+            fn = ev(n.func)
+            return fn(*[ev(a) for a in n.args],
+                      **{k.arg: ev(k.value) for k in n.keywords})
+        if isinstance(n, ast.BinOp):
+            import operator as op
+
+            ops = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+                   ast.Div: op.truediv, ast.FloorDiv: op.floordiv,
+                   ast.Mod: op.mod, ast.Pow: op.pow}
+            return ops[type(n.op)](ev(n.left), ev(n.right))
+        if isinstance(n, ast.UnaryOp):
+            v = ev(n.operand)
+            return (-v if isinstance(n.op, ast.USub)
+                    else +v if isinstance(n.op, ast.UAdd) else not v)
+        if isinstance(n, ast.BoolOp):
+            vals = [ev(v) for v in n.values]
+            return all(vals) if isinstance(n.op, ast.And) else any(vals)
+        if isinstance(n, ast.Compare):
+            import operator as op
+
+            ops = {ast.Eq: op.eq, ast.NotEq: op.ne, ast.Lt: op.lt,
+                   ast.LtE: op.le, ast.Gt: op.gt, ast.GtE: op.ge,
+                   ast.In: lambda a, b: a in b,
+                   ast.NotIn: lambda a, b: a not in b,
+                   ast.Is: op.is_, ast.IsNot: op.is_not}
+            left = ev(n.left)
+            for o, cmp in zip(n.ops, n.comparators):
+                right = ev(cmp)
+                if not ops[type(o)](left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(n, ast.IfExp):
+            return ev(n.body) if ev(n.test) else ev(n.orelse)
+        if isinstance(n, ast.Subscript):
+            idx = n.slice
+            if isinstance(idx, ast.Slice):
+                return ev(n.value)[
+                    ev(idx.lower) if idx.lower else None:
+                    ev(idx.upper) if idx.upper else None:
+                    ev(idx.step) if idx.step else None]
+            return ev(n.value)[ev(idx)]
+        if isinstance(n, (ast.Tuple, ast.List)):
+            vals = [ev(e) for e in n.elts]
+            return tuple(vals) if isinstance(n, ast.Tuple) else vals
+        if isinstance(n, ast.Dict):
+            return {ev(k): ev(v) for k, v in zip(n.keys, n.values)}
+        if isinstance(n, ast.JoinedStr):
+            return "".join(str(ev(v)) for v in n.values)
+        if isinstance(n, ast.FormattedValue):
+            return ev(n.value)
+        raise ValueError(f"unsupported node: {type(n).__name__}")
+
+    return ev(tree)
+
+
 def _compute_field(item: dict, fld: dict):
     """computed field (extraction_strategy.py:1219-1229): an expression over
-    the already-extracted sibling fields. Evaluated with empty builtins —
-    only the item's fields are in scope."""
+    the already-extracted sibling fields, evaluated by the restricted AST
+    interpreter above (the reference eval()s schema expressions; same
+    expressive surface for arithmetic/string schemas, not a code-exec
+    vector)."""
     try:
         if "expression" in fld:
-            return eval(fld["expression"], {"__builtins__": {}}, dict(item))
+            return _eval_restricted(fld["expression"], dict(item))
         if "function" in fld:
             return fld["function"](item)
     except Exception:

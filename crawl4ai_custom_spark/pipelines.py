@@ -13,7 +13,9 @@ the standard crawl -> corpus flow, one DataFrame in, one sharded corpus out.
 
 Every stage is the already-gated operator — this module only wires them, so
 the pipeline's correctness is the conjunction of the per-operator oracles;
-`tests/test_pipeline.py` asserts the end-to-end invariants (no PII survives,
+`tests/test_pipeline.py` asserts the end-to-end invariants (none of the
+documented PII families — email/card/ssn/phone/IPv4 shapes, see
+operators/pii.py — survives,
 no duplicate fingerprints, no contaminated docs, shards balanced and
 deterministic).
 

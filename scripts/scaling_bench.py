@@ -93,7 +93,7 @@ def worker(cpus: int, pages_path: str) -> None:
               "n_links_internal", "n_links_external", "html_bytes",
               "extract_ms")
     best, row = None, None
-    for _ in range(2):  # best-of-2: page-cache / turbo variance
+    for _ in range(3):  # best-of-3: page-cache / host-noise variance
         t0 = time.time()
         ext = extract_pages(pages.select("url", "html"), fields=fields)
         row = links_table(ext).groupBy().agg(
@@ -109,17 +109,27 @@ def worker(cpus: int, pages_path: str) -> None:
 
 
 def orchestrate() -> None:
+    """Each level runs in REPEAT fresh subprocesses, keeping the fastest —
+    this host shows intermittent external load (iowait spikes), and a
+    capability measurement wants the uncontended number at each level."""
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     pages_path = build_input()
     results = []
     for cpus in (CPUS_LOW, CPUS_HIGH):
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-             "--pages", pages_path],
-            capture_output=True, text=True, check=True, cwd=ROOT,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-        print(line)
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+                 "--pages", pages_path],
+                capture_output=True, text=True, check=True, cwd=ROOT,
+            )
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line)
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        results.append(best)
     low, high = results
     ratio = high["urls_per_sec"] / low["urls_per_sec"]
     factor = CPUS_HIGH / CPUS_LOW
