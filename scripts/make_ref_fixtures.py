@@ -94,6 +94,54 @@ CORPUS: dict[str, str] = {
                     '<li>pre <a href="/b">B</a></li></ul>',
     "para_in_blockquote_list": "<blockquote><ul><li>q item</li></ul>"
                                "</blockquote>",
+    # -- round-3 hostile constructs ------------------------------------
+    "nested_tables": "<table><tr><td>outer<table><tr><td>inner</td></tr>"
+                     "</table></td><td>b</td></tr></table><p>after</p>",
+    "entity_soup": "<p>&amp;amp; &lt;&lt; &gt; &quot; &#39; &nbsp;&nbsp;"
+                   "&mdash;&ndash; &rsquo;&lsquo; &copy;&middot; "
+                   "&rarr;&larr; &eacute;&uuml; &oelig; &lrm;x&rlm;</p>",
+    "deep_list_6": "<ul><li>1<ul><li>2<ul><li>3<ul><li>4<ul><li>5<ul>"
+                   "<li>6</li></ul></li></ul></li></ul></li></ul></li>"
+                   "</ul></li></ul>",
+    "ol_in_ul_in_ol": "<ol><li>a<ul><li>b<ol><li>c</li></ol></li></ul>"
+                      "</li></ol>",
+    "link_title_quotes": '<p><a href="/x" title="has (parens) and '
+                         '[brackets]">t</a></p>',
+    "url_needs_escape": '<p><a href="/a(b)c_d">x</a> '
+                        '<img src="/i(1).png" alt="a[b]"></p>',
+    "autolink": '<p><a href="https://ex.com/p">https://ex.com/p</a> and '
+                '<a href="ftp://f.com/">ftp://f.com/</a></p>',
+    "empty_link_and_mailto": '<p><a href="/e"></a><a href="mailto:x@y.z">'
+                             "mail</a>.</p>",
+    "code_in_link": '<p><a href="/c">see <code>fn()</code> docs</a></p>',
+    "u_q_kbd_tt": "<p><u>under</u> <q>quoted</q> <kbd>Ctrl</kbd> "
+                  "<tt>mono</tt></p>",
+    "abbr_titles": '<p><abbr title="HyperText Markup Language">HTML</abbr> '
+                   'and <abbr title="CSS def">CSS</abbr> twice '
+                   '<abbr title="HyperText Markup Language">HTML</abbr></p>',
+    "dl_nested_dd": "<dl><dt>t1</dt><dd>d1 <b>bold</b></dd><dt>t2</dt>"
+                    "<dd>d2<ul><li>li in dd</li></ul></dd></dl><p>after</p>",
+    "stress_boundaries": "<p>a<b>b</b>c <i>i</i>. (<b>p</b>) [<i>q</i>] "
+                         "x<em>y</em>!</p>",
+    "emphasis_after_star": "<p>*<b>bold</b> and text*<i>it</i></p>",
+    "header_soup": "<h3>Head <b>bold</b> <a href='/h'>link</a> tail</h3>"
+                   "<p>t</p>",
+    "pre_with_markup": "<pre>line1\n  <b>not-bold</b> &lt;tag&gt;\n"
+                       "\tline3</pre><p>after</p>",
+    "table_in_list": "<ul><li>item<table><tr><td>a</td><td>b</td></tr>"
+                     "</table></li><li>next</li></ul>",
+    "br_soup": "<p>a<br><br>b</p><blockquote>c<br>d</blockquote>",
+    "unclosed_tags": "<p>one<p>two<b>bold<p>three</b>plain",
+    "sup_sub_mixed": "<p>E=mc<sup>2</sup> and H<sub>2</sub>O ratio "
+                     "x<sup>a+b</sup></p>",
+    "strike_mix": "<p>~<del>gone</del> <s>also</s>~~<strike>third"
+                  "</strike></p>",
+    "div_soup": "<div><div><div>deep</div></div><div>sib</div></div>",
+    "whitespace_only_blocks": "<p>  </p><div>\n\t</div><p>real</p>"
+                              "<blockquote>   </blockquote><p>end</p>",
+    "comment_and_cdata": "<p>a<!-- hidden -->b</p><!--top--><p>c</p>",
+    "mixed_inline_block": "<span>free span</span><p>para</p>plain text"
+                          "<section><p>in section</p></section>",
 }
 
 
