@@ -584,6 +584,18 @@ class FrontierEngine:
                 fetched.withColumn("status_code", status)
                 .withColumn("_do_extract", F.col("status_code") == 200)
             )
+            # parallelism hint from the known frontier size: a 6-url wave
+            # runs 1 extraction task instead of 32 near-empty ones (task
+            # scheduling dominates small waves); big waves keep full width
+            # (during an overlapped commit the exact count is deferred;
+            # the previous wave's driver-side upper bound stands in)
+            size_hint = n_frontier if n_frontier >= 0 else next_frontier_upper
+            par_hint = None
+            if size_hint > 0:
+                par_hint = max(1, min(
+                    spark.sparkContext.defaultParallelism,
+                    (size_hint + 63) // 64,
+                ))
             results = extract_pages_with_meta(
                 fetched.select(
                     F.col("url_canon").alias("url"), "html", "_do_extract",
@@ -592,6 +604,7 @@ class FrontierEngine:
                     "status_code", "order_in_wave", "wave",
                 ),
                 cfg.extract,
+                min_parallelism=par_hint,
             )
             results_path = os.path.join(wave_dir, "results.parquet")
             results.write.mode("overwrite").parquet(results_path)

@@ -175,7 +175,7 @@ Measurement notes:
   A pure-python 32-process control on this box scales 8->32 procs at ~0.88
   efficiency (turbo-clock ceiling), bounding what any framework can show.
 - Each level runs in a fresh subprocess (own JVM + workers), python-worker
-  warmup excluded, best-of-2 to damp page-cache/turbo variance.
+  warmup excluded, best-of-3 in-process runs per subprocess and best-of-REPEATS subprocesses per level (this host shows intermittent external iowait spikes; a capability measurement wants each level's uncontended number).
 - JVM flags: -XX:+UseParallelGC (default G1 loses ~2x on the wide-row
   Arrow allocation pattern in local mode).
 """
