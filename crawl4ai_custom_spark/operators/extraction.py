@@ -211,7 +211,9 @@ def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
     # fall back to the actual partition-count check.
     if size_bytes is not None and size_bytes >= (1 << 60):
         size_bytes = None
-    if size_bytes is None:
+    if df.isStreaming:
+        pass  # micro-batch sizing belongs to the source (maxFilesPerTrigger)
+    elif size_bytes is None:
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     elif size_bytes < target * max_part:

@@ -136,6 +136,10 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_partitions: int = 8
     bloom_capacity: int = 1_000_000
+    # the cogrouped prefilter stage only pays once the seen set is big;
+    # below this row count the exact anti-join runs alone (the bloom is
+    # still maintained so engagement later is seamless)
+    bloom_min_seen: int = 200_000
     max_waves: int | None = None  # absolute wave bound (None -> strategy default)
     seen_compact_every: int = 64  # compact the seen-delta union into one
     # file when the path list reaches this width (bounds plan width for
@@ -701,8 +705,24 @@ class FrontierEngine:
                 .where(F.col("_rn") == 1)
                 .drop("_rn", "is_internal")
             )
-            # bloom pre-filter (cheap) then EXACT anti-join (invariant)
-            if bloom is not None:
+            # bloom pre-filter (cheap) then EXACT anti-join (invariant).
+            # While the seen set is still small (footer-count scalar — no
+            # job) the exact anti-join alone is cheaper than the extra
+            # cogrouped python stage, so the prefilter only engages once
+            # the seen set is big enough to pay for it; the bloom itself is
+            # ALWAYS maintained (adds below) so engagement is seamless and
+            # the snapshot invariant (bloom covers seen) holds throughout.
+            import glob as _glob
+
+            n_seen, seen_small_proven = 0, True
+            for p in seen_paths:
+                if not _glob.glob(os.path.join(p, "*.parquet")):
+                    seen_small_proven = False  # remote fs: assume big
+                    break
+                n_seen += _parquet_rows(p)
+            if bloom is not None and (
+                not seen_small_proven or n_seen >= cfg.bloom_min_seen
+            ):
                 cand = bloom.prefilter(cand)
                 maybe = cand.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
                 fresh = cand.where(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")

@@ -36,7 +36,7 @@ def bfs_run(spark, site_dir, pages_df, robots_df, tmp_path_factory):
     cfg = CrawlConfig(
         strategy="bfs", max_depth=3, max_pages=500,
         politeness=PolitenessConfig(wave_seconds=1e9),  # generous budget
-        use_bloom=True, bloom_partitions=4,
+        use_bloom=True, bloom_partitions=4, bloom_min_seen=0,
     )
     eng = FrontierEngine(
         spark, pages_df, robots_df, cfg,
@@ -173,7 +173,8 @@ def test_bfs_deterministic(spark, pages_df, robots_df, tmp_path):
     for tag in ("r1", "r2"):
         cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=50,
                           politeness=PolitenessConfig(wave_seconds=1e9),
-                          use_bloom=True, bloom_partitions=4)
+                          use_bloom=True, bloom_partitions=4,
+                          bloom_min_seen=0)
         eng = FrontierEngine(spark, pages_df, robots_df, cfg,
                              checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
                              out_dir=str(tmp_path / f"out_{tag}"))
