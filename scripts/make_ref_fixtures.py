@@ -142,6 +142,8 @@ CORPUS: dict[str, str] = {
     "comment_and_cdata": "<p>a<!-- hidden -->b</p><!--top--><p>c</p>",
     "mixed_inline_block": "<span>free span</span><p>para</p>plain text"
                           "<section><p>in section</p></section>",
+    "entity_in_attr": '<p><a href="?b=1&ndash;2&amp;c=3" title="A&mdash;B">'
+                      "x</a> &ndash; text</p>",
 }
 
 
