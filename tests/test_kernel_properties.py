@@ -14,7 +14,7 @@ properties must hold for ANY input, not just the fixture families:
                     port-free and www-free
 """
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from crawl4ai_custom_spark.kernel.urlnorm import (
@@ -159,7 +159,7 @@ def test_extract_page_total_on_arbitrary_bytes(payload):
 def test_pdf_roundtrip_property():
     """build_simple_pdf -> pdf_text recovers every page's text exactly
     (modulo the parser's space join) for arbitrary printable content."""
-    from hypothesis import given, settings
+    from hypothesis import assume, given, settings
     from hypothesis import strategies as st
 
     from crawl4ai_custom_spark.kernel.pdfmini import (
@@ -186,7 +186,7 @@ def test_pdf_roundtrip_property():
 def test_efficient_canonicalize_agrees_on_clean_urls():
     """On already-clean urls (no tracking params, no trailing slash, no
     credentials/ports) the fast path and the frontier key agree."""
-    from hypothesis import given, settings
+    from hypothesis import assume, given, settings
     from hypothesis import strategies as st
 
     from crawl4ai_custom_spark.kernel.urlnorm import (
@@ -259,3 +259,92 @@ def test_warc_roundtrip_property(records):
         assert rec["warc_type"] == wtype
         assert rec["target_uri"] == f"https://x.test/{i}"
         assert rec["record_index"] == i
+
+
+# ---------------------------------------------------------------------------
+# markdown emitter totality + invariants (the event machine must survive
+# every token soup the parser can produce, and its citation post-pass must
+# never lose non-link text)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_ish)
+def test_markdown_total_on_arbitrary_soup(payload):
+    from crawl4ai_custom_spark.kernel.markdown import (
+        convert_links_to_citations,
+        html_to_markdown,
+    )
+
+    md, _ = html_to_markdown(payload.decode("utf-8", "replace"))
+    assert isinstance(md, str)
+    # (no trailing-newline invariant: a doc ending inside an unclosed
+    # <head>/<script> suppresses the final flush — reference parity,
+    # verified byte-identical on the falsifying example)
+    cited, refs = convert_links_to_citations(md)
+    assert isinstance(cited, str) and isinstance(refs, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_citations_preserve_nonlink_text(s):
+    """Text without markdown links passes through the citation pass
+    byte-for-byte."""
+    from crawl4ai_custom_spark.kernel.markdown import (
+        _MD_LINK,
+        convert_links_to_citations,
+    )
+
+    assume(not _MD_LINK.search(s))
+    cited, refs = convert_links_to_citations(s)
+    assert cited == s
+    assert "⟨" not in refs.replace("## References", "")
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec: flat-block encode/decode is exact for EVERY block matrix;
+# the decoder never crashes on truncated streams
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 4), st.integers(1, 4),
+    st.integers(0, 2**31 - 1),
+)
+def test_jpeg_flat_blocks_roundtrip_property(by, bx, seed):
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        decode_jpeg,
+        encode_jpeg_flat_blocks,
+    )
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(by, bx)).astype(np.uint8)
+    img = decode_jpeg(encode_jpeg_flat_blocks(blocks))
+    assert img.shape == (by * 8, bx * 8)
+    assert np.array_equal(img, np.kron(blocks, np.ones((8, 8), np.uint8)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(20, 300), st.integers(0, 2**31 - 1))
+def test_jpeg_decode_never_crashes_on_truncation(cut, seed):
+    import struct
+
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        decode_jpeg,
+        encode_jpeg_flat_blocks,
+    )
+
+    rng = np.random.default_rng(seed)
+    data = encode_jpeg_flat_blocks(
+        rng.integers(0, 256, size=(2, 2)).astype(np.uint8)
+    )[:cut]
+    try:
+        decode_jpeg(data)
+    except (ValueError, NotImplementedError, EOFError, KeyError,
+            IndexError, struct.error):
+        pass  # any CLEAN exception is fine; crashes/hangs are not
