@@ -147,3 +147,37 @@ class WebCrawler:
             checkpoint_dir=checkpoint_dir, out_dir=out_dir,
         )
         return engine.run(seeds, resume=resume)
+
+    def digest(self, seeds: list[str], query: str, *,
+               strategy: str = "statistical",
+               cfg: CrawlConfig | None = None,
+               query_embeddings=None, embed_results=None,
+               checkpoint_dir: str | None = None,
+               out_dir: str | None = None, **kwargs):
+        """AdaptiveCrawler.digest parity (adaptive_crawler.py:1271-1400):
+        crawl until confident, with the reference's two strategies —
+        "statistical" (term coverage/consistency/saturation blend) or
+        "embedding" (semantic-space coverage over PRECOMPUTED embeddings:
+        pass query_embeddings (query_id, embedding) and an embed_results
+        callable, the text->vector model seam)."""
+        from .operators.adaptive_session import (
+            adaptive_crawl,
+            embedding_adaptive_crawl,
+        )
+
+        engine = FrontierEngine(
+            self.spark, self.pages, self.robots, cfg or CrawlConfig(),
+            checkpoint_dir=checkpoint_dir, out_dir=out_dir,
+        )
+        if strategy == "embedding":
+            if query_embeddings is None or embed_results is None:
+                raise ValueError(
+                    "strategy='embedding' needs query_embeddings and "
+                    "embed_results (the embedding-model seam)"
+                )
+            return embedding_adaptive_crawl(
+                engine, seeds, query_embeddings, embed_results, **kwargs
+            )
+        if strategy != "statistical":
+            raise ValueError(f"unknown adaptive strategy: {strategy!r}")
+        return adaptive_crawl(engine, seeds, query, **kwargs)

@@ -56,3 +56,29 @@ def test_deep_crawl_facade(crawler, spark, tmp_path):
     )
     assert run.pages_crawled >= 1 and run.waves >= 1
     assert run.results(spark).count() == run.pages_crawled
+
+
+def test_api_digest_statistical(spark, site_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from crawl4ai_custom_spark.api import WebCrawler
+    from crawl4ai_custom_spark.operators.frontier import CrawlConfig
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    pages = spark.read.parquet(f"{site_dir}/pages.parquet")
+    wc = WebCrawler(spark, pages)
+    cfg = CrawlConfig(strategy="bfs", max_depth=1, max_pages=20,
+                      politeness=PolitenessConfig(wave_seconds=1e9),
+                      use_bloom=False, check_robots=False)
+    res = wc.digest(["https://mega.example-shop.com/"], "widget sensor",
+                    cfg=cfg, checkpoint_dir=str(tmp_path / "c1"),
+                    out_dir=str(tmp_path / "o1"), max_total_waves=2)
+    assert res.pages > 0 and 0.0 <= res.confidence <= 1.0
+
+    # embedding strategy requires the model seam explicitly
+    import pytest
+
+    with pytest.raises(ValueError):
+        wc.digest(["https://x.com/"], "q", strategy="embedding")
+    with pytest.raises(ValueError):
+        wc.digest(["https://x.com/"], "q", strategy="nope")
