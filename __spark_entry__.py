@@ -979,7 +979,9 @@ def q_chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace, strip, dedup — the reference returns list(set(...)))."""
     from crawl4ai_custom_spark.operators.chunking import sentence_chunks
 
-    docs = _t(spark, sf_dir, "documents")
+    # capped input (mirrored by the oracle): keeps this gate's cost uniform
+    # with the other gates so the driver's budgeted pass covers all of them
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return sentence_chunks(docs).select("id", "sentence")
 
 
@@ -1126,7 +1128,7 @@ def q_seo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld+json (%7), URL-quality penalties (%8)."""
     from crawl4ai_custom_spark.operators.headpeek import seo_scores
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://ex.com"),
@@ -1415,7 +1417,7 @@ def q_market_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crawl4ai_custom_spark.market_intel import MarketIntelPipeline
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     cat = docs.select(
         F.concat(F.lit("https://catalog.example/p"), F.col("doc_id")).alias("url"),
         F.encode(F.concat(
@@ -1468,7 +1470,7 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.sources.sitemap import sitemap_page_urls
 
     # capped input (mirrored by the oracle): uniform per-gate cost
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/p/"), F.col("doc_id"), F.lit("</loc></url>"),
@@ -1617,6 +1619,33 @@ def _lsh_band_sql() -> str:
         )
         band_exprs.append(f"select id, {b} as band, {cols} as band_key from sigs")
     return " union all ".join(band_exprs)
+
+
+
+def q_fit_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-prep HTML shrink (reference preprocess_html_for_schema,
+    utils.py:3001-3144) as a closed-form gate: head/script removal, attr
+    whitelist, attr-value truncation at 200 (+'...'), text-run truncation at
+    100 (+'...'), and duplicate-(tag,class,inner-text) removal, all varied
+    independently by doc_id arithmetic so the oracle rebuilds the exact
+    output string."""
+    from crawl4ai_custom_spark.operators.extraction import schema_fit_html
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><title>x</title><meta charset="utf-8"></head><body>'),
+        F.lit('<div id="d'), d, F.lit('" style="color:red" class="c'), d % 3,
+        F.lit('" data-k="'),
+        F.repeat(F.lit("v"), F.when(d % 5 == 0, 230).otherwise(5)),
+        F.lit('">'),
+        F.repeat(F.lit("T"), F.when(d % 2 == 0, 120).otherwise(10)),
+        F.lit('</div><script>junk()</script><span class="s">a</span><span class="s">'),
+        F.when(d % 4 == 0, F.lit("a")).otherwise(F.concat(F.lit("b"), d)),
+        F.lit("</span></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    return schema_fit_html(pages).select("doc_id", "fit_html")
 
 
 ORACLES: dict[str, str] = {}
@@ -2433,7 +2462,7 @@ ORACLES["q_lm_score"] = """
     with ref_toks as (
       select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                 x -> length(x) > 1)) as term
-      from documents where doc_id < 300
+      from documents where doc_id < 100
     ),
     counts as (select term, count(*) as c from ref_toks group by term),
     scal as (select sum(c) as total, count(*) as vocab from counts),
@@ -2583,7 +2612,7 @@ ORACLES["q_robots_sitemaps"] = """
       select doc_id, source,
              'https://' || source || '-' || doc_id || '.com/robots.txt'
                as robots_url
-      from documents where doc_id < 300
+      from documents where doc_id < 100
     )
     select robots_url, 0 as sitemap_index,
            'https://' || source || '.com/sitemap.xml' as sitemap_url
@@ -2669,7 +2698,7 @@ ORACLES["q_repetition"] = """
              substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
              || case when doc_id % 2 = 0 then substr(text, 1, 40)
                      else substr(text, 81, 40) end as text
-      from documents where doc_id < 300
+      from documents where doc_id < 100
     ),
     lines as (
       select doc_id, unnest(string_split(text, chr(10))) as line from mdocs
@@ -2905,7 +2934,7 @@ ORACLES["q_chunk_sentence"] = """
              unnest(string_split(
                regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
                chr(1))) as sentence
-      from documents
+      from documents where doc_id < 150
     )
     where length(trim(sentence)) > 0
 """
@@ -2963,7 +2992,7 @@ ORACLES["q_link_preview"] = """
       select 'https://ex.com/p/' || doc_id as url,
              source || ' ' || doc_id as head_title,
              substr(text, 1, 50) as head_description
-      from documents where doc_id < 300
+      from documents where doc_id < 100
     ),
     links as (
       select 'https://ex.com/p/' || doc_id as page_url,
@@ -3071,7 +3100,7 @@ ORACLES["q_seo_filter"] = """
         case when doc_id % 7 = 0 then 1.0 else 0.0 end as s_schema,
         case when doc_id % 8 = 0 then 0.7 * 0.8 * 0.6 * 0.9
              else 1.0 end as s_url
-      from documents where doc_id < 300
+      from documents where doc_id < 100
     )
     select doc_id,
       round((0.15*s_title + 0.18*s_kw + 0.12*s_desc + 0.10*s_canon
@@ -3186,14 +3215,14 @@ ORACLES["q_market_intel"] = """
            'Product ' || doc_id as product_name,
            'T' || (doc_id % 9) as product_title,
            'd' || (doc_id % 5) as product_description
-    from documents where doc_id < 120
+    from documents where doc_id < 40
 """
 
 ORACLES["q_sitemap_scan"] = """
     select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
              || '.xml' as sitemap_url,
            'https://' || source || '.example.com/p/' || doc_id as loc
-    from documents where doc_id < 150
+    from documents where doc_id < 60
 """
 
 ORACLES["q_schema_extract_nested"] = """
@@ -3230,6 +3259,21 @@ ORACLES["q_regex_extract"] = """
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
+
+ORACLES["q_fit_html"] = """
+    select doc_id,
+      '<html><body><div id="d' || doc_id || '" class="c' || (doc_id % 3)
+      || '" data-k="' || repeat('v', case when doc_id % 5 = 0 then 200 else 5 end)
+      || case when doc_id % 5 = 0 then '...' else '' end
+      || '">' || repeat('T', case when doc_id % 2 = 0 then 100 else 10 end)
+      || case when doc_id % 2 = 0 then '...' else '' end
+      || '</div><span class="s">a</span>'
+      || case when doc_id % 4 = 0 then ''
+              else '<span class="s">b' || doc_id || '</span>' end
+      || '</body></html>' as fit_html
+    from documents where doc_id < 200
+"""
+
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
@@ -3303,6 +3347,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_serp_extract": q_serp_extract,
     "q_market_intel": q_market_intel,
     "q_sitemap_scan": q_sitemap_scan,
+    "q_fit_html": q_fit_html,
     "q_queue_wait_stats": q_queue_wait_stats,
     "q_pdf_extract": q_pdf_extract,
 }

@@ -31,7 +31,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+GATE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_SECONDS", "300"))
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _gate_on_load() -> dict:
+    """Wait (bounded) for the host to go quiet before timing anything.
+
+    This box shows intermittent external iowait spikes that inflate wall
+    times 25-50% (verify skill protocol); gating on 1-min loadavg plus
+    best-of-N minimums is the documented answer. Returns what was observed
+    so the JSON records whether the numbers were taken on a quiet host."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > MAX_LOAD and time.time() - t0 < GATE_TIMEOUT:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return {
+        "load_at_start": round(load, 2),
+        "load_gated": load <= MAX_LOAD,
+        "gate_wait_sec": round(time.time() - t0, 1),
+    }
 
 
 def _site_dir() -> str:
@@ -58,16 +80,21 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    extras: dict = {}
+    extras.update(_gate_on_load())
 
-    def timed(name, fn, repeats=1):
+    def timed(name, fn, repeats=REPEATS):
         # best-of-N: this box is a shared host with ±2x noise spikes; the
-        # minimum is the only stable estimator of the query's real cost
+        # minimum is the only stable estimator of the query's real cost.
+        # All run times are kept in `runs` so the JSON shows the variance.
         best, out = None, None
-        for _ in range(repeats):
+        runs[name] = []
+        for _ in range(max(1, repeats)):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            runs[name].append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -92,7 +119,7 @@ def main() -> None:
             F.count(F.lit(1)).alias("edges"),
         ).collect()
 
-    agg_rows = timed("crawl_extract", run_extract, repeats=2)
+    agg_rows = timed("crawl_extract", run_extract, repeats=max(3, REPEATS))
     n_pages = agg_rows[0]["pages"]
     extras["urls_per_sec"] = round(n_pages / timings["crawl_extract"], 2)
 
@@ -120,7 +147,7 @@ def main() -> None:
                  spark.read.parquet(os.path.join(site, "seeds.parquet")).collect()]
         return eng.run(seeds)
 
-    run = timed("crawl_bfs_wave", run_wave)
+    run = timed("crawl_bfs_wave", run_wave, repeats=REPEATS)
     extras["bfs_pages_crawled"] = run.pages_crawled
     extras["bfs_urls_per_sec"] = round(
         run.pages_crawled / timings["crawl_bfs_wave"], 2
@@ -146,7 +173,7 @@ def main() -> None:
         "q_pagerank",
         "q_warc_parse",
     ):
-        timed(name, lambda n=name: q[n](spark, SF_DIR).count(), repeats=2)
+        timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,6 +187,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
                 "bench_pages": n_pages,
+                "runs": runs,
                 **extras,
             }
         )

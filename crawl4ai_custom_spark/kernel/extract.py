@@ -25,6 +25,7 @@ from .markdown import (
     convert_links_to_citations,
     html_to_markdown,
 )
+from .schemaprep import fit_html_for_page
 from .scraper import ScrapeConfig, scrap
 
 
@@ -35,6 +36,10 @@ class ExtractConfig:
     prune_threshold: float = 0.48
     bm25_threshold: float = 1.0
     bm25_query: str | None = None
+    # CrawlResult.fit_html parity: schema-preprocessed RAW html (reference
+    # async_webcrawler.py:515). False skips the second parse when a caller
+    # only needs markdown/links.
+    schema_fit_html: bool = True
 
 
 def extract_page(
@@ -60,26 +65,31 @@ def extract_page(
     # pipeline shape, mgs.py:82-146) — no second conversion
     cited_md, references_md = convert_links_to_citations(raw_md)
 
-    fit_html = ""
+    filtered_html = ""
     fit_md = ""
     if cfg.content_filter == "pruning":
         pruner = PruningContentFilter(threshold=cfg.prune_threshold)
         pruner._prune(tree)  # in place; markdown above already captured
-        fit_html = tree.inner_html() if tree.tag in ("body", "#root") else tree.to_html()
+        filtered_html = tree.inner_html() if tree.tag in ("body", "#root") else tree.to_html()
         fit_md, _ = html_to_markdown(tree)
     elif cfg.content_filter == "bm25":
-        fit_html = BM25ContentFilter(
+        filtered_html = BM25ContentFilter(
             threshold=cfg.bm25_threshold, user_query=cfg.bm25_query
         ).filter_content(tree)
-        fit_md, _ = html_to_markdown(fit_html)
+        fit_md, _ = html_to_markdown(filtered_html)
 
+    # Two distinct fields in the reference: markdown.fit_html is the
+    # content-filter output (models.py:124), while CrawlResult.fit_html is
+    # the schema-preprocessed RAW html (async_webcrawler.py:515,651). The
+    # extract row carries the CrawlResult one.
     md = MarkdownResult(
         raw_markdown=raw_md,
         markdown_with_citations=cited_md,
         references_markdown=references_md,
         fit_markdown=fit_md,
-        fit_html=fit_html,
+        fit_html=filtered_html,
     )
+    fit_html = fit_html_for_page(html) if cfg.schema_fit_html else ""
 
     links = [
         {**l, "is_internal": True} for l in sr.links_internal
@@ -95,7 +105,7 @@ def extract_page(
         "markdown_with_citations": md.markdown_with_citations,
         "references_markdown": md.references_markdown,
         "fit_markdown": md.fit_markdown,
-        "fit_html": md.fit_html,
+        "fit_html": fit_html,
         "links": links,
         "images": sr.images,
         "tables": sr.tables,

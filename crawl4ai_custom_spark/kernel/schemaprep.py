@@ -1,0 +1,164 @@
+"""Structure-preserving HTML shrink for schema generation (fit_html).
+
+Reproduces the observable semantics of the reference's
+``preprocess_html_for_schema`` (/root/reference/crawl4ai/utils.py:3001-3144)
+on the repo's own stdlib DOM — the container has no lxml, and the engine must
+not depend on it:
+
+1. drop <head> entirely (keep body structure);
+2. remove script/style/noscript/iframe/canvas/svg/video/audio/source/track/
+   map/area subtrees (and comments, which the reference's parser drops);
+3. per element (excluding the document root): keep only the attributes
+   {id, class, name, type, value} plus any ``data-*``; truncate kept values
+   longer than ``attr_value_threshold`` to ``value[:t] + '...'``; truncate
+   any text run whose *stripped* length exceeds ``text_threshold`` to
+   ``stripped[:t] + '...'`` (the reference applies this to element.text and
+   element.tail — i.e. to every maximal text run in the tree);
+4. drop duplicate class-bearing elements: first occurrence (document order)
+   of each (tag, class attribute, concatenated inner text) signature wins,
+   later ones are removed (the reference keys on an xxhash64 of the itertext
+   stream — hashing is an optimization, the signature is the text itself);
+5. serialize; if the result still exceeds ``max_size``, hard-truncate to
+   ``result[:max_size] + '...'``.
+
+The reference's crawl pipeline calls this with text_threshold=500 and
+max_size=300_000 to produce ``CrawlResult.fit_html``
+(async_webcrawler.py:515); those are the defaults ``fit_html_for_page``
+applies. Serialization uses this repo's emitter (void tags as ``<br/>``,
+minimal escaping) rather than lxml's, since lxml is absent here — the
+structure, not the serializer dialect, is the contract.
+"""
+
+from __future__ import annotations
+
+from .htmldom import Comment, Node, parse_html
+
+_REMOVE_TAGS = frozenset(
+    """script style noscript iframe canvas svg video audio source track
+    map area""".split()
+)
+
+_KEEP_ATTRS = frozenset({"id", "class", "name", "type", "value"})
+
+
+def _strip_comments_and_tags(node: Node) -> None:
+    kept: list[object] = []
+    for c in node.children:
+        if c.__class__ is Comment:
+            continue
+        if c.__class__ is Node:
+            if c.tag in _REMOVE_TAGS or c.tag == "head":
+                continue
+            _strip_comments_and_tags(c)
+        kept.append(c)
+    node.children = kept
+
+
+def _merge_text_runs(node: Node) -> None:
+    """Collapse adjacent str children into single maximal runs (lxml's
+    text/tail model sees one run per slot)."""
+    merged: list[object] = []
+    for c in node.children:
+        if c.__class__ is str and merged and merged[-1].__class__ is str:
+            merged[-1] = merged[-1] + c
+        else:
+            merged.append(c)
+    node.children = merged
+    for c in merged:
+        if c.__class__ is Node:
+            _merge_text_runs(c)
+
+
+def _clean_and_truncate(
+    node: Node, text_threshold: int, attr_value_threshold: int, *, is_root: bool
+) -> None:
+    if not is_root:
+        for k in list(node.attrs.keys()):
+            if not (k in _KEEP_ATTRS or k.startswith("data-")):
+                node.attrs.pop(k)
+            elif len(node.attrs[k]) > attr_value_threshold:
+                node.attrs[k] = node.attrs[k][:attr_value_threshold] + "..."
+    out: list[object] = []
+    for c in node.children:
+        if c.__class__ is str:
+            # Text runs directly inside the root element are the root's
+            # text/tail, which the reference never visits.
+            if not is_root:
+                stripped = c.strip()
+                if len(stripped) > text_threshold:
+                    c = stripped[:text_threshold] + "..."
+            out.append(c)
+        else:
+            _clean_and_truncate(
+                c, text_threshold, attr_value_threshold, is_root=False
+            )
+            out.append(c)
+    node.children = out
+
+
+def _inner_text(node: Node) -> str:
+    parts: list[str] = []
+    node._collect_text(parts)
+    return "".join(parts)
+
+
+def _dedup_by_class_signature(root: Node) -> None:
+    # Document-order snapshot first (the reference snapshots the XPath result
+    # then mutates); removal detaches the subtree but the snapshot still
+    # visits detached descendants, whose signatures enter `seen` — replicated
+    # here by checking only the immediate parent link at visit time.
+    snapshot = [el for el in root.iter() if el.attrs.get("class")]
+    seen: set[tuple[str, str, str]] = set()
+    for el in snapshot:
+        parent = el.parent
+        if parent is None:
+            continue
+        cls = el.attrs.get("class")
+        if not cls:
+            continue
+        sig = (el.tag, cls, _inner_text(el))
+        if sig in seen:
+            parent.remove_child(el)
+            el.parent = None
+        else:
+            seen.add(sig)
+
+
+def preprocess_html_for_schema(
+    html_content: str | bytes,
+    text_threshold: int = 100,
+    attr_value_threshold: int = 200,
+    max_size: int = 100_000,
+) -> str:
+    """Shrink HTML for schema generation while preserving structure."""
+    if isinstance(html_content, (bytes, bytearray)):
+        html_content = bytes(html_content).decode("utf-8", errors="replace")
+    try:
+        root = parse_html(html_content)
+        _strip_comments_and_tags(root)
+        _merge_text_runs(root)
+        # #root's direct element children play lxml's "root element" part:
+        # their attrs/text are untouched, everything below is processed.
+        for top in [c for c in root.children if c.__class__ is Node]:
+            _clean_and_truncate(
+                top, text_threshold, attr_value_threshold, is_root=True
+            )
+        _dedup_by_class_signature(root)
+        result = root.to_html()
+        if len(result) > max_size:
+            return result[:max_size] + "..."
+        return result
+    except Exception:
+        return (
+            html_content[:max_size]
+            if len(html_content) > max_size
+            else html_content
+        )
+
+
+def fit_html_for_page(html: str | bytes) -> str:
+    """CrawlResult.fit_html parity: the crawl pipeline's parameterization
+    (reference async_webcrawler.py:515)."""
+    return preprocess_html_for_schema(
+        html, text_threshold=500, max_size=300_000
+    )

@@ -112,8 +112,17 @@ def canonicalize_url(href: str, base_url: str | None = None) -> str | None:
             if k.lower() not in TRACKING_PARAMS and not k.lower().startswith("utm_")
         ]
         query = urlencode(kept)
-    if path.endswith("/") and path != "/":
-        path = path.rstrip("/")
+    # Idempotence: trailing whitespace-class chars in the path were protected
+    # from the entry strip() by the (now-dropped) fragment/query; interleave
+    # whitespace- and slash-stripping until a fixed point, so canonical output
+    # re-canonicalizes to itself (frontier-key invariant).
+    while True:
+        stripped = path.rstrip()
+        if stripped.endswith("/") and stripped != "/":
+            stripped = stripped.rstrip("/")
+        if stripped == path:
+            break
+        path = stripped
     if not path:
         path = "/"
     return urlunsplit((scheme, netloc, path, query, ""))

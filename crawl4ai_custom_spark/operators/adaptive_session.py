@@ -198,8 +198,14 @@ def embedding_adaptive_crawl(
     cfg = cfg or EmbeddingAdaptiveConfig()
     spark = engine.spark
     ids = sorted(r[0] for r in query_embeddings.select("query_id").collect())
-    n_val = max(2, int(len(ids) * validation_split))
-    val_ids = set(ids[-n_val:])
+    # Reference split guarantee (adaptive_crawler.py expanded-query split):
+    # the original query (first id) always stays in training, and training is
+    # never empty — cap n_val at len(ids)-1 so <=2 queries still leaves a
+    # train set (else kb_confidence is identically 0 and should_stop fires
+    # 'below_minimum_relevance_threshold' on wave 1).
+    n_val = min(max(2, int(len(ids) * validation_split)), max(len(ids) - 1, 0))
+    val_ids = set(ids[-n_val:]) if n_val > 0 else set()
+    val_ids.discard(ids[0] if ids else None)
     train_q = query_embeddings.where(~F.col("query_id").isin(list(val_ids)))
     val_q = query_embeddings.where(F.col("query_id").isin(list(val_ids)))
 

@@ -182,15 +182,22 @@ def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
 
     ``fields``: emit only these output columns (manual pushdown through the
     opaque python stage — see make_extract_fn)."""
-    df = pages.select("url", "html")
-    spark = pages.sparkSession
+    df = _ensure_parallelism(pages.select("url", "html"), min_parallelism)
+    return df.mapInPandas(make_extract_fn(cfg, fields), schema_for(fields))
+
+
+def _ensure_parallelism(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Repartition to ``min_parallelism`` (default: defaultParallelism) ONLY
+    when the input would otherwise under-feed the CPU-bound python stage.
+
+    Decides from Catalyst's own size estimate (one JVM call on the optimized
+    plan — file sizes are already known from scan listing) instead of
+    df.rdd.getNumPartitions(), which forces a full plan->RDD compilation
+    on every call. A scan smaller than target*maxPartitionBytes would yield
+    fewer splits than cores, so only then is the repartition worth its
+    shuffle; big scans already carry enough partitions."""
+    spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    # Decide from Catalyst's own size estimate (one JVM call on the optimized
-    # plan — file sizes are already known from scan listing) instead of
-    # df.rdd.getNumPartitions(), which forces a full plan->RDD compilation
-    # on every call. A scan smaller than target*maxPartitionBytes would yield
-    # fewer splits than cores, so only then is the repartition worth its
-    # shuffle; big scans already carry enough partitions.
     try:
         size_bytes = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
@@ -218,7 +225,35 @@ def extract_pages(pages: DataFrame, cfg: ExtractConfig | None = None,
             df = df.repartition(target)
     elif size_bytes < target * max_part:
         df = df.repartition(target)
-    return df.mapInPandas(make_extract_fn(cfg, fields), schema_for(fields))
+    return df
+
+
+def schema_fit_html(
+    pages: DataFrame,
+    text_threshold: int = 100,
+    attr_value_threshold: int = 200,
+    max_size: int = 100_000,
+    html_col: str = "html",
+    out_col: str = "fit_html",
+) -> DataFrame:
+    """Structure-preserving HTML shrink as a column (reference
+    ``preprocess_html_for_schema``, utils.py:3001-3144): vectorized pandas
+    UDF over the html column — narrow, no shuffle, prunes to the used
+    columns at the scan."""
+    from ..kernel.schemaprep import preprocess_html_for_schema
+
+    @F.pandas_udf(StringType())
+    def _fit(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: preprocess_html_for_schema(
+                h if h is not None else "",
+                text_threshold=text_threshold,
+                attr_value_threshold=attr_value_threshold,
+                max_size=max_size,
+            )
+        )
+
+    return pages.withColumn(out_col, _fit(F.col(html_col)))
 
 
 def links_table(extracted: DataFrame) -> DataFrame:
@@ -277,7 +312,9 @@ def extract_pages_with_meta(pages: DataFrame, cfg: ExtractConfig | None = None,
                 out.append(rec)
             yield pd.DataFrame(out, columns=meta_names + extract_names)
 
-    spark = pages.sparkSession
-    target = min_parallelism or spark.sparkContext.defaultParallelism
-    df = pages.repartition(target)
+    # same stats-based decision as extract_pages: on a large admitted set an
+    # unconditional repartition would full-shuffle the html payloads that the
+    # scan's own partitioning already spread wide; only narrow inputs (the
+    # usual small per-wave batch) pay the shuffle to fill every core
+    df = _ensure_parallelism(pages, min_parallelism)
     return df.mapInPandas(fn, schema)

@@ -251,10 +251,15 @@ class FrontierEngine:
             import pandas as _pd
 
             # Arrow path: a plain-list createDataFrame round-trips through
-            # parallelize + Python workers (seconds of spinup for 2 rows)
-            df = self.spark.createDataFrame(_pd.DataFrame(
-                rows, columns=["url_canon", "registrable_domain"]
-            ).astype("object")).coalesce(1)
+            # parallelize + Python workers (seconds of spinup for 2 rows).
+            # Explicit schema: zero surviving seeds must yield an empty
+            # frontier (clean 0-wave run), not CANNOT_INFER_EMPTY_SCHEMA.
+            df = self.spark.createDataFrame(
+                _pd.DataFrame(
+                    rows, columns=["url_canon", "registrable_domain"]
+                ).astype("object"),
+                schema="url_canon string, registrable_domain string",
+            ).coalesce(1)
             return (
                 df.withColumn("url_hash", F.xxhash64("url_canon"))
                 .withColumn("parent_url", F.lit(None).cast("string"))
@@ -517,349 +522,371 @@ class FrontierEngine:
         # hides behind the wave's dominant job. Joined right after the
         # results delta lands (before anything reads the snapshot files).
         commit_thread: threading.Thread | None = None
+        commit_errors: list[BaseException] = []
         next_frontier_upper = -1  # unknown until a wave computes it
+
+        def _commit_target(*args, **kwargs) -> None:
+            # runs on the commit thread; exceptions are re-raised by
+            # _join_commit on the driver thread so a failed snapshot write
+            # surfaces at the wave that scheduled it, not one wave later as a
+            # missing-manifest read error
+            try:
+                self.store.write(*args, **kwargs)
+            except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                commit_errors.append(exc)
 
         def _join_commit() -> None:
             nonlocal commit_thread
             if commit_thread is not None:
                 commit_thread.join()
                 commit_thread = None
+            if commit_errors:
+                raise RuntimeError(
+                    "wave snapshot commit failed"
+                ) from commit_errors.pop(0)
 
-        while wave < max_waves:
-            _t = {"_w0": _time.time()}
+        try:
+            while wave < max_waves:
+                _t = {"_w0": _time.time()}
 
-            def _mark(name):
-                _t[name] = round(_time.time() - _t.pop("_w0"), 2)
-                _t["_w0"] = _time.time()
+                def _mark(name):
+                    _t[name] = round(_time.time() - _t.pop("_w0"), 2)
+                    _t["_w0"] = _time.time()
 
-            # frontier is always a bare snapshot/materialization scan (robots
-            # gating already happened on each row's entry), so its count comes
-            # straight from parquet footers — no Spark job. No depth check is
-            # needed: the link filter chain admits only depth <= max_depth, so
-            # the frontier can never contain a deeper row. While a snapshot
-            # commit is still in flight the footer isn't on disk yet: defer
-            # the count (the admitted==0 break covers an empty frontier).
-            if commit_thread is None:
-                n_frontier = _parquet_rows(frontier_path, fallback=frontier)
-            elif next_frontier_upper == 0:
-                # provably empty (no leftover, no discoveries, no retries):
-                # skip the would-be-empty fused job entirely
-                n_frontier = 0
-            else:
-                n_frontier = -1  # backfilled after the commit joins
-            _mark("t_frontier_agg")
-            if n_frontier == 0 or crawled >= cfg.max_pages:
-                _join_commit()
-                break
-
-            adm_frontier = frontier
-            if cfg.fairness_waves > 0:
-                adm_frontier = frontier.withColumn(
-                    "score",
-                    aged_score(
-                        F.col("score"),
-                        F.lit(wave) - F.col("discovered_wave"),
-                        cfg.fairness_waves,
-                    ),
-                )
-            admitted = self._admit_wave(
-                adm_frontier, host_state, cfg.max_pages - crawled
-            )
-            order_w = Window.orderBy(*self._admission_order())
-            admitted = admitted.withColumn(
-                "order_in_wave", F.row_number().over(order_w)
-            ).withColumn("wave", F.lit(wave))
-            _mark("t_admission")
-
-            # ---- admission + "fetch" (join materialized latest pages) +
-            # extraction + results: ONE write job per wave. The admitted
-            # view is re-derived from the written results parquet (every
-            # admitted row appears exactly once — the pages view is unique
-            # by url_canon), so the old separate admitted.parquet write and
-            # the meta⋈extracted url join are both gone.
-            wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
-            fetched = admitted.join(self.pages, "url_canon", "left")
-            status = F.when(F.col("html").isNull(), 404).otherwise(
-                F.coalesce(F.col("_page_status"), F.lit(200))
-                if "_page_status" in self.pages.columns
-                else F.lit(200)
-            )
-            fetched = (
-                fetched.withColumn("status_code", status)
-                .withColumn("_do_extract", F.col("status_code") == 200)
-            )
-            # parallelism hint from the known frontier size: a 6-url wave
-            # runs 1 extraction task instead of 32 near-empty ones (task
-            # scheduling dominates small waves); big waves keep full width
-            # (during an overlapped commit the exact count is deferred;
-            # the previous wave's driver-side upper bound stands in)
-            size_hint = n_frontier if n_frontier >= 0 else next_frontier_upper
-            par_hint = None
-            if size_hint > 0:
-                par_hint = max(1, min(
-                    spark.sparkContext.defaultParallelism,
-                    (size_hint + 63) // 64,
-                ))
-            results = extract_pages_with_meta(
-                fetched.select(
-                    F.col("url_canon").alias("url"), "html", "_do_extract",
-                    "url_hash", "registrable_domain", "parent_url", "depth",
-                    "score", "discovered_wave", "link_pos", "retry_count",
-                    "status_code", "order_in_wave", "wave",
-                ),
-                cfg.extract,
-                min_parallelism=par_hint,
-            )
-            results_path = os.path.join(wave_dir, "results.parquet")
-            results.write.mode("overwrite").parquet(results_path)
-            results = spark.read.parquet(results_path)
-            n_admitted = _parquet_rows(results_path, fallback=results)  # footer-only
-            # the overlapped snapshot commit has now been fully hidden behind
-            # the admission+extract job: join it and REBASE frontier /
-            # host_state onto the committed parquet scans, truncating the
-            # one-wave-deep lazy lineage the admission ran on
-            if commit_thread is not None:
-                _join_commit()
-                snap = self.store.read(wave - 1)
-                frontier, host_state = snap["frontier"], snap["host_state"]
-                if n_frontier < 0:
+                # frontier is always a bare snapshot/materialization scan (robots
+                # gating already happened on each row's entry), so its count comes
+                # straight from parquet footers — no Spark job. No depth check is
+                # needed: the link filter chain admits only depth <= max_depth, so
+                # the frontier can never contain a deeper row. While a snapshot
+                # commit is still in flight the footer isn't on disk yet: defer
+                # the count (the admitted==0 break covers an empty frontier).
+                if commit_thread is None:
                     n_frontier = _parquet_rows(frontier_path, fallback=frontier)
-            if n_admitted == 0:
-                _mark("t_fetch_extract")
-                break
-            admitted = results.select(
-                F.col("url").alias("url_canon"), "url_hash",
-                "registrable_domain", "parent_url", "depth", "score",
-                "discovered_wave", "link_pos", "retry_count",
-                "order_in_wave", "wave",
-            )
-            # filtered tally from a single pruned column of the O(Δ) results
-            # delta we just wrote — avoids a whole Spark job per wave
-            n_ok = _parquet_count_eq(results_path, "status_code", 200,
-                                     fallback=results)
-            _mark("t_fetch_extract")
-
-            # ---- link discovery (hrefs already canonical from the kernel).
-            # Parent-page context (extract_page_context parity) is computed
-            # ONCE per page before the explode, so every link row carries a
-            # precomputed term array — native exprs, no extra pass.
-            parent_cols = []
-            if cfg.page_context_scoring:
-                headlines = F.concat_ws(
-                    " ",
-                    F.regexp_extract_all(
-                        F.coalesce("raw_markdown", F.lit("")),
-                        F.lit(r"(?m)^#{1,3} (.+)$"), F.lit(1),
-                    ),
-                )
-                parent_cols = [
-                    page_context_terms(
-                        F.col("title"), headlines,
-                        F.element_at("metadata", F.lit("description")),
-                    ).alias("parent_terms"),
-                    F.lower(
-                        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
-                    ).alias("parent_host"),
-                ]
-            links = (
-                results.select(
-                    F.col("url").alias("parent_url"),
-                    F.col("depth").alias("parent_depth"),
-                    *parent_cols,
-                    F.posexplode_outer("links").alias("link_pos", "link"),
-                )
-                .where(F.col("link").isNotNull())
-                .select(
-                    "parent_url",
-                    "parent_depth",
-                    "link_pos",
-                    *(["parent_terms", "parent_host"] if parent_cols else []),
-                    F.col("link.href").alias("href"),
-                    F.col("link.text").alias("text"),
-                    F.col("link.title").alias("title"),
-                    F.col("link.base_domain").alias("registrable_domain"),
-                    F.col("link.is_internal").alias("is_internal"),
-                )
-            )
-            links = self._score_links(links)
-            cand = links.select(
-                F.col("href").alias("url_canon"),
-                F.xxhash64("href").alias("url_hash"),
-                "registrable_domain",
-                "parent_url",
-                (F.col("parent_depth") + 1).alias("depth"),
-                "score",
-                F.lit(wave + 1).alias("discovered_wave"),
-                "link_pos",
-                F.lit(0).alias("retry_count"),
-                "is_internal",
-            )
-            chain = self._link_filter_chain()
-            cand = cand.where(chain.predicate())
-            # dedup within wave: deterministic winner
-            wdd = Window.partitionBy("url_canon").orderBy(
-                F.desc("score"), F.asc("depth"), F.asc("parent_url"), F.asc("link_pos")
-            )
-            cand = (
-                cand.withColumn("_rn", F.row_number().over(wdd))
-                .where(F.col("_rn") == 1)
-                .drop("_rn", "is_internal")
-            )
-            # bloom pre-filter (cheap) then EXACT anti-join (invariant).
-            # While the seen set is still small (footer-count scalar — no
-            # job) the exact anti-join alone is cheaper than the extra
-            # cogrouped python stage, so the prefilter only engages once
-            # the seen set is big enough to pay for it; the bloom itself is
-            # ALWAYS maintained (adds below) so engagement is seamless and
-            # the snapshot invariant (bloom covers seen) holds throughout.
-            import glob as _glob
-
-            n_seen, seen_small_proven = 0, True
-            for p in seen_paths:
-                if not _glob.glob(os.path.join(p, "*.parquet")):
-                    seen_small_proven = False  # remote fs: assume big
+                elif next_frontier_upper == 0:
+                    # provably empty (no leftover, no discoveries, no retries):
+                    # skip the would-be-empty fused job entirely
+                    n_frontier = 0
+                else:
+                    n_frontier = -1  # backfilled after the commit joins
+                _mark("t_frontier_agg")
+                if n_frontier == 0 or crawled >= cfg.max_pages:
+                    _join_commit()
                     break
-                n_seen += _parquet_rows(p)
-            if bloom is not None and (
-                not seen_small_proven or n_seen >= cfg.bloom_min_seen
-            ):
-                cand = bloom.prefilter(cand)
-                maybe = cand.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
-                fresh = cand.where(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
-                new_links = fresh.unionByName(filter_unseen_exact(maybe, _seen()))
-            else:
-                new_links = filter_unseen_exact(cand, _seen())
-            # materialize the discovery Δ ONCE: it becomes a frontier input,
-            # a seen-set delta, AND the wave discovery log — the link chain
-            # (explode -> score -> window dedup -> bloom applyInPandas ->
-            # anti-join) runs exactly once per wave.
-            new_links_path = os.path.join(wave_dir, "new_links.parquet")
-            new_links.write.mode("overwrite").parquet(new_links_path)
-            new_links = spark.read.parquet(new_links_path)
-            n_new = _parquet_rows(new_links_path, fallback=new_links)  # footer-only
 
-            # ---- next frontier + state folds, each written exactly once via
-            # the snapshot (the Iceberg-MERGE-per-wave pattern). The robots
-            # gate runs on the O(Δ) discovery delta only — blocked urls stay
-            # in seen (oracle semantics: discovered but never crawlable) and
-            # never enter the frontier, so no wave re-gates old rows.
-            delta = new_links
-            if cfg.check_robots and self.robots is not None:
-                delta = robots_gate(delta, self.robots)
-            leftover = frontier.join(
-                admitted.select("url_canon"), "url_canon", "left_anti"
-            )
-            next_frontier = leftover.select(*frontier_cols).unionByName(
-                delta.select(*frontier_cols)
-            )
-            # retry/requeue (dispatcher parity, async_dispatcher.py:289-331):
-            # transient statuses re-enter the frontier with retry_count+1
-            # until max_retries; the backoff fold below shrinks their
-            # domain's next-wave budget at the same time
-            if cfg.politeness.max_retries > 0:
-                transient = results.where(
-                    F.col("status_code").isin(*RETRY_STATUSES)
-                ).select(F.col("url").alias("url_canon"))
-                retries = (
-                    admitted.join(transient, "url_canon", "semi")
-                    .select(*frontier_cols)
-                    .where(F.col("retry_count") < cfg.politeness.max_retries)
-                    .withColumn("retry_count", F.col("retry_count") + 1)
+                adm_frontier = frontier
+                if cfg.fairness_waves > 0:
+                    adm_frontier = frontier.withColumn(
+                        "score",
+                        aged_score(
+                            F.col("score"),
+                            F.lit(wave) - F.col("discovered_wave"),
+                            cfg.fairness_waves,
+                        ),
+                    )
+                admitted = self._admit_wave(
+                    adm_frontier, host_state, cfg.max_pages - crawled
                 )
-                next_frontier = next_frontier.unionByName(retries)
-            # driver-side upper bound on |next frontier| from footer-only
-            # tallies: lets the next loop iteration prove emptiness and
-            # break WITHOUT waiting for the async commit or running a job
-            n_transient = (
-                sum(_parquet_count_eq(results_path, "status_code", s,
-                                      fallback=results)
-                    for s in RETRY_STATUSES)
-                if cfg.politeness.max_retries > 0 else 0
-            )
-            next_frontier_upper = (
-                max(0, n_frontier - n_admitted) + n_new + n_transient
-            )
-            seen_paths.append(new_links_path)  # append-only seen delta
-            if len(seen_paths) >= cfg.seen_compact_every:
-                compact = os.path.join(
-                    self.checkpoint_dir, "_state", f"seen_compact_{wave:05d}"
-                )
-                _seen().write.mode("overwrite").parquet(compact)
-                seen_paths = [compact]
-            next_host_state = fold_wave_outcomes(
-                host_state,
-                results.select("registrable_domain", "status_code"),
-                cfg.politeness,
-            )
-            _mark("t_link_discovery")
-            crawled += n_admitted
-            stats.append(
-                {
-                    "wave": wave,
-                    "frontier_size": n_frontier,
-                    "admitted": n_admitted,
-                    "fetched_ok": n_ok,
-                    "fetch_miss": n_admitted - n_ok,
-                    "new_links": n_new,
-                    "pages_crawled": crawled,
-                }
-            )
-            # per-partition lineage: (exec_partition, domain) -> fetch/extract
-            # metrics, from the already-materialized results parquet (cheap
-            # scan; the reference's CrawlerTaskResult/TraversalStats parity)
-            lineage = results.groupBy(
-                "wave", "exec_partition", "registrable_domain"
-            ).agg(
-                F.count(F.lit(1)).alias("fetched"),
-                F.sum(F.col("success").cast("int")).alias("extracted_ok"),
-                F.sum(F.coalesce("html_bytes", F.lit(0))).alias("html_bytes"),
-                F.sum(F.coalesce("extract_ms", F.lit(0.0))).alias("extract_ms"),
-                F.max("order_in_wave").alias("max_order_in_wave"),
-            )
-            # fold new links into the bloom BEFORE the snapshot: the snapshot
-            # bloom must cover everything in the snapshot seen table — a bloom
-            # false NEGATIVE bypasses the exact anti-join (the `fresh` path),
-            # so a resume from a bloom that lags `seen` by one wave could
-            # re-admit already-seen urls
-            if bloom is not None:
-                bloom.add(new_links.select("url_hash"))
-            # snapshot commit runs CONCURRENTLY with the next wave's
-            # admission+extract job (joined right after that wave's results
-            # land). next_frontier/next_host_state read only already-
-            # materialized parquet (this wave's results/new_links + the
-            # previous snapshot), so the next admission's lineage is one
-            # wave deep until the post-join rebase truncates it. Manifest
-            # meta gets an immutable copy — `stats` keeps mutating here.
-            import copy as _copy
+                order_w = Window.orderBy(*self._admission_order())
+                admitted = admitted.withColumn(
+                    "order_in_wave", F.row_number().over(order_w)
+                ).withColumn("wave", F.lit(wave))
+                _mark("t_admission")
 
-            commit_thread = threading.Thread(
-                target=self.store.write,
-                args=(
-                    wave,
+                # ---- admission + "fetch" (join materialized latest pages) +
+                # extraction + results: ONE write job per wave. The admitted
+                # view is re-derived from the written results parquet (every
+                # admitted row appears exactly once — the pages view is unique
+                # by url_canon), so the old separate admitted.parquet write and
+                # the meta⋈extracted url join are both gone.
+                wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
+                fetched = admitted.join(self.pages, "url_canon", "left")
+                status = F.when(F.col("html").isNull(), 404).otherwise(
+                    F.coalesce(F.col("_page_status"), F.lit(200))
+                    if "_page_status" in self.pages.columns
+                    else F.lit(200)
+                )
+                fetched = (
+                    fetched.withColumn("status_code", status)
+                    .withColumn("_do_extract", F.col("status_code") == 200)
+                )
+                # parallelism hint from the known frontier size: a 6-url wave
+                # runs 1 extraction task instead of 32 near-empty ones (task
+                # scheduling dominates small waves); big waves keep full width
+                # (during an overlapped commit the exact count is deferred;
+                # the previous wave's driver-side upper bound stands in)
+                size_hint = n_frontier if n_frontier >= 0 else next_frontier_upper
+                par_hint = None
+                if size_hint > 0:
+                    par_hint = max(1, min(
+                        spark.sparkContext.defaultParallelism,
+                        (size_hint + 63) // 64,
+                    ))
+                results = extract_pages_with_meta(
+                    fetched.select(
+                        F.col("url_canon").alias("url"), "html", "_do_extract",
+                        "url_hash", "registrable_domain", "parent_url", "depth",
+                        "score", "discovered_wave", "link_pos", "retry_count",
+                        "status_code", "order_in_wave", "wave",
+                    ),
+                    cfg.extract,
+                    min_parallelism=par_hint,
+                )
+                results_path = os.path.join(wave_dir, "results.parquet")
+                results.write.mode("overwrite").parquet(results_path)
+                results = spark.read.parquet(results_path)
+                n_admitted = _parquet_rows(results_path, fallback=results)  # footer-only
+                # the overlapped snapshot commit has now been fully hidden behind
+                # the admission+extract job: join it and REBASE frontier /
+                # host_state onto the committed parquet scans, truncating the
+                # one-wave-deep lazy lineage the admission ran on
+                if commit_thread is not None:
+                    _join_commit()
+                    snap = self.store.read(wave - 1)
+                    frontier, host_state = snap["frontier"], snap["host_state"]
+                    if n_frontier < 0:
+                        n_frontier = _parquet_rows(frontier_path, fallback=frontier)
+                if n_admitted == 0:
+                    _mark("t_fetch_extract")
+                    break
+                admitted = results.select(
+                    F.col("url").alias("url_canon"), "url_hash",
+                    "registrable_domain", "parent_url", "depth", "score",
+                    "discovered_wave", "link_pos", "retry_count",
+                    "order_in_wave", "wave",
+                )
+                # filtered tally from a single pruned column of the O(Δ) results
+                # delta we just wrote — avoids a whole Spark job per wave
+                n_ok = _parquet_count_eq(results_path, "status_code", 200,
+                                         fallback=results)
+                _mark("t_fetch_extract")
+
+                # ---- link discovery (hrefs already canonical from the kernel).
+                # Parent-page context (extract_page_context parity) is computed
+                # ONCE per page before the explode, so every link row carries a
+                # precomputed term array — native exprs, no extra pass.
+                parent_cols = []
+                if cfg.page_context_scoring:
+                    headlines = F.concat_ws(
+                        " ",
+                        F.regexp_extract_all(
+                            F.coalesce("raw_markdown", F.lit("")),
+                            F.lit(r"(?m)^#{1,3} (.+)$"), F.lit(1),
+                        ),
+                    )
+                    parent_cols = [
+                        page_context_terms(
+                            F.col("title"), headlines,
+                            F.element_at("metadata", F.lit("description")),
+                        ).alias("parent_terms"),
+                        F.lower(
+                            F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+                        ).alias("parent_host"),
+                    ]
+                links = (
+                    results.select(
+                        F.col("url").alias("parent_url"),
+                        F.col("depth").alias("parent_depth"),
+                        *parent_cols,
+                        F.posexplode_outer("links").alias("link_pos", "link"),
+                    )
+                    .where(F.col("link").isNotNull())
+                    .select(
+                        "parent_url",
+                        "parent_depth",
+                        "link_pos",
+                        *(["parent_terms", "parent_host"] if parent_cols else []),
+                        F.col("link.href").alias("href"),
+                        F.col("link.text").alias("text"),
+                        F.col("link.title").alias("title"),
+                        F.col("link.base_domain").alias("registrable_domain"),
+                        F.col("link.is_internal").alias("is_internal"),
+                    )
+                )
+                links = self._score_links(links)
+                cand = links.select(
+                    F.col("href").alias("url_canon"),
+                    F.xxhash64("href").alias("url_hash"),
+                    "registrable_domain",
+                    "parent_url",
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    "score",
+                    F.lit(wave + 1).alias("discovered_wave"),
+                    "link_pos",
+                    F.lit(0).alias("retry_count"),
+                    "is_internal",
+                )
+                chain = self._link_filter_chain()
+                cand = cand.where(chain.predicate())
+                # dedup within wave: deterministic winner
+                wdd = Window.partitionBy("url_canon").orderBy(
+                    F.desc("score"), F.asc("depth"), F.asc("parent_url"), F.asc("link_pos")
+                )
+                cand = (
+                    cand.withColumn("_rn", F.row_number().over(wdd))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", "is_internal")
+                )
+                # bloom pre-filter (cheap) then EXACT anti-join (invariant).
+                # While the seen set is still small (footer-count scalar — no
+                # job) the exact anti-join alone is cheaper than the extra
+                # cogrouped python stage, so the prefilter only engages once
+                # the seen set is big enough to pay for it; the bloom itself is
+                # ALWAYS maintained (adds below) so engagement is seamless and
+                # the snapshot invariant (bloom covers seen) holds throughout.
+                import glob as _glob
+
+                n_seen, seen_small_proven = 0, True
+                for p in seen_paths:
+                    if not _glob.glob(os.path.join(p, "*.parquet")):
+                        seen_small_proven = False  # remote fs: assume big
+                        break
+                    n_seen += _parquet_rows(p)
+                if bloom is not None and (
+                    not seen_small_proven or n_seen >= cfg.bloom_min_seen
+                ):
+                    cand = bloom.prefilter(cand)
+                    maybe = cand.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+                    fresh = cand.where(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+                    new_links = fresh.unionByName(filter_unseen_exact(maybe, _seen()))
+                else:
+                    new_links = filter_unseen_exact(cand, _seen())
+                # materialize the discovery Δ ONCE: it becomes a frontier input,
+                # a seen-set delta, AND the wave discovery log — the link chain
+                # (explode -> score -> window dedup -> bloom applyInPandas ->
+                # anti-join) runs exactly once per wave.
+                new_links_path = os.path.join(wave_dir, "new_links.parquet")
+                new_links.write.mode("overwrite").parquet(new_links_path)
+                new_links = spark.read.parquet(new_links_path)
+                n_new = _parquet_rows(new_links_path, fallback=new_links)  # footer-only
+
+                # ---- next frontier + state folds, each written exactly once via
+                # the snapshot (the Iceberg-MERGE-per-wave pattern). The robots
+                # gate runs on the O(Δ) discovery delta only — blocked urls stay
+                # in seen (oracle semantics: discovered but never crawlable) and
+                # never enter the frontier, so no wave re-gates old rows.
+                delta = new_links
+                if cfg.check_robots and self.robots is not None:
+                    delta = robots_gate(delta, self.robots)
+                leftover = frontier.join(
+                    admitted.select("url_canon"), "url_canon", "left_anti"
+                )
+                next_frontier = leftover.select(*frontier_cols).unionByName(
+                    delta.select(*frontier_cols)
+                )
+                # retry/requeue (dispatcher parity, async_dispatcher.py:289-331):
+                # transient statuses re-enter the frontier with retry_count+1
+                # until max_retries; the backoff fold below shrinks their
+                # domain's next-wave budget at the same time
+                if cfg.politeness.max_retries > 0:
+                    transient = results.where(
+                        F.col("status_code").isin(*RETRY_STATUSES)
+                    ).select(F.col("url").alias("url_canon"))
+                    retries = (
+                        admitted.join(transient, "url_canon", "semi")
+                        .select(*frontier_cols)
+                        .where(F.col("retry_count") < cfg.politeness.max_retries)
+                        .withColumn("retry_count", F.col("retry_count") + 1)
+                    )
+                    next_frontier = next_frontier.unionByName(retries)
+                # driver-side upper bound on |next frontier| from footer-only
+                # tallies: lets the next loop iteration prove emptiness and
+                # break WITHOUT waiting for the async commit or running a job
+                n_transient = (
+                    sum(_parquet_count_eq(results_path, "status_code", s,
+                                          fallback=results)
+                        for s in RETRY_STATUSES)
+                    if cfg.politeness.max_retries > 0 else 0
+                )
+                next_frontier_upper = (
+                    max(0, n_frontier - n_admitted) + n_new + n_transient
+                )
+                seen_paths.append(new_links_path)  # append-only seen delta
+                if len(seen_paths) >= cfg.seen_compact_every:
+                    compact = os.path.join(
+                        self.checkpoint_dir, "_state", f"seen_compact_{wave:05d}"
+                    )
+                    _seen().write.mode("overwrite").parquet(compact)
+                    seen_paths = [compact]
+                next_host_state = fold_wave_outcomes(
+                    host_state,
+                    results.select("registrable_domain", "status_code"),
+                    cfg.politeness,
+                )
+                _mark("t_link_discovery")
+                crawled += n_admitted
+                stats.append(
                     {
-                        "frontier": next_frontier,
-                        "host_state": next_host_state,
-                        "bloom": bloom.state if bloom is not None else None,
-                        "stats": lineage,
-                    },
-                ),
-                kwargs={
-                    "meta": {
+                        "wave": wave,
+                        "frontier_size": n_frontier,
+                        "admitted": n_admitted,
+                        "fetched_ok": n_ok,
+                        "fetch_miss": n_admitted - n_ok,
+                        "new_links": n_new,
                         "pages_crawled": crawled,
-                        "stats": _copy.deepcopy(stats),
-                        # the seen set is the union of these immutable deltas
-                        "seen_deltas": list(seen_paths),
+                    }
+                )
+                # per-partition lineage: (exec_partition, domain) -> fetch/extract
+                # metrics, from the already-materialized results parquet (cheap
+                # scan; the reference's CrawlerTaskResult/TraversalStats parity)
+                lineage = results.groupBy(
+                    "wave", "exec_partition", "registrable_domain"
+                ).agg(
+                    F.count(F.lit(1)).alias("fetched"),
+                    F.sum(F.col("success").cast("int")).alias("extracted_ok"),
+                    F.sum(F.coalesce("html_bytes", F.lit(0))).alias("html_bytes"),
+                    F.sum(F.coalesce("extract_ms", F.lit(0.0))).alias("extract_ms"),
+                    F.max("order_in_wave").alias("max_order_in_wave"),
+                )
+                # fold new links into the bloom BEFORE the snapshot: the snapshot
+                # bloom must cover everything in the snapshot seen table — a bloom
+                # false NEGATIVE bypasses the exact anti-join (the `fresh` path),
+                # so a resume from a bloom that lags `seen` by one wave could
+                # re-admit already-seen urls
+                if bloom is not None:
+                    bloom.add(new_links.select("url_hash"))
+                # snapshot commit runs CONCURRENTLY with the next wave's
+                # admission+extract job (joined right after that wave's results
+                # land). next_frontier/next_host_state read only already-
+                # materialized parquet (this wave's results/new_links + the
+                # previous snapshot), so the next admission's lineage is one
+                # wave deep until the post-join rebase truncates it. Manifest
+                # meta gets an immutable copy — `stats` keeps mutating here.
+                import copy as _copy
+
+                commit_thread = threading.Thread(
+                    target=_commit_target,
+                    args=(
+                        wave,
+                        {
+                            "frontier": next_frontier,
+                            "host_state": next_host_state,
+                            "bloom": bloom.state if bloom is not None else None,
+                            "stats": lineage,
+                        },
+                    ),
+                    kwargs={
+                        "meta": {
+                            "pages_crawled": crawled,
+                            "stats": _copy.deepcopy(stats),
+                            # the seen set is the union of these immutable deltas
+                            "seen_deltas": list(seen_paths),
+                        },
                     },
-                },
-                daemon=True,
-            )
-            commit_thread.start()
-            frontier, host_state = next_frontier, next_host_state
-            frontier_path = os.path.join(self.store._wave_dir(wave), "frontier.parquet")
-            _mark("t_state_commit")
-            _t.pop("_w0", None)
-            stats[-1].update(_t)
-            wave += 1
+                    daemon=True,
+                )
+                commit_thread.start()
+                frontier, host_state = next_frontier, next_host_state
+                frontier_path = os.path.join(self.store._wave_dir(wave), "frontier.parquet")
+                _mark("t_state_commit")
+                _t.pop("_w0", None)
+                stats[-1].update(_t)
+                wave += 1
+        except BaseException:
+            # join the in-flight commit without masking the primary error
+            if commit_thread is not None:
+                commit_thread.join()
+                commit_thread = None
+            raise
         _join_commit()
 
         return CrawlRun(

@@ -75,15 +75,16 @@ def sitemap_page_urls(
     docs = sitemaps.select(
         F.col(url_col).alias("url"), F.col(xml_col).alias("xml")
     )
-    # the edge table is consulted once per recursion round (plus the root
-    # detection anti-join); persist it so each round's isEmpty() action
-    # re-reads a few KB per sitemap instead of re-running the upstream plan
+    # the edge table appears max_depth+1 times in the single lazy plan below;
+    # no persist — a persist here would either leak (never unpersisted once
+    # the lazy DF escapes) or be a no-op if unpersisted before return, and
+    # recomputing the regexp extraction over KB-sized sitemap xml is cheap
     children_of = docs.select(
         "url",
         F.explode_outer(
             F.regexp_extract_all("xml", F.lit(_INDEX_LOC), F.lit(1))
         ).alias("child"),
-    ).persist()
+    )
     if roots is None:
         referenced = children_of.where(F.col("child").isNotNull()).select(
             F.col("child").alias("url")
@@ -101,6 +102,11 @@ def sitemap_page_urls(
             current.join(children_of, "url")
             .where(F.col("child").isNotNull())
             .select(F.col("child").alias("url"))
+            # per-round distinct (still lazy, no extra action): with fan-in
+            # (a child referenced by k parents) undeduped rows multiply
+            # ~k^depth across the unrolled joins, and self/cyclic references
+            # keep feeding rows through every round
+            .distinct()
         )
         reachable = reachable.unionByName(current)
     reachable = reachable.distinct()

@@ -184,3 +184,84 @@ def test_markdown_nested_lists_and_blockquote():
     assert "  1. one" in md
     assert "    * sub a" in md
     assert "  2. two" in md
+
+
+# ---- preprocess_html_for_schema (fit_html producer) -------------------------
+
+
+def test_schemaprep_removes_head_and_noise_tags():
+    from crawl4ai_custom_spark.kernel.schemaprep import preprocess_html_for_schema
+
+    h = ("<html><head><title>T</title><style>.a{}</style></head><body>"
+         "<script>x()</script><noscript>n</noscript><iframe src='u'></iframe>"
+         "<svg><g></g></svg><video controls></video><p>keep</p></body></html>")
+    out = preprocess_html_for_schema(h)
+    assert out == "<html><body><p>keep</p></body></html>"
+
+
+def test_schemaprep_attr_whitelist_and_truncation():
+    from crawl4ai_custom_spark.kernel.schemaprep import preprocess_html_for_schema
+
+    h = ('<html><body><a href="/x" style="c" id="i" class="k" name="n" '
+         'type="t" value="v" data-z="1" aria-label="drop">t</a></body></html>')
+    out = preprocess_html_for_schema(h)
+    assert 'href' not in out and 'style' not in out and 'aria' not in out
+    for keep in ('id="i"', 'class="k"', 'name="n"', 'type="t"', 'value="v"',
+                 'data-z="1"'):
+        assert keep in out
+    long = "<html><body><div id=\"" + "x" * 250 + "\">t</div></body></html>"
+    out2 = preprocess_html_for_schema(long)
+    assert '"' + "x" * 200 + '..."' in out2
+
+
+def test_schemaprep_text_truncation_strips_then_cuts():
+    from crawl4ai_custom_spark.kernel.schemaprep import preprocess_html_for_schema
+
+    h = "<html><body><p>  " + "w" * 150 + "  </p><p> short </p></body></html>"
+    out = preprocess_html_for_schema(h)
+    # truncation fires -> stripped prefix + '...'; short run keeps its spaces
+    assert "<p>" + "w" * 100 + "...</p>" in out
+    assert "<p> short </p>" in out
+    # tail text (after an element) truncates the same way
+    h2 = "<html><body><div><b>b</b>" + "y" * 150 + "</div></body></html>"
+    assert "y" * 100 + "..." in preprocess_html_for_schema(h2)
+
+
+def test_schemaprep_dedup_keeps_first_per_tag_class_text():
+    from crawl4ai_custom_spark.kernel.schemaprep import preprocess_html_for_schema
+
+    h = ('<html><body><div class="c">same</div><div class="c">same</div>'
+         '<div class="c">other</div><span class="c">same</span>'
+         "<div>same</div></body></html>")
+    out = preprocess_html_for_schema(h)
+    # duplicate (div, c, same) removed; different text / tag / class-less kept
+    assert out.count('<div class="c">same</div>') == 1
+    assert '<div class="c">other</div>' in out
+    assert '<span class="c">same</span>' in out
+    assert "<div>same</div>" in out
+
+
+def test_schemaprep_max_size_cap_and_idempotent_shapes():
+    from crawl4ai_custom_spark.kernel.schemaprep import preprocess_html_for_schema
+
+    h = "<html><body>" + "<p>para</p>" * 500 + "</body></html>"
+    out = preprocess_html_for_schema(h, max_size=100)
+    assert len(out) == 103 and out.endswith("...")
+    # under the cap -> untouched tail
+    out2 = preprocess_html_for_schema("<html><body><p>a</p></body></html>")
+    assert out2.endswith("</body></html>")
+
+
+def test_extract_page_fit_html_is_schema_prep():
+    from crawl4ai_custom_spark.kernel.extract import ExtractConfig, extract_page
+    from crawl4ai_custom_spark.kernel.schemaprep import fit_html_for_page
+
+    html = ("<html><head><title>T</title></head><body>"
+            '<div class="card" style="x"><h2>Item</h2><p>'
+            + "desc " * 200 + "</p></div></body></html>")
+    row = extract_page("http://e.com/", html)
+    assert row["fit_html"] == fit_html_for_page(html)
+    assert "style=" not in row["fit_html"]
+    # opt-out skips the second parse
+    cfg = ExtractConfig(schema_fit_html=False)
+    assert extract_page("http://e.com/", html, cfg)["fit_html"] == ""

@@ -119,3 +119,30 @@ def test_extraction_schema_and_links(latest):
     ).count()
     assert bad == 0
     ext.unpersist()
+
+
+def test_extract_with_meta_skips_repartition_when_already_wide(spark):
+    """extract_pages_with_meta must not insert an Exchange when the input
+    already carries >= target partitions (a full shuffle of html payloads
+    at scale); it must still widen a narrow input."""
+    from crawl4ai_custom_spark.operators.extraction import extract_pages_with_meta
+
+    rows = [(f"http://w.com/{i}", b"<p>x</p>", True, 0) for i in range(8)]
+    base = spark.createDataFrame(
+        rows, "url string, html binary, _do_extract boolean, depth int"
+    )
+
+    # createDataFrame spreads rows over defaultParallelism partitions — no
+    # Exchange of its own, unlike an explicit .repartition() input
+    assert base.rdd.getNumPartitions() >= 4
+    out = extract_pages_with_meta(base, min_parallelism=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # input already carries >= target partitions: no Exchange may be inserted
+    assert "Exchange" not in plan, plan
+
+    narrow = base.coalesce(1)
+    out2 = extract_pages_with_meta(narrow, min_parallelism=4)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2, plan2
+    # and the stage still produces correct rows either way
+    assert out.count() == 8 and out2.count() == 8
