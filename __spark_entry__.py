@@ -1648,6 +1648,44 @@ def q_fit_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_fit_html(pages).select("doc_id", "fit_html")
 
 
+
+def q_cosine_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CosineStrategy dataflow (reference extraction_strategy.py:135-492):
+    semantic pre-filter (threshold + stable topup + cap) then per-document
+    ward clustering over precomputed chunk embeddings. Chunks live on
+    orthogonal axes by chunk_index%3 so the cluster structure is closed-form:
+    passed group-0 chunks form cluster 1, the single topped-up reject is
+    cluster 2 (emitted only when k=n//2 exceeds the passed count)."""
+    from crawl4ai_custom_spark.operators.cosine_extract import (
+        cosine_cluster_extract,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    d = F.col("doc_id")
+    n = (d % 5 + 6).cast("int")
+    base = docs.select(
+        d.cast("int").alias("id"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_index"),
+    )
+    g = F.col("chunk_index") % 3
+    chunks = base.select(
+        "id",
+        "chunk_index",
+        F.concat(
+            F.lit("w"), F.col("id"), F.lit(" c"), F.col("chunk_index"),
+            F.lit(" t"), g,
+        ).alias("chunk"),
+        F.array(
+            (g == 0).cast("double"), (g == 1).cast("double"),
+            (g == 2).cast("double"), F.lit(0.0),
+        ).alias("embedding"),
+    )
+    return cosine_cluster_extract(
+        chunks, query_vec=[1.0, 0.0, 0.0, 0.0], sim_threshold=0.3,
+        max_dist=0.2, word_count_threshold=3,
+    ).select("id", "cluster_index", "content", "n_chunks", "n_words")
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_url_canonicalize"] = f"""
@@ -3275,6 +3313,32 @@ ORACLES["q_fit_html"] = """
 """
 
 
+ORACLES["q_cosine_extract"] = """
+    with p as (
+      select doc_id,
+             case when doc_id % 5 = 0 then 2
+                  when doc_id % 5 = 4 then 4 else 3 end as npass,
+             case when doc_id % 5 = 1 then 0 else 1 end as topup
+      from documents where doc_id < 80
+    ),
+    c1 as (
+      select doc_id::INT as id, 1 as cluster_index,
+        'w' || doc_id || ' c0 t0 w' || doc_id || ' c3 t0'
+        || case when npass >= 3 then ' w' || doc_id || ' c6 t0' else '' end
+        || case when npass >= 4 then ' w' || doc_id || ' c9 t0' else '' end
+          as content,
+        npass as n_chunks, 3 * npass as n_words
+      from p
+    ),
+    c2 as (
+      select doc_id::INT as id, 2 as cluster_index,
+        'w' || doc_id || ' c1 t1' as content, 1 as n_chunks, 3 as n_words
+      from p where topup = 1
+    )
+    select * from c1 union all select * from c2
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_normalize_url": q_normalize_url,
@@ -3348,6 +3412,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_market_intel": q_market_intel,
     "q_sitemap_scan": q_sitemap_scan,
     "q_fit_html": q_fit_html,
+    "q_cosine_extract": q_cosine_extract,
     "q_queue_wait_stats": q_queue_wait_stats,
     "q_pdf_extract": q_pdf_extract,
 }

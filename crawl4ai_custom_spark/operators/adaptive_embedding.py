@@ -56,6 +56,8 @@ class EmbeddingAdaptiveConfig:
     quality_max_confidence: float = 0.95
     quality_scale_factor: float = 0.833
     coverage_tau: float | None = None
+    # links×KB / docs×KB joins go IVF-bucketed past this KB row count
+    kb_broadcast_rows: int = 100_000
 
 
 def coverage_gaps(
@@ -107,6 +109,57 @@ def kb_confidence(
     else:
         row = best.agg(F.avg("best")).first()
     return float(row[0] or 0.0)
+
+
+# Past this KB row count the links×KB / new-docs×KB max-similarity joins
+# switch from the exact nested-loop scan to an IVF-bucketed candidate join:
+# the KB stops being broadcast-sized long before 10^10-URL scale, and an
+# all-pairs pass over it per wave would dominate the crawl.
+KB_BROADCAST_ROWS = 100_000
+
+
+def _max_sim_to_kb(
+    vectors: DataFrame,
+    kb_vecs: DataFrame,
+    broadcast_rows: int = KB_BROADCAST_ROWS,
+    kb_rows: int | None = None,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+) -> DataFrame:
+    """(id, max_sim): max cosine of each input vector to any KB vector.
+
+    ``vectors`` is (id, v); ``kb_vecs`` is (dv). Small KBs take the exact
+    cross-join + partial-max path (the KB streams, nothing shuffles). Past
+    ``broadcast_rows`` the KB is IVF-bucketed (similarity.ivf_assign): KB
+    rows live in their nearest-centroid bucket, each input probes its
+    ``nprobe`` nearest buckets, and the join is a bucket equi-join — the
+    candidate set shrinks ~n_centroids/nprobe-fold and the plan is a real
+    hash/sort-merge join instead of a nested loop. Approximate by
+    construction (an out-of-probe KB row can hide a higher sim); nprobe
+    tunes the recall/cost trade."""
+    if kb_rows is None:
+        kb_rows = kb_vecs.count()
+    if kb_rows <= broadcast_rows:
+        return (
+            vectors.crossJoin(kb_vecs)
+            .groupBy("id")
+            .agg(F.max(cosine(F.col("v"), F.col("dv"))).alias("max_sim"))
+        )
+    from .similarity import data_centroids, ivf_assign
+
+    kb_ids = kb_vecs.withColumn("kb_id", F.monotonically_increasing_id())
+    cents = data_centroids(kb_ids, n_centroids, "kb_id", "dv")
+    kb_b = ivf_assign(kb_ids, cents, "kb_id", "dv", nprobe=1).select(
+        "dv", "bucket"
+    )
+    v_b = ivf_assign(vectors, cents, "id", "v", nprobe=nprobe).select(
+        "id", "v", "bucket"
+    )
+    return (
+        v_b.join(kb_b, "bucket")
+        .groupBy("id")
+        .agg(F.max(cosine(F.col("v"), F.col("dv"))).alias("max_sim"))
+    )
 
 
 def rank_links_by_gaps(
@@ -162,12 +215,13 @@ def rank_links_by_gaps(
     else:
         reduction = l.select("link_id", F.lit(0.0).alias("gap_reduction"))
 
-    # redundancy: max similarity of the link to anything already in the KB
-    overlap = (
-        l.crossJoin(kb.select(F.col(kb_vec).alias("dv")))
-        .groupBy("link_id")
-        .agg(F.max(cosine(F.col("lv"), F.col("dv"))).alias("max_sim"))
-    )
+    # redundancy: max similarity of the link to anything already in the KB —
+    # exact scan while the KB is small, IVF-bucketed equi-join once it grows
+    overlap = _max_sim_to_kb(
+        l.select(F.col("link_id").alias("id"), F.col("lv").alias("v")),
+        kb.select(F.col(kb_vec).alias("dv")),
+        broadcast_rows=cfg.kb_broadcast_rows,
+    ).select(F.col("id").alias("link_id"), "max_sim")
     penalty = F.when(
         F.col("max_sim") > cfg.overlap_threshold,
         (F.col("max_sim") - cfg.overlap_threshold) * 2.0,
@@ -202,16 +256,17 @@ def kb_dedup_filter(
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
     kb_vec: str = "embedding",
+    broadcast_rows: int = KB_BROADCAST_ROWS,
 ) -> DataFrame:
     """New docs whose max cosine to the EXISTING KB is < threshold
     (adaptive_crawler.py:1243-1262: the loop similarity-checks every new
     embedding against the batch-start KB, never against other new docs —
     so the filter is a plain parallel aggregation, no sequential state)."""
     n = new_docs.select(F.col(doc_id).alias("id"), F.col(doc_vec).alias("nv"))
-    sims = (
-        n.crossJoin(kb.select(F.col(kb_vec).alias("dv")))
-        .groupBy("id")
-        .agg(F.max(cosine(F.col("nv"), F.col("dv"))).alias("max_sim"))
+    sims = _max_sim_to_kb(
+        n.select("id", F.col("nv").alias("v")),
+        kb.select(F.col(kb_vec).alias("dv")),
+        broadcast_rows=broadcast_rows,
     )
     keep = (
         n.join(sims, "id", "left")

@@ -28,9 +28,7 @@ via ``CrawlRun.lineage(spark)``.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,71 +36,37 @@ TABLES = ("frontier", "host_state", "bloom", "stats")
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """Facade over a SnapshotBackend (state/backend.py). The public surface
+    (write/read/complete_waves/latest_wave/_wave_dir) is unchanged; the
+    storage protocol — parquet+manifest here, Iceberg MERGE INTO + snapshot
+    tags in production — is the backend's concern."""
+
+    def __init__(self, spark: SparkSession, root: str, backend=None):
+        from .backend import ParquetManifestBackend
+
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.backend = backend or ParquetManifestBackend(spark, root)
 
     def _wave_dir(self, wave: int) -> str:
+        # parquet-backend physical layout (frontier.py reads footer counts
+        # from here); other backends expose table_path(wave, name) = None
+        from .backend import ParquetManifestBackend
+
+        if isinstance(self.backend, ParquetManifestBackend):
+            return self.backend.wave_dir(wave)
         return os.path.join(self.root, f"wave={wave:05d}")
 
     def write(self, wave: int, tables: dict[str, DataFrame],
               meta: dict | None = None) -> None:
-        d = self._wave_dir(wave)
-        if os.path.exists(d):
-            shutil.rmtree(d)
-        os.makedirs(d)
-        counts: dict[str, int] = {}
-        import os as _os
-        import time as _time
-        from concurrent.futures import ThreadPoolExecutor
-        debug = _os.environ.get("C4A_CKPT_DEBUG")
-
-        # the snapshot tables are independent jobs — submit them from
-        # threads so Spark's scheduler overlaps them (FIFO pools share the
-        # cluster fine; each job is small). This halves the per-wave commit
-        # latency vs sequential writes. The manifest is still written LAST,
-        # only after every table landed, so atomicity is unchanged.
-        def _write(item):
-            name, df = item
-            path = os.path.join(d, name + ".parquet")
-            _t0 = _time.time()
-            df.write.mode("overwrite").parquet(path)
-            if debug:
-                print(f"[ckpt] wave={wave} {name}: {_time.time()-_t0:.1f}s", flush=True)
-            return name
-
-        todo = [(n, df) for n, df in tables.items() if df is not None]
-        with ThreadPoolExecutor(max_workers=max(1, len(todo))) as pool:
-            for name in pool.map(_write, todo):
-                counts[name] = -1
-        manifest = {"wave": wave, "tables": sorted(counts), "meta": meta or {}}
-        tmp = os.path.join(d, "_MANIFEST.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(d, "_MANIFEST.json"))  # atomic commit
+        self.backend.write_snapshot(wave, tables, meta)
 
     def complete_waves(self) -> list[int]:
-        out = []
-        if not os.path.isdir(self.root):
-            return out
-        for name in os.listdir(self.root):
-            if name.startswith("wave=") and os.path.exists(
-                os.path.join(self.root, name, "_MANIFEST.json")
-            ):
-                out.append(int(name.split("=")[1]))
-        return sorted(out)
+        return self.backend.complete_waves()
 
     def latest_wave(self) -> int | None:
         waves = self.complete_waves()
         return waves[-1] if waves else None
 
     def read(self, wave: int) -> dict[str, DataFrame]:
-        d = self._wave_dir(wave)
-        with open(os.path.join(d, "_MANIFEST.json")) as f:
-            manifest = json.load(f)
-        out: dict[str, DataFrame] = {}
-        for name in manifest["tables"]:
-            out[name] = self.spark.read.parquet(os.path.join(d, name + ".parquet"))
-        out["_meta"] = manifest.get("meta", {})  # type: ignore[assignment]
-        return out
+        return self.backend.read_snapshot(wave)

@@ -179,3 +179,77 @@ def test_embedding_adaptive_digest(spark, site_dir, tmp_path):
     # allowed — the reference checks new docs against the batch-START KB
     # only, adaptive_crawler.py:1243-1262)
     assert res.kb_docs < res.pages
+
+
+def test_max_sim_ivf_path_matches_broadcast_on_clustered_kb(spark):
+    """The IVF-bucketed KB join (the growth path past KB_BROADCAST_ROWS)
+    must agree with the exact nested-loop path on a well-clustered KB, and
+    its plan must be a real equi-join, not a nested loop."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.operators.adaptive_embedding import _max_sim_to_kb
+
+    rng = np.random.default_rng(7)
+    # KB: 3 tight clusters around orthogonal axes (64 rows)
+    kb_rows = []
+    for i in range(64):
+        axis = i % 3
+        v = rng.normal(0, 0.015, 4)
+        v[axis] += 1.0
+        kb_rows.append((v / np.linalg.norm(v)).tolist())
+    kb = spark.createDataFrame([(r,) for r in kb_rows], "dv array<double>")
+    # probes: near each axis plus one far direction
+    probes = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.03, 0.0]),
+        (2, [0.01, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(probes, "id int, v array<double>")
+
+    exact = _max_sim_to_kb(vecs, kb, broadcast_rows=10_000)
+    ivf = _max_sim_to_kb(
+        vecs, kb, broadcast_rows=0, n_centroids=12, nprobe=6
+    )
+    got_e = {r["id"]: r["max_sim"] for r in exact.collect()}
+    got_i = {r["id"]: r["max_sim"] for r in ivf.collect()}
+    assert set(got_e) == set(got_i)
+    for k in got_e:
+        assert got_i[k] == pytest.approx(got_e[k], abs=1e-9)
+
+    plan_ivf = ivf._jdf.queryExecution().executedPlan().toString()
+    plan_exact = exact._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastNestedLoopJoin" in plan_exact
+        or "CartesianProduct" in plan_exact
+    )
+    # the KB side joins on `bucket` — a hash/sort-merge equi-join
+    assert (
+        "SortMergeJoin" in plan_ivf
+        or "ShuffledHashJoin" in plan_ivf
+        or "BroadcastHashJoin" in plan_ivf
+    ), plan_ivf
+
+
+def test_kb_dedup_filter_ivf_equivalence(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    kb_rows = []
+    for i in range(60):
+        axis = i % 2
+        v = rng.normal(0, 0.01, 3)
+        v[axis] += 1.0
+        kb_rows.append((v / np.linalg.norm(v)).tolist())
+    kb = spark.createDataFrame([(r,) for r in kb_rows], "embedding array<double>")
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.001, 0.0]),   # duplicate of cluster 0
+            (2, [0.0, 0.0, 1.0]),     # genuinely new
+        ],
+        "doc_id int, embedding array<double>",
+    )
+    a = kb_dedup_filter(docs, kb, threshold=0.95)
+    b = kb_dedup_filter(docs, kb, threshold=0.95, broadcast_rows=0)
+    assert sorted(r["doc_id"] for r in a.collect()) == [2]
+    assert sorted(r["doc_id"] for r in b.collect()) == [2]
