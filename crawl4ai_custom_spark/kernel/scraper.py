@@ -457,10 +457,14 @@ def strip_attributes(root: Node, keep_data: bool = False) -> None:
 # entry point
 # --------------------------------------------------------------------------
 
-def scrap(url: str, html: str | bytes, cfg: ScrapeConfig | None = None) -> ScrapeResult:
+def scrap(url: str, html: str | bytes | Node,
+          cfg: ScrapeConfig | None = None) -> ScrapeResult:
+    """``html`` may be a pre-parsed Node (extract_page shares one parse
+    between this and the fit_html producer); the tree is then OWNED and
+    mutated by the scrape cleanup."""
     cfg = cfg or ScrapeConfig()
     try:
-        root = parse_html(html)
+        root = html if isinstance(html, Node) else parse_html(html)
     except Exception:
         return ScrapeResult(url=url, success=False)
     meta = extract_metadata(root)

@@ -1,0 +1,129 @@
+"""10x scale rehearsal (round-4 VERDICT item 7): re-validate the sf0.1-pinned
+plan choices at one order of magnitude more data, on an idle box.
+
+Two jobs, each printed as one JSON line:
+
+  crawl80k   full BFS crawl over an ~80k-page synthetic site (10x the bench
+             fixture): admission + robots + fetch-join + extract + link
+             discovery + seen anti-join + snapshot commit per wave. Watches
+             the constants tuned at fixture scale: bloom_min_seen engagement,
+             seen-delta compaction cadence, wave commit overlap.
+  corpus50k  build_training_set over 50k documents (10 near-dup variants per
+             sf0.1 doc): profile/quality gates -> PII -> exact+minhash dedup
+             -> decontam -> shard assignment. Watches the minhash
+             recompute-over-persist choice and the LSH band join fan-out.
+
+Usage: python scripts/scale_rehearsal.py [crawl80k|corpus50k] (default both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_REHEARSAL_PAGES", "80000"))
+N_DOC_VARIANTS = 10
+
+
+def _spark():
+    from crawl4ai_custom_spark.session import get_spark
+
+    spark = get_spark(
+        "scale_rehearsal", master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def crawl80k(spark) -> dict:
+    from crawl4ai_custom_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+    )
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+    from crawl4ai_custom_spark.sources.datagen import write_dataset
+
+    site = os.path.join(CACHE, f"site_{N_PAGES}")
+    if not os.path.exists(os.path.join(site, "pages.parquet")):
+        write_dataset(site, n_pages=N_PAGES, n_domains=24, with_text=False)
+
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=4, max_pages=1_000_000,
+        politeness=PolitenessConfig(wave_seconds=1e9),
+        use_bloom=True, bloom_partitions=8,
+    )
+    eng = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site, "pages.parquet")),
+        spark.read.parquet(os.path.join(site, "robots.parquet")),
+        cfg,
+        checkpoint_dir=tempfile.mkdtemp(prefix="rehearsal_ckpt_"),
+        out_dir=tempfile.mkdtemp(prefix="rehearsal_out_"),
+    )
+    seeds = [r["url"] for r in
+             spark.read.parquet(os.path.join(site, "seeds.parquet")).collect()]
+    t0 = time.time()
+    run = eng.run(seeds)
+    dt = time.time() - t0
+    return {
+        "job": "crawl80k",
+        "site_pages": N_PAGES,
+        "pages_crawled": run.pages_crawled,
+        "waves": run.waves,
+        "seconds": round(dt, 1),
+        "urls_per_sec": round(run.pages_crawled / dt, 2),
+        "wave_stats": run.stats,
+    }
+
+
+def corpus50k(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.pipelines import CorpusConfig, build_training_set
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    # 10 near-dup variants per doc: realistic heavy-dedup shape — minhash
+    # should fold each family back to ~1 keeper
+    variants = docs.crossJoin(
+        spark.range(N_DOC_VARIANTS).select(F.col("id").alias("vid"))
+    ).select(
+        (F.col("doc_id") * N_DOC_VARIANTS + F.col("vid")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" variant token "),
+                 F.col("vid")).alias("text"),
+        "lang", "source",
+    )
+    n_in = variants.count()
+    cfg = CorpusConfig(near_dedup=True, jaccard_threshold=0.6, n_shards=32)
+    t0 = time.time()
+    out = build_training_set(variants, cfg)
+    n_out = out.count()
+    dt = time.time() - t0
+    return {
+        "job": "corpus50k",
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "seconds": round(dt, 1),
+        "docs_per_sec": round(n_in / dt, 2),
+    }
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    spark = _spark()
+    if which in ("crawl80k", "both"):
+        print(json.dumps(crawl80k(spark)), flush=True)
+    if which in ("corpus50k", "both"):
+        print(json.dumps(corpus50k(spark)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

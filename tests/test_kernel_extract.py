@@ -265,3 +265,18 @@ def test_extract_page_fit_html_is_schema_prep():
     # opt-out skips the second parse
     cfg = ExtractConfig(schema_fit_html=False)
     assert extract_page("http://e.com/", html, cfg)["fit_html"] == ""
+
+
+def test_fit_html_shared_parse_equals_standalone():
+    from crawl4ai_custom_spark.kernel.htmldom import parse_html
+    from crawl4ai_custom_spark.kernel.schemaprep import fit_html_for_page
+
+    html = ("<html><head><title>T</title></head><body>"
+            '<div class="c" style="x">' + "t " * 300 + "</div>"
+            '<div class="c">' + "t " * 300 + "</div>"
+            "<script>j()</script></body></html>")
+    tree = parse_html(html)
+    before = tree.to_html()
+    assert fit_html_for_page(html, tree=tree) == fit_html_for_page(html)
+    # the donated tree must not be mutated (scrap consumes it afterwards)
+    assert tree.to_html() == before
