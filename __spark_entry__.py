@@ -2365,11 +2365,13 @@ ORACLES["q_ann_pq"] = """
 _PAD = "' ' || lower(text) || ' '"
 
 
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
 def _occ_sql(word: str) -> str:
-    needle = f" {word} "
-    return (
-        f"((length({_PAD}) - length(replace({_PAD}, '{needle}', ''))) / {len(needle)})::INT"
-    )
+    # occurrence count of word as a whole whitespace token (mirrors
+    # textstats._count_occurrences: one split, token equality)
+    return f"len(list_filter({_TOKS_SQL}, x -> x = '{word}'))"
 
 
 _LANGS_SQL = {
@@ -2381,21 +2383,29 @@ _LANGS_SQL = {
 }
 
 
+def _lang_score_sql(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANGS_SQL[code])
+    return f"len(list_filter({_TOKS_SQL}, x -> x in ({words})))"
+
+
 def _lang_pred_sql() -> str:
-    score_cols = {
-        code: " + ".join(_occ_sql(w) for w in words)
-        for code, words in _LANGS_SQL.items()
-    }
-    # fold in sorted code order with strict > (ties keep earlier best)
+    # fold in sorted code order with strict > (ties keep earlier best) —
+    # over plain COLUMN references (s_<code> from a CTE), so the oracle does
+    # not re-evaluate the token scans 2^|langs| times
     expr_lang, expr_score = "'und'", "0"
-    for code in sorted(score_cols):
-        s = f"({score_cols[code]})"
+    for code in sorted(_LANGS_SQL):
+        s = f"s_{code}"
         expr_lang = f"case when {s} > {expr_score} then '{code}' else {expr_lang} end"
         expr_score = f"case when {s} > {expr_score} then {s} else {expr_score} end"
     return expr_lang
 
 
 ORACLES["q_text_profile"] = f"""
+    with scored as (
+      select *,
+        {", ".join(f"{_lang_score_sql(c)} as s_{c}" for c in sorted(_LANGS_SQL))}
+      from documents
+    )
     select doc_id,
       {_lang_pred_sql()} as lang_pred,
       case when length(trim(text)) = 0 then 0
@@ -2419,7 +2429,7 @@ ORACLES["q_text_profile"] = f"""
                   then 1.0 else 0.5 end)
       + 1e-9, 4) as quality,
       md5({_NORM_TEXT_SQL}) as fingerprint
-    from documents
+    from scored
 """
 
 def _pii_oracle_sql() -> str:

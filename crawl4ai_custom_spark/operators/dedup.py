@@ -175,6 +175,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard >= threshold), LSH-accelerated,
     verified with exact Jaccard (no false positives in the output).
@@ -186,8 +187,15 @@ def minhash_lsh_dedup(
     local[32], interleaved runs): recompute 5.9-6.5 s vs persisted shingle
     table 13 s vs persisted signature table 9.7-11.6 s — the cache build +
     InMemoryRelation boundary (which also blocks AQE re-planning) costs
-    more than the recompute saves, so the plan deliberately recomputes."""
+    more than the recompute saves, so the DEFAULT recomputes. Re-validated
+    at 10x (50k docs, 11M shingles, idle box, interleaved): recompute
+    60-72 s vs persisted 58-60 s — a wash; the crossover is near this
+    scale, so ``persist_shingles=True`` is the right call for corpora
+    beyond ~10^5 docs (and at 10^8+ the shingle table belongs in parquet,
+    not the MEMORY cache — materialize it yourself and pass it in)."""
     sh = shingle_table(docs, id_col, text_col, k)
+    if persist_shingles:
+        sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, num_hashes=num_hashes)
     return jaccard_of_pairs(cand, sh).where(

@@ -69,8 +69,21 @@ def crawl80k(spark) -> dict:
         checkpoint_dir=tempfile.mkdtemp(prefix="rehearsal_ckpt_"),
         out_dir=tempfile.mkdtemp(prefix="rehearsal_out_"),
     )
-    seeds = [r["url"] for r in
-             spark.read.parquet(os.path.join(site, "seeds.parquet")).collect()]
+    # the synthetic topology reaches only ~3% of an 80k-page site from the
+    # default 2-per-domain seeds (items link 12 children + a 4-sibling star,
+    # like a real shallow shop). A CC-seeder-style seed list — every hub page
+    # (home/category/sub-category) — is the realistic big-frontier shape and
+    # is what actually stresses the seen set / bloom / compaction constants.
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(os.path.join(site, "pages.parquet"))
+    hubs = (
+        pages.select("url").distinct()
+        .where(F.size(F.split(F.regexp_replace("url", "https://[^/]+/?", ""),
+                              "/")) <= 2)
+        .collect()
+    )
+    seeds = [r["url"] for r in hubs]
     t0 = time.time()
     run = eng.run(seeds)
     dt = time.time() - t0
