@@ -40,6 +40,10 @@ class ExtractConfig:
     # async_webcrawler.py:515). False skips the second parse when a caller
     # only needs markdown/links.
     schema_fit_html: bool = True
+    # False skips the markdown conversion + citation pass entirely (the
+    # raw_markdown / markdown_with_citations / references_markdown outputs
+    # come back empty). A link/metadata-only walk doesn't pay for prose.
+    markdown: bool = True
 
 
 def extract_page(
@@ -64,10 +68,12 @@ def extract_page(
     # tree (markdown is already done), so fit_markdown walks the pruned tree
     # directly instead of re-parsing serialized fragments.
     tree = sr.body_node if sr.body_node is not None else parse_html(sr.cleaned_html)
-    raw_md, _ = html_to_markdown(tree)
-    # citations are a regex post-pass over the raw markdown (reference
-    # pipeline shape, mgs.py:82-146) — no second conversion
-    cited_md, references_md = convert_links_to_citations(raw_md)
+    raw_md = cited_md = references_md = ""
+    if cfg.markdown:
+        raw_md, _ = html_to_markdown(tree)
+        # citations are a regex post-pass over the raw markdown (reference
+        # pipeline shape, mgs.py:82-146) — no second conversion
+        cited_md, references_md = convert_links_to_citations(raw_md)
 
     filtered_html = ""
     fit_md = ""

@@ -146,3 +146,52 @@ def test_extract_with_meta_skips_repartition_when_already_wide(spark):
     assert "Exchange" in plan2, plan2
     # and the stage still produces correct rows either way
     assert out.count() == 8 and out2.count() == 8
+
+
+def test_fields_pushdown_skips_unobserved_kernel_work(latest):
+    """The fields pushdown must reach into the kernel (skip fit_html /
+    markdown / content-filter work that no requested field observes) while
+    leaving every REQUESTED column byte-identical to the full extraction."""
+    sample = latest.select("url", "html").limit(40).cache()
+    sample.count()
+
+    full = extract_pages(sample)
+    links_only = extract_pages(sample, fields=("url", "links"))
+    assert links_only.columns == ["url", "links"]
+    j = (
+        full.select("url", F.col("links").alias("want"))
+        .join(links_only.withColumnRenamed("links", "got"), "url")
+    )
+    assert j.count() == 40
+    assert j.where(F.col("got") != F.col("want")).count() == 0
+
+    # a markdown-bearing subset still gets the identical markdown
+    md_only = extract_pages(sample, fields=("url", "raw_markdown"))
+    j2 = (
+        full.select("url", F.col("raw_markdown").alias("want"))
+        .join(md_only.withColumnRenamed("raw_markdown", "got"), "url")
+    )
+    assert j2.where(F.col("got") != F.col("want")).count() == 0
+    sample.unpersist()
+
+
+def test_extract_config_markdown_off_kernel():
+    """Kernel contract for the pushdown: markdown=False empties only the
+    markdown outputs; links/text/metadata are unchanged."""
+    from crawl4ai_custom_spark.kernel.extract import ExtractConfig, extract_page
+
+    html = (b"<html><head><title>T</title></head><body><h1>Hi</h1>"
+            b"<p>Some prose with a <a href='/x'>link</a>.</p></body></html>")
+    url = "http://k.com/a"
+    full = extract_page(url, html)
+    lean = extract_page(
+        url, html,
+        ExtractConfig(markdown=False, content_filter="none",
+                      schema_fit_html=False),
+    )
+    assert lean["raw_markdown"] == "" and lean["fit_markdown"] == ""
+    assert lean["fit_html"] == "" and lean["markdown_with_citations"] == ""
+    assert lean["links"] == full["links"]
+    assert lean["text"] == full["text"]
+    assert lean["metadata"] == full["metadata"]
+    assert full["raw_markdown"]  # the full path still produces markdown
