@@ -468,6 +468,64 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) document-quality rule pack. Bullet /
+    ellipsis / symbol suffixes are injected per doc_id so every rule has
+    both passing and failing rows in the gate (the raw synthetic docs
+    exercise mostly word-count and stopword rules)."""
+    from crawl4ai_custom_spark.operators.textstats import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0,
+               F.lit("\n• alpha item\n• beta item\n• gamma item"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\nwait for it...\nand more…"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(" ### ## #")).otherwise(F.lit("")),
+    )
+    out = gopher_quality_filter(docs.select("doc_id", t2.alias("text")))
+    # gate surface = the 6 measures + keep; the 7 per-rule booleans are pure
+    # threshold functions of the hash-checked measures (pinned by unit test)
+    # and dropping them halves the one-time codegen compile, keeping the
+    # gate inside the driver's per-gate time budget
+    return out.select(
+        "doc_id", "n_words",
+        F.round(F.col("mean_word_len") + 1e-9, 4).alias("mean_word_len"),
+        F.round(F.col("symbol_ratio") + 1e-9, 4).alias("symbol_ratio"),
+        F.round(F.col("bullet_frac") + 1e-9, 4).alias("bullet_frac"),
+        F.round(F.col("ellipsis_frac") + 1e-9, 4).alias("ellipsis_frac"),
+        F.round(F.col("alpha_frac") + 1e-9, 4).alias("alpha_frac"),
+        "stop_hits", "gopher_keep",
+    )
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule pack. Injected suffixes exercise each rule: short
+    unpunctuated lines, javascript boilerplate, lorem ipsum, curly braces."""
+    from crawl4ai_custom_spark.operators.textstats import c4_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\nclick here")).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit("\nPlease enable javascript to view this page."))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" Lorem Ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit(" {var x = 1;}")).otherwise(F.lit("")),
+    )
+    out = c4_quality_filter(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", "n_lines_total", "n_lines_kept", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep",
+        F.md5("c4_text").alias("c4_md5"),
+    )
+
+
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel=next/prev pagination discovery gate: alternating attribute
     orders, chain heads/tails missing their respective links."""
@@ -2432,6 +2490,111 @@ ORACLES["q_text_profile"] = f"""
     from scored
 """
 
+ORACLES["q_gopher_rules"] = """
+    with injected as (
+      select doc_id,
+        text
+        || case when doc_id % 4 = 0 then chr(10) || '• alpha item'
+                || chr(10) || '• beta item' || chr(10) || '• gamma item'
+           else '' end
+        || case when doc_id % 5 = 0 then chr(10) || 'wait for it...'
+                || chr(10) || 'and more…' else '' end
+        || case when doc_id % 6 = 0 then ' ### ## #' else '' end
+        as text
+      from documents
+    ), m as (
+      select doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as words,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as ltoks,
+        list_filter(string_split_regex(text, '\\n'), x -> trim(x) <> '') as lines,
+        length(regexp_replace(text, '[^#]', '', 'g')) as n_hash,
+        (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 as n_ell3,
+        length(regexp_replace(text, '[^…]', '', 'g')) as n_ellu
+      from injected
+    ), m2 as (
+      select doc_id,
+        len(words)::INT as n_words,
+        case when len(words) > 0
+             then (list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                   / len(words)) else 0.0 end as mean_word_len,
+        case when len(words) > 0
+             then (n_hash + n_ell3 + n_ellu) / len(words) else 0.0 end as symbol_ratio,
+        case when len(lines) > 0
+             then (len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣*-]')))
+                   / len(lines)) else 0.0 end as bullet_frac,
+        case when len(lines) > 0
+             then (len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                   / len(lines)) else 0.0 end as ellipsis_frac,
+        case when len(words) > 0
+             then (len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                   / len(words)) else 0.0 end as alpha_frac,
+        (case when len(list_filter(ltoks, x -> x = 'the')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'be')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'to')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'of')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'and')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'that')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'have')) > 0 then 1 else 0 end
+         + case when len(list_filter(ltoks, x -> x = 'with')) > 0 then 1 else 0 end
+        )::INT as stop_hits
+      from m
+    )
+    select doc_id, n_words,
+      round(mean_word_len + 1e-9, 4) as mean_word_len,
+      round(symbol_ratio + 1e-9, 4) as symbol_ratio,
+      round(bullet_frac + 1e-9, 4) as bullet_frac,
+      round(ellipsis_frac + 1e-9, 4) as ellipsis_frac,
+      round(alpha_frac + 1e-9, 4) as alpha_frac,
+      stop_hits,
+      ((n_words >= 50 and n_words <= 100000)
+       and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+       and symbol_ratio <= 0.1 and bullet_frac < 0.9
+       and ellipsis_frac < 0.3 and alpha_frac >= 0.8
+       and stop_hits >= 2) as gopher_keep
+    from m2
+"""
+
+
+ORACLES["q_c4_filters"] = """
+    with injected as (
+      select doc_id,
+        text
+        || case when doc_id % 3 = 0 then chr(10) || 'click here' else '' end
+        || case when doc_id % 5 = 0
+           then chr(10) || 'Please enable javascript to view this page.'
+           else '' end
+        || case when doc_id % 7 = 0 then ' Lorem Ipsum dolor sit.' else '' end
+        || case when doc_id % 8 = 0 then ' {var x = 1;}' else '' end
+        as text
+      from documents
+    ), m as (
+      select doc_id, text,
+        string_split_regex(text, '\\n') as lines,
+        list_filter(string_split_regex(text, '\\n'),
+          l -> regexp_matches(rtrim(l), '[.!?"”]$')
+               and len(list_filter(string_split_regex(l, '\\s+'),
+                                   w -> w <> '')) >= 3
+               and not contains(lower(l), 'javascript')) as kept
+      from injected
+    ), m2 as (
+      select doc_id,
+        coalesce(array_to_string(kept, chr(10)), '') as clean,
+        len(lines)::INT as n_lines_total,
+        len(kept)::INT as n_lines_kept,
+        contains(lower(text), 'lorem ipsum') as has_lorem_ipsum,
+        (contains(text, '{') or contains(text, '}')) as has_curly_brace
+      from m
+    )
+    select doc_id, n_lines_total, n_lines_kept,
+      length(regexp_replace(clean, '[^.!?]', '', 'g'))::INT as n_sentences,
+      has_lorem_ipsum, has_curly_brace,
+      (not has_lorem_ipsum and not has_curly_brace
+       and length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 5) as c4_keep,
+      md5(clean) as c4_md5
+    from m2
+"""
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB twin of redact_pii: the SAME regexes from PII_PATTERNS run in
     the SAME order (all RE2-compatible by design), counting before each
@@ -3371,6 +3534,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
+    "q_gopher_rules": q_gopher_rules,
+    "q_c4_filters": q_c4_filters,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,

@@ -114,6 +114,161 @@ def quality_score(text: Column) -> Column:
     ).cast("double")
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text"
+                          ) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021,
+    arXiv:2112.11446 — the MassiveWeb filter set) as pure codegen
+    expressions: one shuffle-free projection per document, so the pack runs
+    at scan speed over a 100 TB corpus.
+
+    Measures (definitions pinned by the q_gopher_rules DuckDB oracle):
+      n_words        whitespace tokens (empties dropped)
+      mean_word_len  total word chars / n_words (0.0 when no words)
+      symbol_ratio   ('#' chars + non-overlapping '...' runs + '…' chars)
+                     per word
+      bullet_frac    fraction of non-blank lines whose ltrim starts with
+                     a bullet char (one of "•‣*-")
+      ellipsis_frac  fraction of non-blank lines whose rtrim ends with
+                     '...' or '…'
+      alpha_frac     fraction of words containing an ASCII letter
+      stop_hits      distinct Gopher stopwords present as lowercase tokens
+
+    Rules (AND-ed into ``gopher_keep``): 50 <= n_words <= 100_000,
+    3 <= mean_word_len <= 10, symbol_ratio <= 0.1, bullet_frac < 0.9,
+    ellipsis_frac < 0.3, alpha_frac >= 0.8, stop_hits >= 2.
+    """
+    t = F.col(text_col)
+    # Perf shape: lambda (higher-order) expressions sit OUTSIDE codegen's
+    # common-subexpression elimination, so naive per-measure filters would
+    # re-split the text once per measure (~5 ms/row on 2 KB docs). Instead:
+    # ONE fold over the words array and ONE fold over the lines array, each
+    # producing a stats struct, staged behind a projection boundary —
+    # CollapseProject keeps the boundary because the folds are non-cheap and
+    # referenced multiple times downstream.
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    zero3 = lambda names: F.struct(  # noqa: E731
+        *[F.lit(0).cast("long").alias(n) for n in names]
+    )
+    wstats = F.aggregate(
+        words, zero3(("n", "chars", "alpha")),
+        lambda a, w: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["chars"] + F.length(w)).alias("chars"),
+            (a["alpha"] + F.when(w.rlike("[A-Za-z]"), 1).otherwise(0)
+             ).alias("alpha"),
+        ),
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    lstats = F.aggregate(
+        lines, zero3(("n", "bullet", "ell")),
+        lambda a, l: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["bullet"] + F.when(F.ltrim(l).rlike(r"^[•‣*-]"), 1)
+             .otherwise(0)).alias("bullet"),
+            (a["ell"] + F.when(F.rtrim(l).rlike(r"(\.\.\.|…)$"), 1)
+             .otherwise(0)).alias("ell"),
+        ),
+    )
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
+    n_ell3 = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    n_ellu = F.length(F.regexp_replace(t, r"[^…]", ""))
+    # one pass: distinct stopwords present = |tokens ∩ stopwords|
+    # (array_intersect dedups)
+    stop_hits = F.size(F.array_intersect(
+        _lower_tokens(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    ))
+    staged = docs.select(
+        "*",
+        wstats.alias("_w"),
+        lstats.alias("_l"),
+        (n_hash + n_ell3 + n_ellu).alias("_symbols"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    w, li = F.col("_w"), F.col("_l")
+    n_words, n_lines = w["n"], li["n"]
+    out = staged.select(
+        *[c for c in staged.columns if c not in ("_w", "_l", "_symbols",
+                                                 "stop_hits")],
+        n_words.cast("int").alias("n_words"),
+        F.when(n_words > 0, w["chars"] / n_words).otherwise(0.0)
+        .cast("double").alias("mean_word_len"),
+        F.when(n_words > 0, F.col("_symbols") / n_words).otherwise(0.0)
+        .cast("double").alias("symbol_ratio"),
+        F.when(n_lines > 0, li["bullet"] / n_lines).otherwise(0.0)
+        .cast("double").alias("bullet_frac"),
+        F.when(n_lines > 0, li["ell"] / n_lines).otherwise(0.0)
+        .cast("double").alias("ellipsis_frac"),
+        F.when(n_words > 0, w["alpha"] / n_words).otherwise(0.0)
+        .cast("double").alias("alpha_frac"),
+        "stop_hits",
+    )
+    r_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    r_wlen = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    r_symbol = F.col("symbol_ratio") <= 0.1
+    r_bullet = F.col("bullet_frac") < 0.9
+    r_ellipsis = F.col("ellipsis_frac") < 0.3
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("stop_hits") >= 2
+    return out.select(
+        "*",
+        r_words.alias("rule_word_count"),
+        r_wlen.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_bullet.alias("rule_bullet_lines"),
+        r_ellipsis.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wlen & r_symbol & r_bullet & r_ellipsis & r_alpha
+         & r_stop).alias("gopher_keep"),
+    )
+
+
+def c4_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2019, arXiv:1910.10683 §2.2) as one
+    shuffle-free projection — the line filters run inside a single
+    higher-order ``filter`` over the split lines, so the whole pack is
+    codegen over the scan (global line dedup is separate: ``line_dedup``).
+
+    Line filters (a line survives iff ALL hold; pinned by q_c4_filters):
+      - trimmed line ends with a terminal punctuation mark (. ! ? " ”)
+      - line has at least 3 whitespace words
+      - line does not mention 'javascript' (case-insensitive)
+
+    Document flags (on the ORIGINAL text): contains 'lorem ipsum'
+    (case-insensitive), contains a curly brace; ``n_sentences`` counts
+    [.!?] in the line-filtered text. ``c4_keep`` = no lorem-ipsum, no curly
+    brace, and at least 5 sentences survive the line filters.
+
+    Output adds: c4_text (kept lines re-joined), n_lines_total,
+    n_lines_kept, n_sentences, has_lorem_ipsum, has_curly_brace, c4_keep.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike('[.!?"”]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))) >= 3)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{") | t.contains("}")
+    return docs.select(
+        "*",
+        clean.alias("c4_text"),
+        F.size(lines).alias("n_lines_total"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        (~has_lorem & ~has_brace & (n_sentences >= 5)).alias("c4_keep"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of the whitespace/casing
     canonical form (the exact-dedup key; oracle: DuckDB md5)."""

@@ -24,6 +24,9 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.7"))
+EXTRA_SECTION_MARKER = "\n## "  # appended sections (e.g. 10x rehearsal) survive rewrites
+
 BASE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "4000"))
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_SCALE_AMPLIFY", "16"))
 # N=4 vs 4N=16: both below the single-JVM local-mode saturation knee
@@ -108,25 +111,71 @@ def worker(cpus: int, pages_path: str) -> None:
     }))
 
 
+def wait_for_idle_host(max_wait_s: float = 1800.0) -> float:
+    """Block until 1-min loadavg drops below LOAD_GATE (external iowait
+    spikes on this host inflate wall times 25-50%; a contaminated low-cores
+    run once produced a bogus superlinear 'efficiency'). Returns the load
+    observed when the gate opened."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE or time.time() - t0 > max_wait_s:
+            if load >= LOAD_GATE:
+                print(f"load gate timed out at {load:.2f}; proceeding anyway",
+                      file=sys.stderr)
+            return load
+        time.sleep(15)
+
+
+def _cpu_sample() -> list[int]:
+    return [int(x) for x in open("/proc/stat").readline().split()[1:]]
+
+
+def _interference(a: list[int], b: list[int]) -> tuple[float, float]:
+    """(steal_frac_of_busy, iowait_frac_of_total) between two /proc/stat
+    samples. On this firecracker host, external load appears as steal
+    (vCPUs descheduled) and iowait — invisible in process listings but
+    directly inflating wall time."""
+    d = [y - x for x, y in zip(a, b)]
+    total = max(sum(d[:8]), 1)
+    idle, iowait, steal = d[3], d[4], d[7]
+    busy = max(total - idle - iowait, 1)
+    return steal / busy, iowait / total
+
+
 def orchestrate() -> None:
     """Each level runs in REPEAT fresh subprocesses, keeping the fastest —
-    this host shows intermittent external load (iowait spikes), and a
-    capability measurement wants the uncontended number at each level."""
+    this host shows intermittent external load (steal/iowait spikes), and a
+    capability measurement wants the uncontended number at each level.
+    Runs whose measured steal fraction exceeds STEAL_MAX are discarded and
+    retried (contamination arriving MID-run defeats a pre-launch gate)."""
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "0.04"))
+    max_discards = 3
     pages_path = build_input()
     results = []
     for cpus in (CPUS_LOW, CPUS_HIGH):
-        best = None
-        for _ in range(repeats):
+        best, clean_runs, discards = None, 0, 0
+        while clean_runs < repeats:
+            wait_for_idle_host()
+            s0 = _cpu_sample()
             out = subprocess.run(
                 [sys.executable, __file__, "--worker", "--cpus", str(cpus),
                  "--pages", pages_path],
                 capture_output=True, text=True, check=True, cwd=ROOT,
             )
+            steal, iowait = _interference(s0, _cpu_sample())
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)
-            print(line)
+            r["steal_frac"] = round(steal, 4)
+            r["iowait_frac"] = round(iowait, 4)
+            contaminated = steal > steal_max and discards < max_discards
+            print(json.dumps(r) + (" DISCARDED(steal)" if contaminated else ""))
+            if contaminated:
+                discards += 1
+                continue
+            clean_runs += 1
             if best is None or r["seconds"] < best["seconds"]:
                 best = r
         results.append(best)
@@ -156,10 +205,10 @@ link explode -> count, over {high['pages']} synthetic CC-style pages
 The latest-capture materialization is setup, not measured — the engine
 performs it once per crawl, amortized over all waves.
 
-| cores | seconds | URLs/sec |
-|---|---|---|
-| {CPUS_LOW} (N) | {low['seconds']} | {low['urls_per_sec']} |
-| {CPUS_HIGH} (4N) | {high['seconds']} | {high['urls_per_sec']} |
+| cores | seconds | URLs/sec | steal | iowait |
+|---|---|---|---|---|
+| {CPUS_LOW} (N) | {low['seconds']} | {low['urls_per_sec']} | {low['steal_frac']:.1%} | {low['iowait_frac']:.1%} |
+| {CPUS_HIGH} (4N) | {high['seconds']} | {high['urls_per_sec']} | {high['steal_frac']:.1%} | {high['iowait_frac']:.1%} |
 
 **Speedup {CPUS_LOW}->{CPUS_HIGH} cores: {ratio:.2f}x over a {factor:.0f}x
 core factor => scaling efficiency {eff:.3f}** (target >= 0.8).
@@ -178,9 +227,30 @@ Measurement notes:
   warmup excluded, best-of-3 in-process runs per subprocess and best-of-REPEATS subprocesses per level (this host shows intermittent external iowait spikes; a capability measurement wants each level's uncontended number).
 - JVM flags: -XX:+UseParallelGC (default G1 loses ~2x on the wide-row
   Arrow allocation pattern in local mode).
+- Runs are load-gated (1-min loadavg < {LOAD_GATE} before each subprocess)
+  AND steal-checked: external host load on this firecracker VM shows up as
+  CPU steal / iowait (invisible in ps), so each run's /proc/stat delta is
+  measured and runs with steal > {steal_max:.0%} of busy time are discarded
+  and retried. Kept runs' steal/iowait are in the table.
 """
-    with open(os.path.join(ROOT, "BENCH_SCALING.md"), "w") as f:
-        f.write(md)
+    if eff > 1.05:
+        # superlinear through a pure core-count change is not physical here:
+        # it means the low-cores run was contaminated by external load.
+        print(f"WARNING: efficiency {eff:.3f} > 1.05 — low-cores run likely "
+              "contaminated; NOT overwriting BENCH_SCALING.md", file=sys.stderr)
+        print(json.dumps(report))
+        return
+    out_path = os.path.join(ROOT, "BENCH_SCALING.md")
+    extra = ""
+    if os.path.exists(out_path):
+        # preserve hand-written sections appended after the generated block
+        # (e.g. the 10x scale rehearsal) across rewrites
+        existing = open(out_path).read()
+        idx = existing.find(EXTRA_SECTION_MARKER)
+        if idx != -1:
+            extra = existing[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + extra)
     print(json.dumps(report))
 
 

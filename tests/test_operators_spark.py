@@ -1166,3 +1166,81 @@ def test_pdf_pages_and_metadata():
     # garbage in -> empty out, never a crash
     assert pdf_pages(b"not a pdf") == []
     assert pdf_metadata(b"")["pages"] == 0
+
+
+def test_gopher_quality_filter(spark):
+    from crawl4ai_custom_spark.operators.textstats import gopher_quality_filter
+
+    base = ("the quick brown fox jumps over that lazy dog and it will have "
+            "been seen with many other words in a tidy document")
+    rows = [
+        (1, " ".join([base] * 3)),                      # passes every rule
+        (2, "the cat and dog"),                         # too short
+        (3, "• one\n• two\n• three"),                   # all-bullet lines
+        (4, "first line...\nsecond line\nthird…"),      # ellipsis endings
+        (5, "tag # tag # tag #"),                       # symbol-heavy
+        (6, "111 222 333 444"),                         # no alphabetic words
+        (7, ""),                                        # empty
+        (8, "x... y"),                                  # '...' run counting
+    ]
+    out = {r["doc_id"]: r for r in gopher_quality_filter(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    g = out[1]
+    assert g["n_words"] == 69 and g["gopher_keep"] is True
+    assert abs(g["mean_word_len"] - 90 / 23) < 1e-9
+    assert g["alpha_frac"] == 1.0 and g["stop_hits"] == 5
+
+    assert out[2]["rule_word_count"] is False
+    assert out[2]["rule_stopwords"] is True  # the, and
+    assert out[2]["gopher_keep"] is False
+
+    assert out[3]["bullet_frac"] == 1.0
+    assert out[3]["rule_bullet_lines"] is False
+    assert abs(out[3]["alpha_frac"] - 0.5) < 1e-9  # bullets count as words
+
+    assert abs(out[4]["ellipsis_frac"] - 2 / 3) < 1e-9
+    assert out[4]["rule_ellipsis_lines"] is False
+
+    assert abs(out[5]["symbol_ratio"] - 0.5) < 1e-9
+    assert out[5]["rule_symbol_ratio"] is False
+
+    assert out[6]["alpha_frac"] == 0.0
+    assert out[6]["rule_alpha_words"] is False
+
+    e = out[7]
+    assert e["n_words"] == 0 and e["mean_word_len"] == 0.0
+    assert e["bullet_frac"] == 0.0 and e["gopher_keep"] is False
+
+    assert abs(out[8]["symbol_ratio"] - 0.5) < 1e-9  # one '...' / two words
+
+
+def test_c4_quality_filter(spark):
+    from crawl4ai_custom_spark.operators.textstats import c4_quality_filter
+
+    rows = [
+        (1, "This is a fine sentence here.\nAnother good one follows now!\n"
+            "Is this a question?\nShort.\nno terminal punct line\n"
+            'He said "stop right there."\nFifth proper sentence lands here.'),
+        (2, "Please enable javascript to continue viewing.\n"
+            "A perfectly good sentence stands alone here."),
+        (3, "Lorem ipsum dolor sit amet is boilerplate.\nMore text follows."),
+        (4, "function f() { return 1; } is code text."),
+        (5, ""),
+    ]
+    out = {r["doc_id"]: r for r in c4_quality_filter(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    d = out[1]
+    # 'Short.' (<3 words) and the unpunctuated line are dropped
+    assert d["n_lines_total"] == 7 and d["n_lines_kept"] == 5
+    assert d["n_sentences"] == 5 and d["c4_keep"] is True
+    assert "no terminal punct" not in d["c4_text"]
+    assert "Short." not in d["c4_text"]
+
+    assert out[2]["n_lines_kept"] == 1  # javascript line dropped
+    assert out[2]["c4_keep"] is False   # only 1 sentence survives
+
+    assert out[3]["has_lorem_ipsum"] is True and out[3]["c4_keep"] is False
+    assert out[4]["has_curly_brace"] is True and out[4]["c4_keep"] is False
+    assert out[5]["n_lines_kept"] == 0 and out[5]["c4_keep"] is False
