@@ -502,6 +502,30 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span global dedup. A boilerplate 3-sentence block
+    is appended to every 6th doc (and twice to every 66th) so the corpus
+    carries real cross-document AND within-document duplicated spans; only
+    the first (id, pos) occurrence survives."""
+    from crawl4ai_custom_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    boiler = ("Subscribe to our newsletter today. "
+              "Follow us on social media. All rights reserved everywhere.")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(d % 6 == 0, F.lit(" " + boiler)).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" " + boiler)).otherwise(F.lit("")),
+    )
+    out = span_dedup(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", "n_sentences",
+        F.col("n_sentences_removed").cast("int").alias("n_sentences_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning-rule pack. Injected suffixes exercise each rule: short
     unpunctuated lines, javascript boilerplate, lorem ipsum, curly braces."""
@@ -2555,6 +2579,60 @@ ORACLES["q_gopher_rules"] = """
 """
 
 
+ORACLES["q_span_dedup"] = """
+    with injected as (
+      select doc_id,
+        text
+        || case when doc_id % 6 = 0 then ' Subscribe to our newsletter today. '
+                || 'Follow us on social media. All rights reserved everywhere.'
+           else '' end
+        || case when doc_id % 11 = 0 then ' Subscribe to our newsletter today. '
+                || 'Follow us on social media. All rights reserved everywhere.'
+           else '' end
+        as text
+      from documents where doc_id < 300
+    ), m as (
+      select doc_id as id,
+        list_filter(list_transform(string_split(
+          regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+          s -> trim(s)), s -> length(s) > 0) as arr
+      from injected
+    ), sents as (
+      select id, unnest(range(1, len(arr)+1)) as pos, unnest(arr) as sentence
+      from m
+    ), spans as (
+      select id,
+        unnest(range(1, len(arr)-1)) as pos,
+        unnest(list_transform(range(1, len(arr)-1),
+               i -> md5(array_to_string(arr[i:i+2], chr(2))))) as span_key
+      from m where len(arr) >= 3
+    ), marked as (
+      select id, pos,
+        count(*) over (partition by span_key) as n_occ,
+        row_number() over (partition by span_key order by id, pos) as rn
+      from spans
+    ), drop_pos as (
+      select distinct id, pos + unnest([0, 1, 2]) as pos
+      from marked where n_occ > 1 and rn > 1
+    ), kept as (
+      select s.id, s.pos, s.sentence from sents s
+      where not exists (select 1 from drop_pos d
+                        where d.id = s.id and d.pos = s.pos)
+    ), rebuilt as (
+      select id, string_agg(sentence, ' ' order by pos) as clean,
+             count(*) as n_kept
+      from kept group by id
+    )
+    select i.doc_id,
+      coalesce(len(m.arr), 0)::INT as n_sentences,
+      (coalesce(len(m.arr), 0) - coalesce(r.n_kept, 0))::INT
+        as n_sentences_removed,
+      md5(coalesce(r.clean, '')) as clean_md5
+    from injected i
+    left join m on m.id = i.doc_id
+    left join rebuilt r on r.id = i.doc_id
+"""
+
 ORACLES["q_c4_filters"] = """
     with injected as (
       select doc_id,
@@ -3536,6 +3614,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_profile": q_text_profile,
     "q_gopher_rules": q_gopher_rules,
     "q_c4_filters": q_c4_filters,
+    "q_span_dedup": q_span_dedup,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,

@@ -56,6 +56,24 @@ def _gate_on_load() -> dict:
     }
 
 
+def _cpu_sample() -> list[int]:
+    return [int(x) for x in open("/proc/stat").readline().split()[1:]]
+
+
+def _steal_frac(a: list[int], b: list[int]) -> float:
+    """CPU-steal fraction of busy time between two /proc/stat samples.
+    External load on this firecracker host appears as steal (vCPUs
+    descheduled) — invisible in process listings, but it directly inflates
+    wall time, so a run with high steal is a contaminated measurement."""
+    d = [y - x for x, y in zip(a, b)]
+    total = max(sum(d[:8]), 1)
+    busy = max(total - d[3] - d[4], 1)
+    return d[7] / busy
+
+
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
+
+
 def _site_dir() -> str:
     from crawl4ai_custom_spark.sources.datagen import write_dataset
 
@@ -84,17 +102,30 @@ def main() -> None:
     extras: dict = {}
     extras.update(_gate_on_load())
 
+    steals: dict[str, list[float]] = {}
+
     def timed(name, fn, repeats=REPEATS):
         # best-of-N: this box is a shared host with ±2x noise spikes; the
         # minimum is the only stable estimator of the query's real cost.
         # All run times are kept in `runs` so the JSON shows the variance.
+        # Each run's CPU-steal fraction is measured; if every run was
+        # contaminated (steal > STEAL_MAX), up to 2 extra repeats are taken
+        # so the minimum has a chance of being a clean number.
         best, out = None, None
-        runs[name] = []
-        for _ in range(max(1, repeats)):
+        runs[name], steals[name] = [], []
+        want = max(1, repeats)
+        done = clean = 0
+        while done < want or (clean == 0 and done < want + 2):
+            s0 = _cpu_sample()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            steal = _steal_frac(s0, _cpu_sample())
             runs[name].append(round(dt, 3))
+            steals[name].append(round(steal, 4))
+            done += 1
+            if steal <= STEAL_MAX:
+                clean += 1
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -188,6 +219,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "bench_pages": n_pages,
                 "runs": runs,
+                "steal_fracs": steals,
                 **extras,
             }
         )

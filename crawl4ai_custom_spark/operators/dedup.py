@@ -11,6 +11,10 @@ shape (so they compose with downstream filtering):
   ngram_jaccard_dedup  exact n-gram Jaccard over candidate pairs
   embedding_cosine_dedup  cosine >= threshold pairs over embedding vectors
 
+plus the corpus-global C4 cleaners: line_dedup (drop lines occurring in
+more than N distinct docs) and span_dedup (keep only the first occurrence
+of any duplicated run of 3 consecutive sentences).
+
 Scale notes:
 - all hashing uses the oracle-reproducible stable 60-bit md5 hash
   (operators/urlops.stable_hash60) so DuckDB can verify results exactly;
@@ -438,6 +442,107 @@ def dedup_keepers(
         )
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def span_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span: int = 3) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2019 §2.2, public
+    paper): any exact run of ``span`` consecutive sentences that occurs
+    more than once across the WHOLE corpus is removed from every document
+    except its first occurrence (first = lexicographically smallest
+    (id, position)). The C4 paper used three-sentence spans.
+
+    Sentence segmentation matches ``chunking.sentence_chunks`` (sentinel
+    split after [.!?]+whitespace, trimmed, empties dropped); the surviving
+    sentences are re-joined with a single space, so output text is in
+    sentence-normalized form. A keeper occurrence can still lose sentences
+    to a DIFFERENT duplicated span overlapping it — removal is the union of
+    non-keeper span positions (deterministic).
+
+    Returns docs with ``<text_col>`` rebuilt plus n_sentences,
+    n_sentences_removed.
+
+    Scale shape: span keys are built at the ARRAY level (one projection —
+    no per-doc window, no shuffle before the global count); the duplicate
+    count + keeper pick is ONE groupBy(span_key) with a partial map-side
+    min(struct(id,pos)) — mega-duplicated boilerplate spans are single agg
+    keys, and only DUPLICATED keys flow into the join back; the rebuild is
+    one groupBy(id) with array_sort (no second window).
+    """
+    did = F.col(id_col)
+    sent_sep, key_sep = "\x01", "\x02"
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + sent_sep)
+    arr = F.filter(
+        F.transform(F.split(marked, sent_sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    base = docs.select(did.alias("id"), arr.alias("arr"))
+    sents = base.select(
+        "id", F.posexplode("arr").alias("pos0", "sentence")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "sentence")
+    # span start positions are 1-based; sequence() descends when start>stop,
+    # so guard short docs explicitly
+    n = F.size("arr")
+    idx = F.when(n >= span, F.sequence(F.lit(1), n - span + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(
+                        key_sep, F.slice(F.col("arr"), i, span)
+                    )).alias("span_key"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("id", F.col("sp.pos").alias("pos"), "sp.span_key")
+    dup = (
+        spans.groupBy("span_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keeper"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select("span_key", "keeper")
+    )
+    drop = (
+        spans.join(dup, "span_key")
+        .where(F.struct(F.col("id"), F.col("pos")) != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = sents.join(drop, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select("id", F.size("arr").alias("_n_sents"))
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left").drop("id")
+        .join(totals, docs[id_col] == totals["id"], "left").drop("id")
+        .withColumn("n_sentences", F.coalesce("_n_sents", F.lit(0)))
+        .withColumn(
+            "n_sentences_removed",
+            F.coalesce("_n_sents", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)),
+        )
+        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        .drop("_clean", "_n_kept", "_n_sents")
     )
 
 

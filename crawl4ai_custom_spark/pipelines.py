@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 class CorpusConfig:
     min_quality: float = 0.35
     allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
+    gopher_rules: bool = False     # full Gopher rule pack (gopher_keep gate)
+    c4_rules: bool = False         # C4 line filters + page flags (rebuilds text)
+    span_dedup_sentences: int | None = None  # C4 global span dedup when set
     max_dup_line_frac: float = 0.5
     lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
     line_dedup_max_docs: int | None = None  # C4 global line dedup when set
@@ -90,6 +93,43 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
         docs = line_dedup(docs, id_col=id_col, text_col=text_col,
                           max_docs=cfg.line_dedup_max_docs).drop(
             "n_lines_removed")
+
+    # 0b. optional C4 line filters (terminal punctuation / min words /
+    # javascript): the REBUILT text feeds everything downstream, and pages
+    # flagged lorem-ipsum / curly-brace / <5-sentences drop here
+    if cfg.c4_rules:
+        from .operators.textstats import c4_quality_filter
+
+        c4 = c4_quality_filter(docs, text_col=text_col)
+        docs = (
+            c4.where(F.col("c4_keep"))
+            .withColumn(text_col, F.col("c4_text"))
+            .drop("c4_text", "n_lines_total", "n_lines_kept", "n_sentences",
+                  "has_lorem_ipsum", "has_curly_brace", "c4_keep")
+        )
+
+    # 0c. optional C4 global duplicated-span removal (corpus-wide exact
+    # runs of N consecutive sentences keep only their first occurrence)
+    if cfg.span_dedup_sentences is not None:
+        from .operators.dedup import span_dedup
+
+        docs = span_dedup(docs, id_col=id_col, text_col=text_col,
+                          span=cfg.span_dedup_sentences).drop(
+            "n_sentences", "n_sentences_removed")
+
+    # 0d. optional Gopher document-rule pack (shuffle-free projection)
+    if cfg.gopher_rules:
+        from .operators.textstats import gopher_quality_filter
+
+        docs = gopher_quality_filter(docs, text_col=text_col).where(
+            F.col("gopher_keep")
+        ).drop(
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "alpha_frac", "stop_hits", "rule_word_count",
+            "rule_mean_word_len", "rule_symbol_ratio", "rule_bullet_lines",
+            "rule_ellipsis_lines", "rule_alpha_words", "rule_stopwords",
+            "gopher_keep",
+        )
 
     # 1. profile + quality/language gates (pure codegen — runs in the scan)
     prof = profile_documents(docs, text_col=text_col)

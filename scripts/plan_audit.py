@@ -290,6 +290,27 @@ def main() -> None:
         ("Fused wave extraction — metadata passthrough, no rejoin", p, checks)
     )
 
+    # 13. document-quality rule packs: shuffle-free projections — Gopher +
+    # C4 run at scan speed (the only shuffling cleaner is the separate
+    # corpus-global line_dedup)
+    from crawl4ai_custom_spark.operators.textstats import (
+        c4_quality_filter,
+        gopher_quality_filter,
+    )
+
+    for name, op, why in [
+        ("Gopher rule pack", gopher_quality_filter,
+         "all 7 Gopher rules fold in one codegen projection over the scan"),
+        ("C4 cleaning rules", c4_quality_filter,
+         "line filters + page flags are one projection per document"),
+    ]:
+        p = plan_of(op(docs_small))
+        ok = "Exchange" not in p
+        checks = [(("PASS  " if ok else "FAIL  ") + "zero Exchange", why)]
+        if not ok:
+            failures.append(f"{name}: unexpected Exchange")
+        sections.append((f"{name} — shuffle-free projection", p, checks))
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
@@ -300,6 +321,7 @@ def main() -> None:
         "operators/adaptive_session.py",  # query-variation ids: ~10 by contract
         "operators/filters.py",    # stats rows: one per filter in the chain
         "operators/textstats.py",  # bounded query-term list
+        "state/backend.py",  # catalog probe + snapshot tags: O(waves) rows
     }
     collect_viol = []
     pkg = os.path.join(ROOT, "crawl4ai_custom_spark")

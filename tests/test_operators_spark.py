@@ -1244,3 +1244,31 @@ def test_c4_quality_filter(spark):
     assert out[3]["has_lorem_ipsum"] is True and out[3]["c4_keep"] is False
     assert out[4]["has_curly_brace"] is True and out[4]["c4_keep"] is False
     assert out[5]["n_lines_kept"] == 0 and out[5]["c4_keep"] is False
+
+
+def test_span_dedup_c4(spark):
+    from crawl4ai_custom_spark.operators.dedup import span_dedup
+
+    rows = [
+        (1, "A one two. B three four. C five six. Unique tail sentence."),
+        (2, "Intro here. A one two. B three four. C five six."),
+        (3, "Totally different text. Nothing shared at all. Squirrels."),
+        (4, "X a. Y b. Z c. X a. Y b. Z c."),
+        (5, ""),
+    ]
+    out = {r["doc_id"]: r for r in span_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    # doc 1 holds the first occurrence of the (A,B,C) span -> untouched
+    assert out[1]["n_sentences"] == 4 and out[1]["n_sentences_removed"] == 0
+    assert out[1]["text"].startswith("A one two. B three four.")
+    # doc 2's occurrence is second by (id, pos) -> its 3 span sentences go
+    assert out[2]["n_sentences_removed"] == 3
+    assert out[2]["text"] == "Intro here."
+    # no shared spans -> untouched
+    assert out[3]["n_sentences_removed"] == 0
+    # WITHIN-doc duplicated span: second occurrence removed
+    assert out[4]["n_sentences"] == 6 and out[4]["n_sentences_removed"] == 3
+    assert out[4]["text"] == "X a. Y b. Z c."
+    # empty doc survives as empty
+    assert out[5]["n_sentences"] == 0 and out[5]["text"] == ""

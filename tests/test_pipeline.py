@@ -137,3 +137,32 @@ def test_pipeline_line_dedup_stage(spark):
         assert "SITE NAV MENU" not in r["text"]
         assert "COPYRIGHT FOOTER" not in r["text"]
         assert "handbook" in r["text"]  # real content intact
+
+
+def test_pipeline_gopher_c4_span_stages(spark):
+    """The optional Gopher / C4 / span-dedup stages gate and rewrite docs
+    inside build_training_set."""
+    boiler = ("Subscribe to the newsletter now. Follow the project updates. "
+              "All rights reserved everywhere.")
+    docs = spark.createDataFrame(
+        # good docs: disjoint content trios (so ONLY the boilerplate span is
+        # duplicated corpus-wide) + a junk line for the C4 filter; doc 100
+        # ends in symbol soup -> its single line loses terminal punctuation
+        # (C4 drop) and its symbol/alpha ratios break the Gopher rules too
+        [(i, _doc(3 * i) + " " + _doc(3 * i + 1) + " " + _doc(3 * i + 2)
+          + " " + boiler + "\nclick here")
+         for i in range(8)]
+        + [(100, ("valid sentence with the and that tokens here. " * 20
+                  + "# " * 60))],
+        ["doc_id", "text"],
+    )
+    cfg = CorpusConfig(near_dedup=False, gopher_rules=True, c4_rules=True,
+                       span_dedup_sentences=3, min_quality=0.0)
+    out = {r["doc_id"]: r for r in build_training_set(docs, cfg).collect()}
+
+    assert 100 not in out            # C4 + Gopher both reject it
+    assert len(out) == 8
+    kept_boiler = [i for i, r in out.items() if "Subscribe" in r["text"]]
+    assert len(kept_boiler) == 1      # span dedup keeps ONE occurrence
+    for r in out.values():
+        assert "click here" not in r["text"]   # C4 line filter
