@@ -129,6 +129,70 @@ def corpus50k(spark) -> dict:
     }
 
 
+def quality50k(spark) -> dict:
+    """The FULL cleaning stack — C4 line filters + global 3-sentence span
+    dedup + Gopher rule pack + exact/minhash dedup — over 50k docs:
+    validates the round-4 quality stages' shuffle shapes (span explode +
+    span_key groupBy + positional anti-join) at 10x fixture scale.
+
+    The synthetic OLAP-word docs are reshaped into sentence form first
+    (8-word sentences with a stopword frame): the raw testdata has no
+    punctuation and no Gopher stopwords, which the C4/Gopher packs —
+    correctly — reject wholesale. A shared 3-sentence boilerplate block on
+    every 6th doc plus a junk line exercise span dedup and the C4 line
+    filter corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.pipelines import CorpusConfig, build_training_set
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    arr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    sent_count = F.ceil(F.size(arr) / 8).cast("int")
+    sentences = F.transform(
+        F.sequence(F.lit(0), sent_count - 1),
+        lambda i: F.concat(
+            F.lit("The "),
+            F.array_join(F.slice(arr, i * 8 + 1, 8), " "),
+            F.lit(" part of the run is here."),
+        ),
+    )
+    shaped = docs.select(
+        "doc_id", F.array_join(sentences, " ").alias("text"),
+        "lang", "source",
+    )
+    boiler = (" Subscribe to the feed now. Follow the project of record. "
+              "All rights reserved with thanks.")
+    variants = shaped.crossJoin(
+        spark.range(N_DOC_VARIANTS).select(F.col("id").alias("vid"))
+    ).select(
+        (F.col("doc_id") * N_DOC_VARIANTS + F.col("vid")).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" The variant token "), F.col("vid").cast("string"),
+            F.lit(" of this copy is here."),
+            F.when((F.col("doc_id") * N_DOC_VARIANTS + F.col("vid")) % 6 == 0,
+                   F.lit(boiler)).otherwise(F.lit("")),
+            F.lit("\nclick here"),
+        ).alias("text"),
+        "lang", "source",
+    )
+    n_in = variants.count()
+    cfg = CorpusConfig(near_dedup=True, jaccard_threshold=0.6, n_shards=32,
+                       c4_rules=True, span_dedup_sentences=3,
+                       gopher_rules=True)
+    t0 = time.time()
+    out = build_training_set(variants, cfg)
+    n_out = out.count()
+    dt = time.time() - t0
+    return {
+        "job": "quality50k",
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "seconds": round(dt, 1),
+        "docs_per_sec": round(n_in / dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -136,6 +200,8 @@ def main() -> None:
         print(json.dumps(crawl80k(spark)), flush=True)
     if which in ("corpus50k", "both"):
         print(json.dumps(corpus50k(spark)), flush=True)
+    if which in ("quality50k", "both"):
+        print(json.dumps(quality50k(spark)), flush=True)
 
 
 if __name__ == "__main__":
