@@ -454,9 +454,11 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     (id, position)). The C4 paper used three-sentence spans.
 
     Sentence segmentation matches ``chunking.sentence_chunks`` (sentinel
-    split after [.!?]+whitespace, trimmed, empties dropped); the surviving
-    sentences are re-joined with a single space, so output text is in
-    sentence-normalized form. A keeper occurrence can still lose sentences
+    split after [.!?]+whitespace, trimmed, empties dropped; an embedded
+    \\x01 control char in the input also acts as a boundary — the sentinel
+    collision shared with sentence_chunks and pinned by both oracles); the
+    surviving sentences are re-joined with a single space, so output text
+    is in sentence-normalized form. A keeper occurrence can still lose sentences
     to a DIFFERENT duplicated span overlapping it — removal is the union of
     non-keeper span positions (deterministic).
 

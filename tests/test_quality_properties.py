@@ -1,0 +1,122 @@
+"""Totality + invariant checks for the document-quality operators over an
+adversarial text corpus, run as ONE Spark job per operator (per-example
+Spark jobs would be minutes; a batch over all examples keeps the property
+coverage at unit-test cost).
+
+100 TB of crawl text contains every malformed shape below — the operators
+must stay total (no nulls, no exceptions) and keep their measures inside
+their documented ranges.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\n",
+    "\n\n\n",
+    "\x00\x01\x02",
+    "no punctuation at all",
+    ".",
+    "...",
+    "…",
+    "....... ........ .....",
+    "# # # # #",
+    "#####",
+    "•",
+    "• \n• \n•",
+    "a.b.c.d.e",
+    "one. two. three. one. two. three.",
+    "ends with ellipsis...\nends with ellipsis...\nends with ellipsis...",
+    "\u00e9\u00e8\u00ea accented words voil\u00e0. tr\u00e8s bien ici.",
+    "\u4f60\u597d\u4e16\u754c\u3002\u8fd9\u662f\u4e2d\u6587\u3002",
+    "emoji \U0001f600 soup \U0001f4a9. more \U0001f680 here.",
+    "mixed\ttabs\tand  spaces   here.",
+    "x" * 5000,
+    ("word " * 200 + ". ") * 3,
+    "line with javascript here.\nclean line stays here.",
+    "JAVASCRIPT IN CAPS LINE.\nother line.",
+    "lorem ipsum dolor",
+    "LoReM iPsUm mixed case",
+    "{ json: 'like' }",
+    "quote ends \"here.\"",
+    "curly” quote end”",
+    "trailing spaces end.   ",
+    "\r\nwindows\r\nnewlines.\r\n",
+    "a" + "\n" * 100 + "b.",
+    "½ unicode ¾ fractions °. here.",
+    "the be to of and that have with",  # every Gopher stopword
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], ["doc_id", "text"]
+    )
+
+
+def test_gopher_total_and_in_range(spark):
+    from crawl4ai_custom_spark.operators.textstats import gopher_quality_filter
+
+    rows = gopher_quality_filter(_df(spark)).collect()
+    assert len(rows) == len(ADVERSARIAL)
+    for r in rows:
+        assert r["n_words"] is not None and r["n_words"] >= 0
+        for frac in ("bullet_frac", "ellipsis_frac", "alpha_frac"):
+            assert 0.0 <= r[frac] <= 1.0, (r["doc_id"], frac, r[frac])
+        # symbol_ratio and mean_word_len are per-word ratios: nonneg, finite
+        assert r["symbol_ratio"] >= 0.0 and r["symbol_ratio"] == r["symbol_ratio"]
+        assert r["mean_word_len"] >= 0.0
+        assert 0 <= r["stop_hits"] <= 8
+        assert r["gopher_keep"] in (True, False)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[len(ADVERSARIAL) - 1]["stop_hits"] == 8
+
+
+def test_c4_total_and_consistent(spark):
+    from crawl4ai_custom_spark.operators.textstats import c4_quality_filter
+
+    rows = c4_quality_filter(_df(spark)).collect()
+    assert len(rows) == len(ADVERSARIAL)
+    for r in rows:
+        assert r["c4_text"] is not None
+        assert 0 <= r["n_lines_kept"] <= r["n_lines_total"]
+        assert r["n_sentences"] >= 0
+        for line in r["c4_text"].split("\n") if r["c4_text"] else []:
+            assert "javascript" not in line.lower()
+            assert line.rstrip()[-1:] in ('.', '!', '?', '"', "\u201d")
+
+
+def test_span_dedup_total_and_conservative(spark):
+    from crawl4ai_custom_spark.operators.dedup import span_dedup
+
+    out = span_dedup(_df(spark))
+    rows = out.collect()
+    rows2 = out.collect()  # deterministic across executions
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert len(rows) == len(ADVERSARIAL)
+    originals = dict(enumerate(ADVERSARIAL))
+    for r in rows:
+        assert r["text"] is not None
+        assert 0 <= r["n_sentences_removed"] <= r["n_sentences"]
+        # surviving sentences are a sub-multiset of the original's.
+        # Texts containing \x01 are excluded: the segmentation sentinel
+        # doubles as a boundary there (shared, oracle-pinned behavior with
+        # sentence_chunks), so the rebuilt text re-segments differently.
+        if r["text"] and "\x01" not in originals[r["doc_id"]]:
+            import re
+
+            orig_sents = [
+                s.strip() for s in re.sub(
+                    r"([.!?])\s+", "\\1\x01", originals[r["doc_id"]]
+                ).split("\x01") if s.strip()
+            ]
+            out_sents = [
+                s.strip() for s in re.sub(
+                    r"([.!?])\s+", "\\1\x01", r["text"]
+                ).split("\x01") if s.strip()
+            ]
+            for s in out_sents:
+                assert s in orig_sents, (r["doc_id"], s)
