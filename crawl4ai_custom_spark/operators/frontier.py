@@ -134,6 +134,10 @@ class CrawlConfig:
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     extract: ExtractConfig = field(default_factory=ExtractConfig)
     use_bloom: bool = True
+    # "bloom" (default: smallest blobs) or "cuckoo" (supports seen-set
+    # retirement via PartitionedCuckoo.remove for re-crawl scheduling);
+    # both honor the same no-false-negative prefilter contract
+    seen_filter: str = "bloom"
     bloom_partitions: int = 8
     bloom_capacity: int = 1_000_000
     # the cogrouped prefilter stage only pays once the seen set is big;
@@ -423,14 +427,17 @@ class FrontierEngine:
             resume: bool = False) -> CrawlRun:
         spark, cfg = self.spark, self.cfg
         stats: list[dict[str, Any]] = []
-        bloom: PartitionedBloom | None = (
-            PartitionedBloom(
+        if cfg.use_bloom:
+            if cfg.seen_filter == "cuckoo":
+                from .seen import PartitionedCuckoo as _filter_cls
+            else:
+                _filter_cls = PartitionedBloom
+            bloom: PartitionedBloom | None = _filter_cls(
                 spark, cfg.bloom_partitions, cfg.bloom_capacity,
                 state_dir=os.path.join(self.checkpoint_dir, "_state", "bloom"),
             )
-            if cfg.use_bloom
-            else None
-        )
+        else:
+            bloom = None
 
         # materialize the latest-capture "web" once: every wave's fetch join
         # scans this parquet with pushdown instead of re-running the window

@@ -96,6 +96,15 @@ class PartitionedBloom:
     downstream job into minutes of plan serialization. ``add`` writes the
     folded state to an alternating parquet path and re-reads it."""
 
+    @staticmethod
+    def _filter(capacity: int, fp_rate: float, blob: bytes | None):
+        """Factory hook: build the per-partition membership structure from
+        its serialized blob (None = empty). PartitionedCuckoo overrides."""
+        return BloomFilter(
+            capacity, fp_rate,
+            bits=np.frombuffer(blob, dtype=np.uint8) if blob is not None else None,
+        )
+
     def __init__(self, spark: SparkSession, num_partitions: int = 16,
                  capacity_per_partition: int = 1_000_000, fp_rate: float = 0.01,
                  state_dir: str | None = None):
@@ -125,6 +134,7 @@ class PartitionedBloom:
         bloom blob ONCE (never joined onto every candidate row — that would
         push |candidates| x blob_size through the shuffle)."""
         cap, fp = self.capacity, self.fp_rate
+        make = type(self)._filter  # plain function: picklable by reference
         cands = candidates.withColumn("partition_id", self._part(F.col(hash_col)))
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -140,7 +150,7 @@ class PartitionedBloom:
             if bits is None:
                 base["bloom_maybe_seen"] = False
                 return base
-            bf = BloomFilter(cap, fp, bits=np.frombuffer(bits, dtype=np.uint8))
+            bf = make(cap, fp, bits)
             hashes = left[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
             base["bloom_maybe_seen"] = bf.contains_many(hashes)
             return base
@@ -154,6 +164,7 @@ class PartitionedBloom:
     def add(self, new_urls: DataFrame, hash_col: str = "url_hash") -> None:
         """Fold new hashes into the partition blobs (pure fold, new state DF)."""
         cap, fp = self.capacity, self.fp_rate
+        make = type(self)._filter
         hashes = new_urls.select(
             F.col(hash_col).alias("url_hash"),
             self._part(F.col(hash_col)).alias("partition_id"),
@@ -162,10 +173,7 @@ class PartitionedBloom:
         def fold(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
             bits = right["bits"].iloc[0] if len(right) else None
-            bf = BloomFilter(
-                cap, fp,
-                bits=np.frombuffer(bits, dtype=np.uint8) if bits is not None else None,
-            )
+            bf = make(cap, fp, bits)
             hs = left["url_hash"].dropna()
             if len(hs):
                 bf.add_many(hs.to_numpy(dtype=np.int64).astype(np.uint64))
@@ -197,3 +205,51 @@ class PartitionedBloom:
         pb = cls(spark, num_partitions, capacity_per_partition, fp_rate)
         pb.state = spark.read.parquet(path)
         return pb
+
+
+class PartitionedCuckoo(PartitionedBloom):
+    """PartitionedBloom with cuckoo blobs: same prefilter/add/save contract
+    (``bloom_maybe_seen`` column name kept so the engine's prefilter path
+    is structure-agnostic), plus ``remove`` — the deletion capability bloom
+    cannot offer. Use case: seen-set retirement for re-crawl scheduling
+    (`recrawl.revisit_priority` decides WHAT to retire; remove() here must
+    be paired with deleting the same hashes from the EXACT seen table,
+    which remains the membership source of truth)."""
+
+    @staticmethod
+    def _filter(capacity: int, fp_rate: float, blob: bytes | None):
+        from ..kernel.cuckoo import CuckooFilter
+
+        return CuckooFilter(capacity, fp_rate, blob=blob)
+
+    def remove(self, urls: DataFrame, hash_col: str = "url_hash") -> None:
+        """Fold deletions into the partition blobs (pure fold, new state)."""
+        cap, fp = self.capacity, self.fp_rate
+        make = type(self)._filter
+        hashes = urls.select(
+            F.col(hash_col).alias("url_hash"),
+            self._part(F.col(hash_col)).alias("partition_id"),
+        )
+
+        def fold(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            bits = right["bits"].iloc[0] if len(right) else None
+            bf = make(cap, fp, bits)
+            hs = left["url_hash"].dropna()
+            if len(hs):
+                bf.delete_many(hs.to_numpy(dtype=np.int64).astype(np.uint64))
+            return pd.DataFrame(
+                {"partition_id": [pid], "bits": [bf.to_bytes()], "capacity": [cap]}
+            )
+
+        new_state = (
+            hashes.groupBy("partition_id")
+            .cogroup(self.state.groupBy("partition_id"))
+            .applyInPandas(fold, BLOOM_STATE_SCHEMA)
+        )
+        import os
+
+        path = os.path.join(self.state_dir, f"bloom_{self._flip}")
+        self._flip ^= 1
+        new_state.write.mode("overwrite").parquet(path)
+        self.state = self.spark.read.parquet(path)
