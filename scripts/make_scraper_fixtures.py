@@ -113,6 +113,60 @@ def main() -> None:
         + "</table></body></html>",
     ))
 
+    # hostile structural constructs beyond the dummy-site vocabulary: the
+    # scraper walk must stay stable over forms, definition lists, iframes,
+    # svg/noscript subtrees, entity soup, and pathological nesting
+    pages.append((
+        "https://constructs.example/form",
+        "<html><head><title>Form</title></head><body>"
+        "<form action='/submit' method='post'><fieldset><legend>Login</legend>"
+        "<label for='u'>User</label><input id='u' name='u' type='text'>"
+        "<select name='s'><option value='1'>one</option>"
+        "<option value='2' selected>two</option></select>"
+        "<textarea name='t'>preset text</textarea>"
+        "<button type='submit'>Go</button></fieldset></form>"
+        "<p>after the form.</p></body></html>",
+    ))
+    pages.append((
+        "https://constructs.example/dl",
+        "<html><head><title>Defs</title></head><body>"
+        "<dl><dt>alpha</dt><dd>first letter</dd>"
+        "<dt>beta</dt><dd>second letter</dd><dd>also a fish</dd></dl>"
+        "<figure><img src='/img/x.png' alt='an x'>"
+        "<figcaption>the x figure</figcaption></figure></body></html>",
+    ))
+    pages.append((
+        "https://constructs.example/iframe-svg",
+        "<html><head><title>Embedded</title></head><body>"
+        "<iframe src='https://other.example/frame' title='fr'></iframe>"
+        "<svg width='10' height='10'><circle cx='5' cy='5' r='4'/>"
+        "<text>svg label</text></svg>"
+        "<noscript><p>enable scripts please</p></noscript>"
+        "<object data='movie.swf'><param name='q' value='hi'>fallback</object>"
+        "<p>visible prose stays.</p></body></html>",
+    ))
+    pages.append((
+        "https://constructs.example/entities",
+        "<html><head><title>Entit&eacute;s</title></head><body>"
+        "<p>AT&amp;T &lt;tag&gt; &#169; &#x2603; &nbsp;gap &amp;notreal;</p>"
+        "<p>curly &ldquo;quotes&rdquo; and &mdash; dashes</p></body></html>",
+    ))
+    pages.append((
+        "https://constructs.example/nesting",
+        "<html><head><title>Deep</title></head><body>"
+        + "<div>" * 60 + "<p>core text survives depth.</p>" + "</div>" * 60
+        + "<ul><li>a<ul><li>b<ul><li>c</li></ul></li></ul></li></ul>"
+        "</body></html>",
+    ))
+    pages.append((
+        "https://constructs.example/malformed",
+        "<html><head><title>Broken</head><body>"
+        "<p>unclosed paragraph<div>div inside p</p></div>"
+        "<table><tr><td>orphan cell<tr><td>next row"
+        "<a href='/rel/link'>anchor<b>bold tail</a>"
+        "<p>recovery prose.</p>",
+    ))
+
     fixtures = []
     for url, html in pages:
         sr = scrap(url, html)
@@ -120,7 +174,9 @@ def main() -> None:
             {
                 "url": url,
                 "html_b64gz": base64.b64encode(
-                    gzip.compress(html.encode("utf-8"), 9)
+                    # mtime=0: reproducible bytes, so re-running the
+                    # generator yields a clean no-op diff for unchanged pages
+                    gzip.compress(html.encode("utf-8"), 9, mtime=0)
                 ).decode("ascii"),
                 "success": sr.success,
                 "title": sr.title,
