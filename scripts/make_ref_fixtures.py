@@ -234,6 +234,54 @@ def make_page_fixtures() -> None:
             with open(p, encoding="utf-8") as f:
                 pages[name] = f.read()
 
+    # hostile structural constructs (same corpus as the scraper byte
+    # contract): pin the REFERENCE converter's output on forms, definition
+    # lists, embedded subtrees, entity soup, deep nesting, and tag soup
+    pages["construct_form"] = (
+        "<html><head><title>Form</title></head><body>"
+        "<form action='/submit' method='post'><fieldset><legend>Login</legend>"
+        "<label for='u'>User</label><input id='u' name='u' type='text'>"
+        "<select name='s'><option value='1'>one</option>"
+        "<option value='2' selected>two</option></select>"
+        "<textarea name='t'>preset text</textarea>"
+        "<button type='submit'>Go</button></fieldset></form>"
+        "<p>after the form.</p></body></html>"
+    )
+    pages["construct_dl"] = (
+        "<html><head><title>Defs</title></head><body>"
+        "<dl><dt>alpha</dt><dd>first letter</dd>"
+        "<dt>beta</dt><dd>second letter</dd><dd>also a fish</dd></dl>"
+        "<figure><img src='/img/x.png' alt='an x'>"
+        "<figcaption>the x figure</figcaption></figure></body></html>"
+    )
+    pages["construct_iframe_svg"] = (
+        "<html><head><title>Embedded</title></head><body>"
+        "<iframe src='https://other.example/frame' title='fr'></iframe>"
+        "<svg width='10' height='10'><circle cx='5' cy='5' r='4'/>"
+        "<text>svg label</text></svg>"
+        "<noscript><p>enable scripts please</p></noscript>"
+        "<object data='movie.swf'><param name='q' value='hi'>fallback</object>"
+        "<p>visible prose stays.</p></body></html>"
+    )
+    pages["construct_entities"] = (
+        "<html><head><title>Entit&eacute;s</title></head><body>"
+        "<p>AT&amp;T &lt;tag&gt; &#169; &#x2603; &nbsp;gap &amp;notreal;</p>"
+        "<p>curly &ldquo;quotes&rdquo; and &mdash; dashes</p></body></html>"
+    )
+    pages["construct_nesting"] = (
+        "<html><head><title>Deep</title></head><body>"
+        + "<div>" * 60 + "<p>core text survives depth.</p>" + "</div>" * 60
+        + "<ul><li>a<ul><li>b<ul><li>c</li></ul></li></ul></li></ul>"
+        "</body></html>"
+    )
+    pages["construct_malformed"] = (
+        "<html><head><title>Broken</head><body>"
+        "<p>unclosed paragraph<div>div inside p</p></div>"
+        "<table><tr><td>orphan cell<tr><td>next row"
+        "<a href='/rel/link'>anchor<b>bold tail</a>"
+        "<p>recovery prose.</p>"
+    )
+
     fixtures = {n: {"html": h, "ref_raw_markdown": ref_md(h)}
                 for n, h in pages.items()}
     with gzip.open(PAGES_OUT, "wt", encoding="utf-8") as f:
