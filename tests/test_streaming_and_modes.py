@@ -319,3 +319,42 @@ def test_structured_streaming_extraction_matches_batch(spark, site_dir, tmp_path
         ).collect()
     }
     assert got == want and len(got) == 60
+
+
+def test_structured_streaming_quality_packs_match_batch(spark, tmp_path):
+    """The Gopher/C4 rule packs are stateless projections, so they run
+    unchanged over readStream micro-batches and agree with batch exactly."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        c4_quality_filter,
+        gopher_quality_filter,
+    )
+    from crawl4ai_custom_spark.streaming.structured import run_available_now
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("The measured value of run "), F.col("id"),
+            F.lit(" is recorded here. Another line with that result "
+                  "follows now.\nclick here"),
+        ).alias("text"),
+    )
+    ddir = str(tmp_path / "docs_stream")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(ddir)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(ddir)
+
+    stream_in = spark.readStream.schema("doc_id long, text string").parquet(ddir)
+    stream = c4_quality_filter(gopher_quality_filter(stream_in))
+    run_available_now(stream, "stream_quality_out",
+                      str(tmp_path / "qckpt"), output_mode="append")
+    got = {tuple(r) for r in spark.sql(
+        "select doc_id, gopher_keep, c4_keep, n_lines_kept, stop_hits "
+        "from stream_quality_out").collect()}
+    want = {tuple(r) for r in c4_quality_filter(
+        gopher_quality_filter(spark.read.parquet(ddir))
+    ).select("doc_id", "gopher_keep", "c4_keep", "n_lines_kept",
+             "stop_hits").collect()}
+    assert got == want and len(got) == 120
