@@ -38,6 +38,10 @@ def parse_args(argv):
     p.add_argument("--include-external", action="store_true")
     p.add_argument("--no-robots", action="store_true")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--seen-filter", default="bloom",
+                   choices=["bloom", "cuckoo"],
+                   help="seen-set prefilter structure (cuckoo supports "
+                        "retirement for re-crawl scheduling)")
     p.add_argument("--base-delay", type=float, default=2.0)
     p.add_argument("--wave-seconds", type=float, default=30.0)
     p.add_argument("--resume", action="store_true")
@@ -81,6 +85,7 @@ def main(argv=None) -> int:
         include_external=args.include_external,
         check_robots=not args.no_robots,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
         score_threshold=(
             args.score_threshold if args.score_threshold is not None else -math.inf
         ),
