@@ -903,3 +903,112 @@ class FrontierEngine:
             waves=wave - start_wave,
             checkpoint_dir=self.checkpoint_dir,
         )
+
+    # ---- re-crawl scheduling (operate between runs, on the checkpoint) ---
+    #
+    # Two complementary operations, both committed as a NEW snapshot wave so
+    # prior snapshots stay immutable and `run(resume=True)` continues from
+    # the amended state:
+    #
+    #   requeue(urls)     force a re-crawl NOW: the urls re-enter the
+    #                     frontier (politeness/budget apply as usual). The
+    #                     seen set keeps them, so link discovery cannot
+    #                     double-queue them.
+    #   retire_seen(urls) forget the urls were ever discovered: they leave
+    #                     the exact seen set AND the prefilter, so organic
+    #                     link rediscovery re-queues them naturally later.
+    #                     With seen_filter="cuckoo" the prefilter update is
+    #                     an O(retired) deletion fold; with bloom (no
+    #                     deletes) the blobs are REBUILT from the compacted
+    #                     seen set — the measured cost of choosing bloom.
+    #
+    # Feed either from `recrawl.revisit_priority` output (its top rows are
+    # the urls whose smoothed change rate says "look again").
+
+    def _amended_snapshot_base(self) -> tuple[int, dict, dict]:
+        w0 = self.store.latest_wave()
+        if w0 is None:
+            raise ValueError("no complete snapshot to amend — run() first")
+        snap = self.store.read(w0)
+        meta = dict(snap.get("_meta", {}))
+        return w0, snap, meta
+
+    def requeue(self, urls) -> int:
+        """Push already-crawled urls back into the frontier (new snapshot).
+        ``urls``: list[str] or DataFrame with a ``url`` column. Returns the
+        number of rows queued."""
+        w0, snap, meta = self._amended_snapshot_base()
+        rows = self._seed_frontier(urls)
+        if self.cfg.check_robots and self.robots is not None:
+            rows = robots_gate(rows, self.robots)
+        rows = self._materialize(rows, f"requeue_{w0 + 1}")
+        n = rows.count()
+        fr = (
+            snap["frontier"].unionByName(rows)
+            .dropDuplicates(["url_canon"])
+        )
+        self.store.write(
+            w0 + 1,
+            {"frontier": fr, "host_state": snap["host_state"],
+             "bloom": snap.get("bloom"), "stats": None},
+            meta=meta,
+        )
+        return n
+
+    def retire_seen(self, urls) -> int:
+        """Remove urls from the seen state (new snapshot): organic link
+        rediscovery will re-queue them on the next resumed crawl. Returns
+        the number of seen rows removed."""
+        w0, snap, meta = self._amended_snapshot_base()
+        spark = self.spark
+        if not isinstance(urls, DataFrame):
+            from ..session import local_df
+
+            urls = local_df(spark, [(u,) for u in urls], "url string")
+        retire = urls.select(
+            canonicalize_abs_udf(F.col("url")).alias("url_canon")
+        ).withColumn("url_hash", F.xxhash64("url_canon")).select("url_hash")
+        retire = self._materialize(retire, f"retire_{w0 + 1}")
+        seen_paths = list(meta.get("seen_deltas", []))
+        parts = [spark.read.parquet(p).select("url_hash") for p in seen_paths]
+        seen = parts[0] if parts else retire.limit(0)
+        for d in parts[1:]:
+            seen = seen.union(d)
+        n_before = seen.count()
+        kept = seen.join(retire, "url_hash", "left_anti")
+        compact = os.path.join(
+            self.checkpoint_dir, "_state", f"seen_retired_{w0 + 1:05d}"
+        )
+        kept.write.mode("overwrite").parquet(compact)
+        kept = spark.read.parquet(compact)
+        n_removed = n_before - kept.count()
+        meta["seen_deltas"] = [compact]
+
+        filter_state = snap.get("bloom")
+        if self.cfg.use_bloom and filter_state is not None:
+            if self.cfg.seen_filter == "cuckoo":
+                from .seen import PartitionedCuckoo
+
+                pc = PartitionedCuckoo(
+                    spark, self.cfg.bloom_partitions, self.cfg.bloom_capacity,
+                    state_dir=os.path.join(
+                        self.checkpoint_dir, "_state", "bloom"),
+                )
+                pc.state = filter_state
+                pc.remove(retire)          # O(retired) deletion fold
+                filter_state = pc.state
+            else:
+                pb = PartitionedBloom(
+                    spark, self.cfg.bloom_partitions, self.cfg.bloom_capacity,
+                    state_dir=os.path.join(
+                        self.checkpoint_dir, "_state", "bloom"),
+                )
+                pb.add(kept)               # bloom: full rebuild from kept
+                filter_state = pb.state
+        self.store.write(
+            w0 + 1,
+            {"frontier": snap["frontier"], "host_state": snap["host_state"],
+             "bloom": filter_state, "stats": None},
+            meta=meta,
+        )
+        return int(n_removed)

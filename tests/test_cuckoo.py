@@ -128,3 +128,58 @@ def test_bfs_with_cuckoo_filter_matches_bloom(spark, site_dir, tmp_path):
             (r["wave"], r["url_canon"]) for r in adm.collect()
         }
     assert runs["cuckoo"] == runs["bloom"]
+
+
+def test_requeue_and_retire_recrawl_loop(spark, site_dir, tmp_path):
+    """The re-crawl scheduling loop: requeue forces a re-crawl of chosen
+    urls; retire_seen forgets discovery so organic link rediscovery
+    re-queues pages on the next resumed crawl (cuckoo deletion fold)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+    )
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    pages = spark.read.parquet(f"{site_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{site_dir}/robots.parquet")
+    seeds = [r["url"] for r in
+             spark.read.parquet(f"{site_dir}/seeds.parquet").collect()]
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=2, max_pages=500,
+        politeness=PolitenessConfig(wave_seconds=1e9),
+        use_bloom=True, seen_filter="cuckoo", bloom_partitions=4,
+        bloom_min_seen=0,
+    )
+    eng = FrontierEngine(
+        spark, pages, robots, cfg,
+        checkpoint_dir=str(tmp_path / "ck"), out_dir=str(tmp_path / "out"),
+    )
+    run1 = eng.run(seeds)
+    log1 = run1.admitted_log(spark).collect()
+    crawled = sorted({r["url_canon"] for r in log1})
+    assert len(crawled) > 10
+    hub = seeds[0].rstrip("/") + "/"
+    # children discovered FROM the hub (depth-1 rows whose parent is a seed)
+    children = sorted({
+        r["url_canon"] for r in log1
+        if r["wave"] == 1
+    })[:3]
+    assert children
+
+    # --- requeue: hub re-enters the frontier; resume re-crawls it ---------
+    n_q = eng.requeue([hub] if hub in crawled else [crawled[0]])
+    assert n_q == 1
+    # --- retire: children leave seen (cuckoo remove) ----------------------
+    n_r = eng.retire_seen(children)
+    assert n_r == len(children)
+    run2 = eng.run(seeds, resume=True)
+    log2 = run2.admitted_log(spark)
+    new_waves = log2.where(F.col("wave") > max(r["wave"] for r in log1))
+    re_admitted = {r["url_canon"] for r in new_waves.collect()}
+    # the requeued hub was re-crawled, and its retired children were
+    # organically re-discovered and re-crawled
+    assert any(u in re_admitted for u in (hub, crawled[0]))
+    assert set(children) <= re_admitted, (
+        sorted(set(children) - re_admitted))
