@@ -311,6 +311,28 @@ def main() -> None:
             failures.append(f"{name}: unexpected Exchange")
         sections.append((f"{name} — shuffle-free projection", p, checks))
 
+    # 14. global span dedup: span keys are built at the ARRAY level and the
+    # keeper pick is an aggregate — no Window operator anywhere (a per-doc
+    # or per-span window would sort-shuffle the whole exploded span table)
+    from crawl4ai_custom_spark.operators.dedup import span_dedup
+
+    p = plan_of(span_dedup(docs_small))
+    checks = []
+    for ok, label, why in [
+        ("Window" not in p, "no Window operator",
+         "span keys fold at the array level; keeper = partial map-side "
+         "min(struct) aggregate, not a rank window over exploded spans"),
+        ("partial_min" in p or "HashAggregate" in p, "partial aggregate",
+         "the duplicate-span count+keeper combine map-side before the "
+         "single span_key shuffle"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"span dedup: {label}")
+    sections.append(
+        ("Global span dedup — array-level spans, no windows", p, checks)
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
