@@ -144,6 +144,36 @@ CORPUS: dict[str, str] = {
                           "<section><p>in section</p></section>",
     "entity_in_attr": '<p><a href="?b=1&ndash;2&amp;c=3" title="A&mdash;B">'
                       "x</a> &ndash; text</p>",
+    # HTML5 semantic / interactive / annotation constructs (round 4):
+    # every case verified byte-identical before inclusion
+    "details": "<details><summary>More</summary><p>hidden prose</p></details>",
+    "audio_video": "<p>before</p><audio src='/a.mp3' controls>no audio</audio>"
+                   "<video src='/v.mp4'><track kind='captions'>fallback"
+                   "</video><p>after</p>",
+    "ruby": "<p><ruby>漢<rt>kan</rt></ruby> text</p>",
+    "subsup": "<p>H<sub>2</sub>O and x<sup>2</sup></p>",
+    "del_ins": "<p>old <del>gone</del> <ins>added</ins> <s>struck</s></p>",
+    "kbd_samp": "<p>press <kbd>Ctrl</kbd> see <samp>out</samp> var "
+                "<var>x</var></p>",
+    "mark_meter": "<p><mark>hot</mark> <meter value='0.5'>50%</meter> "
+                  "<progress value='1'>p</progress></p>",
+    "picture": "<picture><source srcset='/big.png'>"
+               "<img src='/small.png' alt='pic'></picture>",
+    "template": "<p>a</p><template><p>never rendered</p></template><p>b</p>",
+    "bdo_wbr": "<p><bdo dir='rtl'>abc</bdo> long<wbr>word</p>",
+    "address": "<address>1 Main St<br>Town</address>",
+    "small_center_font": "<center><small>tiny</small> "
+                         "<font color='red'>red</font></center>",
+    "map_area": "<img src='/m.png' usemap='#m' alt='map'>"
+                "<map name='m'><area href='/x' alt='x'></map>",
+    "abbr": "<p><abbr title='World Health Organization'>WHO</abbr> said</p>",
+    "q_cite": "<p><q>inline quote</q> from <cite>book</cite></p>",
+    "dfn_time": "<p><dfn>term</dfn> at "
+                "<time datetime='2026-01-01'>new year</time></p>",
+    "datalist": "<input list='l'><datalist id='l'><option value='a'>"
+                "</datalist><p>after</p>",
+    "hgroup_section": "<section><hgroup><h1>T</h1><h2>Sub</h2></hgroup>"
+                      "<article><p>body</p></article></section>",
 }
 
 
