@@ -174,6 +174,34 @@ CORPUS: dict[str, str] = {
                 "</datalist><p>after</p>",
     "hgroup_section": "<section><hgroup><h1>T</h1><h2>Sub</h2></hgroup>"
                       "<article><p>body</p></article></section>",
+    # nesting interactions (round 4, batch 2): block elements inside list
+    # items / blockquotes / table cells, links wrapping media, numbered-list
+    # attributes — all verified byte-identical before inclusion
+    "table_in_li": "<ul><li>item<table><tr><td>a</td><td>b</td></tr>"
+                   "</table></li></ul>",
+    "pre_in_li": "<ul><li>code:<pre>x = 1\ny = 2</pre></li><li>next</li></ul>",
+    "blockquote_nested": "<blockquote><p>outer</p><blockquote><p>inner</p>"
+                         "</blockquote></blockquote>",
+    "blockquote_in_li": "<ul><li><blockquote>quoted in list</blockquote>"
+                        "</li></ul>",
+    "img_in_link": '<p><a href="/x"><img src="/i.png" alt="pic"></a></p>',
+    "link_in_heading": '<h2><a href="/sec">Section</a></h2>',
+    "em_across_br": "<p><em>one<br>two</em></p>",
+    "code_with_specials": "<p><code>a*b_c`d</code></p>",
+    "table_empty_cells": "<table><tr><td></td><td>b</td></tr>"
+                         "<tr><td>c</td><td></td></tr></table>",
+    "table_nested": "<table><tr><td><table><tr><td>in</td></tr></table>"
+                    "</td><td>out</td></tr></table>",
+    "ol_start_value": "<ol start='5'><li>five</li><li value='9'>nine</li></ol>",
+    "dl_nested_dl": "<dl><dt>a</dt><dd><dl><dt>b</dt><dd>c</dd></dl></dd></dl>",
+    "heading_in_li": "<ul><li><h3>head in li</h3>text</li></ul>",
+    "hr_in_blockquote": "<blockquote>a<hr>b</blockquote>",
+    "multiple_br": "<p>a<br><br><br>b</p>",
+    "link_title_quotes": "<p><a href='/x' title='say \"hi\"'>q</a></p>",
+    "empty_link": "<p><a href='/x'></a>after</p>",
+    "anchor_no_href": "<p><a name='top'>anchored text</a></p>",
+    "pre_with_markup": "<pre>line <b>bold</b> &amp; <i>ital</i></pre>",
+    "whitespace_pre_wrap": "<p>   leading and trailing   </p>",
 }
 
 
