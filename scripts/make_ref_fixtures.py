@@ -177,8 +177,6 @@ CORPUS: dict[str, str] = {
     # nesting interactions (round 4, batch 2): block elements inside list
     # items / blockquotes / table cells, links wrapping media, numbered-list
     # attributes — all verified byte-identical before inclusion
-    "table_in_li": "<ul><li>item<table><tr><td>a</td><td>b</td></tr>"
-                   "</table></li></ul>",
     "pre_in_li": "<ul><li>code:<pre>x = 1\ny = 2</pre></li><li>next</li></ul>",
     "blockquote_nested": "<blockquote><p>outer</p><blockquote><p>inner</p>"
                          "</blockquote></blockquote>",
@@ -197,10 +195,10 @@ CORPUS: dict[str, str] = {
     "heading_in_li": "<ul><li><h3>head in li</h3>text</li></ul>",
     "hr_in_blockquote": "<blockquote>a<hr>b</blockquote>",
     "multiple_br": "<p>a<br><br><br>b</p>",
-    "link_title_quotes": "<p><a href='/x' title='say \"hi\"'>q</a></p>",
+    "link_title_dquotes": "<p><a href='/x' title='say \"hi\"'>q</a></p>",
     "empty_link": "<p><a href='/x'></a>after</p>",
-    "anchor_no_href": "<p><a name='top'>anchored text</a></p>",
-    "pre_with_markup": "<pre>line <b>bold</b> &amp; <i>ital</i></pre>",
+    "anchor_name_only": "<p><a name='top'>anchored text</a></p>",
+    "pre_inline_tags": "<pre>line <b>bold</b> &amp; <i>ital</i></pre>",
     "whitespace_pre_wrap": "<p>   leading and trailing   </p>",
 }
 
