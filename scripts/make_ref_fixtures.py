@@ -200,6 +200,37 @@ CORPUS: dict[str, str] = {
     "anchor_name_only": "<p><a name='top'>anchored text</a></p>",
     "pre_inline_tags": "<pre>line <b>bold</b> &amp; <i>ital</i></pre>",
     "whitespace_pre_wrap": "<p>   leading and trailing   </p>",
+    # pathological cases (round 4, batch 3) — all verified byte-identical
+    "tfoot_caption": "<table><caption>Cap</caption><thead><tr><th>h</th>"
+                     "</tr></thead><tfoot><tr><td>f</td></tr></tfoot>"
+                     "<tbody><tr><td>b</td></tr></tbody></table>",
+    "deep_list_8": "<ul><li>1<ul><li>2<ul><li>3<ul><li>4<ul><li>5<ul><li>6"
+                   "<ul><li>7<ul><li>8</li></ul></li></ul></li></ul></li>"
+                   "</ul></li></ul></li></ul></li></ul></li></ul>",
+    "null_entity": "<p>a&#0;b &#xD800; c</p>",
+    "rtl_mixed": "<p>english العربية mixed עברית text</p>",
+    "lang_class_code": '<pre><code class="language-rust">fn main() {}'
+                       "</code></pre>",
+    "triple_mixed_lists": "<ol><li>o1<ul><li>u1<ol><li>io1</li></ol></li>"
+                          "</ul></li></ol>",
+    "li_text_after_block": "<ul><li><p>para</p>tail text</li></ul>",
+    "emph_double_nested": "<p><strong><em>both</em></strong> and "
+                          "<em><strong>swap</strong></em></p>",
+    "two_tables_adjacent": "<table><tr><td>t1</td></tr></table>"
+                           "<table><tr><td>t2</td></tr></table>",
+    "link_with_newlines": "<p><a href='/x'>line\none\ntwo</a></p>",
+    "img_no_alt_no_src": "<p><img> <img src='/y.png'> "
+                         "<img alt='only alt'></p>",
+    "heading_7_invalid": "<h7>not a heading</h7><p>after</p>",
+    "duplicate_attrs": "<p><a href='/a' href='/b'>dup</a></p>",
+    "uppercase_tags": "<P>UPPER <B>BOLD</B> <A HREF='/X'>LINK</A></P>",
+    "self_closed_div": "<div/>text after<p>para</p>",
+    "entity_decimal_big": "<p>&#128512; &#65536; edge</p>",
+    "table_th_only": "<table><tr><th>only</th><th>heads</th></tr></table>",
+    "br_at_boundaries": "<p><br>lead</p><p>trail<br></p>",
+    "list_no_li": "<ul>loose text</ul><ol><p>para in ol</p></ol>",
+    "blockquote_list": "<blockquote><ul><li>in quote</li><li>two</li>"
+                       "</ul></blockquote>",
 }
 
 
