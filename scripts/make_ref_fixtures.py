@@ -207,7 +207,11 @@ CORPUS: dict[str, str] = {
     "deep_list_8": "<ul><li>1<ul><li>2<ul><li>3<ul><li>4<ul><li>5<ul><li>6"
                    "<ul><li>7<ul><li>8</li></ul></li></ul></li></ul></li>"
                    "</ul></li></ul></li></ul></li></ul></li></ul>",
-    "null_entity": "<p>a&#0;b &#xD800; c</p>",
+    # NUL entity only: a lone-surrogate entity (&#xD800;) round-trips
+    # through the converter as an unpaired surrogate char, which cannot be
+    # UTF-8/JSON serialized into the fixture file — covered by the
+    # adversarial Spark tests instead
+    "null_entity": "<p>a&#0;b c</p>",
     "rtl_mixed": "<p>english العربية mixed עברית text</p>",
     "lang_class_code": '<pre><code class="language-rust">fn main() {}'
                        "</code></pre>",
