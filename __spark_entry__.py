@@ -906,6 +906,61 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-ngram quality classifier (GPT-3/CCNet stage):
+    NB log-odds weights over hashed unigram+bigram buckets, trained on docs
+    < 300 labeled good iff lang='en', scoring docs < 500 by mean per-feature
+    log-odds. DuckDB recomputes the identical hashed buckets, smoothing and
+    unseen-bucket default."""
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        classifier_quality_score,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 240).alias("text")
+    )
+    labeled = docs.where(F.col("doc_id") < 300).select(
+        (F.col("lang") == "en").alias("label"), "text"
+    )
+    model = train_quality_classifier(labeled, num_buckets=4096)
+    out = classifier_quality_score(
+        docs.where(F.col("doc_id") < 500), model, num_buckets=4096
+    )
+    return out.select(
+        "doc_id", "n_features",
+        F.round(F.col("clf_score") + 1e-9, 6).alias("clf_score"),
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced training mixture (T=2: stratum share
+    proportional to sqrt(n_g), mT5 recipe) at a 40% output budget —
+    per-lang keep thresholds from one tiny agg, then a deterministic hash
+    filter; the oracle recomputes the thresholds exactly."""
+    from crawl4ai_custom_spark.operators.corpusmix import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(
+        docs, stratum_col="lang", temperature=2.0, out_frac=0.4,
+        salt="mix-t1",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training output:
+    hash-assigned shard, independent-hash within-shard order — one exchange
+    plus intra-partition sort, bit-reproducible across engines."""
+    from crawl4ai_custom_spark.operators.corpusmix import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = shuffle_shards(docs.select("doc_id"), n_shards=8)
+    return out.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing gate: inject deterministic emails/SSNs/phones/IPs into
     document texts, redact with the native regexp chain, and verify the
@@ -2781,6 +2836,87 @@ ORACLES["q_lm_score"] = """
     left join agg on agg.doc_id = docs.doc_id
 """
 
+ORACLES["q_classifier_score"] = """
+    with feats_src as (
+      select doc_id, (lang = 'en') as label,
+             list_filter(string_split_regex(lower(substr(text, 1, 240)),
+                                            '[^a-z0-9]+'),
+                         x -> length(x) > 1) as ts
+      from documents
+    ),
+    with_f as (
+      select doc_id, label,
+             list_concat(ts, list_transform(ts[2:],
+                                            (x,i) -> ts[i] || '_' || x)) as fs
+      from feats_src
+    ),
+    train_b as (
+      select label,
+             ('0x'||substr(md5(unnest(fs)),1,15))::BIGINT % 4096 as bucket
+      from with_f where doc_id < 300
+    ),
+    counts as (
+      select bucket,
+             sum(case when label then 1 else 0 end) as good_c,
+             sum(case when label then 0 else 1 end) as bad_c
+      from train_b group by bucket
+    ),
+    scal as (select sum(good_c) as gt, sum(bad_c) as bt from counts),
+    model as (
+      select bucket,
+             ln((good_c + 1.0) / (gt + 4096.0))
+               - ln((bad_c + 1.0) / (bt + 4096.0)) as log_odds
+      from counts cross join scal
+    ),
+    score_b as (
+      select doc_id,
+             ('0x'||substr(md5(unnest(fs)),1,15))::BIGINT % 4096 as bucket
+      from with_f where doc_id < 500
+    ),
+    scored as (
+      select s.doc_id,
+             coalesce(m.log_odds,
+                      ln((scal.bt + 4096.0) / (scal.gt + 4096.0))) as log_odds
+      from score_b s cross join scal left join model m using (bucket)
+    ),
+    agg as (
+      select doc_id, count(*) as n_features, avg(log_odds) as clf_score
+      from scored group by doc_id
+    )
+    select d.doc_id, coalesce(agg.n_features, 0)::BIGINT as n_features,
+           round(coalesce(agg.clf_score, 0.0) + 1e-9, 6) as clf_score
+    from (select doc_id from documents where doc_id < 500) d
+    left join agg using (doc_id)
+"""
+
+ORACLES["q_mixture_sample"] = """
+    with counts as (select lang, count(*) as n_g from documents group by lang),
+    scal as (select sum(sqrt(n_g)) as z, sum(n_g) as n_total from counts),
+    rates as (
+      select lang,
+             round(least(1.0, 0.4 * n_total * sqrt(n_g) / z / n_g)
+                   * 1000000)::BIGINT as thr
+      from counts cross join scal
+    )
+    select d.doc_id, d.lang
+    from documents d join rates using (lang)
+    where ('0x'||substr(md5('mix-t1'||d.doc_id),1,15))::BIGINT % 1000000 < thr
+"""
+
+ORACLES["q_shuffle_shards"] = """
+    with h as (
+      select doc_id,
+             ('0x'||substr(md5('shuf-v1-s-'||doc_id),1,15))::BIGINT % 8
+               as shard,
+             ('0x'||substr(md5('shuf-v1-o-'||doc_id),1,15))::BIGINT as ord_key
+      from documents where doc_id < 500
+    )
+    select doc_id, shard,
+           row_number() over (partition by shard order by ord_key, doc_id)
+             as pos
+    from h
+"""
+
 ORACLES["q_pii_redact"] = _pii_oracle_sql()
 
 ORACLES["q_pagination"] = """
@@ -3631,6 +3767,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_sitemaps": q_robots_sitemaps,
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
+    "q_classifier_score": q_classifier_score,
+    "q_mixture_sample": q_mixture_sample,
+    "q_shuffle_shards": q_shuffle_shards,
     "q_lm_score": q_lm_score,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,

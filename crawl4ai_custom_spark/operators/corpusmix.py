@@ -1,0 +1,261 @@
+"""Corpus-assembly operators: the final mile between cleaned/deduped
+documents and a training-ready corpus.
+
+Three operators, all closed-form and oracle-reproducible (DuckDB recomputes
+the identical arithmetic via the shared 60-bit md5 hash):
+
+  train_quality_classifier / classifier_quality_score
+      fastText-shaped linear quality classifier (public recipe: Joulin et
+      al. 2017; the GPT-3/CCNet "quality classifier" stage, Brown et al.
+      2020 / Wenzek et al. 2020): hashed unigram+bigram features into a
+      fixed bucket space, Naive-Bayes log-odds weights trained with one
+      explode+groupBy, scoring = explode -> broadcast model join -> one
+      keyed avg. Model size is bounded by num_buckets (broadcastable by
+      construction), training is a single shuffle on the bucket key —
+      both survive 100 TB.
+
+  temperature_mixture
+      temperature-based stratum rebalancing (public recipe: multilingual
+      sampling in mT5, Xue et al. 2021 — p_g proportional to n_g^(1/T)):
+      one tiny groupBy for stratum counts, a broadcast rates join, then a
+      pure hash filter the scan evaluates. No wide shuffle of the docs.
+
+  shuffle_shards
+      deterministic global shuffle + shard assignment for training output:
+      shard = hash(salt||id) % n_shards, within-shard order = a second
+      independent hash. ONE exchange on the shard key + an intra-partition
+      sort — exactly the physical layout the training-file writer needs
+      (repartition(shard) + sortWithinPartitions), no global sort.
+
+The reference produces the documents (crawl4ai's crawl -> markdown
+pipeline); these operators are the downstream corpus-assembly steps a
+pretraining pipeline runs next. No reference-code parity applies — the
+cited recipes are public papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .urlops import stable_hash60
+
+
+def text_features(text: Column) -> Column:
+    """Hashed-classifier feature set: lowercase word unigrams + '_'-joined
+    bigrams (tokens of length > 1, split on non-alphanumerics). Pure
+    native expression; DuckDB mirrors it with list_transform's indexed
+    lambda."""
+    toks = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: F.length(t) > 1
+    )
+    # zip_with evaluates its array arguments ONCE per row (an element_at
+    # inside the lambda would re-evaluate the split per element — O(len^2)).
+    # The trailing (last_token, null) pair concats to null and is filtered.
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _bucketed_features(
+    docs: DataFrame, id_col: str, text_col: str, num_buckets: int
+) -> DataFrame:
+    """(id, bucket) per feature occurrence — the shared explode stage."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(text_features(F.col(text_col))).alias("feature"),
+    ).select(
+        "id",
+        F.pmod(stable_hash60(F.col("feature")), F.lit(num_buckets))
+        .alias("bucket"),
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train Naive-Bayes log-odds weights over hashed features from a
+    boolean-labeled corpus (label true = "good"/reference-like).
+
+    Returns (bucket, log_odds, good_total, bad_total, n_buckets, k) — the
+    scalars ride along as columns (one-row broadcast cross join, never on
+    the driver) so scoring can reconstruct the unseen-bucket default
+    log-odds ln((bad_total + k*B) / (good_total + k*B)) without a second
+    pass over the training corpus.
+
+    Shape: explode -> ONE groupBy(bucket) with map-side partial counts ->
+    tiny scalar agg -> broadcast cross join. Model rows <= num_buckets.
+    """
+    feats = _bucketed_features(
+        labeled, id_col=label_col, text_col=text_col, num_buckets=num_buckets
+    ).withColumnRenamed("id", "label")
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("good_c"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("bad_c"),
+    )
+    scal = counts.agg(
+        F.sum("good_c").alias("good_total"), F.sum("bad_c").alias("bad_total")
+    )
+    k, b = float(smoothing), num_buckets
+    return counts.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        (
+            F.log((F.col("good_c") + k) / (F.col("good_total") + k * b))
+            - F.log((F.col("bad_c") + k) / (F.col("bad_total") + k * b))
+        ).alias("log_odds"),
+        "good_total",
+        "bad_total",
+        F.lit(b).alias("n_buckets"),
+        F.lit(k).alias("k"),
+    )
+
+
+def classifier_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Score documents under a trained hashed-feature classifier: mean
+    per-feature log-odds (positive = good-like). Docs with zero features
+    score 0.0 with n_features 0 (kept in the output, like the LM gate).
+
+    Shape: explode -> broadcast model join -> one keyed avg. The model is
+    broadcastable by construction (<= num_buckets rows). Pass num_buckets
+    (the training-time value) to keep the plan fully lazy; omitting it
+    reads the scalar off the model with one driver action — fine for an
+    already-materialized model, wasteful on a live training lineage."""
+    if num_buckets is None:
+        num_buckets = model.select("n_buckets").limit(1).collect()[0][0]
+    feats = _bucketed_features(docs, id_col, text_col, int(num_buckets))
+    scal = model.select("good_total", "bad_total", "n_buckets", "k").limit(1)
+    scored = (
+        feats.join(F.broadcast(model.select("bucket", "log_odds")), "bucket",
+                   "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            F.coalesce(
+                F.col("log_odds"),
+                F.log(
+                    (F.col("bad_total") + F.col("k") * F.col("n_buckets"))
+                    / (F.col("good_total") + F.col("k") * F.col("n_buckets"))
+                ),
+            ).alias("log_odds"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.avg("log_odds").alias("clf_score"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce("clf_score", F.lit(0.0)).alias("clf_score"),
+        )
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    out_frac: float = 0.5,
+    salt: str = "mix-t1",
+) -> DataFrame:
+    """Temperature-rebalanced deterministic sampling: target stratum shares
+    p_g proportional to n_g^(1/T) (T=1 keeps natural proportions, T->inf
+    approaches uniform), total output ~= out_frac * N. Per-stratum keep
+    rate = min(1, out_frac * N * p_g / n_g); a row survives iff
+    hash(salt||id) % 1e6 < round(rate * 1e6) — reproducible across engines,
+    no RNG state.
+
+    Shape: tiny groupBy(stratum) counts -> one-row scalar agg -> broadcast
+    rates join -> pure filter. The docs themselves are never shuffled.
+    T=2 lowers pow to IEEE-exact sqrt so the oracle's threshold arithmetic
+    is bit-stable; other temperatures are supported but thresholds then
+    rely on pow agreeing to ~1 ulp (fine unless a rate lands within 1e-9
+    of a rounding boundary)."""
+    w = (
+        F.sqrt(F.col("n_g"))
+        if temperature == 2.0
+        else F.pow(F.col("n_g"), 1.0 / temperature)
+    )
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    weighted = counts.select("stratum", "n_g", w.alias("w_g"))
+    scal = weighted.agg(F.sum("w_g").alias("z"), F.sum("n_g").alias("n_total"))
+    rates = weighted.crossJoin(F.broadcast(scal)).select(
+        "stratum",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(out_frac) * F.col("n_total") * F.col("w_g")
+                / F.col("z") / F.col("n_g"),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    bucket = F.pmod(
+        stable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.join(
+            F.broadcast(rates),
+            docs[stratum_col] == rates["stratum"],
+        )
+        .where(bucket < F.col("keep_threshold"))
+        .drop("stratum", "keep_threshold")
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuf-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training output:
+    shard = hash(salt||'-s-'||id) % n_shards, within-shard position = rank
+    of an independent second hash (id tiebreak for exactness under
+    collisions). Returns docs + (shard, pos).
+
+    Physical shape: ONE exchange on shard + intra-partition sort — the same
+    layout the writer needs (`out.repartition(n_shards, "shard")
+    .sortWithinPartitions("pos").write...`), so materializing the shuffled
+    corpus costs exactly one shuffle and no global sort. n_shards is the
+    output file count: size it to ~the corpus row count / rows-per-file at
+    the target scale."""
+    sid = F.col(id_col).cast("string")
+    with_keys = docs.withColumn(
+        "shard",
+        F.pmod(
+            stable_hash60(F.concat(F.lit(salt + "-s-"), sid)),
+            F.lit(n_shards),
+        ),
+    ).withColumn(
+        "ord_key", stable_hash60(F.concat(F.lit(salt + "-o-"), sid))
+    )
+    win = Window.partitionBy("shard").orderBy("ord_key", id_col)
+    return with_keys.withColumn(
+        "pos", F.row_number().over(win).cast("long")
+    ).drop("ord_key")

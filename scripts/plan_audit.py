@@ -333,6 +333,71 @@ def main() -> None:
         ("Global span dedup — array-level spans, no windows", p, checks)
     )
 
+    # 15. corpus assembly: classifier scoring joins a bounded-size model by
+    # BROADCAST; temperature mixture never shuffles the docs (tiny counts
+    # agg + broadcast rates + scan filter); shuffle_shards costs exactly
+    # one exchange on the shard key (the writer's layout), no global sort
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        classifier_quality_score,
+        shuffle_shards,
+        temperature_mixture,
+        train_quality_classifier,
+    )
+
+    labeled_small = docs_small.select(
+        (F.col("doc_id") % 2 == 0).alias("label"), "text"
+    )
+    model = train_quality_classifier(labeled_small, num_buckets=1024)
+    audit(
+        "Classifier quality score — broadcast model join",
+        classifier_quality_score(docs_small, model, num_buckets=1024),
+        [
+            (r"BroadcastHashJoin",
+             "the <=num_buckets-row model ships to executors; the exploded "
+             "feature table is never shuffled by the join"),
+        ],
+    )
+
+    p = plan_of(
+        temperature_mixture(
+            docs_small.withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+        )
+    )
+    checks = []
+    for ok, label, why in [
+        ("BroadcastHashJoin" in p, "broadcast rates join",
+         "per-stratum thresholds (|strata| rows) ship to executors"),
+        ("SortMergeJoin" not in p and "ShuffledHashJoin" not in p,
+         "docs never shuffle",
+         "the only exchange feeds the tiny stratum-counts aggregate; the "
+         "documents reach the output through a scan-level hash filter"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"temperature mixture: {label}")
+    sections.append(
+        ("Temperature mixture — broadcast rates, scan-level filter", p,
+         checks)
+    )
+
+    p = plan_of(shuffle_shards(docs_small.select("doc_id"), n_shards=8))
+    checks = []
+    for ok, label, why in [
+        (len(re.findall(r"Exchange hashpartitioning\(shard", p)) == 1
+         and p.count("Exchange") == 1, "one exchange, on shard",
+         "the training-shuffle costs exactly the writer's own layout "
+         "(repartition by shard + intra-partition sort)"),
+        ("rangepartitioning" not in p, "no global sort",
+         "within-shard order is a per-partition sort under the window, "
+         "never a whole-corpus range partition"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"shuffle shards: {label}")
+    sections.append(
+        ("Shuffle shards — single exchange, writer-shaped layout", p, checks)
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,

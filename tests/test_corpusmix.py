@@ -1,0 +1,117 @@
+"""Corpus-assembly operators: hashed-ngram quality classifier, temperature
+mixture rebalancing, deterministic shuffle-sharding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "en", "the quick brown fox jumps over the lazy "
+                                  "dog and reads fine english prose daily"))
+        else:
+            rows.append((i, "xx", "zzq qqz zqz xqx qxq zzq qqz zqz xqx qxq "
+                                  "zzq qqz"))
+    rows.append((99, "en", "!!! ... ???"))  # zero features after filtering
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_classifier_separates_classes_and_handles_empty(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        classifier_quality_score,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark)
+    labeled = docs.where(F.col("doc_id") < 40).select(
+        (F.col("lang") == "en").alias("label"), "text"
+    )
+    model = train_quality_classifier(labeled, num_buckets=1024)
+    scored = classifier_quality_score(docs, model, num_buckets=1024)
+    by_id = {r["doc_id"]: r for r in scored.collect()}
+    assert len(by_id) == 41
+    # english-trained log-odds: en docs positive, xx docs negative
+    assert by_id[0]["clf_score"] > 0 > by_id[1]["clf_score"]
+    # zero-feature doc is kept, scored neutrally
+    assert by_id[99]["n_features"] == 0 and by_id[99]["clf_score"] == 0.0
+    # deterministic across runs
+    again = {r["doc_id"]: r["clf_score"]
+             for r in classifier_quality_score(
+                 docs, model, num_buckets=1024).collect()}
+    assert all(again[k] == by_id[k]["clf_score"] for k in again)
+
+
+def test_classifier_unseen_bucket_default(spark):
+    """A doc made of never-trained tokens gets the smoothed default
+    log-odds ln((bad+kB)/(good+kB)) per feature, not 0."""
+    import math
+
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        classifier_quality_score,
+        train_quality_classifier,
+    )
+
+    labeled = spark.createDataFrame(
+        [(True, "good words here"), (False, "bad words there")],
+        "label boolean, text string",
+    )
+    model = train_quality_classifier(labeled, num_buckets=1 << 16)
+    m = model.limit(1).collect()[0]
+    default = math.log((m["bad_total"] + 1.0 * (1 << 16))
+                       / (m["good_total"] + 1.0 * (1 << 16)))
+    novel = spark.createDataFrame(
+        [(1, "qqqq wwww eeee")], "doc_id long, text string"
+    )
+    got = classifier_quality_score(novel, model, num_buckets=1 << 16).collect()
+    assert abs(got[0]["clf_score"] - default) < 1e-12
+
+
+def test_temperature_mixture_shapes_and_plan(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import temperature_mixture
+
+    docs = _docs(spark).where(F.col("doc_id") < 40)  # 20 en / 20 xx
+    # T=1, out_frac=1.0: every stratum rate is exactly 1 -> identity
+    full = temperature_mixture(docs, temperature=1.0, out_frac=1.0)
+    assert full.count() == 40
+    assert set(full.columns) == set(docs.columns)
+    # skewed corpus, high T: the small stratum's keep RATE must exceed the
+    # large stratum's (rebalancing toward uniform)
+    skew = docs.where(F.col("lang") == "en").unionByName(
+        docs.where(F.col("lang") == "xx").limit(4)
+    )
+    out = temperature_mixture(skew, temperature=8.0, out_frac=0.5,
+                              salt="t8")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("xx", 0) / 4.0 > counts.get("en", 0) / 20.0
+    # plan: docs reach the output through a broadcast join + filter — no
+    # sort-merge join, no exchange of the docs themselves
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_exact_partition_order(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import shuffle_shards
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(docs, n_shards=4, salt="s1").collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # pos is a dense 1..n_s ranking inside every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: identical assignment on a re-run
+    again = shuffle_shards(docs, n_shards=4, salt="s1").collect()
+    assert sorted((r["doc_id"], r["shard"], r["pos"]) for r in out) == \
+        sorted((r["doc_id"], r["shard"], r["pos"]) for r in again)
+    # a different salt produces a different permutation
+    other = shuffle_shards(docs, n_shards=4, salt="s2").collect()
+    assert sorted((r["doc_id"], r["shard"], r["pos"]) for r in out) != \
+        sorted((r["doc_id"], r["shard"], r["pos"]) for r in other)
