@@ -317,6 +317,59 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus minhash dedup: the existing corpus
+    participates only through its stored signature table (never re-shingled);
+    a new ingest batch is LSH-banded against it plus itself. Batch contains
+    novel docs (60..99), near-dups of corpus docs (tail-appended, +100000)
+    and exact within-batch dups (+200000)."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signatures, shingle_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 100000 < 60).select("doc_id", "text")
+    # the premise of incrementality: the corpus signature store EXISTS as a
+    # materialized table — persist stands in for the parquet/Iceberg store
+    corpus_sigs = minhash_signatures(
+        shingle_table(corpus), N_MINHASH, MINHASH_SEED
+    ).persist()
+    novel = docs.where(
+        (F.col("doc_id") % 100000 >= 60) & (F.col("doc_id") % 100000 < 100)
+    ).select("doc_id", "text")
+    near_corpus = corpus.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words appended here")).alias("text"),
+    )
+    within_batch = novel.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = novel.unionByName(near_corpus).unionByName(within_batch)
+    out = incremental_minhash_dedup(
+        batch, corpus_sigs, num_hashes=N_MINHASH, bands=N_BANDS,
+        seed=MINHASH_SEED, est_threshold=0.6,
+    )
+    return out.select(
+        "new_id", "dup_of", F.round("est_jaccard", 4).alias("est_jaccard"),
+        "dup_source",
+    )
+
+
+def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window duplicated-fraction statistic (Lee et al. exact-substring
+    dedup signal) over the near-dup corpus."""
+    from crawl4ai_custom_spark.operators.dedup import window_dup_stats
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 80
+    )
+    out = window_dup_stats(corpus, k=10, min_docs=2)
+    return out.select(
+        "id", "n_windows", "dup_windows",
+        F.round("dup_fraction", 4).alias("dup_fraction"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.dedup import simhash
 
@@ -1747,15 +1800,42 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _lsh_band_sql() -> str:
+def _lsh_band_sql(sig_cte: str = "sigs") -> str:
     rows = N_MINHASH // N_BANDS
     band_exprs = []
     for b in range(N_BANDS):
         cols = " || ',' || ".join(
             f"h{b * rows + r}::varchar" for r in range(rows)
         )
-        band_exprs.append(f"select id, {b} as band, {cols} as band_key from sigs")
+        band_exprs.append(
+            f"select id, {b} as band, {cols} as band_key from {sig_cte}"
+        )
     return " union all ".join(band_exprs)
+
+
+def _sig_cte_sql(src: str, prefix: str) -> str:
+    """Shingle (k=3) + minhash-signature CTE pair for an arbitrary source
+    CTE — the parametrized twin of _SHINGLES_SQL for oracles that need
+    signatures of two different corpora (incremental dedup)."""
+    return f"""
+    {prefix}_sh as (
+      select distinct doc_id as id,
+             {_HASH_SQL.format(x="shingle")} as shingle_hash
+      from (
+        select doc_id, array_to_string(l[i+1:i+3], ' ') as shingle
+        from (select doc_id, string_split({_NORM_TEXT_SQL}, ' ') as l from {src}),
+             unnest(range(0, greatest(len(l)-3, 0) + 1)) as t(i)
+      ) where length(shingle) > 0
+    ),
+    {prefix}_sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from {prefix}_sh group by id
+    )"""
+
+
+_SIG_AGREEMENT_SQL = "(" + " + ".join(
+    f"case when n.h{i} = o.h{i} then 1 else 0 end" for i in range(N_MINHASH)
+) + f") / {N_MINHASH}.0"
 
 
 
@@ -1993,6 +2073,77 @@ ORACLES["q_minhash_lsh"] = f"""
     join sizes sa on sa.id = id_a
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.6
+"""
+
+ORACLES["q_dedup_incremental"] = f"""
+    with corpus as (
+      select doc_id, text from documents where doc_id % 100000 < 60
+    ),
+    batch as (
+      select doc_id, text from documents
+      where doc_id % 100000 >= 60 and doc_id % 100000 < 100
+      union all
+      select doc_id + 100000 as doc_id,
+             text || ' extra tail words appended here' as text
+      from documents where doc_id % 100000 < 60 and doc_id % 10 = 0
+      union all
+      select doc_id + 200000 as doc_id, text from documents
+      where doc_id % 100000 >= 60 and doc_id % 100000 < 100 and doc_id % 10 = 5
+    ),
+    {_sig_cte_sql("corpus", "corpus")},
+    {_sig_cte_sql("batch", "batch")},
+    corpus_bands as ({_lsh_band_sql("corpus_sigs")}),
+    batch_bands as ({_lsh_band_sql("batch_sigs")}),
+    vs_corpus as (
+      select distinct b.id as new_id, c.id as dup_of
+      from batch_bands b join corpus_bands c using (band, band_key)
+    ),
+    within as (
+      select distinct b2.id as new_id, b1.id as dup_of
+      from batch_bands b1 join batch_bands b2 using (band, band_key)
+      where b1.id < b2.id
+    ),
+    scored as (
+      select v.new_id, v.dup_of, {_SIG_AGREEMENT_SQL} as est,
+             'corpus' as dup_source
+      from vs_corpus v
+      join batch_sigs n on n.id = v.new_id
+      join corpus_sigs o on o.id = v.dup_of
+      union all
+      select w.new_id, w.dup_of, {_SIG_AGREEMENT_SQL} as est,
+             'batch' as dup_source
+      from within w
+      join batch_sigs n on n.id = w.new_id
+      join batch_sigs o on o.id = w.dup_of
+    )
+    select new_id, dup_of, round(est, 4) as est_jaccard, dup_source
+    from scored where est >= 0.6
+"""
+
+ORACLES["q_dup_fraction"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 80
+    ),
+    win as (
+      select doc_id as id, i as pos,
+             {_HASH_SQL.format(x="w")} as window_hash
+      from (
+        select doc_id, i, array_to_string(l[i+1:i+10], ' ') as w
+        from (select doc_id, string_split({_NORM_TEXT_SQL}, ' ') as l from corpus),
+             unnest(range(0, greatest(len(l)-10, 0) + 1)) as t(i)
+      ) where length(w) > 0
+    ),
+    dup as (
+      select window_hash from win group by window_hash
+      having count(distinct id) >= 2
+    )
+    select w.id, count(*) as n_windows,
+           sum(case when d.window_hash is not null then 1 else 0 end)::bigint
+             as dup_windows,
+           round(sum(case when d.window_hash is not null then 1 else 0 end)
+                 * 1.0 / count(*), 4) as dup_fraction
+    from win w left join dup d on d.window_hash = w.window_hash
+    group by w.id
 """
 
 ORACLES["q_neardup_clusters"] = f"""
@@ -3739,6 +3890,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_dup_fraction": q_dup_fraction,
     "q_simhash": q_simhash,
     "q_simhash_neardup": q_simhash_neardup,
     "q_embedding_neardup": q_embedding_neardup,

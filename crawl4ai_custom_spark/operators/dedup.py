@@ -112,17 +112,14 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
     return sig.select(*cols)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        num_hashes: int | None = None) -> DataFrame:
-    """Band the signature, hash each band, self-join on (band, band_hash).
-    Returns distinct (id_a < id_b) candidate pairs.
-
-    Pass ``num_hashes`` when known — the fallback probe is a full action
-    that would recompute the whole signature chain just to read the length."""
-    if num_hashes is None:
-        num_hashes = len(signatures.select("sig").first()["sig"])
+def banded_signatures(signatures: DataFrame, bands: int,
+                      num_hashes: int) -> DataFrame:
+    """(id, band_hash): split each signature into ``bands`` row-groups and
+    hash each group — the LSH bucket keys. Shared by the self-join dedup
+    (lsh_candidate_pairs) and the incremental batch-vs-corpus dedup, so both
+    sides of an incremental join bucket identically."""
     rows_per_band = num_hashes // bands
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(*[
@@ -133,7 +130,21 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
-    ).withColumn("band_hash", stable_hash60(F.concat_ws(":", "band", "band_key")))
+    ).withColumn(
+        "band_hash", stable_hash60(F.concat_ws(":", "band", "band_key"))
+    ).select("id", "band_hash")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash).
+    Returns distinct (id_a < id_b) candidate pairs.
+
+    Pass ``num_hashes`` when known — the fallback probe is a full action
+    that would recompute the whole signature chain just to read the length."""
+    if num_hashes is None:
+        num_hashes = len(signatures.select("sig").first()["sig"])
+    banded = banded_signatures(signatures, bands, num_hashes)
     a = banded.select(F.col("id").alias("id_a"), "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_hash")
     return (
@@ -205,6 +216,171 @@ def minhash_lsh_dedup(
     return jaccard_of_pairs(cand, sh).where(
         F.col("jaccard") >= jaccard_threshold
     ).select("id_a", "id_b", "jaccard")
+
+
+def signature_agreement(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Fraction of equal minhash positions — the standard unbiased estimator
+    of Jaccard similarity from two signatures. Pure array expression
+    (zip_with + aggregate), no Python crossing."""
+    eq = F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    ).cast("double")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 1,
+    est_threshold: float = 0.6,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an existing corpus **signature
+    store** — the shape a production pipeline actually runs when a fresh
+    crawl snapshot lands: the already-deduped corpus is never re-shingled
+    (its text is never even read); only its stored (id, sig array<long>)
+    table participates, which at num_hashes=32 is ~256 bytes/doc — a
+    storable side table even at 10^10 docs.
+
+    ``corpus_sigs`` is built once per corpus via
+    ``minhash_signatures(shingle_table(corpus))`` (same k/num_hashes/seed —
+    the coefficients are deterministic so batches written months apart
+    bucket identically).
+
+    Candidates come from LSH banding of BOTH sides with the shared
+    ``banded_signatures`` helper: new×corpus band joins plus a new×new
+    self-join — never corpus×corpus, which is the entire point of
+    incrementality (cost is O(|batch|) + join against the band index, not
+    O(|corpus|^2)).
+
+    Similarity is the signature agreement fraction (``signature_agreement``)
+    rather than exact shingle Jaccard: exact verification would need corpus
+    shingles, which the store deliberately does not keep. At num_hashes=32
+    the estimator's std-dev is <= 0.09, tightening as sqrt(1/num_hashes).
+
+    Returns (new_id, dup_of, est_jaccard, dup_source) with
+    dup_source in {'corpus', 'batch'}: 'corpus' rows match an existing
+    corpus doc; 'batch' rows are within-batch duplicates of a smaller-id
+    batch doc (so keeping only batch ids absent from new_id admits exactly
+    the novel documents plus one representative per within-batch group).
+    """
+    sh = shingle_table(new_docs, id_col, text_col, k)
+    # The batch signature table feeds five plan branches (bands x2 sides of
+    # the self-join, the corpus band join, and both agreement joins); unlike
+    # the full-corpus dedup (see minhash_lsh_dedup's measured A/B), the
+    # batch here is the bounded ingest delta — persisting its signatures is
+    # right at every scale (num_hashes longs per delta doc).
+    new_sigs = minhash_signatures(sh, num_hashes, seed).persist()
+    new_bands = banded_signatures(new_sigs, bands, num_hashes)
+    # corpus_sigs is the caller's signature STORE — at production scale a
+    # parquet/Iceberg table, so its branches below are plain scans; do not
+    # persist someone else's 10^10-row table here.
+    corpus_bands = banded_signatures(corpus_sigs, bands, num_hashes)
+
+    vs_corpus = (
+        new_bands.select(F.col("id").alias("new_id"), "band_hash")
+        .join(corpus_bands.select(F.col("id").alias("dup_of"), "band_hash"),
+              "band_hash")
+        .select("new_id", "dup_of")
+        .distinct()
+        .join(new_sigs.select(F.col("id").alias("new_id"),
+                              F.col("sig").alias("sig_new")), "new_id")
+        .join(corpus_sigs.select(F.col("id").alias("dup_of"),
+                                 F.col("sig").alias("sig_old")), "dup_of")
+        .select(
+            "new_id", "dup_of",
+            signature_agreement(F.col("sig_new"), F.col("sig_old"),
+                                num_hashes).alias("est_jaccard"),
+            F.lit("corpus").alias("dup_source"),
+        )
+    )
+
+    a = new_bands.select(F.col("id").alias("dup_of"), "band_hash")
+    b = new_bands.select(F.col("id").alias("new_id"), "band_hash")
+    within = (
+        a.join(b, "band_hash")
+        .where(F.col("dup_of") < F.col("new_id"))
+        .select("new_id", "dup_of")
+        .distinct()
+        .join(new_sigs.select(F.col("id").alias("new_id"),
+                              F.col("sig").alias("sig_new")), "new_id")
+        .join(new_sigs.select(F.col("id").alias("dup_of"),
+                              F.col("sig").alias("sig_old")), "dup_of")
+        .select(
+            "new_id", "dup_of",
+            signature_agreement(F.col("sig_new"), F.col("sig_old"),
+                                num_hashes).alias("est_jaccard"),
+            F.lit("batch").alias("dup_source"),
+        )
+    )
+
+    return vs_corpus.unionByName(within).where(
+        F.col("est_jaccard") >= est_threshold
+    )
+
+
+def window_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-window fraction — the exact-substring dedup
+    statistic of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), Spark-shaped: instead of a suffix array,
+    positional k-token rolling windows are hashed, a window is *duplicated*
+    when it occurs in >= ``min_docs`` distinct documents, and each document
+    reports what fraction of its windows are duplicated — the standard
+    filter signal for boilerplate-heavy pages in RefinedWeb/FineWeb-style
+    cleaning stacks.
+
+    Returns (id, n_windows, dup_windows, dup_fraction). Shape at scale: one
+    explode -> one global groupBy(window_hash) with a partial-agg distinct
+    count -> one rejoin + per-doc agg. No window functions, no self-joins —
+    linear in corpus token count, shuffle keyed on window_hash (uniform by
+    construction: md5).
+
+    Documents shorter than k tokens contribute a single whole-document
+    window (consistent with shingle_table's slice semantics), so every doc
+    gets a row and a defined fraction.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    windows = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    # positional windows: repeats inside one doc stay distinct rows
+    win = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(windows).alias("pos", "window"))
+        .where(F.length("window") > 0)
+        .withColumn("window_hash", stable_hash60(F.col("window")))
+        .select("id", "pos", "window_hash")
+    )
+    df = (
+        win.groupBy("window_hash")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("window_hash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        win.join(df, "window_hash", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            (F.col("dup_windows") / F.col("n_windows")).cast("double"),
+        )
+    )
 
 
 def ngram_jaccard_dedup(

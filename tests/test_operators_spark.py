@@ -70,6 +70,68 @@ def test_minhash_lsh_recovers_exact_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_incremental_minhash_dedup(spark, docs):
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    corpus = docs.where(F.col("doc_id").isin(1, 4, 5))
+    store = minhash_signatures(shingle_table(corpus), num_hashes=16, seed=1)
+    batch = spark.createDataFrame(
+        [
+            # exact re-crawl of corpus doc 1
+            (10, "the quick brown fox jumps over the lazy dog again and again today"),
+            # near-dup of corpus doc 1 (one word changed)
+            (11, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            # genuinely novel
+            (12, "structured streaming watermarks handle late arriving events"),
+            # exact within-batch dup of 12
+            (13, "structured streaming watermarks handle late arriving events"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_minhash_dedup(
+        batch, store, num_hashes=16, bands=4, est_threshold=0.5
+    ).collect()
+    rows = {(r["new_id"], r["dup_of"]): r for r in out}
+    # exact corpus dup: full signature agreement
+    assert rows[(10, 1)]["dup_source"] == "corpus"
+    assert rows[(10, 1)]["est_jaccard"] == 1.0
+    # within-batch exact dup attributed to the smaller batch id
+    assert rows[(13, 12)]["dup_source"] == "batch"
+    assert rows[(13, 12)]["est_jaccard"] == 1.0
+    # novel docs are never flagged
+    flagged = {nid for nid, _ in rows}
+    assert 12 not in flagged
+    # admission rule: unflagged batch ids = novel + one keeper per dup group
+    admitted = {r["doc_id"] for r in batch.collect()} - flagged
+    assert 12 in admitted and 13 not in admitted and 10 not in admitted
+
+
+def test_window_dup_stats(spark):
+    from crawl4ai_custom_spark.operators.dedup import window_dup_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # windows (k=3): 'a b c', 'b c d'
+            (2, "a b c x"),          # shares 'a b c' with doc 1
+            (3, "hello"),            # shorter than k: one whole-doc window
+            (4, "p q r p q r p q"),  # repeats only WITHIN one doc
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in window_dup_stats(d, k=3, min_docs=2).collect()}
+    assert out[1]["n_windows"] == 2 and out[1]["dup_windows"] == 1
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["n_windows"] == 2 and out[2]["dup_windows"] == 1
+    # short doc: a single window, never duplicated
+    assert out[3]["n_windows"] == 1 and out[3]["dup_windows"] == 0
+    # duplication means >= min_docs DISTINCT docs, not within-doc repeats
+    assert out[4]["n_windows"] == 6 and out[4]["dup_windows"] == 0
+
+
 def test_simhash_dedup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_dedup(docs, max_hamming=10, n_bands=5).collect()}
