@@ -44,6 +44,10 @@ class ExtractConfig:
     # raw_markdown / markdown_with_citations / references_markdown outputs
     # come back empty). A link/metadata-only walk doesn't pay for prose.
     markdown: bool = True
+    # False skips only the citation regex post-pass (raw_markdown still
+    # produced): a caller wanting raw markdown but not the cited variants
+    # shouldn't pay a second full-text regex walk.
+    citations: bool = True
 
 
 def extract_page(
@@ -73,7 +77,8 @@ def extract_page(
         raw_md, _ = html_to_markdown(tree)
         # citations are a regex post-pass over the raw markdown (reference
         # pipeline shape, mgs.py:82-146) — no second conversion
-        cited_md, references_md = convert_links_to_citations(raw_md)
+        if cfg.citations:
+            cited_md, references_md = convert_links_to_citations(raw_md)
 
     filtered_html = ""
     fit_md = ""

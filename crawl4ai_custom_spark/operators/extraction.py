@@ -170,6 +170,10 @@ def make_extract_fn(cfg: ExtractConfig | None = None,
             "raw_markdown", "markdown_with_citations", "references_markdown"
         }:
             tuned["markdown"] = False
+        if cfg.citations and not want & {
+            "markdown_with_citations", "references_markdown"
+        }:
+            tuned["citations"] = False
         if cfg.content_filter != "none" and "fit_markdown" not in want:
             tuned["content_filter"] = "none"
         if tuned:

@@ -172,6 +172,15 @@ def test_fields_pushdown_skips_unobserved_kernel_work(latest):
         .join(md_only.withColumnRenamed("raw_markdown", "got"), "url")
     )
     assert j2.where(F.col("got") != F.col("want")).count() == 0
+
+    # asking for the cited variant re-enables the citation pass and the
+    # output stays byte-identical to the full extraction's
+    cited = extract_pages(sample, fields=("url", "markdown_with_citations"))
+    j3 = (
+        full.select("url", F.col("markdown_with_citations").alias("want"))
+        .join(cited.withColumnRenamed("markdown_with_citations", "got"), "url")
+    )
+    assert j3.where(F.col("got") != F.col("want")).count() == 0
     sample.unpersist()
 
 

@@ -358,3 +358,88 @@ def test_structured_streaming_quality_packs_match_batch(spark, tmp_path):
     ).select("doc_id", "gopher_keep", "c4_keep", "n_lines_kept",
              "stop_hits").collect()}
     assert got == want and len(got) == 120
+
+
+def test_streaming_ingest_dedup_matches_sequential_batches(spark, tmp_path):
+    """The foreachBatch ingest loop (incremental dedup vs the parquet
+    signature store) admits exactly the docs a sequential batch loop over
+    the same files admits — and the store ends up with one signature per
+    admitted doc. Duplicates are arranged within-batch or vs the pre-seeded
+    store, so the expected set is trigger-order independent."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import (
+        SignatureStore,
+        ingest_batch,
+        read_docs_stream,
+        stream_ingest_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark dataframes and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    base_sigs = minhash_signatures(shingle_table(corpus), 16, 1)
+
+    batch_a = [
+        # exact dup of corpus doc 1 -> rejected
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        # novel
+        (11, "watermarks bound state for late arriving events in streams"),
+        # within-batch dup of 11 -> rejected, 11 kept
+        (12, "watermarks bound state for late arriving events in streams"),
+    ]
+    batch_b = [
+        # novel
+        (20, "broadcast joins avoid shuffling the large fact table entirely"),
+        # exact dup of corpus doc 2 -> rejected
+        (21, "completely different content about spark dataframes and shuffles"),
+    ]
+
+    ddir = str(tmp_path / "docs_in")
+    spark.createDataFrame(batch_a, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite").parquet(ddir)
+    spark.createDataFrame(batch_b, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append").parquet(ddir)
+
+    # ---- streaming run --------------------------------------------------
+    s_store_root = str(tmp_path / "s_store")
+    s_out = str(tmp_path / "s_out")
+    store = SignatureStore(spark, s_store_root)
+    store.append(base_sigs, epoch=-1)  # pre-seed: the existing corpus
+    q = stream_ingest_dedup(
+        read_docs_stream(spark, ddir, max_files_per_trigger=1),
+        s_store_root, s_out, str(tmp_path / "s_ckpt"),
+        num_hashes=16, bands=4, est_threshold=0.9,
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(f"{s_out}/epoch=*").collect()}
+    assert got == {11, 20}
+    # store = corpus + admitted signatures, nothing else
+    assert {r["id"] for r in store.read().collect()} == {1, 2, 11, 20}
+
+    # ---- sequential batch loop over the same files ----------------------
+    b_store = SignatureStore(spark, str(tmp_path / "b_store"))
+    b_store.append(base_sigs, epoch=-1)
+    b_out = str(tmp_path / "b_out")
+    n0 = ingest_batch(spark.createDataFrame(batch_a, ["doc_id", "text"]),
+                      b_store, 0, b_out, num_hashes=16, bands=4,
+                      est_threshold=0.9)
+    n1 = ingest_batch(spark.createDataFrame(batch_b, ["doc_id", "text"]),
+                      b_store, 1, b_out, num_hashes=16, bands=4,
+                      est_threshold=0.9)
+    assert n0 == 1 and n1 == 1
+    batch_got = {r["doc_id"]
+                 for r in spark.read.parquet(f"{b_out}/epoch=*").collect()}
+    assert batch_got == got
+    # replay safety: re-delivering a committed epoch is a no-op
+    assert ingest_batch(
+        spark.createDataFrame(batch_a, ["doc_id", "text"]), b_store, 0,
+        b_out, num_hashes=16, bands=4, est_threshold=0.9) == 0
+    assert b_store.read().count() == 4
