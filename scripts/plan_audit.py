@@ -398,6 +398,54 @@ def main() -> None:
         ("Shuffle shards — single exchange, writer-shaped layout", p, checks)
     )
 
+    # incremental ingest dedup: the corpus store participates ONLY as its
+    # stored (id, sig) parquet — re-shingling 10^10 docs of corpus text per
+    # ingest batch would be the scale-killer this operator exists to avoid
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    store_dir = os.path.join(tempfile.mkdtemp(prefix="plan_store_"), "sigs")
+    minhash_signatures(
+        shingle_table(docs_small.limit(50)), num_hashes=16
+    ).write.mode("overwrite").parquet(store_dir)
+    store_sigs = spark.read.parquet(store_dir)
+    p = plan_of(
+        incremental_minhash_dedup(
+            docs_small.where(F.col("doc_id") >= 50).limit(50), store_sigs,
+            num_hashes=16, bands=4,
+        )
+    )
+    n_scans = len(re.findall(r"ReadSchema: struct<id:bigint,sig:array<bigint>>", p))
+    n_posex = len(re.findall(r"Generate posexplode", p))
+    n_cached = p.count("InMemoryTableScan")
+    checks = []
+    for ok, label, why in [
+        (n_scans >= 1, "store consumed as stored signatures",
+         "the corpus side is a parquet scan of (id, sig) — its text is "
+         "never read, let alone re-shingled"),
+        (n_posex <= 4, "banding bounded to one posexplode per join side",
+         "1 corpus-band + 3 batch-band branches; the only other Generate "
+         "nodes live under the cached batch-signature build (shingle "
+         "explode runs once at cache fill, then every branch reads the "
+         "InMemoryTableScan)"),
+        (n_cached >= 3, "batch signatures persisted across branches",
+         "the five consumers of the delta's signatures hit the cache, not "
+         "five recomputations of the shingle chain"),
+        ("band_hash" in p, "LSH band-bucket join",
+         "candidates come from equality joins on band_hash — never an "
+         "all-pairs comparison against the store"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"incremental dedup: {label}")
+    sections.append(
+        ("Incremental ingest dedup — store never re-shingled, banded joins",
+         p, checks)
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
