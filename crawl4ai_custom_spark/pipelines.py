@@ -45,6 +45,8 @@ class CorpusConfig:
     max_dup_line_frac: float = 0.5
     lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
     line_dedup_max_docs: int | None = None  # C4 global line dedup when set
+    max_dup_window_frac: float | None = None  # Lee-et-al token-window gate
+    dup_window_tokens: int = 10
     redact_pii: bool = True
     near_dedup: bool = True
     jaccard_threshold: float = 0.6
@@ -145,6 +147,21 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     prof = prof.join(rep, id_col, "left").where(
         F.coalesce("dup_line_frac", F.lit(0.0)) <= cfg.max_dup_line_frac
     ).drop("dup_line_frac")
+
+    # 2a. optional token-window duplicate-fraction gate (Lee et al. 2021
+    # exact-substring signal): drops boilerplate-heavy docs whose k-token
+    # windows mostly recur across the corpus — one explode + one global
+    # groupBy, linear
+    if cfg.max_dup_window_frac is not None:
+        from .operators.dedup import window_dup_stats
+
+        wds = window_dup_stats(prof, id_col=id_col, text_col=text_col,
+                               k=cfg.dup_window_tokens).select(
+            F.col("id").alias(id_col), "dup_fraction"
+        )
+        prof = prof.join(wds, id_col, "left").where(
+            F.coalesce("dup_fraction", F.lit(0.0)) <= cfg.max_dup_window_frac
+        ).drop("dup_fraction")
 
     # 2b. optional LM gate: mean NLL under a clean-corpus unigram LM
     if lm_ref is not None and cfg.lm_max_nll is not None:

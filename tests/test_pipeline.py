@@ -166,3 +166,22 @@ def test_pipeline_gopher_c4_span_stages(spark):
     assert len(kept_boiler) == 1      # span dedup keeps ONE occurrence
     for r in out.values():
         assert "click here" not in r["text"]   # C4 line filter
+
+
+def test_pipeline_window_dup_gate(spark):
+    """The Lee-et-al token-window dup-fraction gate drops boilerplate-heavy
+    docs (most windows shared corpus-wide) and keeps distinct ones."""
+    boiler = ("please subscribe to the newsletter and follow the project "
+              "updates on every channel that the team maintains today")
+    docs = spark.createDataFrame(
+        # 0..5: distinct real content; 10..13: almost pure shared boilerplate
+        [(i, _doc(i)) for i in range(6)]
+        + [(10 + j, boiler + f" closing remark number {j}")
+           for j in range(4)],
+        ["doc_id", "text"],
+    )
+    cfg = CorpusConfig(near_dedup=False, redact_pii=False,
+                       max_dup_window_frac=0.5)
+    kept = {r["doc_id"] for r in build_training_set(docs, cfg).collect()}
+    assert kept & {0, 1, 2, 3, 4, 5} == {0, 1, 2, 3, 4, 5}
+    assert not kept & {10, 11, 12, 13}
