@@ -249,10 +249,90 @@ def load_ref_html2text():
     return mod
 
 
+def fuzz_corpus(n_docs: int = 120, seed: int = 20260817) -> dict[str, str]:
+    """Deterministic random-construct pages: a seeded recursive grammar over
+    the block/inline constructs the converter handles, so the byte contract
+    covers construct INTERACTIONS no hand-written case thought of. Same
+    seed -> same corpus forever (fixtures stay reproducible)."""
+    import random
+
+    rng = random.Random(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "crawl parse merge shard token window filter bucket join "
+             "star*mark under_score hash#tag amp&ersand tilde~x").split()
+
+    def text(lo=1, hi=6):
+        return " ".join(rng.choice(words) for _ in range(rng.randint(lo, hi)))
+
+    def inline(depth=0):
+        r = rng.random()
+        if depth > 2 or r < 0.45:
+            return text()
+        if r < 0.55:
+            return f"<b>{inline(depth + 1)}</b>"
+        if r < 0.65:
+            return f"<em>{inline(depth + 1)}</em>"
+        if r < 0.75:
+            return f'<a href="/{text(1, 1)}/{rng.randint(0, 99)}">{inline(depth + 1)}</a>'
+        if r < 0.82:
+            return f"<code>{text(1, 3)}</code>"
+        if r < 0.88:
+            return f'<img src="/i{rng.randint(0, 9)}.png" alt="{text(1, 2)}">'
+        if r < 0.94:
+            return f"{text()}&nbsp;&mdash;&nbsp;{text(1, 2)}"
+        return f"{inline(depth + 1)}<br>{inline(depth + 1)}"
+
+    def list_block(depth):
+        tag = rng.choice(("ul", "ol"))
+        items = []
+        for _ in range(rng.randint(1, 4)):
+            body = inline()
+            if depth < 2 and rng.random() < 0.35:
+                body += list_block(depth + 1)
+            items.append(f"<li>{body}</li>")
+        return f"<{tag}>{''.join(items)}</{tag}>"
+
+    def table_block():
+        cols = rng.randint(1, 3)
+        head = "".join(f"<th>{text(1, 2)}</th>" for _ in range(cols))
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{inline()}</td>" for _ in range(cols)) + "</tr>"
+            for _ in range(rng.randint(1, 3))
+        )
+        return f"<table><tr>{head}</tr>{rows}</table>"
+
+    def block(depth=0):
+        r = rng.random()
+        if r < 0.3:
+            return f"<p>{inline()}</p>"
+        if r < 0.42:
+            return f"<h{rng.randint(1, 6)}>{text(1, 4)}</h{rng.randint(1, 6)}>"
+        if r < 0.56:
+            return list_block(0)
+        if r < 0.64:
+            return f"<pre><code>{text(2, 5)}\n{text(1, 4)}</code></pre>"
+        if r < 0.72 and depth < 2:
+            return f"<blockquote>{block(depth + 1)}{block(depth + 1)}</blockquote>"
+        if r < 0.8:
+            return table_block()
+        if r < 0.86:
+            return "<hr>"
+        if r < 0.94 and depth < 2:
+            return f"<div>{block(depth + 1)}{inline()}</div>"
+        return f"<p>{inline()}<br>{inline()}</p>"
+
+    return {
+        f"fuzz_{i:03d}": "".join(block() for _ in range(rng.randint(2, 6)))
+        for i in range(n_docs)
+    }
+
+
 def main() -> None:
     mod = load_ref_html2text()
     fixtures = {}
-    for name, html in CORPUS.items():
+    corpus = dict(CORPUS)
+    corpus.update(fuzz_corpus())
+    for name, html in corpus.items():
         # CustomHTML2Text keeps state across handle() calls — a fresh
         # instance per document matches how the generator drives it
         # (markdown_generation_strategy.py builds one per convert).
