@@ -167,6 +167,23 @@ def main() -> None:
         "<p>recovery prose.</p>",
     ))
 
+    # seeded random-grammar pages (same generator as the markdown fuzz
+    # contract) wrapped as full documents with base-href + link/media salt:
+    # pins the scraper walk over construct interactions nobody hand-wrote
+    from make_ref_fixtures import fuzz_corpus
+
+    for name, body in sorted(fuzz_corpus(n_docs=20, seed=915).items()):
+        pages.append((
+            f"https://fuzz.example/{name}",
+            f"<html><head><title>{name}</title>"
+            "<base href='https://fuzz-base.example/sub/'>"
+            "<meta name='description' content='fuzz page'></head>"
+            f"<body>{body}"
+            "<a href='../up/rel'>rel</a>"
+            "<img src='big.png' width='400' height='300' alt='salted'>"
+            "</body></html>",
+        ))
+
     fixtures = []
     for url, html in pages:
         sr = scrap(url, html)
