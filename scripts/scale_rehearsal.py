@@ -193,6 +193,80 @@ def quality50k(spark) -> dict:
     }
 
 
+def ingest50k(spark) -> dict:
+    """Incremental ingest at 10x: a 5k-doc batch (half near-dups of stored
+    docs, half novel) deduped against a MATERIALIZED 50k-doc signature
+    store, vs the naive alternative of re-running full minhash dedup over
+    store+batch. The contrast is the operator's reason to exist: at 10^10
+    the full re-dedup is impossible, and even at 55k docs the incremental
+    path should win by the ratio of |batch| to |corpus|."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    corpus = docs.crossJoin(
+        spark.range(N_DOC_VARIANTS).select(F.col("id").alias("vid"))
+    ).select(
+        (F.col("doc_id") * N_DOC_VARIANTS + F.col("vid")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" corpus variant "),
+                 F.col("vid")).alias("text"),
+    )
+    n_corpus = corpus.count()
+    store_dir = os.path.join(tempfile.mkdtemp(prefix="ingest50k_"), "sigs")
+    t0 = time.time()
+    minhash_signatures(shingle_table(corpus), num_hashes=32).write.mode(
+        "overwrite").parquet(store_dir)
+    t_store = time.time() - t0
+    store = spark.read.parquet(store_dir)
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    batch = half.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" corpus variant 3 retouched"))
+        .alias("text"),
+    ).unionByName(half.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("entirely new material: "), F.reverse(F.col("text")))
+        .alias("text"),
+    ))
+    n_batch = batch.count()
+
+    t0 = time.time()
+    flagged = incremental_minhash_dedup(
+        batch, store, num_hashes=32, bands=8, est_threshold=0.6
+    ).select("new_id").distinct()
+    n_dup = flagged.count()
+    t_inc = time.time() - t0
+
+    t0 = time.time()
+    full = minhash_lsh_dedup(
+        corpus.unionByName(batch), num_hashes=32, bands=8,
+        jaccard_threshold=0.6, persist_shingles=True,
+    )
+    n_full_pairs = full.count()
+    t_full = time.time() - t0
+
+    return {
+        "job": "ingest50k",
+        "corpus_docs": n_corpus,
+        "batch_docs": n_batch,
+        "store_build_seconds": round(t_store, 1),
+        "incremental_seconds": round(t_inc, 1),
+        "batch_dups_flagged": n_dup,
+        "full_rededup_seconds": round(t_full, 1),
+        "full_pairs": n_full_pairs,
+        "speedup_vs_full": round(t_full / t_inc, 1),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -202,6 +276,8 @@ def main() -> None:
         print(json.dumps(corpus50k(spark)), flush=True)
     if which in ("quality50k", "both"):
         print(json.dumps(quality50k(spark)), flush=True)
+    if which == "ingest50k":
+        print(json.dumps(ingest50k(spark)), flush=True)
 
 
 if __name__ == "__main__":
