@@ -238,6 +238,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     seed: int = 1,
     est_threshold: float = 0.6,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against an existing corpus **signature
     store** — the shape a production pipeline actually runs when a fresh
@@ -267,14 +268,20 @@ def incremental_minhash_dedup(
     corpus doc; 'batch' rows are within-batch duplicates of a smaller-id
     batch doc (so keeping only batch ids absent from new_id admits exactly
     the novel documents plus one representative per within-batch group).
+
+    ``new_sigs``: pass the batch's (id, sig) table when the caller already
+    computed it (the ingest loop reuses it for the store append) — the
+    caller then owns its lifecycle (persist/unpersist). When omitted it is
+    derived here and persisted for the run.
     """
-    sh = shingle_table(new_docs, id_col, text_col, k)
-    # The batch signature table feeds five plan branches (bands x2 sides of
-    # the self-join, the corpus band join, and both agreement joins); unlike
-    # the full-corpus dedup (see minhash_lsh_dedup's measured A/B), the
-    # batch here is the bounded ingest delta — persisting its signatures is
-    # right at every scale (num_hashes longs per delta doc).
-    new_sigs = minhash_signatures(sh, num_hashes, seed).persist()
+    if new_sigs is None:
+        sh = shingle_table(new_docs, id_col, text_col, k)
+        # The batch signature table feeds five plan branches (bands x2 sides
+        # of the self-join, the corpus band join, and both agreement joins);
+        # unlike the full-corpus dedup (see minhash_lsh_dedup's measured
+        # A/B), the batch here is the bounded ingest delta — persisting its
+        # signatures is right at every scale (num_hashes longs per doc).
+        new_sigs = minhash_signatures(sh, num_hashes, seed).persist()
     new_bands = banded_signatures(new_sigs, bands, num_hashes)
     # corpus_sigs is the caller's signature STORE — at production scale a
     # parquet/Iceberg table, so its branches below are plain scans; do not

@@ -118,21 +118,35 @@ def ingest_batch(
 
     if store.seen_epoch(epoch):
         return 0
-    flagged = incremental_minhash_dedup(
-        batch, store.read(), id_col=id_col, text_col=text_col, k=k,
-        num_hashes=num_hashes, bands=bands, seed=seed,
-        est_threshold=est_threshold,
-    ).select(F.col("new_id").alias(id_col)).distinct()
-    admitted = batch.join(flagged, id_col, "left_anti").persist()
-    n = admitted.count()
-    admitted.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"epoch={epoch}")
-    )
-    sigs = minhash_signatures(
-        shingle_table(admitted, id_col, text_col, k), num_hashes, seed
-    )
-    store.append(sigs, epoch)
-    admitted.unpersist()
+    # ONE shingle pass per epoch: the batch signatures drive the dedup AND
+    # become the store append for the survivors (sigs are id-keyed, so the
+    # admitted subset is a join, not a recompute); owned here so the cache
+    # is released when the epoch commits instead of accreting per batch
+    batch_sigs = minhash_signatures(
+        shingle_table(batch, id_col, text_col, k), num_hashes, seed
+    ).persist()
+    try:
+        flagged = incremental_minhash_dedup(
+            batch, store.read(), id_col=id_col, text_col=text_col, k=k,
+            num_hashes=num_hashes, bands=bands, seed=seed,
+            est_threshold=est_threshold, new_sigs=batch_sigs,
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        admitted = batch.join(flagged, id_col, "left_anti").persist()
+        try:
+            n = admitted.count()
+            admitted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch}")
+            )
+            store.append(
+                batch_sigs.join(
+                    admitted.select(F.col(id_col).alias("id")), "id", "semi"
+                ),
+                epoch,
+            )
+        finally:
+            admitted.unpersist()
+    finally:
+        batch_sigs.unpersist()
     return n
 
 
