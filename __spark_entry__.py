@@ -521,6 +521,28 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality prior (RefinedWeb-style domain curation): docs
+    spread over 7 synthetic domains, every 10th doc re-served under a new
+    id (same text, same domain) so dup_rate varies by domain arithmetic."""
+    from crawl4ai_custom_spark.operators.textstats import domain_quality_rollup
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.concat(F.lit("dom"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com")).alias("registrable_domain"),
+    )
+    corpus = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text",
+            "registrable_domain",
+        )
+    )
+    return domain_quality_rollup(
+        corpus, min_docs=3, min_avg_quality=0.5, max_dup_rate=0.1
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher (Rae et al. 2021) document-quality rule pack. Bullet /
     ellipsis / symbol suffixes are injected per doc_id so every rule has
@@ -2688,19 +2710,9 @@ def _lang_pred_sql() -> str:
     return expr_lang
 
 
-ORACLES["q_text_profile"] = f"""
-    with scored as (
-      select *,
-        {", ".join(f"{_lang_score_sql(c)} as s_{c}" for c in sorted(_LANGS_SQL))}
-      from documents
-    )
-    select doc_id,
-      {_lang_pred_sql()} as lang_pred,
-      case when length(trim(text)) = 0 then 0
-           else len(regexp_split_to_array(trim(text), '\\s+')) end as token_count,
-      (len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
-       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{{}}"''`]', '', 'g'))) as bpe_token_estimate,
-      round(
+# raw (unrounded) quality blend — shared by the per-doc profile oracle and
+# the per-domain rollup oracle (single source, so the twins cannot drift)
+_QUALITY_RAW_SQL = f"""(
         0.3 * least(1.0, length(trim(text)) / 500.0)
         + 0.3 * (case when length(trim(text)) > 0
                  then length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))::DOUBLE / length(trim(text))
@@ -2715,9 +2727,49 @@ ORACLES["q_text_profile"] = f"""
         + 0.10 * (case when ({_occ_sql("the")} + {_occ_sql("and")}
                              + {_occ_sql("of")} + {_occ_sql("a")}) > 0
                   then 1.0 else 0.5 end)
-      + 1e-9, 4) as quality,
+      )"""
+
+ORACLES["q_text_profile"] = f"""
+    with scored as (
+      select *,
+        {", ".join(f"{_lang_score_sql(c)} as s_{c}" for c in sorted(_LANGS_SQL))}
+      from documents
+    )
+    select doc_id,
+      {_lang_pred_sql()} as lang_pred,
+      case when length(trim(text)) = 0 then 0
+           else len(regexp_split_to_array(trim(text), '\\s+')) end as token_count,
+      (len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{{}}"''`]', '', 'g'))) as bpe_token_estimate,
+      round({_QUALITY_RAW_SQL} + 1e-9, 4) as quality,
       md5({_NORM_TEXT_SQL}) as fingerprint
     from scored
+"""
+
+ORACLES["q_domain_prior"] = f"""
+    with base as (
+      select doc_id, text,
+             'dom' || (doc_id % 7)::varchar || '.com' as registrable_domain
+      from documents
+    ),
+    corpus as (
+      select * from base
+      union all
+      select doc_id + 500000 as doc_id, text, registrable_domain
+      from base where doc_id % 10 = 0
+    ),
+    rolled as (
+      select registrable_domain as domain,
+             count(*) as n_docs,
+             round(avg({_QUALITY_RAW_SQL}) + 1e-9, 4) as avg_quality,
+             count(distinct md5({_NORM_TEXT_SQL})) as distinct_fp
+      from corpus group by 1
+    )
+    select domain, n_docs, avg_quality, distinct_fp,
+           round(1.0 - distinct_fp / n_docs + 1e-9, 4) as dup_rate,
+           (n_docs >= 3 and avg_quality >= 0.5
+            and round(1.0 - distinct_fp / n_docs + 1e-9, 4) <= 0.1) as keep
+    from rolled
 """
 
 ORACLES["q_gopher_rules"] = """
@@ -3901,6 +3953,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
+    "q_domain_prior": q_domain_prior,
     "q_gopher_rules": q_gopher_rules,
     "q_c4_filters": q_c4_filters,
     "q_span_dedup": q_span_dedup,

@@ -334,6 +334,53 @@ def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def domain_quality_rollup(
+    docs: DataFrame,
+    domain_col: str = "registrable_domain",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_avg_quality: float = 0.5,
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """Per-domain quality prior (RefinedWeb-style domain curation): roll the
+    shuffle-free per-doc profile up to the registrable domain and emit a
+    keep/block verdict usable as a broadcast filter on future crawl or
+    ingest batches.
+
+    Columns: (domain, n_docs, avg_quality, distinct_fp, dup_rate, keep)
+    where dup_rate = 1 - distinct fingerprints / docs (a domain serving the
+    same page under many URLs scores high) and keep requires n_docs >=
+    min_docs (small samples are not evidence), avg_quality >=
+    min_avg_quality, and dup_rate <= max_dup_rate.
+
+    Shape at 100 TB: quality/fingerprint are codegen projections in the
+    scan; the ONLY exchange is the domain groupBy (evenly keyed far below
+    host skew — partial aggregation absorbs mega-domains); the output is
+    |domains| rows — broadcastable by construction."""
+    prof = profile_documents(docs, text_col=text_col)
+    n = F.count(F.lit(1))
+    return (
+        prof.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            n.alias("n_docs"),
+            # +1e-9 before rounding: keeps exact .5 boundaries off the
+            # HALF_UP/half-even rounding edge (engine-independent values)
+            F.round(F.avg("quality") + 1e-9, 4).alias("avg_quality"),
+            F.count_distinct("fingerprint").alias("distinct_fp"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("distinct_fp") / F.col("n_docs") + 1e-9, 4),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_docs") >= min_docs)
+            & (F.col("avg_quality") >= min_avg_quality)
+            & (F.col("dup_rate") <= max_dup_rate),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,

@@ -1334,3 +1334,31 @@ def test_span_dedup_c4(spark):
     assert out[4]["text"] == "X a. Y b. Z c."
     # empty doc survives as empty
     assert out[5]["n_sentences"] == 0 and out[5]["text"] == ""
+
+
+def test_domain_quality_rollup(spark):
+    from crawl4ai_custom_spark.operators.textstats import domain_quality_rollup
+
+    good = ("The quick brown fox and the lazy dog of a fable met again "
+            "near the calm river bank and walked home together quietly.")
+    junk = "@@@@ #### %%%% ^^^^ &&&& **** (((( )))) {{{{ }}}} $$$$ !!!!"
+    rows = (
+        # clean.com: 4 distinct good docs -> keep
+        [(i, good + f" Episode {i} closes the story.", "clean.com")
+         for i in range(4)]
+        # dupfarm.com: 4 docs, all the same text -> dup_rate 0.75 -> block
+        + [(10 + i, good, "dupfarm.com") for i in range(4)]
+        # junkyard.com: 4 distinct junk docs -> low quality -> block
+        + [(20 + i, junk + f" {i}", "junkyard.com") for i in range(4)]
+        # tiny.com: 2 good docs -> below min_docs -> block
+        + [(30 + i, good + f" Chapter {i}.", "tiny.com") for i in range(2)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "text", "registrable_domain"])
+    out = {r["domain"]: r for r in domain_quality_rollup(
+        d, min_docs=3, min_avg_quality=0.5, max_dup_rate=0.5).collect()}
+    assert out["clean.com"]["keep"] and out["clean.com"]["dup_rate"] == 0.0
+    assert not out["dupfarm.com"]["keep"]
+    assert out["dupfarm.com"]["dup_rate"] == 0.75
+    assert not out["junkyard.com"]["keep"]
+    assert out["junkyard.com"]["avg_quality"] < 0.5
+    assert not out["tiny.com"]["keep"] and out["tiny.com"]["n_docs"] == 2
