@@ -2151,7 +2151,10 @@ ORACLES["q_dup_fraction"] = f"""
              {_HASH_SQL.format(x="w")} as window_hash
       from (
         select doc_id, i, array_to_string(l[i+1:i+10], ' ') as w
-        from (select doc_id, string_split({_NORM_TEXT_SQL}, ' ') as l from corpus),
+        from (select doc_id,
+                     list_filter(string_split({_NORM_TEXT_SQL}, ' '),
+                                 x -> x <> '') as l
+              from corpus),
              unnest(range(0, greatest(len(l)-10, 0) + 1)) as t(i)
       ) where length(w) > 0
     ),

@@ -353,10 +353,15 @@ def window_dup_stats(
     construction: md5).
 
     Documents shorter than k tokens contribute a single whole-document
-    window (consistent with shingle_table's slice semantics), so every doc
-    gets a row and a defined fraction.
+    window (consistent with shingle_table's slice semantics); documents
+    with zero non-empty tokens (e.g. whitespace-only — Spark's trim strips
+    only spaces, so a lone newline normalizes to " ") produce no row at
+    all rather than a junk empty-window row.
     """
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: w != F.lit(""),
+    )
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     windows = F.transform(

@@ -120,3 +120,67 @@ def test_span_dedup_total_and_conservative(spark):
             ]
             for s in out_sents:
                 assert s in orig_sents, (r["doc_id"], s)
+
+
+def test_window_dup_stats_total_and_invariants(spark):
+    """Totality + invariants over the adversarial corpus: every non-empty
+    doc gets a row, n_windows == max(1, tokens-k+1) on the normalized
+    token stream, dup_fraction in [0,1]; duplicating the whole corpus
+    under new ids forces dup_fraction == 1 everywhere."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        normalized_text,
+        window_dup_stats,
+    )
+
+    d = _df(spark)
+    k = 5
+    out = window_dup_stats(d, k=k, min_docs=2).collect()
+    toks = {
+        r["doc_id"]: r["n"] for r in d.select(
+            "doc_id",
+            F.size(F.filter(F.split(normalized_text(F.col("text")), " "),
+                            lambda w: w != F.lit(""))).alias("n"),
+        ).collect()
+    }
+    nonempty = {i for i, n in toks.items() if n > 0}
+    assert {r["id"] for r in out} == nonempty
+    for r in out:
+        assert r["n_windows"] == max(1, toks[r["id"]] - k + 1), r
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["dup_windows"] <= r["n_windows"]
+
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    for r in window_dup_stats(doubled, k=k, min_docs=2).collect():
+        assert r["dup_fraction"] == 1.0, r
+
+
+def test_incremental_dedup_total_and_self_consistent(spark):
+    """Adversarial totality for the incremental path: ingesting the corpus
+    against ITS OWN signature store flags every doc with >=1 shingle as an
+    exact dup (agreement 1.0) of itself-in-the-store; an empty store flags
+    only within-batch pairs."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = _df(spark).where(F.length(F.trim("text")) > 0)
+    store = minhash_signatures(shingle_table(d), num_hashes=16, seed=1)
+    out = incremental_minhash_dedup(
+        d, store, num_hashes=16, bands=4, est_threshold=0.99
+    ).collect()
+    self_rows = {r["new_id"]: r for r in out
+                 if r["dup_of"] == r["new_id"] and r["dup_source"] == "corpus"}
+    with_shingles = {r["id"] for r in shingle_table(d).select("id").distinct().collect()}
+    assert set(self_rows) == with_shingles
+    for r in self_rows.values():
+        assert r["est_jaccard"] == 1.0
+
+    empty_store = spark.createDataFrame([], "id long, sig array<long>")
+    out2 = incremental_minhash_dedup(
+        d, empty_store, num_hashes=16, bands=4, est_threshold=0.99
+    ).collect()
+    assert all(r["dup_source"] == "batch" for r in out2)
