@@ -319,35 +319,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus minhash dedup: the existing corpus
-    participates only through its stored signature table (never re-shingled);
-    a new ingest batch is LSH-banded against it plus itself. Batch contains
-    novel docs (60..99), near-dups of corpus docs (tail-appended, +100000)
-    and exact within-batch dups (+200000)."""
+    participates only through its stored signature table (never re-shingled)
+    and its MATERIALIZED band index; a new ingest batch is LSH-banded
+    against both plus itself. Batch contains novel docs (60..99), near-dups
+    of corpus docs (tail-appended, +2^40) and exact within-batch dups
+    (+2^41) — high-bit offsets so the synthetic ids are disjoint from real
+    doc_ids at ANY scale factor (r4 advice: +100000 collided past 100k
+    docs)."""
     from crawl4ai_custom_spark.operators.dedup import (
-        incremental_minhash_dedup, minhash_signatures, shingle_table,
+        banded_signatures, incremental_minhash_dedup, minhash_signatures,
+        shingle_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 100000 < 60).select("doc_id", "text")
-    # the premise of incrementality: the corpus signature store EXISTS as a
-    # materialized table — persist stands in for the parquet/Iceberg store
+    # the premise of incrementality: the corpus signature store and its
+    # band index EXIST as materialized tables (parquet/Iceberg in prod —
+    # see streaming.ingest.SignatureStore); derived lazily here, the plan
+    # is the same probe shape
     corpus_sigs = minhash_signatures(
         shingle_table(corpus), N_MINHASH, MINHASH_SEED
-    ).persist()
+    )
+    corpus_bands = banded_signatures(corpus_sigs, N_BANDS, N_MINHASH)
     novel = docs.where(
         (F.col("doc_id") % 100000 >= 60) & (F.col("doc_id") % 100000 < 100)
     ).select("doc_id", "text")
     near_corpus = corpus.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + (1 << 40)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail words appended here")).alias("text"),
     )
     within_batch = novel.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        (F.col("doc_id") + (1 << 41)).alias("doc_id"), "text"
     )
     batch = novel.unionByName(near_corpus).unionByName(within_batch)
     out = incremental_minhash_dedup(
         batch, corpus_sigs, num_hashes=N_MINHASH, bands=N_BANDS,
-        seed=MINHASH_SEED, est_threshold=0.6,
+        seed=MINHASH_SEED, est_threshold=0.6, corpus_bands=corpus_bands,
     )
     return out.select(
         "new_id", "dup_of", F.round("est_jaccard", 4).alias("est_jaccard"),
@@ -2105,11 +2112,11 @@ ORACLES["q_dedup_incremental"] = f"""
       select doc_id, text from documents
       where doc_id % 100000 >= 60 and doc_id % 100000 < 100
       union all
-      select doc_id + 100000 as doc_id,
+      select doc_id + 1099511627776 as doc_id,  -- 2^40: disjoint at any sf
              text || ' extra tail words appended here' as text
       from documents where doc_id % 100000 < 60 and doc_id % 10 = 0
       union all
-      select doc_id + 200000 as doc_id, text from documents
+      select doc_id + 2199023255552 as doc_id, text from documents  -- 2^41
       where doc_id % 100000 >= 60 and doc_id % 100000 < 100 and doc_id % 10 = 5
     ),
     {_sig_cte_sql("corpus", "corpus")},

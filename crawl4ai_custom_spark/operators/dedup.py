@@ -135,15 +135,40 @@ def banded_signatures(signatures: DataFrame, bands: int,
     ).select("id", "band_hash")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        num_hashes: int | None = None) -> DataFrame:
+def save_band_index_bucketed(bands_df: DataFrame, table: str,
+                             buckets: int = 64,
+                             path: str | None = None) -> None:
+    """Append (id, band_hash) rows to a band-index table **bucketed by
+    band_hash** — the storage layout that makes the incremental-dedup
+    probe exchange-free on the store side (mirrors
+    ``seen.save_seen_bucketed``; on Iceberg this is ``bucket(N,
+    band_hash)`` partitioning + storage-partitioned joins).
+
+    Append-only and retry-tolerant BY CONSTRUCTION rather than by
+    transactional commit: a replayed epoch may append duplicate band rows,
+    and a crashed epoch may leave band rows whose ids never reached the
+    (manifest-gated) signature store — both are harmless, because
+    candidate pairs are ``distinct``-ed and then inner-joined back to the
+    committed signature store, which drops orphans. That is why the band
+    index can be a plain bucketed table while the signature store needs a
+    manifest. ``path`` only applies on first creation (managed location
+    otherwise)."""
+    spark = bands_df.sparkSession
+    w = (bands_df.select("id", "band_hash")
+         .write.mode("append").format("parquet"))
+    if path is not None and not spark.catalog.tableExists(table):
+        w = w.option("path", path)
+    w.bucketBy(buckets, "band_hash").sortBy("band_hash").saveAsTable(table)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, *,
+                        num_hashes: int) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
     Returns distinct (id_a < id_b) candidate pairs.
 
-    Pass ``num_hashes`` when known — the fallback probe is a full action
-    that would recompute the whole signature chain just to read the length."""
-    if num_hashes is None:
-        num_hashes = len(signatures.select("sig").first()["sig"])
+    ``num_hashes`` is required: the old ``.first()`` fallback was a full
+    action that recomputed the whole signature chain just to read the
+    array length (removed per r4 advice — every caller knows the value)."""
     banded = banded_signatures(signatures, bands, num_hashes)
     a = banded.select(F.col("id").alias("id_a"), "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_hash")
@@ -239,6 +264,7 @@ def incremental_minhash_dedup(
     seed: int = 1,
     est_threshold: float = 0.6,
     new_sigs: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against an existing corpus **signature
     store** — the shape a production pipeline actually runs when a fresh
@@ -272,21 +298,31 @@ def incremental_minhash_dedup(
     ``new_sigs``: pass the batch's (id, sig) table when the caller already
     computed it (the ingest loop reuses it for the store append) — the
     caller then owns its lifecycle (persist/unpersist). When omitted it is
-    derived here and persisted for the run.
+    derived here UNPERSISTED: the recompute across the plan's branches is
+    bounded by batch size, and a hidden ``.persist()`` here would accrete
+    cache across repeated calls in a long-lived session (r4 advice).
+    Callers that want single-computation (as ``streaming.ingest`` does)
+    persist their own ``new_sigs`` and unpersist it after the epoch.
+
+    ``corpus_bands``: the corpus side's **materialized band index** —
+    (id, band_hash), built once per committed epoch with
+    ``banded_signatures`` and stored next to the signature store (see
+    ``streaming.ingest.SignatureStore``). Pass it to make the corpus side
+    of the band join a *plain scan/probe*. When omitted the index is
+    derived here by exploding ``corpus_sigs`` — acceptable for one-shot
+    batch jobs, but a per-batch re-explode of a 10^10-doc store (8×10^10
+    rows through a shuffle per ingest micro-batch) dominates the O(Δ)
+    batch work, which is exactly what the stored index eliminates.
     """
     if new_sigs is None:
         sh = shingle_table(new_docs, id_col, text_col, k)
-        # The batch signature table feeds five plan branches (bands x2 sides
-        # of the self-join, the corpus band join, and both agreement joins);
-        # unlike the full-corpus dedup (see minhash_lsh_dedup's measured
-        # A/B), the batch here is the bounded ingest delta — persisting its
-        # signatures is right at every scale (num_hashes longs per doc).
-        new_sigs = minhash_signatures(sh, num_hashes, seed).persist()
+        new_sigs = minhash_signatures(sh, num_hashes, seed)
     new_bands = banded_signatures(new_sigs, bands, num_hashes)
     # corpus_sigs is the caller's signature STORE — at production scale a
     # parquet/Iceberg table, so its branches below are plain scans; do not
     # persist someone else's 10^10-row table here.
-    corpus_bands = banded_signatures(corpus_sigs, bands, num_hashes)
+    if corpus_bands is None:
+        corpus_bands = banded_signatures(corpus_sigs, bands, num_hashes)
 
     vs_corpus = (
         new_bands.select(F.col("id").alias("new_id"), "band_hash")

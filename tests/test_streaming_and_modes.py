@@ -410,7 +410,7 @@ def test_streaming_ingest_dedup_matches_sequential_batches(spark, tmp_path):
     # ---- streaming run --------------------------------------------------
     s_store_root = str(tmp_path / "s_store")
     s_out = str(tmp_path / "s_out")
-    store = SignatureStore(spark, s_store_root)
+    store = SignatureStore(spark, s_store_root, num_hashes=16, bands=4)
     store.append(base_sigs, epoch=-1)  # pre-seed: the existing corpus
     q = stream_ingest_dedup(
         read_docs_stream(spark, ddir, max_files_per_trigger=1),
@@ -425,15 +425,14 @@ def test_streaming_ingest_dedup_matches_sequential_batches(spark, tmp_path):
     assert {r["id"] for r in store.read().collect()} == {1, 2, 11, 20}
 
     # ---- sequential batch loop over the same files ----------------------
-    b_store = SignatureStore(spark, str(tmp_path / "b_store"))
+    b_store = SignatureStore(spark, str(tmp_path / "b_store"),
+                             num_hashes=16, bands=4)
     b_store.append(base_sigs, epoch=-1)
     b_out = str(tmp_path / "b_out")
     n0 = ingest_batch(spark.createDataFrame(batch_a, ["doc_id", "text"]),
-                      b_store, 0, b_out, num_hashes=16, bands=4,
-                      est_threshold=0.9)
+                      b_store, 0, b_out, est_threshold=0.9)
     n1 = ingest_batch(spark.createDataFrame(batch_b, ["doc_id", "text"]),
-                      b_store, 1, b_out, num_hashes=16, bands=4,
-                      est_threshold=0.9)
+                      b_store, 1, b_out, est_threshold=0.9)
     assert n0 == 1 and n1 == 1
     batch_got = {r["doc_id"]
                  for r in spark.read.parquet(f"{b_out}/epoch=*").collect()}
@@ -441,5 +440,193 @@ def test_streaming_ingest_dedup_matches_sequential_batches(spark, tmp_path):
     # replay safety: re-delivering a committed epoch is a no-op
     assert ingest_batch(
         spark.createDataFrame(batch_a, ["doc_id", "text"]), b_store, 0,
-        b_out, num_hashes=16, bands=4, est_threshold=0.9) == 0
+        b_out, est_threshold=0.9) == 0
     assert b_store.read().count() == 4
+
+
+def test_band_index_bucketed_probe_plan(spark, tmp_path):
+    """Round-5 scale fix, asserted on the physical plan: the corpus band
+    index lives as a table bucketed by band_hash, so the per-batch probe
+    join scans the store side with NO Exchange and NO Generate (explode) —
+    the 8x10^10-row per-batch re-explode of the signature store is gone.
+    Only the (bounded) batch side explodes and shuffles."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+        save_band_index_bucketed,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} alpha{i * 3} beta{i * 5} gamma{i * 7} delta{i * 11} "
+             f"epsilon{i * 13} zeta{i * 17}")
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+    bands_df = banded_signatures(sigs, 4, 16)
+    # two appends = two epochs; bucketed appends must coexist in one table
+    save_band_index_bucketed(
+        bands_df.where(F.col("id") < 100), "band_index_test", buckets=4,
+        path=str(tmp_path / "band_tbl"))
+    save_band_index_bucketed(
+        bands_df.where(F.col("id") >= 100), "band_index_test", buckets=4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.createDataFrame(
+            [(1000 + i, f"doc{i} alpha{i * 3} beta{i * 5} gamma{i * 7} "
+                        f"delta{i * 11} epsilon{i * 13} zeta{i * 17}")
+             for i in range(10)],
+            ["doc_id", "text"],
+        )
+        new_bands = banded_signatures(
+            minhash_signatures(shingle_table(batch), 16, 1), 4, 16)
+        probe = new_bands.join(
+            spark.table("band_index_test").withColumnRenamed("id", "dup_of"),
+            "band_hash")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        smj = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+        # tree rendering prefixes every LEFT-child line with ':' — the
+        # right (store) subtree is the remainder
+        store_side = "\n".join(
+            l for l in lines[smj + 1:] if not l.lstrip().startswith(":"))
+        assert "Bucketed: true" in store_side
+        assert "Exchange" not in store_side   # bucketed scan: no shuffle
+        assert "Generate" not in store_side   # materialized: no explode
+        # batch side carries all the work: sig agg + join repartition
+        assert plan.count("Exchange") == 2
+        # and the probe actually finds the duplicated content
+        assert probe.select("dup_of").distinct().count() == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists band_index_test")
+
+
+def test_incremental_dedup_materialized_band_index_equivalence(spark, tmp_path):
+    """incremental_minhash_dedup(corpus_bands=store.read_bands()) returns
+    exactly what the derived-banding path returns — materialization is a
+    pure plan optimization."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore
+
+    corpus = spark.createDataFrame(
+        [(i, f"some corpus text number {i} with enough words to shingle well")
+         for i in range(50)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(shingle_table(corpus), 16, 1)
+    store = SignatureStore(spark, str(tmp_path / "store"),
+                           num_hashes=16, bands=4)
+    store.append(sigs, epoch=0)
+
+    batch = spark.createDataFrame(
+        [(900, "some corpus text number 7 with enough words to shingle well"),
+         (901, "entirely novel text about watermark semantics in streams")],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=16, bands=4, est_threshold=0.9)
+    derived = incremental_minhash_dedup(batch, store.read(), **kw)
+    probed = incremental_minhash_dedup(
+        batch, store.read(), corpus_bands=store.read_bands(), **kw)
+    key = lambda r: (r["new_id"], r["dup_of"], r["dup_source"])
+    assert sorted(map(key, probed.collect())) == sorted(map(key, derived.collect()))
+    assert {r["new_id"] for r in probed.collect()} == {900}
+
+
+def test_signature_store_manifest_recovery_and_uri_io(spark, tmp_path):
+    """The manifest is written through the Hadoop FileSystem API (works for
+    file:/hdfs:/s3a: roots) and is recoverable: deleting it rebuilds the
+    committed-epoch list from the epoch dirs' _SUCCESS markers."""
+    import os
+
+    from crawl4ai_custom_spark.operators.dedup import minhash_signatures, shingle_table
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} some words here") for i in range(20)],
+        ["doc_id", "text"])
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+    # explicit file: URI root — posix os.* would have mangled this
+    root = "file:" + str(tmp_path / "store")
+    store = SignatureStore(spark, root, num_hashes=16, bands=4)
+    store.append(sigs.where(F.col("id") < 10), epoch=0)
+    store.append(sigs.where(F.col("id") >= 10), epoch=1)
+    assert store.seen_epoch(0) and store.seen_epoch(1)
+    assert store.read().count() == 20
+    assert store.read_bands().count() == 20 * 4
+
+    os.remove(str(tmp_path / "store" / "_manifest.json"))
+    recovered = SignatureStore(spark, root, num_hashes=16, bands=4)
+    assert recovered._epochs() == [0, 1]
+    assert recovered.read().count() == 20
+    assert recovered.read_bands().count() == 20 * 4
+
+    # parameter invariants are enforced on reopen
+    recovered.append(sigs.limit(0), epoch=2)  # re-writes manifest w/ params
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SignatureStore(spark, root, num_hashes=32, bands=4)
+
+
+def test_ingest_drops_zero_token_docs(spark, tmp_path):
+    """Empty/whitespace-only docs carry no shingle evidence: without the
+    guard they bypassed the store and were re-admitted every epoch forever
+    (r4 advice). Now they are dropped before the minhash path."""
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore, ingest_batch
+
+    store = SignatureStore(spark, str(tmp_path / "store"),
+                           num_hashes=16, bands=4)
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t "), (3, "real document text with actual words")],
+        ["doc_id", "text"])
+    assert ingest_batch(b0, store, 0, out, est_threshold=0.9) == 1
+    b1 = spark.createDataFrame([(4, ""), (5, "   ")], ["doc_id", "text"])
+    assert ingest_batch(b1, store, 1, out, est_threshold=0.9) == 0
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()}
+    assert got == {3}
+
+
+def test_stream_ingest_band_table_mode(spark, tmp_path):
+    """The streaming loop with band_table (bucketed band index) admits the
+    same set as directory mode, and the band index accumulates per epoch."""
+    from crawl4ai_custom_spark.streaming.ingest import (
+        SignatureStore,
+        read_docs_stream,
+        stream_ingest_dedup,
+    )
+
+    rows_a = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+              (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+              (3, "completely different words about bucketed band index joins")]
+    rows_b = [(4, "completely different words about bucketed band index joins"),
+              (5, "yet another novel document mentioning adaptive query execution")]
+    ddir = str(tmp_path / "in")
+    spark.createDataFrame(rows_a, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite").parquet(ddir)
+    spark.createDataFrame(rows_b, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append").parquet(ddir)
+    try:
+        q = stream_ingest_dedup(
+            read_docs_stream(spark, ddir, max_files_per_trigger=1),
+            str(tmp_path / "store"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), num_hashes=16, bands=4,
+            band_table="ingest_band_tbl_test", est_threshold=0.9)
+        q.awaitTermination()
+        got = {r["doc_id"]
+               for r in spark.read.parquet(str(tmp_path / "out") + "/epoch=*").collect()}
+        assert got == {1, 3, 5}
+        store = SignatureStore(spark, str(tmp_path / "store"),
+                               num_hashes=16, bands=4,
+                               band_table="ingest_band_tbl_test")
+        assert {r["id"] for r in store.read().collect()} == {1, 3, 5}
+        assert {r["id"] for r in store.read_bands().collect()} == {1, 3, 5}
+    finally:
+        spark.sql("drop table if exists ingest_band_tbl_test")
