@@ -1667,8 +1667,11 @@ def q_market_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string").alias("catalog_id"),
         )
 
+    # materialize=False: one lazy plan instead of three parquet commit/read
+    # cycles — resume semantics are pinned separately in test_market_intel
     pipe = MarketIntelPipeline(
         spark, pages, tempfile.mkdtemp(prefix="mi_gate_"), catalog_fn,
+        materialize=False,
     )
     from crawl4ai_custom_spark.market_intel import MarketIntelConfig
 

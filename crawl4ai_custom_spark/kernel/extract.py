@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .content_filter import BM25ContentFilter, PruningContentFilter
-from .htmldom import parse_html
+from .htmldom import Node, parse_html
 from .markdown import (
     MarkdownResult,
     convert_links_to_citations,
@@ -34,6 +34,7 @@ class ExtractConfig:
     scrape: ScrapeConfig = field(default_factory=ScrapeConfig)
     content_filter: str = "pruning"       # 'pruning' | 'bm25' | 'none'
     prune_threshold: float = 0.48
+    prune_min_words: int | None = None  # reference min_word_threshold
     bm25_threshold: float = 1.0
     bm25_query: str | None = None
     # CrawlResult.fit_html parity: schema-preprocessed RAW html (reference
@@ -82,16 +83,28 @@ def extract_page(
 
     filtered_html = ""
     fit_md = ""
+    blocks = None
     if cfg.content_filter == "pruning":
-        pruner = PruningContentFilter(threshold=cfg.prune_threshold)
-        pruner._prune(tree)  # in place; markdown above already captured
-        filtered_html = tree.inner_html() if tree.tag in ("body", "#root") else tree.to_html()
-        fit_md, _ = html_to_markdown(tree)
+        # in place on the cleaned tree; markdown above already captured
+        blocks = PruningContentFilter(
+            threshold=cfg.prune_threshold,
+            min_word_threshold=cfg.prune_min_words,
+        ).filter_blocks(tree)
     elif cfg.content_filter == "bm25":
-        filtered_html = BM25ContentFilter(
-            threshold=cfg.bm25_threshold, user_query=cfg.bm25_query
-        ).filter_content(tree)
-        fit_md, _ = html_to_markdown(filtered_html)
+        blocks = BM25ContentFilter(
+            bm25_threshold=cfg.bm25_threshold, user_query=cfg.bm25_query
+        ).filter_blocks(tree)
+    if blocks is not None:
+        # reference contract (markdown_generation_strategy.py:235-239):
+        # each surviving block is <div>-wrapped; blocks joined by newline;
+        # fit_markdown is the markdown of that wrapped document
+        filtered_html = "\n".join(f"<div>{b.to_html()}</div>" for b in blocks)
+        container = Node("#root")
+        for b in blocks:
+            d = Node("div")
+            d.append(b)
+            container.append(d)
+        fit_md, _ = html_to_markdown(container)
 
     # Two distinct fields in the reference: markdown.fit_html is the
     # content-filter output (models.py:124), while CrawlResult.fit_html is

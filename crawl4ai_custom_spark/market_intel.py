@@ -64,31 +64,48 @@ class MarketIntelPipeline:
 
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  state_dir: str, catalog_fn,
-                 cfg: MarketIntelConfig | None = None):
+                 cfg: MarketIntelConfig | None = None,
+                 materialize: bool = True):
         """catalog_fn: (seeds DataFrame[seed]) -> DataFrame[PRODUCT_SCHEMA]
         — the external catalog seam (deterministic fake in tests, a real
-        API client behind mapInPandas in production)."""
+        API client behind mapInPandas in production).
+
+        ``materialize=False`` skips the per-phase parquet commits and chains
+        the phases as one lazy plan — no resume capability, but also no
+        write/read cycle per phase. Use for one-shot runs where the caller
+        doesn't need restartability (e.g. the correctness gate); production
+        collection keeps the default."""
         self.spark = spark
         self.pages = pages
         self.state_dir = state_dir
         self.catalog_fn = catalog_fn
         self.cfg = cfg or MarketIntelConfig()
-        os.makedirs(state_dir, exist_ok=True)
+        self.materialize = materialize
+        self._mem: dict[str, DataFrame] = {}
+        if materialize:
+            os.makedirs(state_dir, exist_ok=True)
 
     # -- phase plumbing ----------------------------------------------------
     def _path(self, phase: str) -> str:
         return os.path.join(self.state_dir, phase)
 
     def _done(self, phase: str) -> bool:
+        if not self.materialize:
+            return phase in self._mem
         return os.path.exists(os.path.join(self._path(phase), "_PHASE_DONE"))
 
     def _commit(self, phase: str, df: DataFrame) -> DataFrame:
+        if not self.materialize:
+            self._mem[phase] = df
+            return df
         p = self._path(phase)
         df.write.mode("overwrite").parquet(p)
         open(os.path.join(p, "_PHASE_DONE"), "w").close()
         return self.spark.read.parquet(p)
 
     def _read(self, phase: str) -> DataFrame:
+        if not self.materialize:
+            return self._mem[phase]
         return self.spark.read.parquet(self._path(phase))
 
     # -- phases ------------------------------------------------------------

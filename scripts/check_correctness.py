@@ -125,6 +125,18 @@ def main():
         print(f"{name:<{width}}  {results[name]}")
     print(f"\n{n_ok}/{len(results)} OK")
 
+    out_json = os.environ.get("CHECK_JSON_OUT")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump({
+                "sf_dir": SF,
+                "n_ok": n_ok,
+                "n_total": len(results),
+                "results": {k: results[k] for k in sorted(results)},
+            }, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

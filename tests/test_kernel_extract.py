@@ -142,14 +142,17 @@ def test_markdown_deterministic():
 
 def test_pruning_filter_drops_boilerplate_keeps_article():
     sr = scrap(URL, PAGE)
-    fit = PruningContentFilter().filter_content(parse_html(sr.cleaned_html))
+    # reference contract: filter_content returns a LIST of block fragments
+    fit = "\n".join(
+        PruningContentFilter().filter_content(parse_html(sr.cleaned_html)))
     assert "best widget for everything" in fit
     assert "Copyright 2026" not in fit
 
 
 def test_bm25_filter_keeps_query_relevant_chunks():
     html = parse_html(PAGE.decode())
-    fit = BM25ContentFilter(user_query="widget").filter_content(html)
+    fit = "\n".join(
+        BM25ContentFilter(user_query="widget").filter_content(html))
     assert "widget" in fit.lower()
     assert "Copyright" not in fit
 
