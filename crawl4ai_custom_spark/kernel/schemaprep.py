@@ -42,14 +42,24 @@ _KEEP_ATTRS = frozenset({"id", "class", "name", "type", "value"})
 
 
 def _strip_comments_and_tags(node: Node) -> None:
+    # lxml .remove(el) semantics: el's TAIL (the text up to the next sibling
+    # element) is attached to el and disappears with it — so dropping a
+    # <script> also drops the text that followed it. Comments differ: the
+    # reference's parser removes them at PARSE time (remove_comments), so
+    # text around a comment survives and merges.
     kept: list[object] = []
+    dropping_tail = False
     for c in node.children:
         if c.__class__ is Comment:
-            continue
+            continue  # parse-time removal: transparent to tails
         if c.__class__ is Node:
             if c.tag in _REMOVE_TAGS or c.tag == "head":
+                dropping_tail = True
                 continue
+            dropping_tail = False
             _strip_comments_and_tags(c)
+        elif dropping_tail:  # str run = removed element's tail
+            continue
         kept.append(c)
     node.children = kept
 
@@ -79,16 +89,20 @@ def _clean_and_truncate(
             elif len(node.attrs[k]) > attr_value_threshold:
                 node.attrs[k] = node.attrs[k][:attr_value_threshold] + "..."
     out: list[object] = []
+    seen_element = False
     for c in node.children:
         if c.__class__ is str:
-            # Text runs directly inside the root element are the root's
-            # text/tail, which the reference never visits.
-            if not is_root:
+            # lxml text/tail model: a run before the root's first element
+            # child is root.text — the reference's iter() skips the root,
+            # so it is never truncated. A run AFTER a child is that child's
+            # .tail, and children ARE visited — their tails truncate.
+            if not (is_root and not seen_element):
                 stripped = c.strip()
                 if len(stripped) > text_threshold:
                     c = stripped[:text_threshold] + "..."
             out.append(c)
         else:
+            seen_element = True
             _clean_and_truncate(
                 c, text_threshold, attr_value_threshold, is_root=False
             )
@@ -118,6 +132,13 @@ def _dedup_by_class_signature(root: Node) -> None:
             continue
         sig = (el.tag, cls, _inner_text(el))
         if sig in seen:
+            # lxml .remove drops the element's tail with it: the text run
+            # immediately following (runs are merged by now, so at most one)
+            # goes too.
+            idx = parent.children.index(el)
+            if idx + 1 < len(parent.children) \
+                    and parent.children[idx + 1].__class__ is str:
+                del parent.children[idx + 1]
             parent.remove_child(el)
             el.parent = None
         else:
