@@ -83,29 +83,33 @@ def _steal_frac(a: list[int], b: list[int]) -> float:
 STEAL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
 
 
-def _steal_probe(burn_sec: float = 1.5, threads: int = 4) -> float:
+def _burn_worker(stop_at: float) -> None:
+    x = 1.0
+    while time.time() < stop_at:
+        x = x * 1.0000001 % 7
+
+
+def _steal_probe(burn_sec: float = 1.5, procs: int | None = None) -> float:
     """Measure current CPU-steal under a brief synthetic load.
 
     Steal only accrues while vCPUs are RUNNABLE, so probing an idle guest
     reads falsely clean even when hypervisor neighbors are saturating the
-    host — a short multi-thread busy loop makes the contention visible
-    before any real (expensive) measurement is attempted."""
-    import threading
+    host. The burn uses PROCESSES sized to the cpu count — Python threads
+    serialize on the GIL, leaving ~1 vCPU runnable and understating
+    contention on multi-core hosts (r4 advice)."""
+    import multiprocessing as mp
 
-    stop = time.time() + burn_sec
-
-    def burn():
-        x = 1.0
-        while time.time() < stop:
-            x = x * 1.0000001 % 7
-        return x
-
+    if procs is None:
+        procs = min(os.cpu_count() or 4, 16)
+    stop_at = time.time() + burn_sec
+    ctx = mp.get_context("fork")
     s0 = _cpu_sample()
-    ts = [threading.Thread(target=burn) for _ in range(threads)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
+    ps = [ctx.Process(target=_burn_worker, args=(stop_at,), daemon=True)
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
     return _steal_frac(s0, _cpu_sample())
 
 

@@ -455,7 +455,10 @@ class FrontierEngine:
             if probe["n"] == probe["d"]:
                 self.pages = self._pages_input.select(*self._page_cols)
             else:
-                self.pages = self._materialize(self.pages, "pages_latest")
+                self.pages = self._materialize(
+                    self.pages,
+                    f"pages_latest_{getattr(self, '_pages_epoch', 0)}",
+                )
             self._pages_materialized = True
 
         # The seen set is APPEND-ONLY: a union view over immutable delta
@@ -1012,3 +1015,73 @@ class FrontierEngine:
             meta=meta,
         )
         return int(n_removed)
+
+    def update_pages(self, new_pages: DataFrame) -> None:
+        """Swap in a NEW capture of the web (a re-crawl epoch): subsequent
+        runs fetch against it. The latest-view materialization is
+        re-derived under an epoch-versioned name so a prior run's plan can
+        never read a half-overwritten table."""
+        from ..sources.pages import latest_pages
+
+        page_cols = [F.col("url").alias("url_canon"), "html", "warc_ts", "lang"]
+        if "status_code" in new_pages.columns:
+            page_cols.append(F.col("status_code").alias("_page_status"))
+        self._pages_input = new_pages
+        self._page_cols = page_cols
+        self.pages = latest_pages(new_pages).select(*page_cols)
+        self._pages_epoch = getattr(self, "_pages_epoch", 0) + 1
+        self._pages_materialized = False
+
+    def schedule_recrawl(self, new_pages: DataFrame) -> dict:
+        """Close the re-crawl loop at engine level (the reference's digest
+        re-crawl: adaptive_crawler.py resumes a crawl against a changed
+        site): diff the engine's current capture against ``new_pages`` and
+        amend the checkpoint so the next ``run(resume=True)``:
+
+          * CHANGED crawled urls are requeued — they stay in the seen set
+            (link rediscovery cannot double-queue them) and re-enter the
+            frontier, re-admitted through politeness/budget as usual;
+          * GONE crawled urls are retired from the exact seen set AND the
+            prefilter (cuckoo: O(retired) deletion fold) — organic link
+            rediscovery re-queues them and the fetch records the miss;
+          * NEW urls need nothing: they were never seen, so normal link
+            discovery admits them.
+
+        Only urls present in the seen set participate (a 'changed' url the
+        crawl never reached must arrive by discovery, not by fiat). The
+        engine's pages table is swapped to the new capture. Returns
+        ``{"n_changed", "n_gone", "n_requeued", "n_retired"}``."""
+        from .recrawl import capture_fingerprint, crawl_diff
+        from ..sources.pages import latest_pages
+
+        w0, _snap, meta = self._amended_snapshot_base()
+        spark = self.spark
+        new_latest = latest_pages(new_pages).select(
+            F.col("url").alias("url_canon"), "html")
+        diff = crawl_diff(
+            capture_fingerprint(self.pages, "url_canon", "html"),
+            capture_fingerprint(new_latest, "url_canon", "html"),
+        ).where(F.col("change").isin("changed", "gone"))
+
+        seen_paths = list(meta.get("seen_deltas", []))
+        parts = [spark.read.parquet(p).select("url_hash") for p in seen_paths]
+        if parts:
+            seen = parts[0]
+            for d in parts[1:]:
+                seen = seen.union(d)
+        else:
+            seen = spark.createDataFrame([], "url_hash long")
+        cand = self._materialize(
+            diff.withColumn(
+                "url_hash", F.xxhash64(canonicalize_abs_udf(F.col("url")))
+            ).join(seen, "url_hash", "semi").select("url", "change"),
+            f"recrawl_diff_{w0 + 1}",
+        )
+        changed = cand.where(F.col("change") == "changed").select("url")
+        gone = cand.where(F.col("change") == "gone").select("url")
+        n_changed, n_gone = changed.count(), gone.count()
+        n_retired = self.retire_seen(gone) if n_gone else 0
+        n_requeued = self.requeue(changed) if n_changed else 0
+        self.update_pages(new_pages)
+        return {"n_changed": n_changed, "n_gone": n_gone,
+                "n_requeued": n_requeued, "n_retired": n_retired}

@@ -45,6 +45,10 @@ def parse_args(argv):
     p.add_argument("--base-delay", type=float, default=2.0)
     p.add_argument("--wave-seconds", type=float, default=30.0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--recrawl-pages", default=None,
+                   help="NEW capture parquet: diff vs --pages, retire gone "
+                        "urls from seen, requeue changed urls, then resume "
+                        "the crawl against the new capture (implies --resume)")
     p.add_argument("--content-filter", default="pruning",
                    choices=["pruning", "bm25", "none"])
     p.add_argument("--fairness-waves", type=int, default=0,
@@ -109,14 +113,20 @@ def main(argv=None) -> int:
     seeds = list(args.seeds)
     if args.seeds_parquet:
         seeds = spark.read.parquet(args.seeds_parquet)
-    run = engine.run(seeds, resume=args.resume)
-    print(json.dumps({
+    recrawl = None
+    if args.recrawl_pages:
+        recrawl = engine.schedule_recrawl(spark.read.parquet(args.recrawl_pages))
+    run = engine.run(seeds, resume=args.resume or bool(args.recrawl_pages))
+    out = {
         "pages_crawled": run.pages_crawled,
         "waves": run.waves,
         "results_dir": run.results_dir,
         "checkpoint_dir": run.checkpoint_dir,
         "stats": run.stats,
-    }))
+    }
+    if recrawl is not None:
+        out["recrawl"] = recrawl
+    print(json.dumps(out))
     return 0
 
 

@@ -183,3 +183,88 @@ def test_requeue_and_retire_recrawl_loop(spark, site_dir, tmp_path):
     assert any(u in re_admitted for u in (hub, crawled[0]))
     assert set(children) <= re_admitted, (
         sorted(set(children) - re_admitted))
+
+
+def test_diff_driven_recrawl_admits_exactly_changed_and_gone(
+        spark, site_dir, tmp_path):
+    """Task: close the re-crawl loop end-to-end. Crawl a site, then mutate
+    it (one hub page's content changes; two of its children vanish) and
+    schedule_recrawl + resume:
+
+      * the changed hub is requeued and re-fetched with the NEW content;
+      * the gone children are retired from seen (cuckoo deletion fold),
+        organically re-discovered from the hub's re-crawl, re-admitted
+        through politeness, and recorded as fetch misses;
+      * NOTHING else is re-admitted (exact resume preserved).
+    """
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+    )
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    pages = spark.read.parquet(f"{site_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{site_dir}/robots.parquet")
+    seeds = [r["url"] for r in
+             spark.read.parquet(f"{site_dir}/seeds.parquet").collect()]
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=3, max_pages=500,
+        politeness=PolitenessConfig(wave_seconds=1e9),
+        use_bloom=True, seen_filter="cuckoo", bloom_partitions=4,
+        bloom_min_seen=0,
+    )
+    eng = FrontierEngine(
+        spark, pages, robots, cfg,
+        checkpoint_dir=str(tmp_path / "ck"), out_dir=str(tmp_path / "out"),
+    )
+    run1 = eng.run(seeds)
+    res1 = spark.read.parquet(f"{run1.results_dir}/*/results.parquet")
+    ok1 = res1.where(F.col("status_code") == 200)
+    # a crawled hub with >= 3 crawled children (children = rows whose
+    # parent_url is the hub)
+    hub_row = (
+        ok1.where(F.col("parent_url").isNotNull())
+        .groupBy("parent_url").count().where(F.col("count") >= 3)
+        .orderBy("parent_url").first()
+    )
+    assert hub_row is not None
+    hub = hub_row["parent_url"]
+    children = sorted(
+        r["url"] for r in
+        ok1.where(F.col("parent_url") == hub).select("url").collect()
+    )
+    gone = children[:2]
+    n_wave1 = run1.waves
+
+    marker = "<p>recrawl marker xyzzy fresh content</p>"
+    new_pages = (
+        pages.where(~F.col("url").isin(gone))
+        .withColumn(
+            "html",
+            F.when(
+                F.col("url") == hub,
+                F.encode(F.regexp_replace(
+                    F.decode(F.col("html"), "utf-8"),
+                    "</body>", marker + "</body>"), "utf-8"),
+            ).otherwise(F.col("html")),
+        )
+    )
+    info = eng.schedule_recrawl(new_pages)
+    assert info["n_changed"] == 1 and info["n_requeued"] == 1
+    assert info["n_gone"] == 2 and info["n_retired"] == 2
+
+    run2 = eng.run(seeds, resume=True)
+    res2 = spark.read.parquet(f"{run2.results_dir}/*/results.parquet")
+    new_rows = res2.where(
+        F.col("wave").cast("int") >= n_wave1
+    ).select("url", "status_code", "text").collect()
+    re_admitted = {r["url"] for r in new_rows}
+    # exactly the changed hub + its two vanished children, nothing else
+    assert re_admitted == {hub, *gone}, re_admitted
+    by_url = {r["url"]: r for r in new_rows}
+    assert by_url[hub]["status_code"] == 200
+    assert "recrawl marker xyzzy" in by_url[hub]["text"]
+    for g in gone:
+        assert by_url[g]["status_code"] != 200  # fetch miss: page is gone
