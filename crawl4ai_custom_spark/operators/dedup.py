@@ -534,10 +534,14 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     bucket_col: Column | None = None,
     all_pairs: bool = False,
+    multiprobe_planes: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. Brute-force WITHIN buckets (pass
     bucket_col, e.g. an LSH sign-bucket from similarity.hyperplane_bucket) —
     the scale path: the join key bounds candidate pairs to same-bucket rows.
+    ``multiprobe_planes`` (= the bucket's plane count) additionally probes
+    every Hamming-1 neighbor bucket, recovering pairs that straddle one
+    hyperplane — the recall knob measured in scripts/ann_recall.py.
     The exhaustive cross join is ground-truth-only and must be requested
     explicitly with ``all_pairs=True`` (at 100 TB a silent cartesian default
     would be a footgun).
@@ -558,11 +562,30 @@ def embedding_cosine_dedup(
         (bucket_col if bucket_col is not None else F.lit(0)).alias("bkt"),
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
+    if multiprobe_planes:
+        # Hamming-1 multiprobe: a truly-near pair can straddle one
+        # hyperplane (one sign bit flips under a tiny perturbation), which
+        # exact-bucket equality misses — measured pair recall 0.83-0.89 at
+        # 6 planes on planted near-identical copies (scripts/ann_recall.py).
+        # Probing each 1-bit-flipped bucket on ONE join side recovers every
+        # single-plane straddle (only >=2-plane straddles remain missable);
+        # candidate volume grows by <= (n_planes+1)x, still bucket-bounded.
+        probes = F.array(
+            F.col("bkt"),
+            *[F.col("bkt").bitwiseXOR(F.lit(1 << i))
+              for i in range(multiprobe_planes)],
+        )
+        a = a.withColumn("bkt", F.explode(probes))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
-    return (
+    out = (
         a.join(b, "bkt")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", "va", "vb")
+    )
+    if multiprobe_planes:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return (
+        out.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
     )

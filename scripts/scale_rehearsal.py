@@ -267,6 +267,85 @@ def ingest50k(spark) -> dict:
     }
 
 
+def stream10x(spark) -> dict:
+    """Round-5 VERDICT item 7: a MULTI-EPOCH ingest stream (10 x 5k-doc
+    batches against a 50k-doc signature store), showing that per-epoch cost
+    stays flat now that the corpus band index is materialized (appended per
+    epoch, never re-derived), and that a mid-stream manifest loss recovers
+    exactly (rebuild from _SUCCESS markers; re-delivered epoch is a no-op).
+    """
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore, ingest_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    corpus = docs.crossJoin(
+        spark.range(N_DOC_VARIANTS).select(F.col("id").alias("vid"))
+    ).select(
+        (F.col("doc_id") * N_DOC_VARIANTS + F.col("vid")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" corpus variant "),
+                 F.col("vid")).alias("text"),
+    )
+    n_corpus = corpus.count()
+    root = tempfile.mkdtemp(prefix="stream10x_")
+    store = SignatureStore(spark, os.path.join(root, "store"),
+                           num_hashes=32, bands=8)
+    out_dir = os.path.join(root, "out")
+    t0 = time.time()
+    store.append(minhash_signatures(shingle_table(corpus), 32), epoch=-1)
+    t_store = time.time() - t0
+
+    def batch_of(e: int):
+        """5k docs per epoch: half near-dups of corpus docs (tail-retouched
+        variant 3), half novel (reversed text) — ids disjoint per epoch."""
+        half = docs.where(F.col("doc_id") % 2 == e % 2)
+        base = 10_000_000 * (e + 1)
+        return half.select(
+            (F.col("doc_id") + base).alias("doc_id"),
+            F.concat(F.col("text"),
+                     F.lit(" corpus variant 3 retouched")).alias("text"),
+        ).unionByName(half.select(
+            (F.col("doc_id") + base + 5_000_000).alias("doc_id"),
+            F.concat(F.lit(f"epoch {e} novel material: "),
+                     F.reverse(F.col("text"))).alias("text"),
+        ))
+
+    epoch_secs, admitted = [], []
+    for e in range(10):
+        t0 = time.time()
+        n = ingest_batch(batch_of(e), store, e, out_dir, est_threshold=0.6)
+        epoch_secs.append(round(time.time() - t0, 1))
+        admitted.append(n)
+        if e == 4:
+            # simulated crash: the manifest vanishes mid-stream (the
+            # non-atomic delete+rename window documented in kernel/hfs) —
+            # reopening must recover all committed epochs from _SUCCESS
+            # markers, and a foreachBatch re-delivery must be a no-op
+            os.remove(os.path.join(root, "store", "_manifest.json"))
+            store = SignatureStore(spark, os.path.join(root, "store"),
+                                   num_hashes=32, bands=8)
+            recovered = sorted(store._epochs())
+            redelivered = ingest_batch(batch_of(4), store, 4, out_dir,
+                                       est_threshold=0.6)
+    tail = epoch_secs[2:]
+    return {
+        "job": "stream10x",
+        "corpus_docs": n_corpus,
+        "store_build_seconds": round(t_store, 1),
+        "epoch_seconds": epoch_secs,
+        "admitted_per_epoch": admitted,
+        "tail_flatness_max_over_min": round(max(tail) / max(min(tail), 0.1), 2),
+        "kill_recovered_epochs": recovered,
+        "redelivered_epoch_admits": redelivered,  # must be 0 (idempotent)
+        "store_final_sigs": store.read().count(),
+        "store_final_band_rows": store.read_bands().count(),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -278,6 +357,8 @@ def main() -> None:
         print(json.dumps(quality50k(spark)), flush=True)
     if which == "ingest50k":
         print(json.dumps(ingest50k(spark)), flush=True)
+    if which == "stream10x":
+        print(json.dumps(stream10x(spark)), flush=True)
 
 
 if __name__ == "__main__":
