@@ -48,7 +48,7 @@ from dataclasses import dataclass, field
 from html import escape
 
 from .htmldom import VOID_TAGS, Comment, Node, body_of, parse_html
-from .textproc import stem
+from .porter2 import porter2_stem
 
 EXCLUDED_TAGS = frozenset(
     "nav footer header aside script style form iframe noscript".split()
@@ -479,11 +479,12 @@ class BM25ContentFilter:
         toks = text.lower().split()
         if self.use_stemming:
             # the reference stems with snowballstemmer('english'); that
-            # package is absent here, so both the kernel and the test-side
-            # simulator share this deterministic Porter-lite — parity
-            # fixtures that must match the reference exactly run with
-            # use_stemming=False (a reference constructor flag)
-            toks = [stem(t) for t in toks]
+            # package is absent here, so this uses a from-scratch
+            # implementation of the same PUBLISHED Porter2 algorithm
+            # (kernel/porter2.py) — reference-shaped; exact C-implementation
+            # parity is unverifiable in this container (documented seam;
+            # use_stemming=False, a reference constructor flag, is exact)
+            toks = [porter2_stem(t) for t in toks]
         return ref_clean_tokens(toks)
 
     def filter_blocks(self, html: str | bytes | Node) -> list[Node]:

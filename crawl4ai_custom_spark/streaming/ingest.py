@@ -217,7 +217,9 @@ def ingest_batch(
 
     if store.seen_epoch(epoch):
         return 0
-    batch = batch.where(F.length(F.trim(F.col(text_col))) > 0)
+    # any non-whitespace char = at least one token (F.trim strips only
+    # ASCII spaces, which would let "\n\t" docs through)
+    batch = batch.where(F.col(text_col).rlike(r"\S"))
     # ONE shingle pass per epoch: the batch signatures drive the dedup AND
     # become the store append for the survivors (sigs are id-keyed, so the
     # admitted subset is a join, not a recompute); owned here so the cache

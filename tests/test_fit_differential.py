@@ -17,8 +17,9 @@ source, with deliberately different code shape:
 
 Shared by declaration (a convention, not filter logic): the DOM parse
 (kernel parse_html — parsing dialect is already pinned by the scraper/
-markdown byte contracts) and, in the stemming cases, the Porter-lite
-stemmer (the reference's snowball stemmer is an external seam; the
+markdown byte contracts) and, in the stemming cases, the Porter2 stemmer
+(kernel/porter2.py implements the published snowball-English algorithm;
+the snowball C implementation itself is the external seam — the
 no-stemming cases below are stemmer-independent, matching the reference's
 use_stemming=False flag).
 
@@ -49,7 +50,7 @@ from crawl4ai_custom_spark.kernel.htmldom import (
     Node,
     parse_html,
 )
-from crawl4ai_custom_spark.kernel.textproc import stem
+from crawl4ai_custom_spark.kernel.porter2 import porter2_stem
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
@@ -360,7 +361,7 @@ def sim_bm25_filter(html: str, user_query: str | None = None,
     def toks(s):
         t = s.lower().split()
         if use_stemming:
-            t = [stem(x) for x in t]
+            t = [porter2_stem(x) for x in t]
         return _sim_clean_tokens(t)
 
     scores = _sim_bm25_scores([toks(c[1]) for c in cands], toks(query))
