@@ -45,7 +45,6 @@ import math
 import re
 from collections import Counter
 from dataclasses import dataclass, field
-from html import escape
 
 from .htmldom import VOID_TAGS, Comment, Node, body_of, parse_html
 from .porter2 import porter2_stem
@@ -139,7 +138,10 @@ class PruningContentFilter:
                 s = c.strip()
                 tlen += len(s)
                 spaces += s.count(" ")
-                inner += len(escape(c, quote=False))
+                # len(escape(c, quote=False)) without building the copy:
+                # & -> &amp; (+4), < -> &lt; / > -> &gt; (+3 each)
+                inner += (len(c) + 4 * c.count("&")
+                          + 3 * c.count("<") + 3 * c.count(">"))
             elif c.__class__ is Comment:
                 inner += 7 + len(c.data)  # <!--...-->
             elif c.__class__ is Node:
@@ -147,8 +149,11 @@ class PruningContentFilter:
                 tlen += ct
                 spaces += cs
                 inner += co
+        # len(escape(v, quote=True)): adds &quot;/&#x27; (+5 each) on top
         open_len = 1 + len(n.tag) + sum(
-            4 + len(k) + len(escape(v, quote=True)) for k, v in n.attrs.items()
+            4 + len(k) + len(v) + 4 * v.count("&") + 3 * v.count("<")
+            + 3 * v.count(">") + 5 * v.count('"') + 5 * v.count("'")
+            for k, v in n.attrs.items()
         )
         if n.tag in VOID_TAGS:
             outer = open_len + 2          # '<tag .../>'

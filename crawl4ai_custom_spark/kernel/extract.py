@@ -69,9 +69,10 @@ def extract_page(
         }
 
     # one DOM for the whole downstream: markdown walks the cleaned tree
-    # scrap() built (no re-parse); the pruning filter then mutates that same
-    # tree (markdown is already done), so fit_markdown walks the pruned tree
-    # directly instead of re-parsing serialized fragments.
+    # scrap() built (no re-parse); the content filter then consumes that
+    # same tree (markdown is already captured — pruning mutates it in
+    # place, BM25 clones survivors), so fit_markdown walks live Nodes
+    # instead of re-parsing serialized fragments.
     tree = sr.body_node if sr.body_node is not None else parse_html(sr.cleaned_html)
     raw_md = cited_md = references_md = ""
     if cfg.markdown:
