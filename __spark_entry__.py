@@ -425,6 +425,27 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 recall fix for the bucketed near-dup path: Hamming-1
+    multiprobe recovers pairs that straddle ONE hyperplane (measured pair
+    recall 0.83 -> 0.975, BENCH_SCALING.md). The oracle rebuilds the
+    buckets AND the probe set (bucket XOR each single bit) in SQL."""
+    from crawl4ai_custom_spark.operators.dedup import embedding_cosine_dedup
+    from crawl4ai_custom_spark.operators.similarity import (
+        data_hyperplanes,
+        hyperplane_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    planes = data_hyperplanes(emb, n_planes=4)
+    bucketed = hyperplane_bucket(emb, planes)
+    out = embedding_cosine_dedup(
+        bucketed, threshold=0.35, bucket_col=F.col("bucket"),
+        multiprobe_planes=4,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pair -> cluster -> keeper: connected components (min-label
     propagation) over the MinHash-LSH near-dup pairs, so a pipeline can
@@ -2395,6 +2416,50 @@ ORACLES["q_embedding_neardup_bucketed"] = """
              * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 """
 
+ORACLES["q_embedding_neardup_multiprobe"] = """
+    with corpus as (
+      select vec_id, embedding::DOUBLE[] as v
+      from embeddings where vec_id < 300
+    ),
+    planes as (
+      select vec_id as plane_id, v as plane,
+             row_number() over (order by vec_id asc) - 1 as plane_rank
+      from corpus order by vec_id asc limit 4
+    ),
+    buckets as (
+      select c.vec_id,
+             sum(case when list_dot_product(c.v, p.plane) >= 0
+                      then (1 << p.plane_rank) else 0 end)::BIGINT as bucket
+      from corpus c cross join planes p
+      group by c.vec_id
+    ),
+    bv as (
+      select b.vec_id, b.bucket, c.v
+      from buckets b join corpus c using (vec_id)
+    ),
+    probes as (
+      -- own bucket + each Hamming-1 neighbor (bucket XOR 1<<i)
+      select vec_id, v,
+             case when t.i < 0 then bucket
+                  else xor(bucket, (1 << t.i)::BIGINT) end as probe
+      from bv cross join (values (-1), (0), (1), (2), (3)) t(i)
+    ),
+    cand as (
+      select distinct a.vec_id as id_a, b.vec_id as id_b
+      from probes a join bv b on a.probe = b.bucket and a.vec_id < b.vec_id
+    )
+    select c.id_a, c.id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) as cosine
+    from cand c
+    join bv a on a.vec_id = c.id_a
+    join bv b on b.vec_id = c.id_b
+    where list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
 ORACLES["q_adaptive_embedding"] = """
     with q as (
       select vec_id as query_id, embedding::DOUBLE[] as v
@@ -3961,6 +4026,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_neardup": q_simhash_neardup,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+    "q_embedding_neardup_multiprobe": q_embedding_neardup_multiprobe,
     "q_neardup_clusters": q_neardup_clusters,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_bruteforce": q_ann_bruteforce,
