@@ -263,7 +263,10 @@ def main() -> None:
                  spark.read.parquet(os.path.join(site, "seeds.parquet")).collect()]
         return eng.run(seeds)
 
-    run = timed("crawl_bfs_wave", run_wave, repeats=REPEATS)
+    # the wave loop is the longest and noisiest query on this host (±30%
+    # spread; interleaved A/B in BENCH_SCALING.md) — one extra repeat makes
+    # its best-of minimum much more stable than the default 2
+    run = timed("crawl_bfs_wave", run_wave, repeats=max(REPEATS, 3))
     extras["bfs_pages_crawled"] = run.pages_crawled
     extras["bfs_urls_per_sec"] = round(
         run.pages_crawled / timings["crawl_bfs_wave"], 2

@@ -205,6 +205,7 @@ def ingest50k(spark) -> dict:
     from pyspark.sql import functions as F
 
     from crawl4ai_custom_spark.operators.dedup import (
+        banded_signatures,
         incremental_minhash_dedup,
         minhash_lsh_dedup,
         minhash_signatures,
@@ -220,12 +221,18 @@ def ingest50k(spark) -> dict:
                  F.col("vid")).alias("text"),
     )
     n_corpus = corpus.count()
-    store_dir = os.path.join(tempfile.mkdtemp(prefix="ingest50k_"), "sigs")
+    root = tempfile.mkdtemp(prefix="ingest50k_")
+    store_dir = os.path.join(root, "sigs")
+    bands_dir = os.path.join(root, "bands")
     t0 = time.time()
     minhash_signatures(shingle_table(corpus), num_hashes=32).write.mode(
         "overwrite").parquet(store_dir)
-    t_store = time.time() - t0
     store = spark.read.parquet(store_dir)
+    # round 5: the band index is part of the store (written once, appended
+    # per epoch in production — never re-derived per batch)
+    banded_signatures(store, 8, 32).write.mode("overwrite").parquet(bands_dir)
+    t_store = time.time() - t0
+    store_bands = spark.read.parquet(bands_dir)
 
     half = docs.where(F.col("doc_id") % 2 == 0)
     batch = half.select(
@@ -241,7 +248,8 @@ def ingest50k(spark) -> dict:
 
     t0 = time.time()
     flagged = incremental_minhash_dedup(
-        batch, store, num_hashes=32, bands=8, est_threshold=0.6
+        batch, store, num_hashes=32, bands=8, est_threshold=0.6,
+        corpus_bands=store_bands,
     ).select("new_id").distinct()
     n_dup = flagged.count()
     t_inc = time.time() - t0
