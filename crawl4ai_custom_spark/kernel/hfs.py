@@ -56,7 +56,11 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """tmp-write + delete + rename (see module docstring for the atomicity
-    contract — pair this with a recovery path, not blind trust)."""
+    contract — pair this with a recovery path, not blind trust).
+
+    Hadoop FileSystem signals most failures by RETURNING FALSE rather than
+    throwing — a silently-failed manifest commit would leave the caller
+    believing an epoch committed, so false results raise here."""
     fs, p, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
@@ -64,9 +68,22 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
+    if fs.exists(p) and not fs.delete(p, False):
+        raise IOError(f"hfs.write_text: delete of existing {path} failed")
+    if not fs.rename(tmp, p):
+        raise IOError(f"hfs.write_text: rename {path}.tmp -> {path} failed")
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file/dir; False when absent. Raises on a reported failure
+    (Hadoop returns false for 'existed but could not delete' too — callers
+    that must distinguish should check exists() first, as ours do)."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    if not fs.delete(p, recursive):
+        raise IOError(f"hfs.delete: delete of {path} failed")
+    return True
 
 
 def list_names(spark: SparkSession, dir_path: str) -> list[str]:

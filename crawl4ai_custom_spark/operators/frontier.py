@@ -218,16 +218,8 @@ class FrontierEngine:
         self.out_dir = out_dir or tempfile.mkdtemp(prefix="crawl_out_")
         self.store = CheckpointStore(spark, self.checkpoint_dir)
         # the "fetchable web": latest capture per url, keyed by url
-        from ..sources.pages import latest_pages
-
-        # an optional status_code column in the pages table simulates
-        # transient fetch outcomes (429/503 -> retry with backoff)
-        page_cols = [F.col("url").alias("url_canon"), "html", "warc_ts", "lang"]
-        if "status_code" in pages.columns:
-            page_cols.append(F.col("status_code").alias("_page_status"))
-        self._pages_input = pages
-        self._page_cols = page_cols
-        self.pages = latest_pages(pages).select(*page_cols)
+        self._pages_epoch = -1
+        self.update_pages(pages)
 
     # ------------------------------------------------------------------
     def _seed_frontier(self, seed_urls: list[str] | DataFrame) -> DataFrame:
@@ -1017,20 +1009,28 @@ class FrontierEngine:
         return int(n_removed)
 
     def update_pages(self, new_pages: DataFrame) -> None:
-        """Swap in a NEW capture of the web (a re-crawl epoch): subsequent
-        runs fetch against it. The latest-view materialization is
-        re-derived under an epoch-versioned name so a prior run's plan can
-        never read a half-overwritten table."""
+        """Set/swap the web capture (also the __init__ path, so the column
+        setup lives exactly once): subsequent runs fetch against it. The
+        latest-view materialization is re-derived under an epoch-versioned
+        name so a prior run's plan can never read a half-overwritten table;
+        copies older than the PREVIOUS epoch are reclaimed (a long-lived
+        recrawl loop must not accrete a full copy of the web per epoch)."""
+        from ..kernel import hfs
         from ..sources.pages import latest_pages
 
+        # an optional status_code column in the pages table simulates
+        # transient fetch outcomes (429/503 -> retry with backoff)
         page_cols = [F.col("url").alias("url_canon"), "html", "warc_ts", "lang"]
         if "status_code" in new_pages.columns:
             page_cols.append(F.col("status_code").alias("_page_status"))
         self._pages_input = new_pages
         self._page_cols = page_cols
         self.pages = latest_pages(new_pages).select(*page_cols)
-        self._pages_epoch = getattr(self, "_pages_epoch", 0) + 1
+        self._pages_epoch += 1
         self._pages_materialized = False
+        for old in range(self._pages_epoch - 1):  # keep current + previous
+            hfs.delete(self.spark, os.path.join(
+                self.checkpoint_dir, "_state", f"pages_latest_{old}"))
 
     def schedule_recrawl(self, new_pages: DataFrame) -> dict:
         """Close the re-crawl loop at engine level (the reference's digest

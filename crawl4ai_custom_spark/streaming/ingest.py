@@ -105,35 +105,59 @@ class SignatureStore:
         self.bands = bands
         self.band_table = band_table
         self.band_buckets = band_buckets
+        self._cached_manifest: dict | None = None
         hfs.mkdirs(spark, self.root)
         m = self._manifest()
         if m.get("epochs"):
-            if (m.get("num_hashes", num_hashes) != num_hashes
-                    or m.get("bands", bands) != bands):
-                raise ValueError(
-                    f"store at {root} was built with num_hashes="
-                    f"{m.get('num_hashes')}, bands={m.get('bands')}; "
-                    f"got {num_hashes}/{bands}")
+            if "num_hashes" in m:
+                if m["num_hashes"] != num_hashes or m.get("bands") != bands:
+                    raise ValueError(
+                        f"store at {root} was built with num_hashes="
+                        f"{m.get('num_hashes')}, bands={m.get('bands')}; "
+                        f"got {num_hashes}/{bands}")
+            else:
+                # recovered manifest carries no parameters — validate against
+                # the DATA instead of trusting the caller (a wrong-parameter
+                # reopen would band/compare sig prefixes silently)
+                row = self.read().select(F.size("sig").alias("n")).first()
+                if row is not None and row["n"] != num_hashes:
+                    raise ValueError(
+                        f"store at {root}: stored signatures have "
+                        f"{row['n']} hashes; got num_hashes={num_hashes}")
 
     @property
     def _manifest_path(self) -> str:
         return f"{self.root}/_manifest.json"
 
     def _manifest(self) -> dict:
-        if not hfs.exists(self.spark, self._manifest_path):
-            return self._recover()
-        return json.loads(hfs.read_text(self.spark, self._manifest_path))
+        """Parsed manifest, cached on the instance (single-writer store:
+        the owning ingest loop is the only mutator, so the cache is only
+        invalidated by our own append). A recovered manifest is written
+        back immediately so recovery cost is paid once, not per call."""
+        if self._cached_manifest is not None:
+            return self._cached_manifest
+        if hfs.exists(self.spark, self._manifest_path):
+            m = json.loads(hfs.read_text(self.spark, self._manifest_path))
+        else:
+            m = self._recover()
+            if m["epochs"]:
+                hfs.write_text(self.spark, self._manifest_path,
+                               json.dumps(m))
+        self._cached_manifest = m
+        return m
 
     def _recover(self) -> dict:
         """Rebuild the manifest from `_SUCCESS` markers (manifest lost or
         first open). Bands are written before signatures, so a signature
-        dir with `_SUCCESS` implies its band rows exist too."""
+        dir with `_SUCCESS` implies its band rows exist too. Parameters
+        cannot be recovered — __init__ validates them against the stored
+        signature width instead."""
         epochs = []
         for name in hfs.list_names(self.spark, self.root):
             if name.startswith("epoch=") and hfs.exists(
                     self.spark, f"{self.root}/{name}/_SUCCESS"):
                 epochs.append(int(name.split("=", 1)[1]))
-        return {"epochs": sorted(epochs)} if epochs else {"epochs": []}
+        return {"epochs": sorted(epochs)}
 
     def _epochs(self) -> list[int]:
         return self._manifest()["epochs"]
@@ -147,21 +171,43 @@ class SignatureStore:
     def read_bands(self) -> DataFrame:
         """The materialized (id, band_hash) index over committed epochs —
         the corpus side of the incremental probe, as a plain scan (or an
-        exchange-free bucketed-table scan with ``band_table``)."""
+        exchange-free bucketed-table scan with ``band_table``).
+
+        NEVER silently partial: a committed epoch with no materialized
+        band data (store predating the index, or a layout switch) gets its
+        bands DERIVED from its stored signatures instead — an empty/short
+        index would admit every near-duplicate of those epochs forever."""
+        from ..operators.dedup import banded_signatures
+
         if self.band_table is not None:
-            if not self.spark.catalog.tableExists(self.band_table):
-                return self.spark.createDataFrame([], BAND_SCHEMA)
-            return self.spark.table(self.band_table)
-        dirs = [f"{self.root}/bands/epoch={e}" for e in self._epochs()
+            if self.spark.catalog.tableExists(self.band_table):
+                return self.spark.table(self.band_table)
+            # layout mismatch / legacy store: derive, loudly correct
+            return banded_signatures(self.read(), self.bands,
+                                     self.num_hashes)
+        have = [e for e in self._epochs()
                 if hfs.exists(self.spark, f"{self.root}/bands/epoch={e}")]
-        if not dirs:
+        missing = [e for e in self._epochs() if e not in have]
+        parts: list[DataFrame] = []
+        if have:
+            parts.append(self.spark.read.schema(BAND_SCHEMA).parquet(
+                *[f"{self.root}/bands/epoch={e}" for e in have]))
+        if missing:
+            sigs = self.spark.read.schema(SIG_SCHEMA).parquet(
+                *[f"{self.root}/epoch={e}" for e in missing])
+            parts.append(banded_signatures(sigs, self.bands, self.num_hashes))
+        if not parts:
             return self.spark.createDataFrame([], BAND_SCHEMA)
-        return self.spark.read.schema(BAND_SCHEMA).parquet(*dirs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def append(self, sigs: DataFrame, epoch: int) -> None:
         """Commit one epoch: band index first, signatures second, manifest
         last. Retry-safe: directory writes are per-epoch overwrites; the
-        bucketed band table tolerates duplicate/orphan rows by design."""
+        bucketed band table tolerates duplicate/orphan rows by design
+        (compact with ``compact_band_table`` if retries accumulate)."""
         from ..operators.dedup import banded_signatures, save_band_index_bucketed
 
         bands_df = banded_signatures(sigs, self.bands, self.num_hashes)
@@ -174,14 +220,44 @@ class SignatureStore:
                 f"{self.root}/bands/epoch={epoch}")
         sigs.write.mode("overwrite").parquet(f"{self.root}/epoch={epoch}")
         m = self._manifest()
-        epochs = m["epochs"]
+        epochs = list(m["epochs"])
         if epoch not in epochs:
             epochs.append(epoch)
-        hfs.write_text(self.spark, self._manifest_path, json.dumps({
-            "epochs": sorted(epochs),
-            "num_hashes": self.num_hashes,
-            "bands": self.bands,
-        }))
+        new_m = {"epochs": sorted(epochs), "num_hashes": self.num_hashes,
+                 "bands": self.bands}
+        hfs.write_text(self.spark, self._manifest_path, json.dumps(new_m))
+        self._cached_manifest = new_m
+
+    def compact_band_table(self) -> None:
+        """Maintenance for ``band_table`` mode: foreachBatch replays append
+        duplicate band rows (benign for correctness, but they accrete scan
+        cost over the store's lifetime). Rebuilds the table as the distinct
+        rows whose ids exist in the committed signature store — dropping
+        retry duplicates AND crashed-epoch orphans in one pass."""
+        if self.band_table is None or not self.spark.catalog.tableExists(
+                self.band_table):
+            return
+        from ..operators.dedup import save_band_index_bucketed
+
+        tmp = f"{self.root}/band_table_compact"
+        canonical = f"{self.root}/band_table"
+        (self.spark.table(self.band_table).distinct()
+         .join(self.read().select("id"), "id", "semi")
+         .write.mode("overwrite").parquet(tmp))
+        self.spark.sql(f"drop table if exists {self.band_table}")
+        # dropping an EXTERNAL table keeps its data files — clear the
+        # canonical location before recreating there, or the rebuilt table
+        # would union the stale files back in
+        hfs.delete(self.spark, canonical)
+        save_band_index_bucketed(
+            self.spark.read.schema(BAND_SCHEMA).parquet(tmp),
+            self.band_table, buckets=self.band_buckets, path=canonical)
+
+    def refresh(self) -> None:
+        """Drop the cached manifest. The cache assumes a SINGLE WRITER (the
+        owning ingest loop); a separate reader instance observing another
+        process's appends calls this (or reopens) to see new epochs."""
+        self._cached_manifest = None
 
     def seen_epoch(self, epoch: int) -> bool:
         return epoch in self._epochs()

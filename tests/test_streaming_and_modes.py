@@ -421,7 +421,10 @@ def test_streaming_ingest_dedup_matches_sequential_batches(spark, tmp_path):
 
     got = {r["doc_id"] for r in spark.read.parquet(f"{s_out}/epoch=*").collect()}
     assert got == {11, 20}
-    # store = corpus + admitted signatures, nothing else
+    # store = corpus + admitted signatures, nothing else (the streaming
+    # sink appended through ITS OWN store instance — refresh this reader's
+    # manifest cache to observe those epochs)
+    store.refresh()
     assert {r["id"] for r in store.read().collect()} == {1, 2, 11, 20}
 
     # ---- sequential batch loop over the same files ----------------------
@@ -630,3 +633,102 @@ def test_stream_ingest_band_table_mode(spark, tmp_path):
         assert {r["id"] for r in store.read_bands().collect()} == {1, 3, 5}
     finally:
         spark.sql("drop table if exists ingest_band_tbl_test")
+
+
+def test_read_bands_derives_for_epochs_missing_band_dirs(spark, tmp_path):
+    """A store whose committed epochs predate the materialized band index
+    (round-4 layout) must NOT probe an empty/partial index — missing
+    epochs get their bands derived from stored signatures."""
+    import shutil
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with some words") for i in range(30)],
+        ["doc_id", "text"])
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+    root = tmp_path / "store"
+    store = SignatureStore(spark, str(root), num_hashes=16, bands=4)
+    store.append(sigs.where(F.col("id") < 15), epoch=0)
+    store.append(sigs.where(F.col("id") >= 15), epoch=1)
+    # simulate the legacy layout: epoch 0's band dir never existed
+    shutil.rmtree(str(root / "bands" / "epoch=0"))
+    assert {r["id"] for r in store.read_bands().collect()} == set(range(30))
+    assert store.read_bands().count() == 30 * 4
+
+
+def test_wrong_parameter_reopen_after_manifest_loss_raises(spark, tmp_path):
+    """Recovery cannot restore num_hashes/bands from _SUCCESS markers, so a
+    reopen validates the caller's parameters against the stored signature
+    width instead of trusting them."""
+    import os
+
+    import pytest as _pytest
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i} here") for i in range(10)], ["doc_id", "text"])
+    root = tmp_path / "store"
+    store = SignatureStore(spark, str(root), num_hashes=32, bands=8)
+    store.append(minhash_signatures(shingle_table(docs), 32, 1), epoch=0)
+    os.remove(str(root / "_manifest.json"))
+    with _pytest.raises(ValueError, match="32 hashes"):
+        SignatureStore(spark, str(root), num_hashes=16, bands=4)
+    # the correct parameters still open fine
+    ok = SignatureStore(spark, str(root), num_hashes=32, bands=8)
+    assert ok._epochs() == [0]
+
+
+def test_compact_band_table_drops_retry_duplicates_and_orphans(spark, tmp_path):
+    """foreachBatch replays duplicate band rows and crashed epochs leave
+    orphans in the bucketed band table; compaction rebuilds it to exactly
+    the committed store's distinct rows without changing probe results."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+        save_band_index_bucketed,
+        shingle_table,
+    )
+    from crawl4ai_custom_spark.streaming.ingest import SignatureStore
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} body words enough to shingle") for i in range(20)],
+        ["doc_id", "text"])
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+    try:
+        store = SignatureStore(spark, str(tmp_path / "store"),
+                               num_hashes=16, bands=4,
+                               band_table="compact_test_tbl")
+        store.append(sigs, epoch=0)
+        # a replayed epoch appends the same rows again, plus an orphan whose
+        # id never reached the signature store (crashed epoch)
+        dup_and_orphan = banded_signatures(sigs, 4, 16).unionByName(
+            spark.createDataFrame([(999, 12345)], "id long, band_hash long"))
+        save_band_index_bucketed(dup_and_orphan, "compact_test_tbl", buckets=8)
+        n_dirty = spark.table("compact_test_tbl").count()
+        assert n_dirty == 2 * 20 * 4 + 1
+        store.compact_band_table()
+        clean = spark.table("compact_test_tbl")
+        assert clean.count() == 20 * 4
+        assert clean.where(F.col("id") == 999).count() == 0
+        # still bucketed after the rebuild (bucketing only surfaces in the
+        # plan when it replaces a shuffle, so force the SMJ path)
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert "Bucketed: true" in clean.join(
+                clean.withColumnRenamed("id", "id2"), "band_hash"
+            )._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    finally:
+        spark.sql("drop table if exists compact_test_tbl")
