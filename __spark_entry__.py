@@ -377,6 +377,32 @@ def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2021 ExactSubstr, the
+    companion of q_dup_fraction's detection signal): a 12-token boilerplate
+    run is appended to every 6th doc (twice to every 11th, exercising
+    within-document repeats); every occurrence but the first is excised at
+    token granularity and the text rebuilt."""
+    from crawl4ai_custom_spark.operators.dedup import exact_substring_dedup
+
+    boiler = (" subscribe to our mailing list now for exclusive offers"
+              " and weekly updates")
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(boiler)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(boiler)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(injected, k=10)
+    return out.select(
+        "doc_id", "n_tokens", "n_tokens_removed",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.dedup import simhash
 
@@ -2202,6 +2228,63 @@ ORACLES["q_dup_fraction"] = f"""
     group by w.id
 """
 
+_BOILER_SQL = ("subscribe to our mailing list now for exclusive offers"
+               " and weekly updates")
+ORACLES["q_exact_substring"] = f"""
+    with injected as (
+      select doc_id,
+        text
+        || case when doc_id % 6 = 0 then ' {_BOILER_SQL}' else '' end
+        || case when doc_id % 11 = 0 then ' {_BOILER_SQL}' else '' end
+        as text
+      from documents where doc_id < 300
+    ), m as (
+      select doc_id as id,
+        list_filter(string_split({_NORM_TEXT_SQL}, ' '), x -> x <> '') as l
+      from injected
+    ), ms as (
+      -- window starts: 1..len-9 (k=10); short docs get one whole-doc
+      -- window; zero-token docs get none
+      select id, l,
+        range(1, greatest(len(l) - 8, least(len(l), 1) + 1)) as starts
+      from m
+    ), toks as (
+      select id, unnest(range(1, len(l)+1)) as pos, unnest(l) as tok from m
+    ), wins as (
+      select id, pos, {_HASH_SQL.format(x="w")} as window_hash
+      from (
+        select id, unnest(starts) as pos,
+          unnest(list_transform(starts,
+                 i -> array_to_string(l[i:i+9], ' '))) as w
+        from ms
+      )
+    ), marked as (
+      select id, pos,
+        count(*) over (partition by window_hash) as n_occ,
+        row_number() over (partition by window_hash order by id, pos) as rn
+      from wins
+    ), drop_pos as (
+      select distinct id, pos + unnest(range(0, 10)) as pos
+      from marked where n_occ > 1 and rn > 1
+    ), kept as (
+      select t.id, t.pos, t.tok from toks t
+      where not exists (select 1 from drop_pos d
+                        where d.id = t.id and d.pos = t.pos)
+    ), rebuilt as (
+      select id, string_agg(tok, ' ' order by pos) as clean,
+             count(*) as n_kept
+      from kept group by id
+    )
+    select i.doc_id,
+      coalesce(len(m.l), 0)::INT as n_tokens,
+      (coalesce(len(m.l), 0) - coalesce(r.n_kept, 0))::INT
+        as n_tokens_removed,
+      md5(coalesce(r.clean, '')) as clean_md5
+    from injected i
+    left join m on m.id = i.doc_id
+    left join rebuilt r on r.id = i.doc_id
+"""
+
 ORACLES["q_neardup_clusters"] = f"""
     with recursive corpus as (
       select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
@@ -4022,6 +4105,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dup_fraction": q_dup_fraction,
+    "q_exact_substring": q_exact_substring,
     "q_simhash": q_simhash,
     "q_simhash_neardup": q_simhash_neardup,
     "q_embedding_neardup": q_embedding_neardup,

@@ -431,6 +431,117 @@ def window_dup_stats(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", §4 ExactSubstr) — the
+    companion to :func:`window_dup_stats`, which only reports the signal.
+    The paper removes every duplicated token run (length >= threshold)
+    except one occurrence, using a corpus suffix array; Spark-shaped, the
+    same semantics fall out of positional k-token windows: a window that
+    occurs more than once across the WHOLE corpus (within-document repeats
+    count, exactly like a suffix array) is removed from every occurrence
+    except the first (lexicographically smallest (id, position)), at token
+    granularity. Overlapping duplicated windows merge into maximal removed
+    spans automatically because removal is the union of their [pos, pos+k)
+    token positions. Rebuilt text is token-normalized (single space,
+    lowercased — ``normalized_text`` form, shared with every dedup op).
+
+    Tokenization matches ``window_dup_stats``: whitespace tokens of the
+    normalized text; documents shorter than k tokens contribute one
+    whole-document window; zero-token documents pass through with empty
+    rebuilt text. Returns ``docs`` with ``text_col`` rebuilt plus
+    ``n_tokens``, ``n_tokens_removed``.
+
+    Scale shape (mirrors :func:`span_dedup`, the sentence-level C4 pass):
+    windows are built at the ARRAY level (one projection, no per-doc
+    window function); the duplicate count + keeper pick is ONE
+    groupBy(window_hash) with partial map-side count + min(struct(id,pos))
+    — a boilerplate run duplicated across 10^8 pages is a single agg key —
+    and only DUPLICATED keys join back; the rebuild is one groupBy(id)
+    with array_sort. Linear in corpus token count, shuffles keyed on the
+    uniform window_hash / id — no self-joins, survives 100 TB.
+    """
+    did = F.col(id_col)
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: w != F.lit(""),
+    )
+    base = docs.select(did.alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    tok_rows = base.select(
+        "id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # window start positions, 1-based; short docs get one whole-doc window
+    # (slice past the end clamps, in Spark and in the DuckDB oracle alike)
+    idx = (
+        F.when(n >= k, F.sequence(F.lit(1), n - k + 1))
+        .when(n >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    wins = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    stable_hash60(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                    ).alias("window_hash"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), "w.window_hash")
+    dup = (
+        wins.groupBy("window_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keeper"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select("window_hash", "keeper")
+    )
+    drop = (
+        wins.join(dup, "window_hash")
+        .where(F.struct(F.col("id"), F.col("pos")) != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(drop, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select("id", n.alias("_n_toks"))
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left").drop("id")
+        .join(totals, docs[id_col] == totals["id"], "left").drop("id")
+        .withColumn("n_tokens", F.coalesce("_n_toks", F.lit(0)))
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce("_n_toks", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)),
+        )
+        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        .drop("_clean", "_n_kept", "_n_toks")
+    )
+
+
 def ngram_jaccard_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

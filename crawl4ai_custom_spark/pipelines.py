@@ -42,6 +42,7 @@ class CorpusConfig:
     gopher_rules: bool = False     # full Gopher rule pack (gopher_keep gate)
     c4_rules: bool = False         # C4 line filters + page flags (rebuilds text)
     span_dedup_sentences: int | None = None  # C4 global span dedup when set
+    exact_substring_tokens: int | None = None  # Lee-et-al span REMOVAL when set
     max_dup_line_frac: float = 0.5
     lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
     line_dedup_max_docs: int | None = None  # C4 global line dedup when set
@@ -118,6 +119,17 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
         docs = span_dedup(docs, id_col=id_col, text_col=text_col,
                           span=cfg.span_dedup_sentences).drop(
             "n_sentences", "n_sentences_removed")
+
+    # 0d. optional Lee-et-al exact-substring removal (duplicated k-token
+    # runs keep only their first occurrence, token granularity) — the
+    # removal companion of the max_dup_window_frac detection gate below
+    if cfg.exact_substring_tokens is not None:
+        from .operators.dedup import exact_substring_dedup
+
+        docs = exact_substring_dedup(
+            docs, id_col=id_col, text_col=text_col,
+            k=cfg.exact_substring_tokens,
+        ).drop("n_tokens", "n_tokens_removed")
 
     # 0d. optional Gopher document-rule pack (shuffle-free projection)
     if cfg.gopher_rules:

@@ -132,6 +132,54 @@ def test_window_dup_stats(spark):
     assert out[4]["n_windows"] == 6 and out[4]["dup_windows"] == 0
 
 
+def test_exact_substring_dedup(spark):
+    from crawl4ai_custom_spark.operators.dedup import exact_substring_dedup
+
+    d = spark.createDataFrame(
+        [
+            # k=4: doc 1 holds the keeper occurrence of 'a b c d'
+            (1, "a b c d tail one two three"),
+            # same run mid-document: tokens 3..6 removed
+            (2, "x y a b c d z w"),
+            # run repeated WITHIN one doc: second occurrence removed
+            # (within-doc repeats count, like the suffix-array method)
+            (3, "p q r s gap1 gap2 gap3 gap4 p q r s"),
+            (4, "totally unique little document"),
+            (5, ""),  # zero tokens: passes through empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(d, k=4).collect()}
+    # keeper occurrence survives intact
+    assert out[1]["text"] == "a b c d tail one two three"
+    assert out[1]["n_tokens_removed"] == 0
+    # duplicated run excised at token granularity, surroundings kept
+    assert out[2]["text"] == "x y z w"
+    assert out[2]["n_tokens"] == 8 and out[2]["n_tokens_removed"] == 4
+    # within-doc repeat: first occurrence kept, second removed
+    assert out[3]["text"] == "p q r s gap1 gap2 gap3 gap4"
+    assert out[3]["n_tokens_removed"] == 4
+    assert out[4]["text"] == "totally unique little document"
+    assert out[5]["text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_exact_substring_dedup_overlap_merge(spark):
+    """Overlapping duplicated windows merge into one maximal removed span
+    (the Lee et al. maximal-substring behavior)."""
+    from crawl4ai_custom_spark.operators.dedup import exact_substring_dedup
+
+    run = "r1 r2 r3 r4 r5 r6"  # 6 tokens, k=4 -> 3 overlapping dup windows
+    d = spark.createDataFrame(
+        [(1, f"{run} end"), (2, f"pre {run} post")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(d, k=4).collect()}
+    assert out[1]["text"] == f"{run} end"
+    # whole 6-token run removed from doc 2, not just one window
+    assert out[2]["text"] == "pre post"
+    assert out[2]["n_tokens_removed"] == 6
+
+
 def test_simhash_dedup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_dedup(docs, max_hamming=10, n_bands=5).collect()}

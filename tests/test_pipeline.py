@@ -185,3 +185,24 @@ def test_pipeline_window_dup_gate(spark):
     kept = {r["doc_id"] for r in build_training_set(docs, cfg).collect()}
     assert kept & {0, 1, 2, 3, 4, 5} == {0, 1, 2, 3, 4, 5}
     assert not kept & {10, 11, 12, 13}
+
+
+def test_pipeline_exact_substring_stage(spark):
+    """The exact-substring removal stage excises a duplicated token run from
+    all but its first occurrence while the surrounding documents survive."""
+    boiler = ("all rights reserved by the site operator under the usual "
+              "terms that apply to every page")
+    docs = spark.createDataFrame(
+        [(i, _doc(i) + " " + boiler) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    cfg = CorpusConfig(near_dedup=False, redact_pii=False,
+                       exact_substring_tokens=8)
+    out = {r["doc_id"]: r["text"]
+           for r in build_training_set(docs, cfg).collect()}
+    # every doc survives the stage; the boilerplate run stays only in the
+    # keeper occurrence (doc 0, the smallest (id, pos))
+    assert set(out) == {0, 1, 2, 3}
+    assert "rights reserved" in out[0]
+    for i in (1, 2, 3):
+        assert "rights reserved" not in out[i]
