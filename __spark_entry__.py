@@ -1035,6 +1035,61 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/UT1-style URL curation: a data-driven blocked-domain
+    table (broadcast join) + soft keyword scoring over the url string;
+    blocked = domain hit OR >= 2 keyword hits."""
+    from crawl4ai_custom_spark.operators.filters import url_blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("free-casino-poker/"))
+            .when(F.col("doc_id") % 5 == 0, F.lit("news-casino/"))
+            .otherwise(F.lit("articles/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url_canon"),
+        F.concat(F.col("source"), F.lit(".com")).alias("registrable_domain"),
+    )
+    blocked = spark.createDataFrame(
+        [("src3.com",), ("src7.com",)], ["domain"]
+    )
+    out = url_blocklist_flags(
+        urls, blocked, keywords=["casino", "poker"], kw_threshold=2
+    )
+    return out.select(
+        "doc_id", "url_canon", "registrable_domain",
+        "domain_blocked", "kw_hits", "url_blocked",
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): per-lang
+    NLL terciles from the same unigram LM as q_lm_score, applied as a
+    broadcast threshold join. NLLs are rounded (with the q_lm_score nudge)
+    BEFORE the percentile so both engines cut an identical multiset."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        ccnet_buckets,
+        lm_quality_score,
+        nll_thresholds,
+        unigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(docs.where(F.col("doc_id") < 300))
+    scored = (
+        lm_quality_score(docs.where(F.col("doc_id") < 500), lm)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("avg_nll", F.round(F.col("avg_nll") + 1e-9, 6))
+    )
+    th = nll_thresholds(scored)
+    return ccnet_buckets(scored, th).select(
+        "doc_id", "lang", "avg_nll", "bucket"
+    )
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-ngram quality classifier (GPT-3/CCNet stage):
     NB log-odds weights over hashed unigram+bigram buckets, trained on docs
@@ -3253,6 +3308,75 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_url_blocklist"] = """
+    with urls as (
+      select doc_id,
+        'https://' || source || '.com/'
+          || case when doc_id % 7 = 0 then 'free-casino-poker/'
+                  when doc_id % 5 = 0 then 'news-casino/'
+                  else 'articles/' end
+          || doc_id as url_canon,
+        source || '.com' as registrable_domain
+      from documents where doc_id < 400
+    ),
+    bl as (select * from (values ('src3.com'), ('src7.com')) t(domain))
+    select u.doc_id, u.url_canon, u.registrable_domain,
+      (b.domain is not null) as domain_blocked,
+      (case when contains(lower(u.url_canon), 'casino') then 1 else 0 end
+       + case when contains(lower(u.url_canon), 'poker') then 1 else 0 end)
+        as kw_hits,
+      ((b.domain is not null)
+       or (case when contains(lower(u.url_canon), 'casino') then 1 else 0 end
+           + case when contains(lower(u.url_canon), 'poker') then 1 else 0 end)
+          >= 2) as url_blocked
+    from urls u left join bl b on b.domain = u.registrable_domain
+"""
+
+ORACLES["q_ccnet_buckets"] = """
+    with ref_toks as (
+      select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) as term
+      from documents where doc_id < 300
+    ),
+    counts as (select term, count(*) as c from ref_toks group by term),
+    scal as (select sum(c) as total, count(*) as vocab from counts),
+    lm as (
+      select term, ln((c + 1.0) / (total + vocab)) as logp
+      from counts cross join scal
+    ),
+    doc_toks as (
+      select doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) as term
+      from documents where doc_id < 500
+    ),
+    scored as (
+      select d.doc_id,
+             coalesce(lm.logp, ln(1.0 / (scal.total + scal.vocab))) as logp
+      from doc_toks d cross join scal left join lm on lm.term = d.term
+    ),
+    agg as (
+      select doc_id, -avg(logp) as avg_nll from scored group by doc_id
+    ),
+    nlls as (
+      select docs.doc_id, docs.lang,
+             round(coalesce(agg.avg_nll, 0.0) + 1e-9, 6) as avg_nll
+      from (select doc_id, lang from documents where doc_id < 500) docs
+      left join agg on agg.doc_id = docs.doc_id
+    ),
+    th as (
+      select lang,
+             quantile_cont(avg_nll, 1.0/3) as head_max,
+             quantile_cont(avg_nll, 2.0/3) as middle_max
+      from nlls group by lang
+    )
+    select n.doc_id, n.lang, n.avg_nll,
+           case when n.avg_nll <= t.head_max then 'head'
+                when n.avg_nll <= t.middle_max then 'middle'
+                else 'tail' end as bucket
+    from nlls n join th t using (lang)
+"""
+
 ORACLES["q_mixture_sample"] = """
     with counts as (select lang, count(*) as n_g from documents group by lang),
     scal as (select sum(sqrt(n_g)) as z, sum(n_g) as n_total from counts),
@@ -4140,6 +4264,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
     "q_lm_score": q_lm_score,
+    "q_ccnet_buckets": q_ccnet_buckets,
+    "q_url_blocklist": q_url_blocklist,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

@@ -104,6 +104,49 @@ def domain_filter(
     return cond
 
 
+def url_blocklist_flags(
+    urls: DataFrame,
+    blocked_domains: DataFrame,
+    keywords: list[str] | None = None,
+    kw_threshold: int = 1,
+    url_col: str = "url_canon",
+    domain_col: str = "registrable_domain",
+) -> DataFrame:
+    """RefinedWeb-style URL curation (Penedo et al. 2023 §G.1, public
+    paper; the UT1 adult/fraud blocklist pattern): the curated blocklist
+    is a TABLE — UT1 ships ~4.6M registrable domains, far past literal
+    expressions like :func:`domain_filter` — joined BROADCAST against the
+    url set (the blocklist is tiny next to a 10^10 frontier), plus a soft
+    keyword score over the lowercased url string. Returns ``urls`` with
+    ``domain_blocked`` (registrable domain on the blocklist), ``kw_hits``
+    (distinct blocked keywords appearing in the url), and ``url_blocked``
+    (either signal fires: domain hit, or >= ``kw_threshold`` keywords).
+
+    Shuffle-free over the url side: one broadcast left-semi-style join +
+    a codegen projection; the frontier never repartitions.
+    """
+    bl = F.broadcast(
+        blocked_domains.select(
+            F.lower(F.col(blocked_domains.columns[0])).alias("_bl_domain"),
+            F.lit(True).alias("_bl_hit"),
+        ).distinct()
+    )
+    low = F.lower(F.col(url_col))
+    kw_hits = F.lit(0)
+    for kw in keywords or []:
+        kw_hits = kw_hits + F.when(low.contains(kw.lower()), 1).otherwise(0)
+    return (
+        urls.join(bl, F.col(domain_col) == F.col("_bl_domain"), "left")
+        .withColumn("domain_blocked", F.coalesce("_bl_hit", F.lit(False)))
+        .withColumn("kw_hits", kw_hits)
+        .withColumn(
+            "url_blocked",
+            F.col("domain_blocked") | (F.col("kw_hits") >= kw_threshold),
+        )
+        .drop("_bl_domain", "_bl_hit")
+    )
+
+
 NONSENSE_URL_RE = (
     r"(?i)(/wp-admin/|/cgi-bin/|/feed/?$|\.(?:css|js|map|ico|woff2?|ttf|eot)(?:[?#]|$)"
     r"|/xmlrpc\.php|/trackback/?$|[?&]replytocom=)"

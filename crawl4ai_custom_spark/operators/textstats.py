@@ -537,3 +537,51 @@ def lm_quality_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
             F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
         )
     )
+
+
+def nll_thresholds(scored: DataFrame, head_frac: float = 1 / 3,
+                   middle_frac: float = 1 / 3, lang_col: str = "lang",
+                   nll_col: str = "avg_nll") -> DataFrame:
+    """Per-language exact NLL percentile cut points for CCNet-style
+    head/middle/tail bucketing (Wenzek et al. 2020 §4.4: each language's
+    perplexity distribution is split into thirds; head = most
+    reference-like). ONE tiny aggregate — ``percentile`` is a single-pass
+    grouped agg, so no global sort of the corpus ever happens and the
+    result is one row per language (broadcastable by construction).
+
+    Returns (lang, head_max, middle_max)."""
+    return scored.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.percentile(F.col(nll_col), F.lit(head_frac)).alias("head_max"),
+        F.percentile(
+            F.col(nll_col), F.lit(head_frac + middle_frac)
+        ).alias("middle_max"),
+    )
+
+
+def ccnet_buckets(scored: DataFrame, thresholds: DataFrame,
+                  lang_col: str = "lang",
+                  nll_col: str = "avg_nll") -> DataFrame:
+    """Assign each LM-scored document to the CCNet quality bucket
+    (head / middle / tail) of its language: nll <= head_max -> head,
+    <= middle_max -> middle, else tail. ``thresholds`` is the
+    (lang, head_max, middle_max) table from :func:`nll_thresholds` —
+    computed once per snapshot, exactly as CCNet publishes per-dump
+    cutoffs — joined BROADCAST, so bucketing is a shuffle-free projection
+    over the scored corpus. Languages absent from the thresholds table
+    bucket as 'tail' (no reference distribution: assume worst)."""
+    t = F.broadcast(
+        thresholds.select(
+            F.col("lang").alias("_bl"), "head_max", "middle_max"
+        )
+    )
+    return (
+        scored.join(t, scored[lang_col] == t["_bl"], "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("head_max").isNull(), F.lit("tail"))
+            .when(F.col(nll_col) <= F.col("head_max"), F.lit("head"))
+            .when(F.col(nll_col) <= F.col("middle_max"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_bl", "head_max", "middle_max")
+    )

@@ -241,6 +241,33 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_url_blocklist_flags(spark):
+    """Data-driven blocklist: domain hit and keyword-threshold hit both
+    block; the url side of the join stays broadcast (no url shuffle)."""
+    from crawl4ai_custom_spark.operators.filters import url_blocklist_flags
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://bad.com/home", "bad.com"),
+            (2, "https://ok.com/free-casino-poker-night", "ok.com"),
+            (3, "https://ok.com/casino-review", "ok.com"),
+            (4, "https://ok.com/articles/clean", "ok.com"),
+        ],
+        ["id", "url_canon", "registrable_domain"],
+    )
+    bl = spark.createDataFrame([("BAD.com",)], ["domain"])  # case-folded
+    out = url_blocklist_flags(
+        urls, bl, keywords=["casino", "poker"], kw_threshold=2
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["domain_blocked"] and rows[1]["url_blocked"]
+    assert rows[2]["kw_hits"] == 2 and rows[2]["url_blocked"]
+    assert rows[3]["kw_hits"] == 1 and not rows[3]["url_blocked"]
+    assert not rows[4]["url_blocked"] and rows[4]["kw_hits"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # blocklist ships, frontier stays put
+
+
 def test_politeness_admit_budget_and_order(spark):
     rows = [
         (f"https://d{i % 2}.com/p{i}", f"d{i % 2}.com", 1, float(i)) for i in range(10)
@@ -996,6 +1023,32 @@ def test_unigram_lm_quality_ordering(spark):
     assert out[10]["avg_nll"] < out[11]["avg_nll"]  # reference-like ranks better
     assert abs(out[11]["avg_nll"] - (-math.log(1 / 19))) < 1e-12
     assert out[12]["n_tokens"] == 0 and out[12]["avg_nll"] == 0.0
+
+
+def test_ccnet_buckets_closed_form(spark):
+    """Tercile cut points interpolate at (n-1)*p and bucketing splits a
+    6-doc language into 2/2/2; a language without thresholds goes to tail."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        ccnet_buckets,
+        nll_thresholds,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(1, 7)]
+        + [(10, "xx", 1.0)],
+        ["doc_id", "lang", "avg_nll"],
+    )
+    th = {r["lang"]: r for r in
+          nll_thresholds(scored.where(F.col("lang") == "en")).collect()}
+    # [1..6]: p=1/3 -> idx 5/3 -> 2 + 2/3; p=2/3 -> idx 10/3 -> 4 + 1/3
+    assert abs(th["en"]["head_max"] - (2 + 2 / 3)) < 1e-9
+    assert abs(th["en"]["middle_max"] - (4 + 1 / 3)) < 1e-9
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(
+        scored, nll_thresholds(scored.where(F.col("lang") == "en"))
+    ).collect()}
+    assert [out[i] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    assert out[10] == "tail"  # no reference distribution for 'xx'
 
 
 def test_line_dedup_removes_global_boilerplate(spark):
