@@ -1541,6 +1541,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("feature", 1) + 1e-9, 4).alias("f0"))
 
 
+def _ahash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media set of the image-dedup gates: 200 deterministic PNGs plus 20
+    planted near-copies (ids 1000+j = image j with pixel 0 bumped 128)."""
+    from crawl4ai_custom_spark.operators.multimodal import synth_png_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    base = synth_png_payloads(docs.where(F.col("doc_id") < 200))
+    copies = synth_png_payloads(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.col("doc_id").alias("base"),
+        ),
+        base_col="base", bump=128,
+    )
+    return base.unionByName(copies)
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded PNG pixels: the DuckDB
+    oracle recomputes every grid cell, the exact integer bit rule
+    (cell_sum*n_px > total*cell_cnt) and the 60-bit assembly from the
+    closed-form pixels."""
+    from crawl4ai_custom_spark.operators.multimodal import image_ahash
+
+    out = image_ahash(_ahash_media(spark, sf_dir))
+    return out.select("media_id", "format", "decoder", "ahash")
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: aHash -> 4-band pigeonhole join -> exact
+    Hamming verify (shared hamming_neardup machinery with simhash); the
+    oracle rebuilds hashes, banding and the xor/bit_count verify in SQL.
+    The 20 planted one-pixel copies surface here."""
+    from crawl4ai_custom_spark.operators.dedup import hamming_neardup
+    from crawl4ai_custom_spark.operators.multimodal import image_ahash
+
+    ah = image_ahash(_ahash_media(spark, sf_dir))
+    return hamming_neardup(
+        ah.where(F.col("ahash").isNotNull()),
+        id_col="media_id", hash_col="ahash",
+        max_hamming=6, n_bands=4, bits=60,
+    )
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode gate: build a deterministic grayscale PNG per doc
     (cycling scanline filters, so Sub/Up/Average/Paeth are all exercised),
@@ -2440,6 +2484,62 @@ ORACLES["q_simhash_neardup"] = f"""
     )
     select id_a, id_b, bit_count(xor(sh_a, sh_b)) as hamming
     from cand where bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+_AHASH_HASHES_SQL = """
+    d as (
+      select doc_id as media_id, doc_id as base, 0 as bump
+      from documents where doc_id < 200
+      union all
+      select doc_id + 1000, doc_id, 128 from documents where doc_id < 20
+    ),
+    dim as (select media_id, base, bump,
+                   8 + base % 5 as w, 8 + base % 3 as h from d),
+    ix as (select media_id, base, bump, w, h,
+                  unnest(generate_series(0, w*h - 1)) as i from dim),
+    px as (select media_id, w, h, i,
+                  (base*37 + i*11 + 7
+                   + case when i = 0 then bump else 0 end) % 256 as v
+           from ix),
+    cells as (select media_id,
+                     ((i // w) * 6 // h) * 10 + ((i % w) * 10 // w) as k,
+                     v
+              from px),
+    cagg as (select media_id, k, sum(v) as s, count(*) as c
+             from cells group by media_id, k),
+    tot as (select media_id, sum(v) as t, count(*) as n
+            from cells group by media_id),
+    bits as (select a.media_id, a.k
+             from cagg a join tot using (media_id)
+             where a.s * tot.n > tot.t * a.c),
+    hs as (select media_id,
+                  coalesce(sum(1::BIGINT << k), 0)::BIGINT as ahash
+           from bits group by media_id),
+    hashes as (select d.media_id, coalesce(hs.ahash, 0)::BIGINT as ahash
+               from d left join hs using (media_id))
+"""
+
+ORACLES["q_image_ahash"] = f"""
+    with {_AHASH_HASHES_SQL}
+    select media_id, 'png' as format, 'png-stdlib' as decoder, ahash
+    from hashes
+"""
+
+ORACLES["q_image_neardup"] = f"""
+    with {_AHASH_HASHES_SQL},
+    banded as (
+      select media_id, ahash, band,
+             (ahash >> (band * 15)) & 32767 as block
+      from hashes cross join (select unnest([0, 1, 2, 3]) as band) bands
+    ),
+    cand as (
+      select distinct a.media_id as id_a, b.media_id as id_b,
+             a.ahash as h_a, b.ahash as h_b
+      from banded a join banded b on a.band = b.band and a.block = b.block
+      where a.media_id < b.media_id
+    )
+    select id_a, id_b, bit_count(xor(h_a, h_b)) as hamming
+    from cand where bit_count(xor(h_a, h_b)) <= 6
 """
 
 ORACLES["q_image_decode"] = """
@@ -4289,6 +4389,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_revenue_nations": q_top_revenue_nations,
     "q_multimodal_features": q_multimodal_features,
     "q_image_decode": q_image_decode,
+    "q_image_ahash": q_image_ahash,
+    "q_image_neardup": q_image_neardup,
     "q_jpeg_decode": q_jpeg_decode,
     "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,

@@ -596,32 +596,38 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select("id", sim.alias("simhash"))
 
 
-def simhash_dedup(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_neardup(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Banding: split
-    the 60 bits into n_bands blocks; a pair within distance d < n_bands must
+    """Near-dup pairs with Hamming(hash) <= max_hamming over ANY bit-hash
+    column (simhash of text, aHash of images, ...). Banding: split the
+    ``bits`` into n_bands blocks; a pair within distance d < n_bands must
     agree on >= 1 block (pigeonhole) -> join per block, verify exactly via
-    bit_count(xor)."""
-    sh = simhash(docs, id_col, text_col)
-    width = 60 // n_bands
+    bit_count(xor). With max_hamming >= n_bands the block join is a recall
+    heuristic (pairs spreading their differing bits over every block are
+    missed) — the standard LSH trade, oracle-reproducible either way."""
+    sh = hashed.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h")
+    )
+    width = bits // n_bands
     banded = sh.select(
-        "id", "simhash",
+        "id", "_h",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), b * width)
+                F.shiftright(F.col("_h"), b * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 for b in range(n_bands)
             ])
         ).alias("band", "block"),
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+    a = banded.select(F.col("id").alias("id_a"), F.col("_h").alias("sh_a"),
                       "band", "block")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+    b = banded.select(F.col("id").alias("id_b"), F.col("_h").alias("sh_b"),
                       "band", "block")
     cand = (
         a.join(b, ["band", "block"])
@@ -635,6 +641,22 @@ def simhash_dedup(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming (see
+    :func:`hamming_neardup` for the banding shape)."""
+    return hamming_neardup(
+        simhash(docs, id_col, text_col),
+        id_col="id", hash_col="simhash",
+        max_hamming=max_hamming, n_bands=n_bands, bits=60,
     )
 
 

@@ -203,12 +203,18 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(fn, DECODE_SCHEMA)
 
 
-def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic grayscale PNG per row: w = 8 + id%5, h = 8 + id%3,
-    pixel[i] = (id*37 + i*11 + 7) % 256 (row-major). Encoded with cycling
-    scanline filters so the decode gate exercises Sub/Up/Average/Paeth too.
-    The closed form lets the DuckDB oracle recompute every pixel via
-    generate_series — an exact oracle over a REAL encode->decode round trip.
+def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id",
+                       base_col: str | None = None,
+                       bump: int = 0) -> DataFrame:
+    """Deterministic grayscale PNG per row: w = 8 + base%5, h = 8 + base%3,
+    pixel[i] = (base*37 + i*11 + 7) % 256 (row-major), where base defaults
+    to the id itself; pass ``base_col`` (+ ``bump``) to mint NEAR-COPIES —
+    a new media_id carrying the base id's pixels with pixel 0 bumped by
+    ``bump`` (mod 256) — the planted near-duplicates of the image-dedup
+    gates. Encoded with cycling scanline filters so the decode gate
+    exercises Sub/Up/Average/Paeth too. The closed form lets the DuckDB
+    oracle recompute every pixel via generate_series — an exact oracle
+    over a REAL encode->decode round trip.
     """
     from ..kernel.imagecodec import encode_png
     from pyspark.sql.types import BinaryType
@@ -216,22 +222,99 @@ def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
+    sel = [F.col(id_col).cast("long").alias("media_id"),
+           F.col(base_col if base_col else id_col).cast("long").alias("base")]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                w, h = 8 + mid % 5, 8 + mid % 3
+            for mid, base in zip(pdf["media_id"], pdf["base"]):
+                mid, base = int(mid), int(base)
+                w, h = 8 + base % 5, 8 + base % 3
                 i = np.arange(w * h, dtype=np.int64)
-                px = ((mid * 37 + i * 11 + 7) % 256).astype(np.uint8).reshape(h, w)
+                px = (base * 37 + i * 11 + 7) % 256
+                px[0] = (px[0] + bump) % 256
+                px = px.astype(np.uint8).reshape(h, w)
                 ids.append(mid)
                 payloads.append(encode_png(px, filter_mode="cycle"))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        fn, out_schema
-    )
+    return docs.select(*sel).mapInPandas(fn, out_schema)
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("decoder", StringType()),
+    StructField("ahash", LongType()),
+])
+
+
+def image_ahash(media: DataFrame, grid_w: int = 10,
+                grid_h: int = 6) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels: downsample the image
+    onto a grid_h x grid_w cell grid (pixel (x, y) -> cell
+    (y*grid_h//h, x*grid_w//w)), set bit k = cy*grid_w + cx when the
+    cell's mean intensity exceeds the image mean — the classic aHash,
+    sized 60 bits by default so it shares :func:`dedup.hamming_neardup`'s
+    60-bit banding (and the repo-wide bit conventions of simhash).
+
+    The bit rule is EXACT integer arithmetic — bit = (cell_sum * n_px >
+    total_sum * cell_cnt), never a float mean — so a SQL oracle working
+    from closed-form pixels reproduces every bit. Intensity of a color
+    pixel is the integer channel sum; cells that receive no pixels
+    (image narrower than the grid) stay 0 on both sides of that rule.
+    Undecodable payloads return ahash NULL with the honest decoder tag.
+
+    Shape: one Arrow-batched pandas pass over (media_id, payload) — the
+    image dimension distributes; everything downstream of the hash
+    (banding, Hamming verify, clustering) is native and shuffles only on
+    band blocks. The fingerprint is ~8 bytes/image: at 10^10 images the
+    hash table is join-able the same way the minhash signature store is.
+    """
+    from ..kernel.imagecodec import decode_png
+    from ..kernel.jpegmini import decode_jpeg
+
+    if grid_w * grid_h > 63:
+        raise ValueError("grid_w * grid_h must stay within a signed long")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = _sniff_bytes(p)
+                row = {"media_id": mid, "format": fmt,
+                       "decoder": "unsupported", "ahash": None}
+                try:
+                    px = None
+                    if fmt == "png":
+                        px, row["decoder"] = decode_png(bytes(p)), "png-stdlib"
+                    elif fmt == "jpeg":
+                        px, row["decoder"] = decode_jpeg(bytes(p)), "jpeg-stdlib"
+                    if px is not None:
+                        v = px.astype(np.int64)
+                        if v.ndim == 3:  # color: integer channel sum
+                            v = v.sum(axis=2)
+                        h, w = v.shape
+                        y, x = np.indices((h, w))
+                        cy, cx = y * grid_h // h, x * grid_w // w
+                        k = (cy * grid_w + cx).ravel()
+                        cell_sum = np.zeros(grid_w * grid_h, dtype=np.int64)
+                        np.add.at(cell_sum, k, v.ravel())
+                        cell_cnt = np.bincount(k, minlength=grid_w * grid_h)
+                        n_px, total = v.size, int(v.sum())
+                        bits = cell_sum * n_px > total * cell_cnt
+                        row["ahash"] = int(
+                            sum(1 << i for i in np.flatnonzero(bits))
+                        )
+                except NotImplementedError:
+                    row["decoder"] = "unsupported"
+                except (ValueError, EOFError):
+                    row["decoder"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
 
 
 def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -182,6 +182,44 @@ def test_decode_media_stats_real_and_unsupported(spark):
     assert out[4]["decoder"] == "error" and out[4]["val_sum"] is None
 
 
+def test_image_ahash_closed_form_and_neardup(spark):
+    """aHash bits follow the exact integer rule (cell_sum*n_px >
+    total*cell_cnt) on a hand-computable image; a one-pixel-bumped copy
+    lands within small Hamming distance and the banded join finds it,
+    while an unrelated image does not pair up."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.kernel.imagecodec import encode_png
+    from crawl4ai_custom_spark.operators.dedup import hamming_neardup
+    from crawl4ai_custom_spark.operators.multimodal import image_ahash
+
+    # 6x10 image on a 6x10 grid: each pixel IS its cell -> bit k set
+    # exactly when pixel k > mean. Row-major gradient 0..59, mean 29.5.
+    px = np.arange(60, dtype=np.uint8).reshape(6, 10)
+    near = px.copy()
+    near[0, 0] = 59  # one pixel flips exactly bit 0's cell relation? no:
+    # pixel 0 goes 0 -> 59: still below the (slightly shifted) mean in
+    # every other cell; only cell 0's own bit can flip.
+    far = (px[::-1, ::-1]).copy()  # reversed gradient: ~all bits inverted
+    rows = [(1, bytearray(encode_png(px))), (2, bytearray(encode_png(near))),
+            (3, bytearray(encode_png(far))),
+            (4, bytearray(b"\x89PNG truncated"))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    ah = image_ahash(df, grid_w=10, grid_h=6)
+    out = {r["media_id"]: r for r in ah.collect()}
+    expect = sum(1 << k for k in range(60) if k * 60 > sum(range(60)))
+    assert out[1]["ahash"] == expect
+    assert out[4]["decoder"] == "error" and out[4]["ahash"] is None
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in hamming_neardup(
+        ah.where(F.col("ahash").isNotNull()),
+        id_col="media_id", hash_col="ahash",
+        max_hamming=6, n_bands=4, bits=60,
+    ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs  # reversed gradient: far in Hamming space
+
+
 def test_jpeg_flat_roundtrip_exact():
     """DC-only blocks + all-ones quant table round-trip exactly."""
     import numpy as np
