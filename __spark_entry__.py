@@ -1585,6 +1585,29 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual hash over REAL decoded PCM16 samples: 60 energy
+    windows, the exact integer bit rule, 20 planted near-copies (sample 0
+    re-pitched); the oracle recomputes every window from the closed-form
+    samples."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        audio_ahash,
+        synth_wav_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = synth_wav_payloads(docs.where(F.col("doc_id") < 200))
+    copies = synth_wav_payloads(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.col("doc_id").alias("base"),
+        ),
+        base_col="base", bump=20000,
+    )
+    out = audio_ahash(base.unionByName(copies))
+    return out.select("media_id", "format", "decoder", "ahash")
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode gate: build a deterministic grayscale PNG per doc
     (cycling scanline filters, so Sub/Up/Average/Paeth are all exercised),
@@ -2540,6 +2563,36 @@ ORACLES["q_image_neardup"] = f"""
     )
     select id_a, id_b, bit_count(xor(h_a, h_b)) as hamming
     from cand where bit_count(xor(h_a, h_b)) <= 6
+"""
+
+ORACLES["q_audio_ahash"] = """
+    with d as (
+      select doc_id as media_id, doc_id as base, 0 as bump
+      from documents where doc_id < 200
+      union all
+      select doc_id + 1000, doc_id, 20000 from documents where doc_id < 20
+    ),
+    dim as (select media_id, base, bump, 64 + base % 50 as n from d),
+    ix as (select media_id, base, bump, n,
+                  unnest(generate_series(0, n - 1)) as i from dim),
+    s as (select media_id, n, (i * 60) // n as k,
+                 abs(((base*13
+                       + case when i = 0 then bump else i*7 end) % 65536)
+                     - 32768) as v
+          from ix),
+    wagg as (select media_id, k, sum(v) as ws, count(*) as c
+             from s group by media_id, k),
+    tot as (select media_id, sum(v) as t, count(*) as ns
+            from s group by media_id),
+    bits as (select a.media_id, a.k
+             from wagg a join tot using (media_id)
+             where a.ws * tot.ns > tot.t * a.c),
+    hs as (select media_id,
+                  coalesce(sum(1::BIGINT << k), 0)::BIGINT as ahash
+           from bits group by media_id)
+    select d.media_id, 'riff' as format, 'wav-stdlib' as decoder,
+           coalesce(hs.ahash, 0)::BIGINT as ahash
+    from d left join hs using (media_id)
 """
 
 ORACLES["q_image_decode"] = """
@@ -4391,6 +4444,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_decode": q_image_decode,
     "q_image_ahash": q_image_ahash,
     "q_image_neardup": q_image_neardup,
+    "q_audio_ahash": q_audio_ahash,
     "q_jpeg_decode": q_jpeg_decode,
     "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,

@@ -317,31 +317,92 @@ def image_ahash(media: DataFrame, grid_w: int = 10,
     return media.select("media_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
 
 
-def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic PCM16 WAV per row: n = 64 + id%50 samples,
-    sample[i] = ((id*13 + i*7) % 65536) - 32768, rate 16000."""
+def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id",
+                       base_col: str | None = None,
+                       bump: int = 0) -> DataFrame:
+    """Deterministic PCM16 WAV per row: n = 64 + base%50 samples,
+    sample[i] = ((base*13 + i*7) % 65536) - 32768, rate 16000; base
+    defaults to the id. Pass ``base_col`` (+ ``bump``, added to sample 0
+    inside the mod) to mint planted near-copies, mirroring
+    :func:`synth_png_payloads`."""
     from ..kernel.imagecodec import encode_wav
     from pyspark.sql.types import BinaryType
 
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
+    sel = [F.col(id_col).cast("long").alias("media_id"),
+           F.col(base_col if base_col else id_col).cast("long").alias("base")]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                n = 64 + mid % 50
+            for mid, base in zip(pdf["media_id"], pdf["base"]):
+                mid, base = int(mid), int(base)
+                n = 64 + base % 50
                 i = np.arange(n, dtype=np.int64)
-                s = (((mid * 13 + i * 7) % 65536) - 32768).astype(np.int16)
+                s = ((base * 13 + i * 7) % 65536) - 32768
+                s[0] = ((base * 13 + bump) % 65536) - 32768
+                s = s.astype(np.int16)
                 ids.append(mid)
                 payloads.append(encode_wav(s, 16000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        fn, out_schema
-    )
+    return docs.select(*sel).mapInPandas(fn, out_schema)
+
+
+def audio_ahash(media: DataFrame, n_windows: int = 60) -> DataFrame:
+    """Perceptual average-hash over DECODED audio: split the sample stream
+    into ``n_windows`` contiguous windows (sample i -> window
+    i*n_windows//n), set bit k when the window's mean ENERGY (|sample|,
+    integer) exceeds the clip mean — the audio twin of
+    :func:`image_ahash`, sharing the same exact integer bit rule
+    (win_sum * n_samples > total_sum * win_cnt) and the 60-bit
+    :func:`dedup.hamming_neardup` banding. Robust to small edits (a few
+    flipped samples move few window means); NOT pitch/time-shift
+    invariant — that is a spectral fingerprint's job, which would slot in
+    behind this same signature-table shape.
+
+    Undecodable payloads return ahash NULL with the honest decoder tag;
+    clips shorter than n_windows leave the empty windows' bits 0 on both
+    sides of the rule.
+    """
+    from ..kernel.imagecodec import decode_wav
+
+    if n_windows > 63:
+        raise ValueError("n_windows must stay within a signed long")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = _sniff_bytes(p)
+                row = {"media_id": mid, "format": fmt,
+                       "decoder": "unsupported", "ahash": None}
+                try:
+                    if fmt == "riff":
+                        samples, _rate = decode_wav(bytes(p))
+                        row["decoder"] = "wav-stdlib"
+                        v = np.abs(samples.astype(np.int64))
+                        n = v.size
+                        if n:
+                            k = np.arange(n) * n_windows // n
+                            win_sum = np.zeros(n_windows, dtype=np.int64)
+                            np.add.at(win_sum, k, v)
+                            win_cnt = np.bincount(k, minlength=n_windows)
+                            total = int(v.sum())
+                            bits = win_sum * n > total * win_cnt
+                            row["ahash"] = int(
+                                sum(1 << i for i in np.flatnonzero(bits))
+                            )
+                        else:
+                            row["ahash"] = 0
+                except (ValueError, EOFError):
+                    row["decoder"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id",

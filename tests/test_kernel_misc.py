@@ -220,6 +220,38 @@ def test_image_ahash_closed_form_and_neardup(spark):
     assert (1, 3) not in pairs  # reversed gradient: far in Hamming space
 
 
+def test_audio_ahash_closed_form_and_neardup(spark):
+    """Each of 60 samples is its own energy window: bit k set exactly when
+    |sample k| > mean |sample|; a one-sample edit stays Hamming-near."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.kernel.imagecodec import encode_wav
+    from crawl4ai_custom_spark.operators.dedup import hamming_neardup
+    from crawl4ai_custom_spark.operators.multimodal import audio_ahash
+
+    s = np.array([0] * 30 + [100] * 30, dtype=np.int16)  # mean |s| = 50
+    near = s.copy()
+    near[0] = 5  # still below mean: hash unchanged or 1 bit off
+    loud = (s[::-1] * -1).astype(np.int16)  # reversed + inverted energy
+    rows = [(1, bytearray(encode_wav(s, 16000))),
+            (2, bytearray(encode_wav(near, 16000))),
+            (3, bytearray(encode_wav(loud, 16000))),
+            (4, bytearray(b"RIFFxxxxNOPE"))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    ah = audio_ahash(df)
+    out = {r["media_id"]: r for r in ah.collect()}
+    assert out[1]["ahash"] == sum(1 << k for k in range(30, 60))
+    assert out[3]["ahash"] == sum(1 << k for k in range(0, 30))
+    assert out[4]["decoder"] == "error" and out[4]["ahash"] is None
+    pairs = {(r["id_a"], r["id_b"]) for r in hamming_neardup(
+        ah.where(F.col("ahash").isNotNull()),
+        id_col="media_id", hash_col="ahash",
+        max_hamming=3, n_bands=4, bits=60,
+    ).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
 def test_jpeg_flat_roundtrip_exact():
     """DC-only blocks + all-ones quant table round-trip exactly."""
     import numpy as np
