@@ -1035,6 +1035,45 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots-declared Crawl-delay -> per-domain politeness budget: the
+    parser must pick OUR agent group (a decoy greedybot group declares a
+    different delay on every 5th host), drop hosts that declare none, and
+    feed domain_budget_col's max(adaptive, declared)-clamped math."""
+    from crawl4ai_custom_spark.operators.politeness import (
+        PolitenessConfig,
+        domain_budget_col,
+    )
+    from crawl4ai_custom_spark.operators.robots import robots_crawl_delays
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    delay = (F.col("doc_id") % 9 + 1).cast("string")
+    rules = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("user-agent: *\ndisallow: /private/"),  # no delay declared
+    ).when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("user-agent: greedybot\ncrawl-delay: 99\n"
+                       "user-agent: *\ncrawl-delay: "), delay),
+    ).otherwise(
+        F.concat(F.lit("user-agent: *\ncrawl-delay: "), delay)
+    )
+    robots = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id"), F.lit(".com")).alias("domain"),
+        rules.alias("rules"),
+        F.lit("2026-01-01").cast("timestamp").alias("fetch_time"),
+    )
+    out = robots_crawl_delays(robots).withColumn(
+        "current_delay", F.lit(None).cast("double")
+    )
+    return out.select(
+        "registrable_domain", "crawl_delay",
+        domain_budget_col(
+            PolitenessConfig(), use_crawl_delay=True
+        ).alias("budget"),
+    )
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/UT1-style URL curation: a data-driven blocked-domain
     table (broadcast join) + soft keyword scoring over the url string;
@@ -3461,6 +3500,20 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_crawl_delay_budget"] = """
+    with d as (select doc_id from documents where doc_id < 100),
+    r as (
+      select 'd' || doc_id || '.com' as registrable_domain,
+             case when doc_id % 4 = 0 then null
+                  else (doc_id % 9 + 1)::DOUBLE end as crawl_delay
+      from d
+    )
+    select registrable_domain, crawl_delay,
+           greatest(1, floor(30.0 / greatest(2.0, least(crawl_delay, 60.0))))::INT
+             as budget
+    from r where crawl_delay is not null
+"""
+
 ORACLES["q_url_blocklist"] = """
     with urls as (
       select doc_id,
@@ -4419,6 +4472,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_url_blocklist": q_url_blocklist,
+    "q_crawl_delay_budget": q_crawl_delay_budget,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

@@ -131,6 +131,9 @@ class CrawlConfig:
     allowed_domains: tuple[str, ...] = ()
     allowed_content_types: tuple[str, ...] = ("text/html", "text/plain")
     check_robots: bool = True
+    # honor robots-declared Crawl-delay in per-domain wave budgets (the
+    # declared delay can only slow a host; see politeness.admit)
+    respect_crawl_delay: bool = False
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     extract: ExtractConfig = field(default_factory=ExtractConfig)
     use_bloom: bool = True
@@ -214,6 +217,14 @@ class FrontierEngine:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
+        # robots-declared Crawl-delay -> per-domain budget: extracted ONCE
+        # per crawl (the robots table is static for a session), broadcast
+        # into every wave's admission
+        self._crawl_delays: DataFrame | None = None
+        if self.cfg.respect_crawl_delay and robots is not None:
+            from .robots import robots_crawl_delays
+
+            self._crawl_delays = robots_crawl_delays(robots).cache()
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
         self.out_dir = out_dir or tempfile.mkdtemp(prefix="crawl_out_")
         self.store = CheckpointStore(spark, self.checkpoint_dir)
@@ -309,7 +320,8 @@ class FrontierEngine:
                 frontier, host_state, cfg.politeness,
                 self._admission_order(), remaining_budget,
             )
-        return admit(frontier, host_state, cfg.politeness, global_budget=cap)
+        return admit(frontier, host_state, cfg.politeness, global_budget=cap,
+                     crawl_delays=self._crawl_delays)
 
     # ------------------------------------------------------------------
     def _score_links(self, links: DataFrame) -> DataFrame:

@@ -54,8 +54,19 @@ def empty_host_state(spark: SparkSession) -> DataFrame:
     )
 
 
-def domain_budget_col(cfg: PolitenessConfig) -> F.Column:
+def domain_budget_col(cfg: PolitenessConfig,
+                      use_crawl_delay: bool = False) -> F.Column:
     delay = F.coalesce(F.col("current_delay"), F.lit(cfg.base_delay))
+    if use_crawl_delay:
+        # robots Crawl-delay can only SLOW a host, never speed it past the
+        # adaptive delay, and is clamped by max_delay like backoff is
+        delay = F.greatest(
+            delay,
+            F.least(
+                F.coalesce(F.col("crawl_delay"), F.lit(cfg.base_delay)),
+                F.lit(cfg.max_delay),
+            ),
+        )
     return F.greatest(
         F.lit(1), F.floor(F.lit(cfg.wave_seconds) / delay).cast("int")
     )
@@ -71,12 +82,28 @@ def admit(
     host_state: DataFrame,
     cfg: PolitenessConfig,
     global_budget: int | None = None,
+    crawl_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness admission: per-domain budgeted top-k, then global ordered
     limit. frontier needs (url_canon, registrable_domain, score, depth).
-    host_state is broadcast (hosts << urls, always)."""
+    host_state is broadcast (hosts << urls, always). Pass ``crawl_delays``
+    (registrable_domain, crawl_delay — :func:`robots.robots_crawl_delays`)
+    to honor robots-declared Crawl-delay: the effective per-domain delay
+    becomes max(adaptive, declared) clamped by max_delay, so a declared
+    delay only ever shrinks a host's wave budget."""
     fr = frontier.join(F.broadcast(host_state), "registrable_domain", "left")
-    fr = fr.withColumn("_budget", domain_budget_col(cfg))
+    drop_extra: list[str] = []
+    if crawl_delays is not None:
+        fr = fr.join(
+            F.broadcast(
+                crawl_delays.select("registrable_domain", "crawl_delay")
+            ),
+            "registrable_domain", "left",
+        )
+        drop_extra = ["crawl_delay"]
+    fr = fr.withColumn(
+        "_budget", domain_budget_col(cfg, use_crawl_delay=bool(drop_extra))
+    )
 
     order = admit_order()
     if cfg.salt_partitions > 1:
@@ -92,7 +119,7 @@ def admit(
     admitted = (
         fr.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= F.col("_budget"))
-        .drop("_rn", "_budget", "current_delay", "fail_count")
+        .drop("_rn", "_budget", "current_delay", "fail_count", *drop_extra)
     )
     if global_budget is not None:
         # deterministic global truncation, same order as the reference's

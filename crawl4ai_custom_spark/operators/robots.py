@@ -16,7 +16,7 @@ import datetime as dt
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, DoubleType
 
 from ..kernel.robotstxt import ROBOTS_TTL_SECONDS, parse_robots
 from .urlops import url_host, url_path
@@ -67,3 +67,54 @@ def robots_gate(
         robots_allows_udf(F.col("_robots_rules"), url_path(F.col("url_canon")))
     )
     return out.drop("_robots_rules", "_robots_fetch_time", "_robots_host", "_host")
+
+
+@F.pandas_udf(DoubleType())
+def robots_crawl_delay_udf(rules: pd.Series) -> pd.Series:
+    """Crawl-delay of the group matching our agent (same kernel parser as
+    the allow/deny gate; None when the group declares none)."""
+    cache: dict[str, object] = {}
+    out = []
+    for r in rules:
+        if r is None:
+            out.append(None)
+            continue
+        rs = cache.get(r)
+        if rs is None:
+            rs = cache[r] = parse_robots(r)
+        out.append(rs.crawl_delay)
+    return pd.Series(out, dtype="float64")
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    *,
+    now: dt.datetime | None = None,
+    ttl_seconds: int = ROBOTS_TTL_SECONDS,
+) -> DataFrame:
+    """(registrable_domain, crawl_delay) for every fresh robots entry that
+    DECLARES a Crawl-delay — the input to politeness admission's
+    robots-aware per-domain budget (``admit(crawl_delays=...)``). Hosts
+    without a declared delay are absent (politeness keeps its adaptive
+    delay); TTL-stale entries drop like a cache miss, mirroring
+    :func:`robots_gate`. The robots table is host-keyed; where hosts and
+    registrable domains diverge (rare sub-domain robots), map the column
+    before joining — politeness budgets are per registrable domain.
+
+    The result is one tiny row per delay-declaring host: compute it once
+    per crawl (the robots table is static for a crawl session) and let
+    every wave broadcast it."""
+    rb = robots.select(
+        F.lower(F.col("domain")).alias("registrable_domain"),
+        F.col("rules").alias("_rules"),
+        F.col("fetch_time").alias("_ft"),
+    )
+    if now is not None:
+        rb = rb.where(
+            F.col("_ft") >= F.lit(now - dt.timedelta(seconds=ttl_seconds))
+        )
+    return (
+        rb.withColumn("crawl_delay", robots_crawl_delay_udf(F.col("_rules")))
+        .where(F.col("crawl_delay").isNotNull())
+        .select("registrable_domain", "crawl_delay")
+    )

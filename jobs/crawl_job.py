@@ -43,6 +43,8 @@ def parse_args(argv):
                    help="seen-set prefilter structure (cuckoo supports "
                         "retirement for re-crawl scheduling)")
     p.add_argument("--base-delay", type=float, default=2.0)
+    p.add_argument("--respect-crawl-delay", action="store_true",
+                   help="honor robots Crawl-delay in per-domain wave budgets")
     p.add_argument("--wave-seconds", type=float, default=30.0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--recrawl-pages", default=None,
@@ -88,6 +90,7 @@ def main(argv=None) -> int:
         keywords=tuple(args.keywords),
         include_external=args.include_external,
         check_robots=not args.no_robots,
+        respect_crawl_delay=args.respect_crawl_delay,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
         score_threshold=(

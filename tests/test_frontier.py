@@ -251,6 +251,46 @@ def test_seen_delta_compaction_preserves_crawl(spark, pages_df, robots_df, tmp_p
     assert runs["default"] == runs["compact"]
 
 
+def test_respect_crawl_delay_caps_wave_budget(spark, tmp_path):
+    """With respect_crawl_delay, a robots-declared Crawl-delay 3 at
+    wave_seconds 6 caps the host to 2 admissions per wave (base delay 2
+    would have allowed 3); the crawl still completes over more waves."""
+    import datetime as dt
+
+    def page(url, links=()):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        html = f"<html><body><p>w w w</p>{body}</body></html>".encode()
+        return (url, dt.datetime(2025, 1, 1), html, "", "en", 200)
+
+    kids = [f"/k{i}" for i in range(6)]
+    pages = spark.createDataFrame(
+        [page("https://s.com/", kids)] + [page(f"https://s.com{k}") for k in kids],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string, status_code int",
+    )
+    robots = spark.createDataFrame(
+        [("s.com", "user-agent: *\ncrawl-delay: 3",
+          dt.datetime(2026, 8, 18))],
+        "domain string, rules string, fetch_time timestamp",
+    )
+    for flag, cap in ((True, 2), (False, 3)):
+        cfg = CrawlConfig(
+            strategy="bfs", max_depth=2, max_pages=100, use_bloom=False,
+            respect_crawl_delay=flag,
+            politeness=PolitenessConfig(base_delay=2.0, wave_seconds=6.0),
+        )
+        eng = FrontierEngine(spark, pages, robots, cfg,
+                             checkpoint_dir=str(tmp_path / f"c{flag}"),
+                             out_dir=str(tmp_path / f"o{flag}"))
+        run = eng.run(["https://s.com/"])
+        per_wave = (
+            run.admitted_log(spark).groupBy("wave").count()
+            .agg(F.max("count")).first()[0]
+        )
+        assert per_wave <= cap, (flag, per_wave)
+        assert run.pages_crawled == 7  # delay slows waves, never loses pages
+
+
 def test_transient_status_retries_with_backoff(spark, tmp_path):
     """429/503 fetches re-enter the frontier with retry_count+1 until
     max_retries (dispatcher parity); 404s never retry; the failing domain's

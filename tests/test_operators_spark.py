@@ -241,6 +241,56 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_admit_honors_robots_crawl_delay(spark):
+    """A robots-declared Crawl-delay shrinks only that host's wave budget:
+    delay 15 at wave_seconds 30 admits 2 urls while the undeclared host
+    keeps base-delay budget; a declared delay BELOW base never speeds a
+    host up."""
+    from crawl4ai_custom_spark.operators.politeness import (
+        PolitenessConfig, admit, empty_host_state,
+    )
+
+    rows = [(f"https://slow.com/p{i}", "slow.com", 1, float(i)) for i in range(10)]
+    rows += [(f"https://fast.com/p{i}", "fast.com", 1, float(i)) for i in range(10)]
+    rows += [(f"https://eager.com/p{i}", "eager.com", 1, float(i)) for i in range(10)]
+    fr = spark.createDataFrame(
+        rows, ["url_canon", "registrable_domain", "depth", "score"]
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 15.0), ("eager.com", 0.1)],
+        ["registrable_domain", "crawl_delay"],
+    )
+    cfg = PolitenessConfig(base_delay=2.0, wave_seconds=30.0)  # base budget 15
+    out = admit(fr, empty_host_state(spark), cfg, crawl_delays=delays)
+    by_dom = {r[0]: r[1] for r in
+              out.groupBy("registrable_domain").count().collect()}
+    assert by_dom["slow.com"] == 2      # floor(30 / 15)
+    assert by_dom["fast.com"] == 10     # base budget 15 > frontier size
+    assert by_dom["eager.com"] == 10    # 0.1s declared: max(base, .1) = base
+    assert "crawl_delay" not in out.columns
+
+
+def test_robots_crawl_delays_extraction(spark):
+    """Group selection (our '*' group, not greedybot's), missing delays
+    absent, TTL-stale entries dropped."""
+    import datetime as dt
+
+    from crawl4ai_custom_spark.operators.robots import robots_crawl_delays
+
+    now = dt.datetime(2026, 8, 18, tzinfo=dt.timezone.utc)
+    fresh, stale = now - dt.timedelta(days=1), now - dt.timedelta(days=30)
+    rows = [
+        ("a.com", "user-agent: greedybot\ncrawl-delay: 99\n"
+                  "user-agent: *\ncrawl-delay: 7", fresh),
+        ("b.com", "user-agent: *\ndisallow: /x/", fresh),   # none declared
+        ("c.com", "user-agent: *\ncrawl-delay: 3", stale),  # past TTL
+    ]
+    robots = spark.createDataFrame(rows, ["domain", "rules", "fetch_time"])
+    out = {r["registrable_domain"]: r["crawl_delay"]
+           for r in robots_crawl_delays(robots, now=now).collect()}
+    assert out == {"a.com": 7.0}
+
+
 def test_url_blocklist_flags(spark):
     """Data-driven blocklist: domain hit and keyword-threshold hit both
     block; the url side of the join stays broadcast (no url shuffle)."""
