@@ -1930,6 +1930,60 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_page_urls(sm).select("sitemap_url", "loc")
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sitemap-protocol entry extraction (loc + lastmod + changefreq +
+    priority, each selectively omitted) through the same index recursion as
+    q_sitemap_scan; lastmod additionally parses to timestamp."""
+    from crawl4ai_custom_spark.sources.sitemap import sitemap_page_entries
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    lastmod = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit("<lastmod>2024-01-"),
+                 F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    changefreq = F.when(F.col("doc_id") % 2 == 0,
+                        F.lit("<changefreq>daily</changefreq>")
+                        ).otherwise(F.lit(""))
+    priority = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.concat(F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+                 F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/p/"), F.col("doc_id"), F.lit("</loc>"),
+        lastmod, changefreq, priority, F.lit("</url>"),
+    )
+    child = (
+        docs.groupBy("source", (F.col("doc_id") % 2).alias("par"))
+        .agg(F.concat_ws("", F.collect_list(entry)).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/sitemap-"), F.col("par"),
+                     F.lit(".xml")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("body"),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    roots = docs.select("source").distinct().select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/sitemap.xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"), F.col("source"),
+            F.lit(".example.com/sitemap-0.xml</loc></sitemap>"),
+            F.lit("<sitemap><loc>https://"), F.col("source"),
+            F.lit(".example.com/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    sm = child.unionByName(roots)
+    return sitemap_page_entries(sm).select(
+        "sitemap_url", "loc", "lastmod", "lastmod_ts", "changefreq",
+        "priority",
+    )
+
+
 def q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full schema surface in one gate: baseFields, nested,
     nested_list, computed (extraction_strategy.py:1060-1229). Nested values
@@ -4337,6 +4391,23 @@ ORACLES["q_market_intel"] = """
     from documents where doc_id < 40
 """
 
+ORACLES["q_sitemap_entries"] = """
+    select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
+             || '.xml' as sitemap_url,
+           'https://' || source || '.example.com/p/' || doc_id as loc,
+           case when doc_id % 3 <> 0
+                then '2024-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+           end as lastmod,
+           case when doc_id % 3 <> 0
+                then ('2024-01-'
+                      || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0'))::TIMESTAMP
+           end as lastmod_ts,
+           case when doc_id % 2 = 0 then 'daily' end as changefreq,
+           case when doc_id % 5 <> 0
+                then ('0.' || (doc_id % 10))::DOUBLE end as priority
+    from documents where doc_id < 60
+"""
+
 ORACLES["q_sitemap_scan"] = """
     select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
              || '.xml' as sitemap_url,
@@ -4509,6 +4580,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_serp_extract": q_serp_extract,
     "q_market_intel": q_market_intel,
     "q_sitemap_scan": q_sitemap_scan,
+    "q_sitemap_entries": q_sitemap_entries,
     "q_fit_html": q_fit_html,
     "q_cosine_extract": q_cosine_extract,
     "q_queue_wait_stats": q_queue_wait_stats,

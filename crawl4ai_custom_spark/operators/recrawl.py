@@ -85,3 +85,35 @@ def revisit_priority(change_log: DataFrame, url_col: str = "url",
     else:
         g = g.withColumn("revisit_score", F.col("change_rate"))
     return g
+
+
+def sitemap_revisit_candidates(
+    entries: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    fetched_col: str = "fetch_time",
+) -> DataFrame:
+    """URLs whose sitemap <lastmod> postdates our stored capture — the
+    sitemap-protocol push signal for re-crawl scheduling, complementing
+    :func:`revisit_priority`'s observed-change-rate pull signal.
+
+    entries: ``sources.sitemap.sitemap_page_entries`` output (needs loc,
+    lastmod_ts; entries without a parseable lastmod never nominate).
+    crawled: one row per stored url with its capture time.
+    Returns (url, fetched, lastmod_ts) for stale captures — feed into
+    ``FrontierEngine.requeue`` (canonicalize first; sitemap locs are raw).
+
+    Shape: lastmod entries aggregate per loc (sitemaps are tiny next to
+    the capture store) then ONE equi-join against the crawled table keyed
+    by url — bucketed captures make it shuffle-free on the big side."""
+    e = (
+        entries.where(F.col("lastmod_ts").isNotNull())
+        .groupBy(F.col("loc").alias(url_col))
+        .agg(F.max("lastmod_ts").alias("lastmod_ts"))
+    )
+    return (
+        crawled.select(F.col(url_col), F.col(fetched_col).alias("fetched"))
+        .join(e, url_col)
+        .where(F.col("lastmod_ts") > F.col("fetched"))
+        .select(url_col, "fetched", "lastmod_ts")
+    )

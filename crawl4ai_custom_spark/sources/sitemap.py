@@ -72,6 +72,25 @@ def sitemap_page_urls(
     Returns (sitemap_url, loc) — one row per page url, tagged with the
     LEAF sitemap document that listed it.
     """
+    reach = _reachable_docs(sitemaps, roots, url_col, xml_col, max_depth)
+    return reach.select(
+        F.col("url").alias("sitemap_url"),
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(_URL_LOC), F.lit(1))
+        ).alias("loc"),
+    )
+
+
+def _reachable_docs(
+    sitemaps: DataFrame,
+    roots: DataFrame | None,
+    url_col: str,
+    xml_col: str,
+    max_depth: int,
+) -> DataFrame:
+    """(url, xml) of every sitemap document reachable from ``roots``
+    through <sitemapindex> references — the shared traversal of
+    sitemap_page_urls / sitemap_page_entries."""
     docs = sitemaps.select(
         F.col(url_col).alias("url"), F.col(xml_col).alias("xml")
     )
@@ -111,15 +130,53 @@ def sitemap_page_urls(
         reachable = reachable.unionByName(current)
     reachable = reachable.distinct()
 
-    return (
-        reachable.join(docs, "url")
-        .select(
-            F.col("url").alias("sitemap_url"),
-            F.explode(
-                F.regexp_extract_all("xml", F.lit(_URL_LOC), F.lit(1))
-            ).alias("loc"),
-        )
+    return reachable.join(docs, "url")
+
+
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_LOC_IN = r"(?s)<loc>\s*([^<]+?)\s*</loc>"
+_LASTMOD_IN = r"(?s)<lastmod>\s*([^<]+?)\s*</lastmod>"
+_CHANGEFREQ_IN = r"(?s)<changefreq>\s*([^<]+?)\s*</changefreq>"
+_PRIORITY_IN = r"(?s)<priority>\s*([^<]+?)\s*</priority>"
+
+
+def sitemap_page_entries(
+    sitemaps: DataFrame,
+    roots: DataFrame | None = None,
+    url_col: str = "url",
+    xml_col: str = "xml",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Full sitemap-protocol page entries reachable from ``roots``:
+    (sitemap_url, loc, lastmod, lastmod_ts, changefreq, priority) — the
+    metadata :func:`sitemap_page_urls` drops. ``lastmod_ts`` is the W3C
+    datetime cast to timestamp (null when unparseable; the raw string is
+    kept alongside), ``priority`` a double, both null when the entry omits
+    them. ``lastmod`` is what makes sitemap-driven RE-crawl scheduling
+    possible: see ``recrawl.sitemap_revisit_candidates``.
+
+    Same traversal and scale shape as sitemap_page_urls (bounded lazy
+    joins; one codegen regex pass per field over the leaf documents —
+    entry blocks explode once, fields extract per block)."""
+    reach = _reachable_docs(sitemaps, roots, url_col, xml_col, max_depth)
+    blocks = reach.select(
+        F.col("url").alias("sitemap_url"),
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(_URL_BLOCK), F.lit(1))
+        ).alias("_b"),
     )
+    nn = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    lastmod = nn(F.regexp_extract("_b", _LASTMOD_IN, 1))
+    return blocks.select(
+        "sitemap_url",
+        nn(F.regexp_extract("_b", _LOC_IN, 1)).alias("loc"),
+        lastmod.alias("lastmod"),
+        # try_cast: real-web lastmod values are dirty; malformed -> null
+        lastmod.try_cast("timestamp").alias("lastmod_ts"),
+        nn(F.regexp_extract("_b", _CHANGEFREQ_IN, 1)).alias("changefreq"),
+        nn(F.regexp_extract("_b", _PRIORITY_IN, 1)).cast("double")
+        .alias("priority"),
+    ).where(F.col("loc").isNotNull())
 
 
 _ROBOTS_SITEMAP = r"(?im)^\s*sitemap:\s*(\S+)"

@@ -152,6 +152,56 @@ def test_sitemap_recursion_and_gzip(spark):
     ).count() == 0
 
 
+def test_sitemap_entries_and_revisit_candidates(spark):
+    """Entry metadata (lastmod/changefreq/priority) parses field-by-field
+    with nulls for omissions; lastmod postdating the stored capture
+    nominates exactly the stale url for re-crawl."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.recrawl import (
+        sitemap_revisit_candidates,
+    )
+    from crawl4ai_custom_spark.sources.sitemap import sitemap_page_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/p1</loc><lastmod>2026-02-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.com/p2</loc></url>"
+        "<url><loc>https://a.com/p3</loc><lastmod>not-a-date</lastmod></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame([("https://a.com/s.xml", xml)], ["url", "xml"])
+    out = {r["loc"]: r for r in sitemap_page_entries(sm).collect()}
+    assert out["https://a.com/p1"]["lastmod"] == "2026-02-01"
+    assert out["https://a.com/p1"]["lastmod_ts"] == dt.datetime(2026, 2, 1)
+    assert out["https://a.com/p1"]["changefreq"] == "daily"
+    assert out["https://a.com/p1"]["priority"] == 0.8
+    assert out["https://a.com/p2"]["lastmod"] is None
+    assert out["https://a.com/p2"]["priority"] is None
+    # unparseable lastmod: raw string kept, timestamp honestly null
+    assert out["https://a.com/p3"]["lastmod"] == "not-a-date"
+    assert out["https://a.com/p3"]["lastmod_ts"] is None
+
+    crawled = spark.createDataFrame(
+        [("https://a.com/p1", dt.datetime(2026, 1, 1)),   # stale: lastmod after
+         ("https://a.com/p2", dt.datetime(2026, 1, 1)),   # no lastmod: never
+         ("https://a.com/p4", dt.datetime(2026, 1, 1))],  # not in sitemap
+        ["url", "fetch_time"],
+    )
+    cand = sitemap_revisit_candidates(sitemap_page_entries(sm), crawled)
+    assert [r["url"] for r in cand.collect()] == ["https://a.com/p1"]
+    # fresh capture: nothing nominated
+    fresh = crawled.withColumn(
+        "fetch_time", F.lit(dt.datetime(2026, 3, 1))
+    )
+    assert sitemap_revisit_candidates(
+        sitemap_page_entries(sm), fresh
+    ).count() == 0
+
+
 def test_structured_streaming_hourly_matches_batch(spark, tmp_path):
     """readStream + watermark + windowed agg drained with AvailableNow must
     equal the batch aggregation over the same files."""
