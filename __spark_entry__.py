@@ -500,6 +500,25 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised k-NN label propagation: 40 seed vectors carry a
+    closed-form 3-class label; 160 unlabeled vectors take the majority
+    label of their 5 nearest seeds, cosine-mass then lexicographic
+    tie-break (rounded — engine-independent)."""
+    from crawl4ai_custom_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("vec_id") < 40).withColumn(
+        "label", F.concat(F.lit("c"), (F.col("vec_id") % 3).cast("string"))
+    )
+    unlabeled = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 200))
+    out = knn_classify(unlabeled, labeled, k=5)
+    return out.select(
+        "id", "label_pred", "votes",
+        F.round("vote_frac", 4).alias("vote_frac"),
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.similarity import lsh_topk
 
@@ -2892,6 +2911,46 @@ ORACLES["q_adaptive_embedding"] = """
     from l left join imp using (link_id) left join ov using (link_id)
 """
 
+ORACLES["q_knn_classify"] = """
+    with labeled as (
+      select vec_id, embedding, 'c' || (vec_id % 3) as label
+      from embeddings where vec_id < 40
+    ),
+    unl as (
+      select vec_id, embedding from embeddings
+      where vec_id >= 40 and vec_id < 200
+    ),
+    scored as (
+      select u.vec_id as query_id, l.vec_id as neighbor_id, l.label,
+             list_dot_product(u.embedding::DOUBLE[], l.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(u.embedding::DOUBLE[], u.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])))
+               as cos
+      from unl u cross join labeled l
+    ),
+    ranked as (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, neighbor_id asc) as rank
+      from scored
+    ),
+    votes as (
+      select query_id as id, label, count(*) as votes,
+             round(sum(cos), 6) as cmass
+      from ranked where rank <= 5
+      group by query_id, label
+    ),
+    best as (
+      select id, label, votes,
+             row_number() over (partition by id
+                                order by votes desc, cmass desc, label asc)
+               as r
+      from votes
+    )
+    select id, label as label_pred, votes,
+           round(votes / 5.0, 4) as vote_frac
+    from best where r = 1
+"""
+
 ORACLES["q_ann_bruteforce"] = """
     with scored as (
       select q.vec_id as query_id, c.vec_id as neighbor_id,
@@ -4515,6 +4574,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_neardup_clusters": q_neardup_clusters,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_bruteforce": q_ann_bruteforce,
+    "q_knn_classify": q_knn_classify,
     "q_ann_lsh": q_ann_lsh,
     "q_text_profile": q_text_profile,
     "q_domain_prior": q_domain_prior,

@@ -394,6 +394,60 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised k-NN label propagation — the seed-classifier stage
+    of FineWeb-Edu / DCLM-style quality curation (public recipes): every
+    unlabeled vector takes the majority label of its k nearest LABELED
+    neighbors by cosine. Ties break by higher cosine mass, then
+    lexicographically smaller label; the cosine-sum tie-break is rounded
+    to 6 decimals so rankings are engine-independent (the same
+    quantization convention as kmeans_lloyd's round-6 centroids).
+
+    Returns (id, label_pred, votes, vote_frac) — vote_frac = votes/k is a
+    confidence signal (< 1/k-quorum rows are the ones to re-annotate).
+
+    Shape at 10^10 docs: the labeled seed set is small by construction
+    (human/LLM-annotated) so it BROADCASTS into the cosine scoring — the
+    corpus never shuffles except the per-doc top-k window keyed by the
+    (uniform) unlabeled id, exactly the plan shape of the LM and
+    hashed-ngram classifier scorers. When the seed set outgrows broadcast,
+    swap :func:`brute_force_topk` for :func:`ivf_topk` over the same
+    (query_id, neighbor_id, cosine) contract."""
+    nn = brute_force_topk(labeled, unlabeled, k=k,
+                          id_col=id_col, vec_col=vec_col)
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.join(F.broadcast(lab), "neighbor_id")
+        .groupBy(F.col("query_id").alias("id"), F.col("_lbl"))
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.round(F.sum("cosine"), 6).alias("_cmass"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("votes"), F.desc("_cmass"), F.asc("_lbl")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "id",
+            F.col("_lbl").alias("label_pred"),
+            "votes",
+            (F.col("votes") / F.lit(float(k))).alias("vote_frac"),
+        )
+    )
+
+
 def kmeans_lloyd(vectors: DataFrame, k: int = 8, iterations: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  checkpoint_dir: str | None = None) -> DataFrame:

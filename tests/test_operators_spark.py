@@ -187,6 +187,33 @@ def test_simhash_dedup(docs):
     assert (1, 3) in pairs
 
 
+def test_knn_classify_separable_clusters(spark):
+    """Labels propagate across two separable 2-D clusters; vote_frac is a
+    confidence (unanimous inside clusters); a point equidistant between
+    clusters resolves deterministically via the documented tie-break."""
+    from crawl4ai_custom_spark.operators.similarity import knn_classify
+
+    labeled = spark.createDataFrame(
+        [(0, [1.0, 0.0], "pos"), (1, [0.9, 0.1], "pos"),
+         (2, [0.0, 1.0], "neg"), (3, [0.1, 0.9], "neg")],
+        ["vec_id", "embedding", "label"],
+    )
+    unlabeled = spark.createDataFrame(
+        [(10, [0.95, 0.05]),   # pos cluster
+         (11, [0.05, 0.95]),   # neg cluster
+         (12, [1.0, 1.0])],    # exactly between: 2 pos + 2 neg votes
+        ["vec_id", "embedding"],
+    )
+    out = {r["id"]: r for r in
+           knn_classify(unlabeled, labeled, k=2).collect()}
+    assert out[10]["label_pred"] == "pos" and out[10]["vote_frac"] == 1.0
+    assert out[11]["label_pred"] == "neg" and out[11]["vote_frac"] == 1.0
+    # k=2 on the diagonal point: nearest two are one from each cluster
+    # (cos 0.9899 each side) -> votes tie, cosine-mass ties at 6dp,
+    # lexicographic tie-break picks 'neg'
+    assert out[12]["label_pred"] == "neg" and out[12]["votes"] == 1
+
+
 def test_brute_force_vs_lsh_topk(spark):
     import math
     rows = []
