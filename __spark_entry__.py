@@ -1054,6 +1054,28 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: every source host gets a planted mirror
+    serving the even half of its pages byte-identically; the pair table
+    must surface exactly those (host, host-mirror) pairs with containment
+    fraction 1.0 of the smaller side."""
+    from crawl4ai_custom_spark.operators.linkgraph import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    base = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+                 F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    mirror = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("-mirror.com/q/"),
+                 F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    return mirror_hosts(base.unionByName(mirror),
+                        min_shared=3, min_frac=0.5)
+
+
 def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots-declared Crawl-delay -> per-domain politeness budget: the
     parser must pick OUR agent group (a decoy greedybot group declares a
@@ -3613,6 +3635,37 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_mirror_hosts"] = """
+    with d as (select * from documents where doc_id < 400),
+    hf as (
+      select distinct host, fp from (
+        select source || '.com' as host, md5(text) as fp from d
+        union all
+        select source || '-mirror.com' as host, md5(text) as fp
+        from d where doc_id % 2 = 0
+      )
+    ),
+    sizes as (select host, count(*) as n from hf group by host),
+    ok_fp as (
+      select fp from hf group by fp having count(*) between 2 and 20
+    ),
+    pairs as (
+      select a.host as host_a, b.host as host_b
+      from hf a join hf b using (fp) join ok_fp using (fp)
+      where a.host < b.host
+    ),
+    shared as (
+      select host_a, host_b, count(*) as shared from pairs group by 1, 2
+    )
+    select s.host_a, s.host_b, s.shared,
+           round(s.shared / least(na.n, nb.n) + 1e-9, 6) as frac
+    from shared s
+    join sizes na on na.host = s.host_a
+    join sizes nb on nb.host = s.host_b
+    where s.shared >= 3
+      and round(s.shared / least(na.n, nb.n) + 1e-9, 6) >= 0.5
+"""
+
 ORACLES["q_crawl_delay_budget"] = """
     with d as (select doc_id from documents where doc_id < 100),
     r as (
@@ -4604,6 +4657,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_url_blocklist": q_url_blocklist,
     "q_crawl_delay_budget": q_crawl_delay_budget,
+    "q_mirror_hosts": q_mirror_hosts,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

@@ -135,6 +135,85 @@ def anchor_text_stats(links: DataFrame, href_col: str = "href",
     return totals.join(top, "href")
 
 
+def mirror_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str = "html",
+    min_shared: int = 3,
+    min_frac: float = 0.5,
+    max_hosts_per_fp: int = 20,
+) -> DataFrame:
+    """Mirror-site detection: host pairs serving many byte-identical
+    documents — the classic Common-Crawl mirror-collapse pass (a site and
+    its CDN/alias/proxy copies would otherwise flood dedup downstream and
+    waste crawl budget upstream). A pair is a mirror candidate when the
+    hosts share >= ``min_shared`` content fingerprints AND the overlap
+    covers >= ``min_frac`` of the SMALLER host's distinct pages
+    (containment, not Jaccard — a small full mirror of a big site should
+    flag).
+
+    Returns (host_a, host_b, shared, frac), host_a < host_b.
+
+    Scale shape: one distinct over (host, fingerprint), one
+    groupBy(fingerprint) building within-group host pairs — never an
+    all-pairs host join. Fingerprints served by more than
+    ``max_hosts_per_fp`` hosts are dropped FIRST (shared 404 templates /
+    empty pages / framework boilerplate would otherwise make every host
+    pair with every other; real mirrors still share plenty of sub-cap
+    fingerprints), which bounds the per-group pair fan-out quadratically
+    in a constant — the same cap trick as LSH banding."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"https?://([^/:]+)", 1))
+    c = F.col(content_col)
+    fp = F.md5(F.when(c.isNull(), F.lit("")).otherwise(c.cast("string")))
+    hf = (
+        pages.select(host.alias("host"), fp.alias("fp"))
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    grouped = hf.groupBy("fp").agg(F.collect_list("host").alias("hosts"))
+    capped = grouped.where(F.size("hosts") <= max_hosts_per_fp).where(
+        F.size("hosts") >= 2
+    )
+    # within-group ordered pairs at the ARRAY level (sorted, a < b)
+    pairs = capped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.array_sort("hosts"),
+                        lambda a: F.transform(
+                            F.array_sort("hosts"),
+                            lambda b: F.struct(a.alias("host_a"),
+                                               b.alias("host_b")),
+                        ),
+                    )
+                ),
+                lambda p: p["host_a"] < p["host_b"],
+            )
+        ).alias("p")
+    ).select("p.host_a", "p.host_b")
+    shared = pairs.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n_pages").alias("_na"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n_pages").alias("_nb"))
+    return (
+        shared.join(sa, "host_a").join(sb, "host_b")
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("shared") / F.least("_na", "_nb") + 1e-9, 6
+            ),
+        )
+        .where((F.col("shared") >= min_shared)
+               & (F.col("frac") >= min_frac))
+        .select("host_a", "host_b", "shared", "frac")
+    )
+
+
 def host_outdegree_stats(links: DataFrame, src_url: str = "url",
                          dst_url: str = "href") -> DataFrame:
     """Per-source-host outlink profile: total outlinks, distinct target

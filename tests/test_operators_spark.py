@@ -268,6 +268,29 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_mirror_hosts_detection_and_caps(spark):
+    """A full mirror flags with containment 1.0; a single shared page stays
+    below min_shared; a boilerplate page served by EVERY host (404
+    template) is excluded by the fan-out cap and creates no pairs."""
+    from crawl4ai_custom_spark.operators.linkgraph import mirror_hosts
+
+    rows = []
+    for i in range(4):  # a.com: 4 distinct pages
+        rows.append((f"https://a.com/p{i}", f"content-{i}"))
+    for i in range(4):  # m.com mirrors all of a.com
+        rows.append((f"https://m.com/x{i}", f"content-{i}"))
+    rows.append(("https://b.com/only", "content-0"))  # 1 shared page only
+    for h in ("a.com", "m.com", "b.com", "c.com", "d.com"):
+        rows.append((f"https://{h}/404", "not found"))  # global boilerplate
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    out = {(r["host_a"], r["host_b"]): r for r in mirror_hosts(
+        pages, min_shared=3, min_frac=0.5, max_hosts_per_fp=4
+    ).collect()}
+    assert set(out) == {("a.com", "m.com")}
+    assert out[("a.com", "m.com")]["shared"] == 4
+    assert abs(out[("a.com", "m.com")]["frac"] - 0.8) < 1e-6  # 4 of min(5,5)
+
+
 def test_admit_honors_robots_crawl_delay(spark):
     """A robots-declared Crawl-delay shrinks only that host's wave budget:
     delay 15 at wave_seconds 30 admits 2 urls while the undeclared host
