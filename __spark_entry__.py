@@ -1971,6 +1971,54 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_page_urls(sm).select("sitemap_url", "loc")
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS + Atom feed discovery: per source, an RSS feed carries the even
+    docs (RFC-822 pubDate) and an Atom feed the odd docs (ISO updated);
+    one extraction pass must yield every entry with parsed timestamps."""
+    from crawl4ai_custom_spark.sources.feed import feed_entries
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    hh = F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0")
+    rss_item = F.concat(
+        F.lit("<item><title>t"), F.col("doc_id"),
+        F.lit("</title><link>https://"), F.col("source"),
+        F.lit(".com/a/"), F.col("doc_id"), F.lit("</link><pubDate>"),
+        day, F.lit(" Jan 2026 "), hh, F.lit(":00:00 GMT</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>t"), F.col("doc_id"),
+        F.lit('</title><link href="https://'), F.col("source"),
+        F.lit(".com/b/"), F.col("doc_id"), F.lit('"/><updated>2026-01-'),
+        day, F.lit("T"), hh, F.lit(":00:00Z</updated></entry>"),
+    )
+    rss = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .groupBy("source")
+        .agg(F.concat_ws("", F.collect_list(rss_item)).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".com/rss.xml")).alias("url"),
+            F.concat(F.lit("<rss><channel>"), F.col("body"),
+                     F.lit("</channel></rss>")).alias("xml"),
+        )
+    )
+    atom = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .groupBy("source")
+        .agg(F.concat_ws("", F.collect_list(atom_entry)).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".com/atom.xml")).alias("url"),
+            F.concat(F.lit("<feed>"), F.col("body"),
+                     F.lit("</feed>")).alias("xml"),
+        )
+    )
+    return feed_entries(rss.unionByName(atom)).select(
+        "feed_url", "loc", "title", "published", "published_ts"
+    )
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full sitemap-protocol entry extraction (loc + lastmod + changefreq +
     priority, each selectively omitted) through the same index recursion as
@@ -4503,6 +4551,29 @@ ORACLES["q_market_intel"] = """
     from documents where doc_id < 40
 """
 
+ORACLES["q_feed_entries"] = """
+    with d as (
+      select doc_id, source,
+             lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') as day,
+             lpad((doc_id % 24)::VARCHAR, 2, '0') as hh
+      from documents where doc_id < 120
+    )
+    select 'https://' || source || '.com/rss.xml' as feed_url,
+           'https://' || source || '.com/a/' || doc_id as loc,
+           't' || doc_id as title,
+           day || ' Jan 2026 ' || hh || ':00:00 GMT' as published,
+           strptime(day || ' Jan 2026 ' || hh || ':00:00 GMT',
+                    '%d %b %Y %H:%M:%S GMT') as published_ts
+    from d where doc_id % 2 = 0
+    union all
+    select 'https://' || source || '.com/atom.xml',
+           'https://' || source || '.com/b/' || doc_id,
+           't' || doc_id,
+           '2026-01-' || day || 'T' || hh || ':00:00Z',
+           ('2026-01-' || day || 'T' || hh || ':00:00Z')::TIMESTAMP
+    from d where doc_id % 2 = 1
+"""
+
 ORACLES["q_sitemap_entries"] = """
     select 'https://' || source || '.example.com/sitemap-' || (doc_id % 2)
              || '.xml' as sitemap_url,
@@ -4695,6 +4766,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_market_intel": q_market_intel,
     "q_sitemap_scan": q_sitemap_scan,
     "q_sitemap_entries": q_sitemap_entries,
+    "q_feed_entries": q_feed_entries,
     "q_fit_html": q_fit_html,
     "q_cosine_extract": q_cosine_extract,
     "q_queue_wait_stats": q_queue_wait_stats,

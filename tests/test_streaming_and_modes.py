@@ -202,6 +202,49 @@ def test_sitemap_entries_and_revisit_candidates(spark):
     ).count() == 0
 
 
+def test_feed_entries_rss_and_atom(spark):
+    """RSS items and Atom entries extract in one pass; RFC-822 pubDate
+    (weekday optional, wrong weekday tolerated) and ISO updated both
+    parse; dirty dates keep the raw string with a null timestamp."""
+    import datetime as dt
+
+    from crawl4ai_custom_spark.sources.feed import feed_entries
+
+    rss = (
+        "<rss><channel>"
+        "<item><title>one</title><link>https://a.com/1</link>"
+        "<pubDate>Mon, 05 Jan 2026 04:00:00 GMT</pubDate></item>"
+        # wrong weekday (Jan 6 2026 is a Tuesday... producers get this
+        # wrong constantly) — must still parse
+        "<item><title>two</title><link>https://a.com/2</link>"
+        "<pubDate>Fri, 06 Jan 2026 05:00:00 GMT</pubDate></item>"
+        "<item><title>bad</title><link>https://a.com/3</link>"
+        "<pubDate>yesterday-ish</pubDate></item>"
+        "<item><title>nolink</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<entry><title>three</title>"
+        '<link href="https://b.com/3"/>'
+        "<updated>2026-01-07T06:00:00Z</updated></entry>"
+        "</feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("https://a.com/rss.xml", rss), ("https://b.com/atom.xml", atom)],
+        ["url", "xml"],
+    )
+    out = {r["loc"]: r for r in feed_entries(feeds).collect()}
+    assert set(out) == {"https://a.com/1", "https://a.com/2",
+                        "https://a.com/3", "https://b.com/3"}
+    assert out["https://a.com/1"]["published_ts"] == dt.datetime(2026, 1, 5, 4)
+    assert out["https://a.com/2"]["published_ts"] == dt.datetime(2026, 1, 6, 5)
+    assert out["https://a.com/3"]["published"] == "yesterday-ish"
+    assert out["https://a.com/3"]["published_ts"] is None
+    assert out["https://b.com/3"]["published_ts"] == dt.datetime(2026, 1, 7, 6)
+    assert out["https://b.com/3"]["title"] == "three"
+
+
 def test_structured_streaming_hourly_matches_batch(spark, tmp_path):
     """readStream + watermark + windowed agg drained with AvailableNow must
     equal the batch aggregation over the same files."""
