@@ -963,6 +963,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round(F.col("rank") + 1e-12, 8).alias("rank"))
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank gate: same deterministic graph as q_pagerank but teleport
+    pinned to the seed set doc_id % 40 == 0 — spam-demoting personalized
+    PageRank; oracle unrolls the identical 3 seeded iterations."""
+    from crawl4ai_custom_spark.operators.linkgraph import trustrank
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 400).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 400).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .where(F.col("src") != F.col("dst")).distinct())
+    seeds = docs.where(d % 40 == 0).select(d.alias("node"))
+    out = trustrank(edges, seeds, iterations=3, damping=0.85)
+    return out.select("node", F.round(F.col("rank") + 1e-12, 8).alias("rank"))
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -3980,6 +3997,48 @@ ORACLES["q_revisit_priority"] = """
     from d
 """
 
+ORACLES["q_trustrank"] = """
+    with docs as (select doc_id from documents where doc_id < 400),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 400 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 400 from docs
+      ) where src <> dst
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    seedset as (
+      select node from nodes
+      where node in (select doc_id from docs where doc_id % 40 = 0)
+    ),
+    ns as (select count(*)::DOUBLE as n from seedset),
+    tp as (select nodes.node,
+                  case when s.node is not null then 1.0 / ns.n else 0 end as t
+           from nodes cross join ns
+           left join seedset s on s.node = nodes.node),
+    deg as (select src, count(*) as d from edges group by src),
+    r0 as (select node, t as rank from tp),
+    c1 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r0 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r1 as (select tp.node, 0.15 * tp.t + 0.85 * coalesce(c1.s, 0) as rank
+           from tp left join c1 on c1.node = tp.node),
+    c2 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r1 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r2 as (select tp.node, 0.15 * tp.t + 0.85 * coalesce(c2.s, 0) as rank
+           from tp left join c2 on c2.node = tp.node),
+    c3 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r2 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r3 as (select tp.node, 0.15 * tp.t + 0.85 * coalesce(c3.s, 0) as rank
+           from tp left join c3 on c3.node = tp.node)
+    select node, round(rank + 1e-12, 8) as rank from r3
+"""
+
 ORACLES["q_pagerank"] = """
     with docs as (select doc_id from documents where doc_id < 400),
     edges as (
@@ -4709,6 +4768,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,
     "q_pagerank": q_pagerank,
+    "q_trustrank": q_trustrank,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

@@ -268,6 +268,31 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_trustrank_demotes_unreachable_farm(spark):
+    """Rank flows only from the trusted seed: a densely self-linking farm
+    unreachable from the seed ranks exactly 0 (plain PageRank would hand
+    it teleport mass), while the seed's chain holds positive rank."""
+    from crawl4ai_custom_spark.operators.linkgraph import pagerank, trustrank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2),                       # trusted chain
+         (10, 11), (11, 12), (12, 10), (10, 12), (11, 10), (12, 11)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    tr = {r["node"]: r["rank"] for r in
+          trustrank(edges, seeds, iterations=3).collect()}
+    assert tr[0] > 0 and tr[1] > 0 and tr[2] > 0
+    assert tr[10] == 0.0 and tr[11] == 0.0 and tr[12] == 0.0
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(edges, iterations=3).collect()}
+    assert pr[10] > 0  # the farm inflates plain PageRank; TrustRank kills it
+    # a seed that is not in the graph contributes nothing -> all zero
+    ghost = spark.createDataFrame([(99,)], ["node"])
+    assert all(r["rank"] == 0.0 for r in
+               trustrank(edges, ghost, iterations=2).collect())
+
+
 def test_mirror_hosts_detection_and_caps(spark):
     """A full mirror flags with containment 1.0; a single shared page stays
     below min_shared; a boilerplate page served by EVERY host (404
