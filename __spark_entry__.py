@@ -1071,6 +1071,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: closed-form quality/token columns,
+    budget 12000 — whole high-quality buckets admit fully, the straddling
+    bucket admits its deterministic hash fraction; oracle reproduces the
+    bucket quantization, tiny cumulative table and hash threshold."""
+    from crawl4ai_custom_spark.operators.corpusmix import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 1000 / 1000.0).alias("quality"),
+        (F.lit(50) + F.col("doc_id") % 100).alias("n_tokens"),
+    )
+    out = token_budget_select(d, budget_tokens=12000)
+    return out.select("doc_id", "n_tokens", "qbucket")
+
+
 def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection: every source host gets a planted mirror
     serving the even half of its pages byte-identically; the pair table
@@ -3700,6 +3717,40 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_token_budget"] = """
+    with d as (
+      select doc_id,
+             ((doc_id * 7919) % 1000) / 1000.0 as quality,
+             50 + doc_id % 100 as n_tokens
+      from documents where doc_id < 500
+    ),
+    b as (
+      select doc_id, n_tokens,
+             least(999, greatest(0, floor(quality * 1000)::INT)) as qbucket
+      from d
+    ),
+    bt as (select qbucket, sum(n_tokens) as btok from b group by qbucket),
+    ct as (
+      select qbucket, btok,
+             coalesce(sum(btok) over (order by qbucket desc
+                      rows between unbounded preceding and 1 preceding), 0)
+               as cumb
+      from bt
+    ),
+    thr as (
+      select qbucket,
+             floor(case when cumb + btok <= 12000 then 1.0
+                        when cumb >= 12000 then 0.0
+                        else (12000.0 - cumb) / btok end
+                   * 1000000)::BIGINT as thr
+      from ct
+    )
+    select b.doc_id, b.n_tokens, b.qbucket
+    from b join thr using (qbucket)
+    where ('0x' || substr(md5('budget-v1' || b.doc_id), 1, 15))::BIGINT
+          % 1000000 < thr
+"""
+
 ORACLES["q_mirror_hosts"] = """
     with d as (select * from documents where doc_id < 400),
     hf as (
@@ -4789,6 +4840,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_blocklist": q_url_blocklist,
     "q_crawl_delay_budget": q_crawl_delay_budget,
     "q_mirror_hosts": q_mirror_hosts,
+    "q_token_budget": q_token_budget,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

@@ -228,6 +228,69 @@ def temperature_mixture(
     )
 
 
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    buckets: int = 1000,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Fill a token budget with the highest-quality documents — the
+    data-budget pass of corpus assembly ("keep the best N-token subset",
+    the selection stage of quality-pruning recipes) — WITHOUT a global
+    sort of the corpus:
+
+    1. quality (in [0, 1]) quantizes into ``buckets`` — scan projection;
+    2. per-bucket token sums aggregate into a ``buckets``-row table;
+    3. a cumulative sum over that TINY table (window over <= ``buckets``
+       rows, never over docs) finds which buckets fit whole and which one
+       straddles the budget;
+    4. whole buckets admit everything; the straddling bucket admits a
+       deterministic hash fraction of its docs sized to the remaining
+       budget (stable_hash60 thresholding, the stratified_sample
+       convention — reproducible across runs and engines, no RNG).
+
+    Budget precision is doc-granular within the straddling bucket (hash
+    sampling hits the remaining budget in expectation; whole buckets are
+    exact). Returns the admitted docs with ``qbucket`` attached. The only
+    shuffle over the corpus is the groupBy(qbucket) partial agg — the
+    bucket table is broadcast back."""
+    qb = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0),
+                   F.floor(F.col(quality_col) * buckets).cast("int")),
+    )
+    d = docs.withColumn("qbucket", qb)
+    btab = d.groupBy("qbucket").agg(F.sum(token_col).alias("_btok"))
+    w = (Window.orderBy(F.desc("qbucket"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    btab = btab.withColumn(
+        "_cum_before", F.coalesce(F.sum("_btok").over(w), F.lit(0))
+    )
+    admit_frac = (
+        F.when(F.col("_cum_before") + F.col("_btok") <= budget_tokens,
+               F.lit(1.0))
+        .when(F.col("_cum_before") >= budget_tokens, F.lit(0.0))
+        .otherwise((F.lit(float(budget_tokens)) - F.col("_cum_before"))
+                   / F.col("_btok"))
+    )
+    thr = btab.select(
+        "qbucket",
+        F.floor(admit_frac * 1_000_000).cast("long").alias("_thr"),
+    )
+    h = F.pmod(
+        stable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        d.join(F.broadcast(thr), "qbucket")
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def shuffle_shards(
     docs: DataFrame,
     id_col: str = "doc_id",

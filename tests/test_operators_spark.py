@@ -268,6 +268,31 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_token_budget_select_quality_threshold(spark):
+    """Whole top-quality buckets admit fully, nothing below the straddling
+    bucket admits, and the admitted token mass lands near the budget."""
+    from crawl4ai_custom_spark.operators.corpusmix import token_budget_select
+
+    # 100 docs, 100 tokens each; quality = doc_id/100 -> distinct buckets
+    docs = spark.createDataFrame(
+        [(i, i / 100.0, 100) for i in range(100)],
+        ["doc_id", "quality", "n_tokens"],
+    )
+    out = token_budget_select(docs, budget_tokens=2000, buckets=100)
+    got = {r["doc_id"] for r in out.collect()}
+    # exactly the 20 highest-quality docs fill 2000 tokens (each bucket is
+    # one whole doc here, so no fractional boundary exists)
+    assert got == set(range(80, 100))
+
+    # fractional boundary: one bucket of many docs straddles the budget
+    flat = spark.createDataFrame(
+        [(i, 0.5, 10) for i in range(1000)], ["doc_id", "quality", "n_tokens"]
+    )
+    sel = token_budget_select(flat, budget_tokens=5000, buckets=10)
+    n = sel.count()
+    assert 400 <= n <= 600  # hash fraction targets 500 in expectation
+
+
 def test_trustrank_demotes_unreachable_farm(spark):
     """Rank flows only from the trusted seed: a densely self-linking farm
     unreachable from the seed ranks exactly 0 (plain PageRank would hand
