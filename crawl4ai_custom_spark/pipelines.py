@@ -45,6 +45,8 @@ class CorpusConfig:
     exact_substring_tokens: int | None = None  # Lee-et-al span REMOVAL when set
     max_dup_line_frac: float = 0.5
     lm_max_nll: float | None = None  # set with lm_ref to gate on LM score
+    ccnet_keep: tuple[str, ...] = ()  # with lm_ref: keep these NLL buckets
+    budget_tokens: int | None = None  # cap corpus size, best quality first
     line_dedup_max_docs: int | None = None  # C4 global line dedup when set
     max_dup_window_frac: float | None = None  # Lee-et-al token-window gate
     dup_window_tokens: int = 10
@@ -185,6 +187,29 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             nll.select(id_col, "avg_nll"), id_col, "left"
         ).where(F.coalesce("avg_nll", F.lit(0.0)) <= cfg.lm_max_nll).drop("avg_nll")
 
+    # 2c. optional CCNet bucket gate: per-language NLL terciles under the
+    # clean-corpus LM, keep only the configured buckets (head/middle in the
+    # CCNet recipe) — tiny percentile agg + broadcast threshold join
+    if lm_ref is not None and cfg.ccnet_keep:
+        from .operators.textstats import (
+            ccnet_buckets,
+            lm_quality_score,
+            nll_thresholds,
+            unigram_lm,
+        )
+
+        nll = lm_quality_score(prof, unigram_lm(lm_ref, text_col=text_col),
+                               id_col=id_col, text_col=text_col)
+        scored = prof.join(nll.select(id_col, "avg_nll"), id_col, "left")
+        scored = scored.withColumn("avg_nll",
+                                   F.coalesce("avg_nll", F.lit(0.0)))
+        th = nll_thresholds(scored, lang_col="lang_pred")
+        prof = (
+            ccnet_buckets(scored, th, lang_col="lang_pred")
+            .where(F.col("bucket").isin(*cfg.ccnet_keep))
+            .drop("bucket", "avg_nll")
+        )
+
     # 3. PII redaction (codegen projection) — the redacted text REPLACES the
     # original so nothing downstream ever sees raw PII
     if cfg.redact_pii:
@@ -240,6 +265,17 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             prof, cfg.mixture, stratum_col="lang_pred", id_col=id_col,
             default_rate=cfg.default_rate,
         )
+
+    # 7b. optional token-budget selection: keep the highest-quality docs
+    # until the budget fills (bucket-quantized — no global sort; the
+    # profile's quality and token_count columns feed it directly)
+    if cfg.budget_tokens is not None:
+        from .operators.corpusmix import token_budget_select
+
+        prof = token_budget_select(
+            prof, cfg.budget_tokens, quality_col="quality",
+            id_col=id_col, token_col="token_count",
+        ).drop("qbucket")
 
     # 8. optional chunking to a token budget
     if cfg.chunk_tokens > 0:
