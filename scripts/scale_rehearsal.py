@@ -354,6 +354,61 @@ def stream10x(spark) -> dict:
     }
 
 
+def ahash50k(spark) -> dict:
+    """Image perceptual-hash dedup at 50k images: encode->decode->aHash->
+    banded Hamming pairs end-to-end (every image REALLY decoded by the
+    stdlib PNG codec), with one planted near-copy per 10 originals.
+    Validates that the hash pass is decode-bound and linear, and that the
+    band join stays bounded (no all-pairs blowup)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import hamming_neardup
+    from crawl4ai_custom_spark.operators.multimodal import (
+        image_ahash,
+        synth_png_payloads,
+    )
+
+    n = 45_000
+    base_ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    base = synth_png_payloads(base_ids)
+    copies = synth_png_payloads(
+        spark.range(0, n, 10).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.col("id").alias("b"),
+        ),
+        base_col="b", bump=128,
+    )
+    media = base.unionByName(copies)
+    n_img = media.count()
+    t0 = time.time()
+    ah = image_ahash(media).persist()
+    n_hashed = ah.where(F.col("ahash").isNotNull()).count()
+    t_hash = time.time() - t0
+    t1 = time.time()
+    pairs = hamming_neardup(
+        ah.where(F.col("ahash").isNotNull()),
+        id_col="media_id", hash_col="ahash",
+        max_hamming=2, n_bands=4, bits=60,
+    )
+    planted = pairs.where(
+        (F.col("id_b") - F.col("id_a")) == 1_000_000
+    ).count()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t1
+    ah.unpersist()
+    return {
+        "job": "ahash50k",
+        "images": n_img,
+        "hashed": n_hashed,
+        "hash_seconds": round(t_hash, 1),
+        "images_per_sec": round(n_img / t_hash, 1),
+        "pair_seconds": round(t_pairs, 1),
+        "pairs": n_pairs,
+        "planted_recovered": planted,
+        "planted_total": n // 10,
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -367,6 +422,8 @@ def main() -> None:
         print(json.dumps(ingest50k(spark)), flush=True)
     if which == "stream10x":
         print(json.dumps(stream10x(spark)), flush=True)
+    if which == "ahash50k":
+        print(json.dumps(ahash50k(spark)), flush=True)
 
 
 if __name__ == "__main__":
