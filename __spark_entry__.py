@@ -1071,6 +1071,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report: per-language + rollup grand-total rows with
+    planted exact dups (every 10th doc repeats) so dup_rate is non-zero;
+    the oracle recomputes quality/fingerprint and GROUP BY ROLLUP."""
+    from crawl4ai_custom_spark.operators.textstats import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "lang").unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang"
+        )
+    )
+    return corpus_report(corpus).select(
+        "lang", "n_docs", "n_tokens", "avg_quality", "distinct_fp",
+        "dup_rate",
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: closed-form quality/token columns,
     budget 12000 — whole high-quality buckets admit fully, the straddling
@@ -3717,6 +3735,30 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_corpus_report"] = f"""
+    with corpus as (
+      select doc_id, text, lang from documents
+      union all
+      select doc_id + 500000, text, lang from documents where doc_id % 10 = 0
+    ),
+    base as (
+      select coalesce(lang, '??') as lang,
+             case when length(trim(text)) = 0 then 0
+                  else len(regexp_split_to_array(trim(text), '\\s+')) end
+               as tok,
+             {_QUALITY_RAW_SQL} as q,
+             md5({_NORM_TEXT_SQL}) as fp
+      from corpus
+    )
+    select coalesce(lang, 'ALL') as lang,
+           count(*) as n_docs,
+           sum(tok) as n_tokens,
+           round(avg(q) + 1e-9, 4) as avg_quality,
+           count(distinct fp) as distinct_fp,
+           round(1.0 - count(distinct fp) / count(*) + 1e-9, 4) as dup_rate
+    from base group by rollup(lang)
+"""
+
 ORACLES["q_token_budget"] = """
     with d as (
       select doc_id,
@@ -4841,6 +4883,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_delay_budget": q_crawl_delay_budget,
     "q_mirror_hosts": q_mirror_hosts,
     "q_token_budget": q_token_budget,
+    "q_corpus_report": q_corpus_report,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

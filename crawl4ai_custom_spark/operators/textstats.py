@@ -334,6 +334,41 @@ def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_report(docs: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """One-job corpus health report: per-language rows PLUS a grand-total
+    row via Spark ``rollup`` — n_docs, n_tokens, avg_quality, distinct
+    fingerprints, exact-dup rate. The monitoring sink of the corpus
+    pipeline: run it per epoch and diff reports to see what a pipeline
+    change did to the corpus before committing it.
+
+    The null rollup group surfaces as lang='ALL'. ``distinct_fp`` is an
+    exact count_distinct (oracle-checkable); at extreme scale swap in
+    approx_count_distinct — the plan shape is otherwise one aggregation
+    with a rollup Expand, no joins."""
+    t = F.col(text_col)
+    base = docs.select(
+        F.coalesce(F.col(lang_col), F.lit("??")).alias("lang"),
+        token_count(t).alias("_tok"),
+        quality_score(t).alias("_q"),
+        fingerprint(t).alias("_fp"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.round(F.avg("_q") + 1e-9, 4).alias("avg_quality"),
+            F.count_distinct("_fp").alias("distinct_fp"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("distinct_fp") / F.col("n_docs") + 1e-9, 4),
+        )
+        .withColumn("lang", F.coalesce("lang", F.lit("ALL")))
+    )
+
+
 def domain_quality_rollup(
     docs: DataFrame,
     domain_col: str = "registrable_domain",

@@ -268,6 +268,27 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_corpus_report_rollup(spark):
+    """Per-language rows plus an ALL grand total; dup_rate counts exact
+    dups; cross-language duplicate text dedups only in the ALL row."""
+    from crawl4ai_custom_spark.operators.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en"),
+         (2, "the quick brown fox jumps", "en"),   # exact dup of 1
+         (3, "a totally different document", "en"),
+         (4, "the quick brown fox jumps", "de")],  # same text, other lang
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in corpus_report(docs).collect()}
+    assert out["en"]["n_docs"] == 3 and out["en"]["distinct_fp"] == 2
+    assert abs(out["en"]["dup_rate"] - 1 / 3) < 1e-3
+    assert out["de"]["n_docs"] == 1 and out["de"]["dup_rate"] == 0.0
+    assert out["ALL"]["n_docs"] == 4
+    assert out["ALL"]["distinct_fp"] == 2  # the de copy folds globally
+    assert out["ALL"]["n_tokens"] == 5 * 3 + 4
+
+
 def test_token_budget_select_quality_threshold(spark):
     """Whole top-quality buckets admit fully, nothing below the straddling
     bucket admits, and the admitted token mass lands near the budget."""
