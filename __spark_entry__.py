@@ -1071,6 +1071,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: 20 benchmark vectors broadcast
+    against 300 corpus vectors; per-doc max cosine, hit count, and the
+    contamination flag all recomputed by the oracle."""
+    from crawl4ai_custom_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+    out = semantic_decontaminate(corpus, bench, threshold=0.3,
+                                 id_col="vec_id")
+    return out.select("id", "max_bench_cosine", "n_bench_hits",
+                      "semantically_contaminated")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health report: per-language + rollup grand-total rows with
     planted exact dups (every 10th doc repeats) so dup_rate is non-zero;
@@ -3735,6 +3752,31 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_semantic_decontam"] = """
+    with bench as (
+      select embedding from embeddings where vec_id < 20
+    ),
+    corpus as (
+      select vec_id as id, embedding from embeddings
+      where vec_id >= 100 and vec_id < 400
+    ),
+    scored as (
+      select c.id,
+             list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               as cos
+      from corpus c cross join bench b
+    )
+    select id,
+           round(max(cos) + 1e-9, 6) as max_bench_cosine,
+           sum(case when cos >= 0.3 then 1 else 0 end)::BIGINT
+             as n_bench_hits,
+           sum(case when cos >= 0.3 then 1 else 0 end) > 0
+             as semantically_contaminated
+    from scored group by id
+"""
+
 ORACLES["q_corpus_report"] = f"""
     with corpus as (
       select doc_id, text, lang from documents
@@ -4884,6 +4926,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mirror_hosts": q_mirror_hosts,
     "q_token_budget": q_token_budget,
     "q_corpus_report": q_corpus_report,
+    "q_semantic_decontam": q_semantic_decontam,
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,

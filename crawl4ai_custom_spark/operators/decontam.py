@@ -64,3 +64,48 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
             "contaminated", F.col("n_contaminated_grams") >= min_overlap
         )
     )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus documents whose vector
+    is too close (cosine >= threshold) to ANY benchmark document — catches
+    the paraphrased/reformatted leakage that n-gram overlap misses (the
+    modern complement to :func:`decontaminate`; both run in real corpus
+    hygiene, n-grams for verbatim leaks, embeddings for near-verbatim).
+
+    Returns (id, max_bench_cosine, n_bench_hits, semantically_contaminated).
+
+    Scale shape mirrors the n-gram pass: the benchmark side is SMALL by
+    construction — it broadcasts into a projection over the corpus; the
+    per-doc max/count is one groupBy on the (uniform) doc id, the only
+    corpus shuffle. At 10^10 docs x 10^4 bench vectors the cross product
+    is mn vector ops distributed over corpus partitions; past broadcast
+    size, pre-bucket both sides with similarity.hyperplane_bucket and
+    join on the bucket instead."""
+    from .similarity import cosine
+
+    c = corpus_emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    b = bench_emb.select(F.col(vec_col).cast("array<double>").alias("_bv"))
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "id", cosine(F.col("_cv"), F.col("_bv")).alias("_cos")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.round(F.max("_cos") + 1e-9, 6).alias("max_bench_cosine"),
+            F.sum((F.col("_cos") >= threshold).cast("int"))
+            .alias("n_bench_hits"),
+        )
+        .withColumn(
+            "semantically_contaminated", F.col("n_bench_hits") > 0
+        )
+    )

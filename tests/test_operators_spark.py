@@ -268,6 +268,34 @@ def test_filter_chain_stats(spark):
     assert srows["a_only"]["total"] == 2 and srows["a_only"]["passed"] == 1
 
 
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    """A corpus vector nearly parallel to a benchmark vector flags; an
+    orthogonal one does not; hit counting and the flag stay consistent."""
+    from crawl4ai_custom_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [(10, [0.99, 0.01, 0.0]),   # ~parallel to bench 0
+         (11, [0.0, 0.0, 1.0]),     # orthogonal to both
+         (12, [0.7, 0.7, 0.0])],    # close-ish to BOTH (cos ~0.7 each)
+        ["vec_id", "embedding"],
+    )
+    out = {r["id"]: r for r in semantic_decontaminate(
+        corpus, bench, threshold=0.9, id_col="vec_id"
+    ).collect()}
+    assert out[10]["semantically_contaminated"]
+    assert out[10]["n_bench_hits"] == 1
+    assert not out[11]["semantically_contaminated"]
+    assert out[11]["max_bench_cosine"] == 0.0
+    assert not out[12]["semantically_contaminated"]  # 0.707 < 0.9
+    assert abs(out[12]["max_bench_cosine"] - 0.707107) < 1e-5
+
+
 def test_corpus_report_rollup(spark):
     """Per-language rows plus an ALL grand total; dup_rate counts exact
     dups; cross-language duplicate text dedups only in the ALL row."""
