@@ -2652,7 +2652,8 @@ ORACLES["q_exact_substring"] = f"""
       coalesce(len(m.l), 0)::INT as n_tokens,
       (coalesce(len(m.l), 0) - coalesce(r.n_kept, 0))::INT
         as n_tokens_removed,
-      md5(coalesce(r.clean, '')) as clean_md5
+      md5(case when coalesce(len(m.l), 0) - coalesce(r.n_kept, 0) = 0
+               then i.text else coalesce(r.clean, '') end) as clean_md5
     from injected i
     left join m on m.id = i.doc_id
     left join rebuilt r on r.id = i.doc_id

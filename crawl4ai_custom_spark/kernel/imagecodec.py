@@ -104,6 +104,15 @@ def decode_png(data: bytes) -> np.ndarray:
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_body(data)
+    except (zlib.error, struct.error) as e:
+        # corrupt-but-recognized payloads surface as ValueError so every
+        # decode consumer's error fence (decoder='error') catches them
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_body(data: bytes) -> np.ndarray:
     pos = 8
     w = h = color_type = None
     idat = bytearray()
@@ -185,6 +194,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM16 bytes -> (int16 samples, sample_rate). Mono PCM16 only."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
+    try:
+        return _decode_wav_body(data)
+    except struct.error as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+
+
+def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     rate = None
     samples = None

@@ -150,6 +150,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (malformed stream)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_body(data)
+    except (struct.error, IndexError) as e:
+        # truncated/corrupt streams surface as ValueError so every decode
+        # consumer's error fence (decoder='error') catches them
+        raise ValueError(f"corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg_body(data: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[str, int]] = {}

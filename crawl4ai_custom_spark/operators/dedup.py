@@ -448,14 +448,17 @@ def exact_substring_dedup(
     except the first (lexicographically smallest (id, position)), at token
     granularity. Overlapping duplicated windows merge into maximal removed
     spans automatically because removal is the union of their [pos, pos+k)
-    token positions. Rebuilt text is token-normalized (single space,
-    lowercased — ``normalized_text`` form, shared with every dedup op).
+    token positions. Documents that lose nothing keep their ORIGINAL text
+    byte-for-byte (casing/line structure survive — the overwhelming
+    majority of a real corpus); only docs with removed spans come back
+    token-normalized (single space, lowercased — ``normalized_text``
+    form, shared with every dedup op).
 
     Tokenization matches ``window_dup_stats``: whitespace tokens of the
     normalized text; documents shorter than k tokens contribute one
-    whole-document window; zero-token documents pass through with empty
-    rebuilt text. Returns ``docs`` with ``text_col`` rebuilt plus
-    ``n_tokens``, ``n_tokens_removed``.
+    whole-document window; zero-token documents pass through unchanged.
+    Returns ``docs`` with ``text_col`` rebuilt plus ``n_tokens``,
+    ``n_tokens_removed``.
 
     Scale shape (mirrors :func:`span_dedup`, the sentence-level C4 pass):
     windows are built at the ARRAY level (one projection, no per-doc
@@ -537,7 +540,14 @@ def exact_substring_dedup(
             "n_tokens_removed",
             F.coalesce("_n_toks", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)),
         )
-        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        # untouched docs (the overwhelming majority of a real corpus) keep
+        # their ORIGINAL text — casing and line structure survive; only
+        # docs that actually lost a span come back token-normalized
+        .withColumn(
+            text_col,
+            F.when(F.col("n_tokens_removed") == 0, F.col(text_col))
+            .otherwise(F.coalesce("_clean", F.lit(""))),
+        )
         .drop("_clean", "_n_kept", "_n_toks")
     )
 
@@ -611,6 +621,11 @@ def hamming_neardup(
     bit_count(xor). With max_hamming >= n_bands the block join is a recall
     heuristic (pairs spreading their differing bits over every block are
     missed) — the standard LSH trade, oracle-reproducible either way."""
+    if bits % n_bands != 0:
+        # a remainder would leave the top bits outside every block,
+        # silently voiding the pigeonhole guarantee
+        raise ValueError(f"bits ({bits}) must divide evenly into "
+                         f"n_bands ({n_bands})")
     sh = hashed.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("_h")
     )

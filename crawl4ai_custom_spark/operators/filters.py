@@ -136,7 +136,8 @@ def url_blocklist_flags(
     for kw in keywords or []:
         kw_hits = kw_hits + F.when(low.contains(kw.lower()), 1).otherwise(0)
     return (
-        urls.join(bl, F.col(domain_col) == F.col("_bl_domain"), "left")
+        urls.join(bl, F.lower(F.col(domain_col)) == F.col("_bl_domain"),
+                  "left")
         .withColumn("domain_blocked", F.coalesce("_bl_hit", F.lit(False)))
         .withColumn("kw_hits", kw_hits)
         .withColumn(

@@ -319,6 +319,7 @@ class FrontierEngine:
             return admit_dfs_prefix(
                 frontier, host_state, cfg.politeness,
                 self._admission_order(), remaining_budget,
+                crawl_delays=self._crawl_delays,
             )
         return admit(frontier, host_state, cfg.politeness, global_budget=cap,
                      crawl_delays=self._crawl_delays)

@@ -202,6 +202,7 @@ def admit_dfs_prefix(
     cfg: PolitenessConfig,
     order: list,
     cap: int,
+    crawl_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Longest politeness-admissible PREFIX of the DFS stack, pop order
     preserved (dfs_strategy.py LIFO semantics, batched): walk the stack in
@@ -215,7 +216,17 @@ def admit_dfs_prefix(
     ordering — DFS is the documented sequential-semantics mode, so the
     global window is the point, not an accident)."""
     fr = frontier.join(F.broadcast(host_state), "registrable_domain", "left")
-    fr = fr.withColumn("_budget", domain_budget_col(cfg))
+    if crawl_delays is not None:
+        fr = fr.join(
+            F.broadcast(
+                crawl_delays.select("registrable_domain", "crawl_delay")
+            ),
+            "registrable_domain", "left",
+        )
+    fr = fr.withColumn(
+        "_budget",
+        domain_budget_col(cfg, use_crawl_delay=crawl_delays is not None),
+    )
     w_stack = Window.orderBy(*order)
     w_host = Window.partitionBy("registrable_domain").orderBy(*order)
     ranked = (
@@ -233,5 +244,5 @@ def admit_dfs_prefix(
             & (F.col("_pos") <= int(cap))
         )
         .drop("_pos", "_hpos", "_cut", "_budget", "current_delay",
-              "fail_count")
+              "fail_count", "crawl_delay")
     )

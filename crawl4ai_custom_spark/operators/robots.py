@@ -116,5 +116,9 @@ def robots_crawl_delays(
     return (
         rb.withColumn("crawl_delay", robots_crawl_delay_udf(F.col("_rules")))
         .where(F.col("crawl_delay").isNotNull())
-        .select("registrable_domain", "crawl_delay")
+        # one row PER DOMAIN even when the robots table holds refetched
+        # duplicates — a duplicate key here would multiply frontier rows
+        # through admit()'s join; max() is the conservative (slowest) pick
+        .groupBy("registrable_domain")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )

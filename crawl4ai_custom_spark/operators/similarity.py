@@ -418,10 +418,33 @@ def knn_classify(
     corpus never shuffles except the per-doc top-k window keyed by the
     (uniform) unlabeled id, exactly the plan shape of the LM and
     hashed-ngram classifier scorers. When the seed set outgrows broadcast,
-    swap :func:`brute_force_topk` for :func:`ivf_topk` over the same
-    (query_id, neighbor_id, cosine) contract."""
-    nn = brute_force_topk(labeled, unlabeled, k=k,
-                          id_col=id_col, vec_col=vec_col)
+    swap the scoring for :func:`ivf_topk` over the same
+    (query_id, neighbor_id, cosine) contract.
+
+    Scoring is inlined rather than delegated to :func:`brute_force_topk`:
+    the id spaces of ``labeled`` and ``unlabeled`` are independent, so
+    brute_force_topk's query_id != neighbor_id self-exclusion would
+    silently drop a legitimate seed that happens to share an id with the
+    query doc."""
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    nn = (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+    )
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
     )

@@ -177,38 +177,34 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             F.coalesce("dup_fraction", F.lit(0.0)) <= cfg.max_dup_window_frac
         ).drop("dup_fraction")
 
-    # 2b. optional LM gate: mean NLL under a clean-corpus unigram LM
-    if lm_ref is not None and cfg.lm_max_nll is not None:
+    # 2b/2c. optional LM-based gates — the per-doc NLL pass (token explode
+    # + broadcast model join + corpus groupBy, the dominant cost of both
+    # gates) is computed ONCE and shared
+    if lm_ref is not None and (cfg.lm_max_nll is not None or cfg.ccnet_keep):
         from .operators.textstats import lm_quality_score, unigram_lm
 
         nll = lm_quality_score(prof, unigram_lm(lm_ref, text_col=text_col),
                                id_col=id_col, text_col=text_col)
-        prof = prof.join(
-            nll.select(id_col, "avg_nll"), id_col, "left"
-        ).where(F.coalesce("avg_nll", F.lit(0.0)) <= cfg.lm_max_nll).drop("avg_nll")
+        prof = prof.join(nll.select(id_col, "avg_nll"), id_col, "left")
+        prof = prof.withColumn("avg_nll", F.coalesce("avg_nll", F.lit(0.0)))
 
-    # 2c. optional CCNet bucket gate: per-language NLL terciles under the
-    # clean-corpus LM, keep only the configured buckets (head/middle in the
-    # CCNet recipe) — tiny percentile agg + broadcast threshold join
-    if lm_ref is not None and cfg.ccnet_keep:
-        from .operators.textstats import (
-            ccnet_buckets,
-            lm_quality_score,
-            nll_thresholds,
-            unigram_lm,
-        )
+        # 2b. hard NLL ceiling
+        if cfg.lm_max_nll is not None:
+            prof = prof.where(F.col("avg_nll") <= cfg.lm_max_nll)
 
-        nll = lm_quality_score(prof, unigram_lm(lm_ref, text_col=text_col),
-                               id_col=id_col, text_col=text_col)
-        scored = prof.join(nll.select(id_col, "avg_nll"), id_col, "left")
-        scored = scored.withColumn("avg_nll",
-                                   F.coalesce("avg_nll", F.lit(0.0)))
-        th = nll_thresholds(scored, lang_col="lang_pred")
-        prof = (
-            ccnet_buckets(scored, th, lang_col="lang_pred")
-            .where(F.col("bucket").isin(*cfg.ccnet_keep))
-            .drop("bucket", "avg_nll")
-        )
+        # 2c. CCNet bucket gate: per-language NLL terciles, keep only the
+        # configured buckets (head/middle in the CCNet recipe) — tiny
+        # percentile agg + broadcast threshold join
+        if cfg.ccnet_keep:
+            from .operators.textstats import ccnet_buckets, nll_thresholds
+
+            th = nll_thresholds(prof, lang_col="lang_pred")
+            prof = (
+                ccnet_buckets(prof, th, lang_col="lang_pred")
+                .where(F.col("bucket").isin(*cfg.ccnet_keep))
+                .drop("bucket")
+            )
+        prof = prof.drop("avg_nll")
 
     # 3. PII redaction (codegen projection) — the redacted text REPLACES the
     # original so nothing downstream ever sees raw PII

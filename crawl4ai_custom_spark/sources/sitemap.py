@@ -174,7 +174,8 @@ def sitemap_page_entries(
         # try_cast: real-web lastmod values are dirty; malformed -> null
         lastmod.try_cast("timestamp").alias("lastmod_ts"),
         nn(F.regexp_extract("_b", _CHANGEFREQ_IN, 1)).alias("changefreq"),
-        nn(F.regexp_extract("_b", _PRIORITY_IN, 1)).cast("double")
+        # try_cast like lastmod: real-web priority values are just as dirty
+        nn(F.regexp_extract("_b", _PRIORITY_IN, 1)).try_cast("double")
         .alias("priority"),
     ).where(F.col("loc").isNotNull())
 

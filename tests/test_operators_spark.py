@@ -144,7 +144,7 @@ def test_exact_substring_dedup(spark):
             # run repeated WITHIN one doc: second occurrence removed
             # (within-doc repeats count, like the suffix-array method)
             (3, "p q r s gap1 gap2 gap3 gap4 p q r s"),
-            (4, "totally unique little document"),
+            (4, "Totally UNIQUE\nlittle document"),  # untouched: keep bytes
             (5, ""),  # zero tokens: passes through empty
         ],
         ["doc_id", "text"],
@@ -159,7 +159,8 @@ def test_exact_substring_dedup(spark):
     # within-doc repeat: first occurrence kept, second removed
     assert out[3]["text"] == "p q r s gap1 gap2 gap3 gap4"
     assert out[3]["n_tokens_removed"] == 4
-    assert out[4]["text"] == "totally unique little document"
+    # untouched docs keep ORIGINAL casing and line structure
+    assert out[4]["text"] == "Totally UNIQUE\nlittle document"
     assert out[5]["text"] == "" and out[5]["n_tokens"] == 0
 
 
@@ -417,6 +418,37 @@ def test_admit_honors_robots_crawl_delay(spark):
     assert by_dom["fast.com"] == 10     # base budget 15 > frontier size
     assert by_dom["eager.com"] == 10    # 0.1s declared: max(base, .1) = base
     assert "crawl_delay" not in out.columns
+
+
+def test_admit_dfs_prefix_honors_crawl_delay(spark):
+    """The DFS prefix admission consumes the robots-declared budget too:
+    a delay-15 host ends the wave at its 3rd stack entry."""
+    from crawl4ai_custom_spark.operators.politeness import (
+        PolitenessConfig, admit_dfs_prefix, empty_host_state,
+    )
+
+    # stack order = score desc; slow.com rows at positions 1,2,3
+    rows = [("https://slow.com/a", "slow.com", 1, 9.0),
+            ("https://slow.com/b", "slow.com", 1, 8.0),
+            ("https://slow.com/c", "slow.com", 1, 7.0),
+            ("https://other.com/x", "other.com", 1, 6.0)]
+    fr = spark.createDataFrame(
+        rows, ["url_canon", "registrable_domain", "depth", "score"]
+    )
+    delays = spark.createDataFrame([("slow.com", 15.0)],
+                                   ["registrable_domain", "crawl_delay"])
+    cfg = PolitenessConfig(base_delay=2.0, wave_seconds=30.0)
+    order = [F.desc("score")]
+    got = [r["url_canon"] for r in admit_dfs_prefix(
+        fr, empty_host_state(spark), cfg, order, 100, crawl_delays=delays
+    ).collect()]
+    # budget 2 for slow.com: the 3rd slow row ends the prefix BEFORE
+    # other.com's entry (DFS pop-order preservation)
+    assert got == ["https://slow.com/a", "https://slow.com/b"]
+    # without the delay table the whole stack fits (base budget 15)
+    assert admit_dfs_prefix(
+        fr, empty_host_state(spark), cfg, order, 100
+    ).count() == 4
 
 
 def test_robots_crawl_delays_extraction(spark):
