@@ -1734,6 +1734,21 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode gate: deterministic MJPEG AVI per doc (RIFF walk
+    + the from-scratch JPEG decoder), exact per-frame pixel stats; the
+    oracle recomputes every frame's blocks from the closed form."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        synth_avi_payloads,
+        video_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    out = video_frame_stats(synth_avi_payloads(docs))
+    return out.select("media_id", "decoder", "frame_idx", "width",
+                      "height", "n_values", "val_sum", "val_min", "val_max")
+
+
 def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual hash over REAL decoded PCM16 samples: 60 energy
     windows, the exact integer bit rule, 20 planted near-copies (sample 0
@@ -2815,6 +2830,20 @@ ORACLES["q_image_neardup"] = f"""
     )
     select id_a, id_b, bit_count(xor(h_a, h_b)) as hamming
     from cand where bit_count(xor(h_a, h_b)) <= 6
+"""
+
+ORACLES["q_video_decode"] = """
+    with d as (select doc_id, 2 + doc_id % 3 as nf
+               from documents where doc_id < 150),
+    fr as (select doc_id, unnest(range(0, nf)) as f from d),
+    blk as (select doc_id, f, unnest(range(0, 6)) as k from fr),
+    px as (select doc_id, f, (doc_id*31 + f*17 + k*7) % 256 as v from blk)
+    select doc_id as media_id, 'avi-mjpeg-stdlib' as decoder,
+           f::INT as frame_idx, 24 as width, 16 as height,
+           (count(*) * 64)::BIGINT as n_values,
+           (sum(v) * 64)::BIGINT as val_sum,
+           min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
+    from px group by doc_id, f
 """
 
 ORACLES["q_audio_ahash"] = """
@@ -4954,6 +4983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_ahash": q_image_ahash,
     "q_image_neardup": q_image_neardup,
     "q_audio_ahash": q_audio_ahash,
+    "q_video_decode": q_video_decode,
     "q_jpeg_decode": q_jpeg_decode,
     "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,

@@ -50,14 +50,18 @@ MAGIC = {
 
 
 def sniff_format(payload: Column) -> Column:
-    """Container format from magic bytes — native substring comparisons."""
-    head = F.substring(payload, 1, 4)
+    """Container format from magic bytes — native substring comparisons.
+    RIFF splits into 'avi' vs 'riff' (wav) at offset 8, like _sniff_bytes."""
     expr = F.lit("unknown")
     for name, magic in MAGIC.items():
         expr = F.when(
             F.substring(payload, 1, len(magic)) == F.lit(magic), F.lit(name)
         ).otherwise(expr)
-    return expr
+    return F.when(
+        (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(payload, 9, 4) == F.lit(b"AVI ")),
+        F.lit("avi"),
+    ).otherwise(expr)
 
 
 def frame_sample_offsets(duration_s: Column, n_frames: int = 8) -> Column:
@@ -143,6 +147,9 @@ DECODE_SCHEMA = StructType(
 def _sniff_bytes(p: bytes) -> str:
     if not p:
         return "unknown"
+    # RIFF is a container family: AVI distinguishes from WAV at offset 8
+    if bytes(p[:4]) == b"RIFF" and bytes(p[8:12]) == b"AVI ":
+        return "avi"
     for name, magic in MAGIC.items():
         if bytes(p[: len(magic)]) == magic:
             return name
@@ -349,6 +356,108 @@ def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select(*sel).mapInPandas(fn, out_schema)
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("decoder", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_values", LongType()),
+    StructField("val_sum", LongType()),
+    StructField("val_min", LongType()),
+    StructField("val_max", LongType()),
+])
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video decode: parse MJPEG-AVI payloads on executors (RIFF walk
+    + the from-scratch JPEG decoder — kernel/avimini.py) and emit exact
+    per-frame pixel statistics: (media_id, decoder, frame_idx, width,
+    height, n_values, val_sum, val_min, val_max).
+
+    Non-MJPEG codecs come back as ONE row with decoder='unsupported'
+    (recognized, never faked — the jpegmini/imagecodec policy); corrupt
+    containers as decoder='error'; both with null frame stats. Frame
+    arrays never leave the executor — only the stats rows do, so a video
+    corpus distributes like any other binary column. Sampling offsets for
+    long videos come from :func:`frame_sample_offsets` upstream."""
+    from ..kernel.avimini import decode_avi_mjpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                nulls = {"frame_idx": None, "width": None, "height": None,
+                         "n_values": None, "val_sum": None,
+                         "val_min": None, "val_max": None}
+                if _sniff_bytes(p) != "avi":
+                    rows.append({"media_id": mid,
+                                 "decoder": "unsupported", **nulls})
+                    continue
+                try:
+                    frames = decode_avi_mjpeg(bytes(p))
+                    for i, px in enumerate(frames):
+                        v = px.astype(np.int64)
+                        h, w = v.shape[:2]
+                        rows.append({
+                            "media_id": mid,
+                            "decoder": "avi-mjpeg-stdlib",
+                            "frame_idx": i, "width": w, "height": h,
+                            "n_values": int(v.size),
+                            "val_sum": int(v.sum()),
+                            "val_min": int(v.min()),
+                            "val_max": int(v.max()),
+                        })
+                except NotImplementedError:
+                    rows.append({"media_id": mid,
+                                 "decoder": "unsupported", **nulls})
+                except (ValueError, EOFError):
+                    rows.append({"media_id": mid,
+                                 "decoder": "error", **nulls})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, VIDEO_FRAME_SCHEMA
+    )
+
+
+def synth_avi_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG AVI per row: 2 + id%3 frames of 16x24 pixels
+    (2x3 constant 8x8 blocks), block k of frame f valued
+    (id*31 + f*17 + k*7) % 256 — DC-only JPEG frames round-trip exactly,
+    so the oracle recomputes every frame's pixel stats from the closed
+    form via generate_series."""
+    from ..kernel.avimini import encode_avi_mjpeg
+    from ..kernel.jpegmini import encode_jpeg_flat_blocks
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n_frames = 2 + mid % 3
+                frames = []
+                for f in range(n_frames):
+                    k = np.arange(6, dtype=np.int64)
+                    blocks = ((mid * 31 + f * 17 + k * 7) % 256).astype(
+                        np.uint8).reshape(2, 3)
+                    frames.append(encode_jpeg_flat_blocks(blocks))
+                ids.append(mid)
+                payloads.append(encode_avi_mjpeg(frames, 24, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        fn, out_schema
+    )
 
 
 def audio_ahash(media: DataFrame, n_windows: int = 60) -> DataFrame:

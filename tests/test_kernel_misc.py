@@ -220,6 +220,39 @@ def test_image_ahash_closed_form_and_neardup(spark):
     assert (1, 3) not in pairs  # reversed gradient: far in Hamming space
 
 
+def test_video_frame_stats_real_decode_and_fences(spark):
+    """MJPEG AVI decodes to exact per-frame stats; a non-MJPEG codec is
+    honestly 'unsupported'; a truncated container is 'error'."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.avimini import encode_avi_mjpeg
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        encode_jpeg_flat_blocks,
+    )
+    from crawl4ai_custom_spark.operators.multimodal import video_frame_stats
+
+    frames = [
+        encode_jpeg_flat_blocks(np.array([[10 * f, 200]], dtype=np.uint8))
+        for f in range(3)
+    ]
+    good = encode_avi_mjpeg(frames, 16, 8)
+    xvid = good.replace(b"vidsMJPG", b"vidsXVID")
+    rows = [(1, bytearray(good)), (2, bytearray(xvid)),
+            (3, bytearray(good[:40])), (4, bytearray(b"not media"))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = video_frame_stats(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    assert len(by[1]) == 3
+    f2 = {r["frame_idx"]: r for r in by[1]}[2]
+    assert (f2["width"], f2["height"]) == (16, 8)
+    assert f2["val_sum"] == (20 + 200) * 64 and f2["val_max"] == 200
+    assert by[2][0]["decoder"] == "unsupported"
+    assert by[3][0]["decoder"] == "error"
+    assert by[4][0]["decoder"] == "unsupported"  # not even a RIFF
+
+
 def test_audio_ahash_closed_form_and_neardup(spark):
     """Each of 60 samples is its own energy window: bit k set exactly when
     |sample k| > mean |sample|; a one-sample edit stays Hamming-near."""
