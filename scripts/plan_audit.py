@@ -465,6 +465,99 @@ def main() -> None:
          "index probed, banded joins", p, checks)
     )
 
+    # ---- round-5 additions ------------------------------------------------
+    from crawl4ai_custom_spark.operators.corpusmix import token_budget_select
+    from crawl4ai_custom_spark.operators.decontam import semantic_decontaminate
+    from crawl4ai_custom_spark.operators.dedup import exact_substring_dedup
+    from crawl4ai_custom_spark.operators.filters import url_blocklist_flags
+    from crawl4ai_custom_spark.operators.linkgraph import mirror_hosts
+    from crawl4ai_custom_spark.operators.similarity import knn_classify
+
+    docs_syn = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 / 97.0).alias("quality"),
+        (F.lit(50) + F.col("id") % 40).alias("n_tokens"),
+        F.concat(F.lit("tok"), (F.col("id") % 13).cast("string"),
+                 F.lit(" alpha beta gamma delta epsilon zeta")).alias("text"),
+    )
+    audit(
+        "Token-budget selection — one corpus exchange, broadcast threshold "
+        "join back",
+        token_budget_select(docs_syn, budget_tokens=10_000),
+        [
+            (r"BroadcastHashJoin", "the 1000-row bucket threshold table "
+             "ships to the corpus; the corpus never repartitions for the "
+             "join"),
+            (r"Window", "the cumulative sum runs over the TINY bucket "
+             "table (<=1000 rows), never over docs"),
+        ],
+    )
+    emb_syn = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17 / 17.0) for i in range(8)])
+        .alias("embedding"),
+    )
+    labeled_syn = emb_syn.where(F.col("vec_id") < 30).withColumn(
+        "label", (F.col("vec_id") % 3).cast("string"))
+    audit(
+        "k-NN label propagation — broadcast seed set, per-doc top-k window",
+        knn_classify(emb_syn.where(F.col("vec_id") >= 30), labeled_syn, k=5),
+        [
+            (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+             "the labeled seed set broadcasts into the cosine scoring — "
+             "the corpus side never shuffles for the join"),
+        ],
+    )
+    urls_syn = docs_syn.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id")).alias("url_canon"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".com")).alias("registrable_domain"),
+    )
+    bl_syn = spark.createDataFrame([("h1.com",), ("h2.com",)], ["domain"])
+    audit(
+        "URL blocklist curation — broadcast blocklist, frontier stays put",
+        url_blocklist_flags(urls_syn, bl_syn, keywords=["casino"]),
+        [
+            (r"BroadcastHashJoin", "the blocked-domain TABLE ships; "
+             "flagging is a projection over the unshuffled frontier"),
+        ],
+    )
+    audit(
+        "Exact-substring removal — window-free keeper pick",
+        exact_substring_dedup(docs_syn.select("doc_id", "text"), k=4),
+        [
+            (r"(?s)^(?!.*\bWindow\b)", "the duplicate count + keeper pick "
+             "is ONE groupBy(window_hash) partial agg — no window function "
+             "ever sees the corpus (same invariant as span_dedup)"),
+        ],
+    )
+    pages_syn = docs_syn.select(
+        F.concat(F.lit("https://m"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".com/"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    audit(
+        "Mirror-host detection — within-group pairs, never an all-pairs "
+        "host join",
+        mirror_hosts(pages_syn, min_shared=2),
+        [
+            (r"(?s)^(?!.*CartesianProduct)", "host pairs come from "
+             "exploding per-fingerprint host arrays (capped fan-out) — "
+             "no cross join anywhere"),
+        ],
+    )
+    audit(
+        "Semantic decontamination — broadcast benchmark vectors",
+        semantic_decontaminate(emb_syn.where(F.col("vec_id") >= 100),
+                               emb_syn.where(F.col("vec_id") < 20),
+                               id_col="vec_id"),
+        [
+            (r"BroadcastNestedLoopJoin", "the benchmark set broadcasts; "
+             "the corpus's only shuffle is the per-doc max/count agg"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
