@@ -1749,6 +1749,26 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "n_values", "val_sum", "val_min", "val_max")
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via per-frame perceptual hashes: 12 planted copies
+    (ids 1000+j reuse video j's frames) must pair with containment 1.0;
+    the oracle recomputes every frame's aHash from the closed-form pixels
+    and the shared-frame containment join."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        synth_avi_payloads,
+        video_ahash,
+        video_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = synth_avi_payloads(docs.where(F.col("doc_id") < 120))
+    copies = synth_avi_payloads(docs.where(F.col("doc_id") < 12)).select(
+        (F.col("media_id") + 1000).alias("media_id"), "payload"
+    )
+    vh = video_ahash(base.unionByName(copies))
+    return video_neardup(vh, min_shared=2, min_frac=0.5)
+
+
 def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual hash over REAL decoded PCM16 samples: 60 energy
     windows, the exact integer bit rule, 20 planted near-copies (sample 0
@@ -2830,6 +2850,54 @@ ORACLES["q_image_neardup"] = f"""
     )
     select id_a, id_b, bit_count(xor(h_a, h_b)) as hamming
     from cand where bit_count(xor(h_a, h_b)) <= 6
+"""
+
+ORACLES["q_video_neardup"] = """
+    with d as (
+      select doc_id as media_id, doc_id as base
+      from documents where doc_id < 120
+      union all
+      select doc_id + 1000, doc_id from documents where doc_id < 12
+    ),
+    fr as (select media_id, base, unnest(range(0, 2 + base % 3)) as f
+           from d),
+    px as (
+      select media_id, f,
+             (base*31 + f*17 + ((y//8)*3 + (x//8))*7) % 256 as v,
+             (y*6//16)*10 + (x*10//24) as k
+      from fr
+      cross join (select unnest(range(0, 24)) as x) tx
+      cross join (select unnest(range(0, 16)) as y) ty
+    ),
+    cagg as (select media_id, f, k, sum(v) as s, count(*) as c
+             from px group by 1, 2, 3),
+    tot as (select media_id, f, sum(v) as t, count(*) as n
+            from px group by 1, 2),
+    bits as (select a.media_id, a.f, a.k
+             from cagg a join tot using (media_id, f)
+             where a.s * tot.n > tot.t * a.c),
+    hashes as (select media_id, f,
+                      coalesce(sum(1::BIGINT << k), 0)::BIGINT as ahash
+               from bits group by 1, 2),
+    hf as (select distinct media_id as vid, ahash as fp from hashes),
+    sizes as (select vid, count(*) as nf from hf group by vid),
+    ok_fp as (
+      select fp from hf group by fp having count(*) between 2 and 50
+    ),
+    pairs as (
+      select a.vid as id_a, b.vid as id_b
+      from hf a join hf b using (fp) join ok_fp using (fp)
+      where a.vid < b.vid
+    ),
+    shared as (select id_a, id_b, count(*) as shared
+               from pairs group by 1, 2)
+    select s.id_a, s.id_b, s.shared,
+           round(s.shared / least(na.nf, nb.nf) + 1e-9, 6) as frac
+    from shared s
+    join sizes na on na.vid = s.id_a
+    join sizes nb on nb.vid = s.id_b
+    where s.shared >= 2
+      and round(s.shared / least(na.nf, nb.nf) + 1e-9, 6) >= 0.5
 """
 
 ORACLES["q_video_decode"] = """
@@ -4984,6 +5052,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_neardup": q_image_neardup,
     "q_audio_ahash": q_audio_ahash,
     "q_video_decode": q_video_decode,
+    "q_video_neardup": q_video_neardup,
     "q_jpeg_decode": q_jpeg_decode,
     "q_audio_decode": q_audio_decode,
     "q_media_sniff": q_media_sniff,

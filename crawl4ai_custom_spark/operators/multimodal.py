@@ -249,6 +249,25 @@ def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(*sel).mapInPandas(fn, out_schema)
 
 
+def _ahash_of(px: "np.ndarray", grid_w: int, grid_h: int) -> int:
+    """The exact-integer aHash bit rule over one decoded image — shared by
+    image_ahash and the per-frame video hash. bit k = cy*grid_w + cx set
+    when cell_sum * n_px > total_sum * cell_cnt (never a float mean)."""
+    v = px.astype(np.int64)
+    if v.ndim == 3:  # color: integer channel sum
+        v = v.sum(axis=2)
+    h, w = v.shape
+    y, x = np.indices((h, w))
+    cy, cx = y * grid_h // h, x * grid_w // w
+    k = (cy * grid_w + cx).ravel()
+    cell_sum = np.zeros(grid_w * grid_h, dtype=np.int64)
+    np.add.at(cell_sum, k, v.ravel())
+    cell_cnt = np.bincount(k, minlength=grid_w * grid_h)
+    n_px, total = v.size, int(v.sum())
+    bits = cell_sum * n_px > total * cell_cnt
+    return int(sum(1 << i for i in np.flatnonzero(bits)))
+
+
 AHASH_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("format", StringType()),
@@ -299,21 +318,7 @@ def image_ahash(media: DataFrame, grid_w: int = 10,
                     elif fmt == "jpeg":
                         px, row["decoder"] = decode_jpeg(bytes(p)), "jpeg-stdlib"
                     if px is not None:
-                        v = px.astype(np.int64)
-                        if v.ndim == 3:  # color: integer channel sum
-                            v = v.sum(axis=2)
-                        h, w = v.shape
-                        y, x = np.indices((h, w))
-                        cy, cx = y * grid_h // h, x * grid_w // w
-                        k = (cy * grid_w + cx).ravel()
-                        cell_sum = np.zeros(grid_w * grid_h, dtype=np.int64)
-                        np.add.at(cell_sum, k, v.ravel())
-                        cell_cnt = np.bincount(k, minlength=grid_w * grid_h)
-                        n_px, total = v.size, int(v.sum())
-                        bits = cell_sum * n_px > total * cell_cnt
-                        row["ahash"] = int(
-                            sum(1 << i for i in np.flatnonzero(bits))
-                        )
+                        row["ahash"] = _ahash_of(px, grid_w, grid_h)
                 except NotImplementedError:
                     row["decoder"] = "unsupported"
                 except (ValueError, EOFError):
@@ -422,6 +427,117 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         fn, VIDEO_FRAME_SCHEMA
+    )
+
+
+VIDEO_AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("decoder", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ahash", LongType()),
+])
+
+
+def video_ahash(media: DataFrame, grid_w: int = 10,
+                grid_h: int = 6) -> DataFrame:
+    """Per-frame perceptual hash of MJPEG-AVI payloads: decode each frame
+    (kernel/avimini + jpegmini) and apply the SAME exact-integer aHash bit
+    rule as :func:`image_ahash` — (media_id, decoder, frame_idx, ahash).
+    Non-MJPEG / corrupt payloads yield one honest null-hash row.
+
+    This is the video dedup signature: ~8 B per frame, joinable like the
+    image hash table. Pair videos with :func:`video_neardup` (shared-frame
+    containment) or run :func:`dedup.hamming_neardup` per frame for
+    fuzzier matches."""
+    from ..kernel.avimini import decode_avi_mjpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if _sniff_bytes(p) != "avi":
+                    rows.append({"media_id": mid, "decoder": "unsupported",
+                                 "frame_idx": None, "ahash": None})
+                    continue
+                try:
+                    for i, px in enumerate(decode_avi_mjpeg(bytes(p))):
+                        rows.append({
+                            "media_id": mid,
+                            "decoder": "avi-mjpeg-stdlib",
+                            "frame_idx": i,
+                            "ahash": _ahash_of(px, grid_w, grid_h),
+                        })
+                except NotImplementedError:
+                    rows.append({"media_id": mid, "decoder": "unsupported",
+                                 "frame_idx": None, "ahash": None})
+                except (ValueError, EOFError):
+                    rows.append({"media_id": mid, "decoder": "error",
+                                 "frame_idx": None, "ahash": None})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_AHASH_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, VIDEO_AHASH_SCHEMA
+    )
+
+
+def video_neardup(frame_hashes: DataFrame, min_shared: int = 2,
+                  min_frac: float = 0.5,
+                  max_videos_per_hash: int = 50) -> DataFrame:
+    """Video near-dup pairs from per-frame hashes (:func:`video_ahash`
+    output): videos sharing >= ``min_shared`` distinct frame hashes
+    covering >= ``min_frac`` of the SMALLER video's distinct frames —
+    containment, so a clip fully contained in a longer video flags.
+    Returns (id_a, id_b, shared, frac), id_a < id_b.
+
+    Same bounded shape as :func:`linkgraph.mirror_hosts`: one distinct
+    (video, hash), one groupBy(hash) building within-group pairs at the
+    ARRAY level; hashes shared by more than ``max_videos_per_hash`` videos
+    (black frames, title cards) drop FIRST, capping pair fan-out."""
+    hf = (
+        frame_hashes.where(F.col("ahash").isNotNull())
+        .select(F.col("media_id").alias("vid"), F.col("ahash").alias("fp"))
+        .distinct()
+    )
+    sizes = hf.groupBy("vid").agg(F.count(F.lit(1)).alias("n_frames"))
+    grouped = hf.groupBy("fp").agg(F.collect_list("vid").alias("vids"))
+    capped = grouped.where(
+        (F.size("vids") <= max_videos_per_hash) & (F.size("vids") >= 2)
+    )
+    pairs = capped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.array_sort("vids"),
+                        lambda a: F.transform(
+                            F.array_sort("vids"),
+                            lambda b: F.struct(a.alias("id_a"),
+                                               b.alias("id_b")),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    sa = sizes.select(F.col("vid").alias("id_a"),
+                      F.col("n_frames").alias("_na"))
+    sb = sizes.select(F.col("vid").alias("id_b"),
+                      F.col("n_frames").alias("_nb"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "frac",
+            F.round(F.col("shared") / F.least("_na", "_nb") + 1e-9, 6),
+        )
+        .where((F.col("shared") >= min_shared)
+               & (F.col("frac") >= min_frac))
+        .select("id_a", "id_b", "shared", "frac")
     )
 
 

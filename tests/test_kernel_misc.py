@@ -253,6 +253,45 @@ def test_video_frame_stats_real_decode_and_fences(spark):
     assert by[4][0]["decoder"] == "unsupported"  # not even a RIFF
 
 
+def test_video_ahash_and_neardup(spark):
+    """A re-encoded copy of a video shares every frame hash (containment
+    1.0); a clip of its first two frames still flags via containment of
+    the SMALLER side; an unrelated video does not pair."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.avimini import encode_avi_mjpeg
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        encode_jpeg_flat_blocks,
+    )
+    from crawl4ai_custom_spark.operators.multimodal import (
+        video_ahash,
+        video_neardup,
+    )
+
+    def frame(pat):
+        # aHash is STRUCTURE-based (cells above/below the mean), so frames
+        # must differ in pattern, not just gray level, to hash apart
+        return encode_jpeg_flat_blocks(
+            (np.array(pat, dtype=np.uint8).reshape(2, 3) * 255))
+
+    a = [frame(p) for p in ((1, 0, 0, 0, 1, 0), (0, 1, 0, 0, 0, 1),
+                            (1, 1, 0, 0, 0, 1), (0, 0, 1, 1, 0, 0))]
+    other = [frame(p) for p in ((1, 0, 1, 0, 1, 1), (0, 1, 1, 1, 0, 0))]
+    rows = [
+        (1, bytearray(encode_avi_mjpeg(a, 24, 16))),
+        (2, bytearray(encode_avi_mjpeg(list(a), 24, 16, fps=30))),  # copy
+        (3, bytearray(encode_avi_mjpeg(a[:2], 24, 16))),            # clip
+        (4, bytearray(encode_avi_mjpeg(other, 24, 16))),            # other
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    vh = video_ahash(df)
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             video_neardup(vh, min_shared=2, min_frac=0.5).collect()}
+    assert pairs[(1, 2)]["frac"] == 1.0 and pairs[(1, 2)]["shared"] == 4
+    assert pairs[(1, 3)]["frac"] == 1.0  # 2 of min(4, 2): clip contained
+    assert not any(4 in p for p in pairs)
+
+
 def test_audio_ahash_closed_form_and_neardup(spark):
     """Each of 60 samples is its own energy window: bit k set exactly when
     |sample k| > mean |sample|; a one-sample edit stays Hamming-near."""
