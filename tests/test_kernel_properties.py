@@ -229,6 +229,42 @@ def test_png_roundtrip_property(w, h, rgb, filter_mode, seed):
     assert np.array_equal(decode_png(encode_png(px, filter_mode)), px)
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=255),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=5,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+def test_avi_mjpeg_roundtrip_property(frame_blocks, fps):
+    """P: decode(encode(frames)) returns every frame's exact pixels for
+    any frame count / block layout / fps (DC-only JPEG frames are
+    lossless by construction; the container walk must not lose, reorder,
+    or pad-corrupt any 00dc chunk — odd-length chunks exercise RIFF
+    padding)."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.avimini import (
+        decode_avi_mjpeg, encode_avi_mjpeg,
+    )
+    from crawl4ai_custom_spark.kernel.jpegmini import (
+        encode_jpeg_flat_blocks,
+    )
+
+    frames, arrays = [], []
+    for blocks in frame_blocks:
+        arr = np.array(blocks, dtype=np.uint8).reshape(1, -1)
+        arrays.append(np.kron(arr, np.ones((8, 8), np.uint8)))
+        frames.append(encode_jpeg_flat_blocks(arr))
+    avi = encode_avi_mjpeg(frames, arrays[0].shape[1], 8, fps=fps)
+    out = decode_avi_mjpeg(avi)
+    assert len(out) == len(arrays)
+    for got, want in zip(out, arrays):
+        assert np.array_equal(got, want)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(
     st.tuples(
