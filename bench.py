@@ -291,6 +291,12 @@ def main() -> None:
         "q_decontam",
         "q_pagerank",
         "q_warc_parse",
+        # round-5 additions: span removal, real-decode perceptual dedup,
+        # budget selection — the new operator families at sf bench scale
+        "q_exact_substring",
+        "q_image_ahash",
+        "q_video_neardup",
+        "q_token_budget",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 
