@@ -160,10 +160,12 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     """REAL decode path: parse PNG/WAV payload bytes on executors and emit
     exact integer statistics over the decoded values (pixels / samples).
 
-    media(media_id long, payload binary) -> DECODE_SCHEMA. Unsupported
-    formats (jpeg/gif/video containers) come back with decoder='unsupported'
-    and null stats — explicit, never faked.
+    media(media_id long, payload binary) -> DECODE_SCHEMA. PNG, baseline
+    JPEG, PCM16 WAV and MJPEG AVI (whole-video stats; per-frame rows live
+    in :func:`video_frame_stats`) decode for real; anything else comes
+    back decoder='unsupported' with null stats — explicit, never faked.
     """
+    from ..kernel.avimini import decode_avi_mjpeg
     from ..kernel.imagecodec import decode_png, decode_wav
     from ..kernel.jpegmini import decode_jpeg
 
@@ -196,6 +198,18 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                         samples, rate = decode_wav(bytes(p))
                         v = samples.astype(np.int64)
                         row.update(decoder="wav-stdlib", width=rate, height=1,
+                                   n_values=int(v.size), val_sum=int(v.sum()),
+                                   val_min=int(v.min()), val_max=int(v.max()))
+                    elif fmt == "avi":
+                        frames = decode_avi_mjpeg(bytes(p))
+                        v = np.concatenate(
+                            [f.astype(np.int64).ravel() for f in frames]
+                        )
+                        fh, fw = frames[0].shape[:2]
+                        # whole-video stats; per-frame rows live in
+                        # video_frame_stats
+                        row.update(decoder="avi-mjpeg-stdlib",
+                                   width=fw, height=fh,
                                    n_values=int(v.size), val_sum=int(v.sum()),
                                    val_min=int(v.min()), val_max=int(v.max()))
                 except NotImplementedError:
