@@ -1266,6 +1266,50 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): raw pool = docs < 500,
+    target = English docs < 300; per-doc log importance = sum over hashed
+    unigram+bigram buckets of ln p_target - ln p_raw (add-1 smoothing,
+    4096 buckets). DuckDB recomputes both bucket distributions and the
+    per-feature log-ratio sum from the identical md5-60bit hash."""
+    from crawl4ai_custom_spark.operators.corpusmix import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 240).alias("text")
+    )
+    raw = docs.where(F.col("doc_id") < 500).select("doc_id", "text")
+    target = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") < 300)
+    ).select("doc_id", "text")
+    out = dsir_log_weights(raw, target, num_buckets=4096)
+    return out.select(
+        "doc_id", "n_features",
+        F.round(F.col("log_weight") + 1e-9, 6).alias("log_weight"),
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR via deterministic Gumbel-top-k: key =
+    log_weight + Gumbel(hash-uniform), top 100 of the same raw pool.
+    The oracle replays the hash uniforms, the Gumbel transform, the
+    round-6 key quantization and the (key desc, id asc) ranking."""
+    from crawl4ai_custom_spark.operators.corpusmix import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 240).alias("text")
+    )
+    raw = docs.where(F.col("doc_id") < 500).select("doc_id", "text")
+    target = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") < 300)
+    ).select("doc_id", "text")
+    out = dsir_resample(raw, target, n_docs=100, num_buckets=4096)
+    return out.select(
+        "doc_id", "n_features",
+        F.round(F.col("log_weight") + 1e-9, 6).alias("log_weight"),
+        F.round(F.col("gumbel_key") + 1e-9, 6).alias("gumbel_key"),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced training mixture (T=2: stratum share
     proportional to sqrt(n_g), mT5 recipe) at a 40% output budget —
@@ -3850,6 +3894,85 @@ ORACLES["q_classifier_score"] = """
     left join agg using (doc_id)
 """
 
+_DSIR_WEIGHTS_CTE = """
+    feats_src as (
+      select doc_id, lang,
+             list_filter(string_split_regex(lower(substr(text, 1, 240)),
+                                            '[^a-z0-9]+'),
+                         x -> length(x) > 1) as ts
+      from documents where doc_id < 500
+    ),
+    with_f as (
+      select doc_id, lang,
+             list_concat(ts, list_transform(ts[2:],
+                                            (x,i) -> ts[i] || '_' || x)) as fs
+      from feats_src
+    ),
+    t_b as (
+      select ('0x'||substr(md5(unnest(fs)),1,15))::BIGINT % 4096 as bucket
+      from with_f where lang = 'en' and doc_id < 300
+    ),
+    r_b as (
+      select doc_id,
+             ('0x'||substr(md5(unnest(fs)),1,15))::BIGINT % 4096 as bucket
+      from with_f
+    ),
+    tc as (select bucket, count(*) as t_c from t_b group by bucket),
+    rc as (select bucket, count(*) as r_c from r_b group by bucket),
+    buckets as (
+      select coalesce(tc.bucket, rc.bucket) as bucket,
+             coalesce(t_c, 0) as t_c, coalesce(r_c, 0) as r_c
+      from tc full outer join rc on tc.bucket = rc.bucket
+    ),
+    scal as (select sum(t_c) as tt, sum(r_c) as rt from buckets),
+    ratios as (
+      select bucket,
+             ln((t_c + 1.0) / (tt + 4096.0))
+               - ln((r_c + 1.0) / (rt + 4096.0)) as log_ratio
+      from buckets cross join scal
+    ),
+    agg as (
+      select r.doc_id, count(*) as n_features,
+             sum(log_ratio) as log_weight
+      from r_b r join ratios using (bucket)
+      group by r.doc_id
+    ),
+    weights as (
+      select d.doc_id,
+             coalesce(agg.n_features, 0)::BIGINT as n_features,
+             coalesce(agg.log_weight, 0.0) as log_weight
+      from (select doc_id from documents where doc_id < 500) d
+      left join agg using (doc_id)
+    )
+"""
+
+ORACLES["q_dsir"] = f"""
+    with {_DSIR_WEIGHTS_CTE}
+    select doc_id, n_features,
+           round(log_weight + 1e-9, 6) as log_weight
+    from weights
+"""
+
+ORACLES["q_dsir_sample"] = f"""
+    with {_DSIR_WEIGHTS_CTE},
+    keyed as (
+      select doc_id, n_features, log_weight,
+             round(log_weight - ln(-ln(
+               ((('0x'||substr(md5('dsir-v1-g-'||doc_id),1,15))::BIGINT
+                 % 1073741824) + 0.5) / 1073741824.0)), 6) as gumbel_key
+      from weights
+    ),
+    ranked as (
+      select *, row_number() over (order by gumbel_key desc, doc_id asc)
+               as rn
+      from keyed
+    )
+    select doc_id, n_features,
+           round(log_weight + 1e-9, 6) as log_weight,
+           round(gumbel_key + 1e-9, 6) as gumbel_key
+    from ranked where rn <= 100
+"""
+
 ORACLES["q_semantic_decontam"] = """
     with bench as (
       select embedding from embeddings where vec_id < 20
@@ -5015,6 +5138,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revisit_priority": q_revisit_priority,
     "q_stratified_sample": q_stratified_sample,
     "q_classifier_score": q_classifier_score,
+    "q_dsir": q_dsir,
+    "q_dsir_sample": q_dsir_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
     "q_lm_score": q_lm_score,

@@ -302,22 +302,37 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-                "bench_pages": n_pages,
-                "runs": runs,
-                "steal_fracs": steals,
-                **extras,
-            }
-        )
+    line = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "bench_pages": n_pages,
+        **{k: v for k, v in extras.items() if k != "workload_note"},
+    }
+    # Full per-run detail (every repeat's wall time + steal fraction, the
+    # workload note) goes to a side file: the driver that records the
+    # printed line keeps only a 2000-char tail of stdout, and round 4's
+    # line with `runs`/`steal_fracs` inlined blew past that and failed to
+    # parse (BENCH_r04.json "parsed": null). The stdout contract line must
+    # stay small; the evidence trail lives next to it on disk.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {**line, "runs": runs, "steal_fracs": steals,
+             "workload_note": extras.get("workload_note", "")},
+            f, indent=1,
+        )
+    out_line = json.dumps(line)
+    assert len(out_line) < 1900, (
+        f"bench JSON line {len(out_line)} chars — would overflow the "
+        "driver's 2000-char stdout tail; trim fields"
+    )
+    print(out_line)
 
 
 if __name__ == "__main__":

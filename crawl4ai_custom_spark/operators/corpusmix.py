@@ -322,3 +322,129 @@ def shuffle_shards(
     return with_keys.withColumn(
         "pos", F.row_number().over(win).cast("long")
     ).drop("ord_key")
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 16,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): per raw document, the log importance ratio of a
+    hashed-ngram bag-of-features model —
+
+        log w(d) = sum over features f of d of
+                   ln p_target(bucket(f)) - ln p_raw(bucket(f))
+
+    where both bucket distributions are add-k-smoothed frequency estimates
+    over the shared ``text_features`` space (lowercase unigrams + bigrams,
+    ``stable_hash60 % num_buckets`` — the classifier's feature hashing).
+    High weight = "looks like the target domain relative to the raw pool".
+
+    Returns (id, n_features, log_weight); zero-feature docs keep
+    log_weight 0.0 / n_features 0 (neutral, retained), matching the
+    classifier/LM-gate convention.
+
+    Shape at 100 TB: each side is one explode -> ONE groupBy(bucket)
+    partial-agg count (bucket table <= num_buckets rows, broadcastable by
+    construction), the per-bucket log-ratio table full-outer-joins the two
+    tiny tables driver-free, and scoring is explode -> broadcast ratio
+    join -> one keyed sum. The raw corpus shuffles only on its own doc key
+    for the final sum; the target corpus (the small curated sample in the
+    DSIR recipe) is read once.
+    """
+    k, b = float(smoothing), num_buckets
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        feats = _bucketed_features(df, id_col=id_col, text_col=text_col,
+                                   num_buckets=num_buckets)
+        return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+    tc = bucket_counts(target, "t_c")
+    rc = bucket_counts(raw, "r_c")
+    joined = tc.join(rc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_c", F.lit(0)).alias("t_c"),
+        F.coalesce("r_c", F.lit(0)).alias("r_c"),
+    )
+    scal = joined.agg(F.sum("t_c").alias("t_total"),
+                      F.sum("r_c").alias("r_total"))
+    ratios = joined.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        (
+            F.log((F.col("t_c") + k) / (F.col("t_total") + k * b))
+            - F.log((F.col("r_c") + k) / (F.col("r_total") + k * b))
+        ).alias("log_ratio"),
+    )
+    feats = _bucketed_features(raw, id_col=id_col, text_col=text_col,
+                               num_buckets=num_buckets)
+    agg = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_features", F.lit(0)).cast("long")
+            .alias("n_features"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 16,
+    smoothing: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``n_docs`` raw documents without
+    replacement with probability proportional to their importance weight,
+    via the Gumbel-top-k trick (Vieira 2014) — per doc,
+
+        key = log_weight + Gumbel(u),  Gumbel(u) = -ln(-ln(u))
+
+    with u a deterministic hash uniform (``(stable_hash60(salt||id) %
+    2^30 + 0.5) / 2^30`` — never exactly 0 or 1), then the n_docs largest
+    keys win. No RNG state: reruns and the SQL oracle reproduce the exact
+    sample. Determinism contract (the kmeans round-6 convention): the key
+    is rounded to 6 decimals before ranking, ties break on id asc, so the
+    selected set is bit-identical across engines despite non-associative
+    log-sum noise. Returns (id, n_features, log_weight, gumbel_key) of the
+    sampled docs.
+
+    Shape: the weight dataflow above + one TakeOrderedAndProject (a
+    per-partition top-n then a driver-side merge of n_docs rows — no
+    global sort of the corpus). n_docs must fit driver memory; for
+    billion-doc samples switch to a key-threshold filter instead (two
+    passes: approximate the n_docs-th key by sampling, then filter).
+    """
+    weighted = dsir_log_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, smoothing=smoothing,
+    )
+    u = (
+        F.pmod(
+            stable_hash60(F.concat(F.lit(salt + "-g-"),
+                                   F.col(id_col).cast("string"))),
+            F.lit(1 << 30),
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 30)
+    keyed = weighted.withColumn(
+        "gumbel_key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(n_docs)

@@ -115,3 +115,38 @@ def test_shuffle_shards_exact_partition_order(spark):
     other = shuffle_shards(docs, n_shards=4, salt="s2").collect()
     assert sorted((r["doc_id"], r["shard"], r["pos"]) for r in out) != \
         sorted((r["doc_id"], r["shard"], r["pos"]) for r in other)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import dsir_log_weights
+
+    docs = _docs(spark)
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    w = {r["doc_id"]: r for r in
+         dsir_log_weights(raw, target, num_buckets=1024).collect()}
+    assert len(w) == 41
+    # en docs look like the target relative to the mixed raw pool; xx don't
+    assert w[0]["log_weight"] > w[1]["log_weight"]
+    assert w[1]["log_weight"] < 0
+    # zero-feature doc neutral and retained
+    assert w[99]["n_features"] == 0 and w[99]["log_weight"] == 0.0
+
+
+def test_dsir_resample_deterministic_weighted(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import dsir_resample
+
+    docs = _docs(spark)
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    s1 = dsir_resample(raw, target, n_docs=10, num_buckets=1024).collect()
+    s2 = dsir_resample(raw, target, n_docs=10, num_buckets=1024).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == 10
+    # keys are sorted descending with id tiebreak
+    keys = [(r["gumbel_key"], -r["doc_id"]) for r in s1]
+    assert keys == sorted(keys, reverse=True)
+    # importance resampling should over-select target-like (even-id) docs:
+    # en docs carry strictly higher log weights than the xx half
+    n_en = sum(1 for r in s1 if r["doc_id"] % 2 == 0 or r["doc_id"] == 99)
+    assert n_en >= 7
