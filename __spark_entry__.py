@@ -569,6 +569,22 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, k=8, iterations=2)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) gate: k-means (k=8, 2 rounds, the
+    q_kmeans trajectory) -> within-cluster cosine >= 0.4 pairs ->
+    connected duplicate groups -> keep the member least similar to its
+    centroid. The oracle replays the identical trajectory, pair set,
+    recursive-CTE components and keeper ranking."""
+    from crawl4ai_custom_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k=8, iterations=2, eps=0.4)
+    # centroid_cos is already round-6 inside the operator (its determinism
+    # contract) — emit as-is, the oracle computes the same rounding
+    return out.select("vec_id", "cluster", "group_id", "centroid_cos",
+                      "keep")
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k: corpus as m=4 codes over
     deterministic 16-entry codebooks; queries score every corpus vector as
@@ -3340,13 +3356,14 @@ ORACLES["q_ann_ivf"] = f"""
     from ranked where rank <= 5
 """
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
-    """DuckDB twin of kmeans_lloyd: same deterministic init, same round-6
-    centroid quantization between rounds (so the trajectories are
-    bit-identical), `iterations` rounds unrolled."""
+def _kmeans_cte_parts(k: int = 8, iterations: int = 2):
+    """The kmeans_lloyd CTE chain (no leading WITH): v (id, v), c0..cN
+    (cluster, centroid), af (id, cluster). Returns (parts, final_cents_cte)
+    so composed oracles (q_kmeans, q_semdedup) share one replay of the
+    deterministic trajectory."""
     cos = _COS_SQL
     parts = [
-        "with v as (select vec_id as id, embedding::DOUBLE[] as v from embeddings)",
+        "v as (select vec_id as id, embedding::DOUBLE[] as v from embeddings)",
         f"""c0 as (
           select row_number() over (order by id asc) - 1 as cluster,
                  list_transform(v, x -> round(x, 6)) as centroid
@@ -3385,10 +3402,70 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
                           c.cluster asc) as rn
         from v cross join {prev} c) where rn = 1)"""
     parts.append(final)
-    return ",\n".join(parts) + "\nselect id as vec_id, cluster from af"
+    return parts, prev
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB twin of kmeans_lloyd: same deterministic init, same round-6
+    centroid quantization between rounds (so the trajectories are
+    bit-identical), `iterations` rounds unrolled."""
+    parts, _ = _kmeans_cte_parts(k, iterations)
+    return ("with " + ",\n".join(parts)
+            + "\nselect id as vec_id, cluster from af")
+
+
+def _semdedup_oracle_sql(k: int = 8, iterations: int = 2,
+                         eps: float = 0.5) -> str:
+    """DuckDB twin of dedup.semdedup: the kmeans trajectory above, then
+    within-cluster pairs at round-6 cosine >= eps, recursive-CTE connected
+    components, keeper = min (centroid_cos, id) per group."""
+    cos = _COS_SQL
+    parts, cents = _kmeans_cte_parts(k, iterations)
+    return f"""
+    with recursive {",".join(parts)},
+    pairs as (
+      select a.id as id_a, b.id as id_b
+      from af a
+      join af b on b.cluster = a.cluster and a.id < b.id
+      join v va on va.id = a.id
+      join v vb on vb.id = b.id
+      where round({cos.format(a="va.v", b="vb.v")}, 6) >= {eps}
+    ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b as src, id_a as dst from pairs
+    ),
+    nodes as (select distinct src as id from edges),
+    reach(id, r) as (
+      select id, id as r from nodes
+      union
+      select e.dst as id, reach.r from reach join edges e on e.src = reach.id
+    ),
+    grp as (select id, min(r) as group_id from reach group by id),
+    centcos as (
+      select a.id,
+             round({cos.format(a="v.v", b="c.centroid")}, 6) as centroid_cos
+      from af a join v on v.id = a.id join {cents} c using (cluster)
+    ),
+    ranked as (
+      select g.id, g.group_id,
+             row_number() over (partition by g.group_id
+               order by cc.centroid_cos asc, g.id asc) as rn
+      from grp g join centcos cc on cc.id = g.id
+    )
+    select a.id as vec_id, a.cluster,
+           coalesce(r.group_id, a.id) as group_id,
+           cc.centroid_cos,
+           (r.rn is null or r.rn = 1) as keep
+    from af a
+    join centcos cc on cc.id = a.id
+    left join ranked r on r.id = a.id
+    """
 
 
 ORACLES["q_kmeans"] = _kmeans_oracle_sql(8, 2)
+ORACLES["q_semdedup"] = _semdedup_oracle_sql(8, 2, 0.4)
 
 ORACLES["q_pack_sequences"] = """
     with t as (
@@ -5153,6 +5230,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
+    "q_semdedup": q_semdedup,
     "q_pack_sequences": q_pack_sequences,
     "q_decontam": q_decontam,
     "q_term_stats": q_term_stats,

@@ -992,3 +992,90 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         .withColumn(text_col, F.coalesce("_clean", F.lit("")))
         .drop("_clean", "_n_kept", "_n_lines")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    space — k-means cluster the vectors, call any WITHIN-cluster pair with
+    cosine >= eps a semantic duplicate, connect the pairs into duplicate
+    groups, and keep exactly one vector per group: the member LEAST similar
+    to its cluster centroid (the paper's keeper rule — low-centroid-
+    similarity examples sit at the cluster edge and preserve diversity),
+    ties broken by min id.
+
+    Returns one row per input vector:
+      (id, cluster, group_id, centroid_cos, keep)
+    where group_id = min id of the duplicate group (singleton groups =
+    the id itself, keep=true).
+
+    Determinism contract: k-means follows kmeans_lloyd's round-6 centroid
+    quantization; pair and centroid cosines are rounded to 6 decimals
+    before the eps comparison / keeper ranking, so the kept set is
+    bit-identical across engines and SQL-oracle-replayable.
+
+    Scale shape (the paper runs this at LAION-5B): clustering is
+    kmeans_lloyd (broadcast centroids, one grouped mean per round); the
+    duplicate-pair join is an equi-join ON THE CLUSTER KEY — one shuffle of
+    the corpus — with the quadratic blowup confined to each cluster, which
+    is the algorithm's own contract: k must scale with n so per-cluster
+    membership stays roughly constant (the paper uses k ~ n/1000). Group
+    connection is cluster_pairs (materialized min-label rounds, diameter-
+    bounded); the keeper rank is a window over duplicate-group members
+    only, never the full corpus.
+    """
+    from .similarity import cosine, kmeans_lloyd
+
+    assign, cents = kmeans_lloyd(
+        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir, return_centroids=True,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    av = v.join(assign.withColumnRenamed(id_col, "id"), "id")
+
+    a = av.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = av.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= eps)
+        .select("id_a", "id_b")
+    )
+    groups = cluster_pairs(pairs, checkpoint_dir=checkpoint_dir).select(
+        "id", F.col("cluster_id").alias("group_id")
+    )
+    cent_cos = av.join(F.broadcast(cents), "cluster").select(
+        "id",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6)
+        .alias("centroid_cos"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.asc("centroid_cos"), F.asc("id")
+    )
+    ranked = (
+        groups.join(cent_cos, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("id", "group_id", "_rn")
+    )
+    return (
+        av.select("id", "cluster")
+        .join(cent_cos, "id", "left")
+        .join(ranked, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce("group_id", F.col("id")).alias("group_id"),
+            "centroid_cos",
+            (F.col("_rn").isNull() | (F.col("_rn") == 1)).alias("keep"),
+        )
+    )

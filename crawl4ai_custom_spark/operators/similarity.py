@@ -473,12 +473,15 @@ def knn_classify(
 
 def kmeans_lloyd(vectors: DataFrame, k: int = 8, iterations: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 checkpoint_dir: str | None = None) -> DataFrame:
+                 checkpoint_dir: str | None = None,
+                 return_centroids: bool = False):
     """Lloyd's k-means as iterative dataflow: init = the k smallest-id
     vectors (deterministic); each round broadcasts the centroids, assigns
     every vector to its max-cosine centroid, and recomputes each centroid
     as the element-wise member mean. Returns (id, cluster) assignments
-    under the FINAL centroids.
+    under the FINAL centroids; with ``return_centroids=True`` returns the
+    tuple (assignments, centroids) — centroids as (cluster, centroid
+    array<double>), the table SemDeDup's keeper rule scores against.
 
     Determinism contract: centroid coordinates are rounded to 6 decimals
     between rounds, so iteration inputs are bit-identical across engines
@@ -541,4 +544,7 @@ def kmeans_lloyd(vectors: DataFrame, k: int = 8, iterations: int = 2,
             cents.write.mode("overwrite").parquet(out)
             cents = spark.read.parquet(out)
 
-    return assign(cents).select(F.col("id").alias(id_col), "cluster")
+    out = assign(cents).select(F.col("id").alias(id_col), "cluster")
+    if return_centroids:
+        return out, cents
+    return out

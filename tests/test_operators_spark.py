@@ -1694,3 +1694,40 @@ def test_domain_quality_rollup(spark):
     assert not out["junkyard.com"]["keep"]
     assert out["junkyard.com"]["avg_quality"] < 0.5
     assert not out["tiny.com"]["keep"] and out["tiny.com"]["n_docs"] == 2
+
+
+def test_semdedup_keeps_cluster_edge_member(spark, tmp_path):
+    from crawl4ai_custom_spark.operators.dedup import semdedup
+
+    # bundle A: three near-identical vectors + one edge vector tilted away
+    # from the bundle mean; bundle B: two singletons, mutually dissimilar
+    rows = [
+        (0, [10.0, 0.0, 1.0, 0.0]),
+        (1, [10.0, 0.05, 1.0, 0.0]),
+        (2, [10.0, 0.1, 1.0, 0.0]),
+        (3, [10.0, 4.0, 1.0, 0.0]),      # same cluster, low centroid cos
+        (100, [0.0, 0.5, 10.0, 9.0]),
+        (101, [0.0, 9.0, 0.5, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, k=2, iterations=2, eps=0.97,
+                    checkpoint_dir=str(tmp_path)).collect()}
+    assert len(out) == 6
+    # 0,1,2 are one duplicate group; 3 is similar-cluster but below eps
+    grp = {out[i]["group_id"] for i in (0, 1, 2)}
+    assert grp == {0}
+    assert out[3]["group_id"] == 3 and out[3]["keep"]
+    # exactly one keeper among the dups: the member least like the centroid
+    keepers = [i for i in (0, 1, 2) if out[i]["keep"]]
+    assert len(keepers) == 1
+    least = min((0, 1, 2),
+                key=lambda i: (out[i]["centroid_cos"], i))
+    assert keepers == [least]
+    # singletons keep themselves
+    assert out[100]["keep"] and out[101]["keep"]
+    # deterministic
+    again = {r["vec_id"]: r["keep"] for r in
+             semdedup(emb, k=2, iterations=2, eps=0.97,
+                      checkpoint_dir=str(tmp_path)).collect()}
+    assert all(again[k] == out[k]["keep"] for k in again)
