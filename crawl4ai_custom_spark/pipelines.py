@@ -4,8 +4,10 @@ the standard crawl -> corpus flow, one DataFrame in, one sharded corpus out.
     WARC blobs (or a pages table)
       -> extract (html -> text/markdown)            operators/extraction.py
       -> language / quality / repetition filters    operators/textstats.py
+      -> DSIR target-domain resampling (optional)   operators/corpusmix.py
       -> PII redaction                              operators/pii.py
       -> exact + near dedup -> keepers              operators/dedup.py
+      -> SemDeDup semantic dedup (optional)         operators/dedup.py
       -> benchmark decontamination                  operators/decontam.py
       -> stratified mixture sampling                operators/textstats.py
       -> chunking to a token budget                 operators/chunking.py
@@ -56,6 +58,10 @@ class CorpusConfig:
     decontam_ngram: int = 13
     mixture: dict[str, float] = field(default_factory=dict)  # lang -> rate
     default_rate: float = 1.0
+    dsir_n_docs: int | None = None    # with dsir_target: importance resample
+    dsir_num_buckets: int = 1 << 16
+    semdedup_eps: float | None = None  # with embeddings: semantic dedup
+    semdedup_k: int = 8
     chunk_tokens: int = 0       # 0 = no chunking, keep whole docs
     n_shards: int = 16
     shard_salt: str = "shards-v1"
@@ -64,14 +70,19 @@ class CorpusConfig:
 def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
                        bench: DataFrame | None = None,
                        lm_ref: DataFrame | None = None,
+                       dsir_target: DataFrame | None = None,
+                       embeddings: DataFrame | None = None,
                        id_col: str = "doc_id", text_col: str = "text",
                        checkpoint_dir: str | None = None) -> DataFrame:
     """documents(doc_id, text[, lang, ...]) -> training corpus with
     (doc_id, text, lang_pred, quality, shard [, chunk_index]).
 
     Pass `bench` to decontaminate against a benchmark table of the same
-    shape. All filters are explicit columns first, then one `.where`, so
-    the pipeline is auditable stage by stage.
+    shape; `dsir_target` (same shape, + cfg.dsir_n_docs) to importance-
+    resample the pool toward a target domain; `embeddings`
+    (vec_id, embedding) + cfg.semdedup_eps for a SemDeDup semantic pass
+    after lexical near-dedup. All filters are explicit columns first, then
+    one `.where`, so the pipeline is auditable stage by stage.
     """
     from .operators.decontam import decontaminate
     from .operators.dedup import (
@@ -206,6 +217,25 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             )
         prof = prof.drop("avg_nll")
 
+    # 2d. optional DSIR importance resampling toward a target domain
+    # (Xie et al. 2023): select the cfg.dsir_n_docs pool docs whose hashed-
+    # ngram features look most target-like, via deterministic Gumbel-top-k.
+    # Runs AFTER the cheap gates (so weights are estimated on the cleaned
+    # pool) and BEFORE the expensive stages (PII / dedup / decontam see
+    # only the selected subset). Weight estimation is two bucket-count
+    # aggs (<= num_buckets rows each, broadcast back) + one
+    # TakeOrderedAndProject — no global sort.
+    if dsir_target is not None and cfg.dsir_n_docs is not None:
+        from .operators.corpusmix import dsir_resample
+
+        picked = dsir_resample(
+            prof, dsir_target, cfg.dsir_n_docs, id_col=id_col,
+            text_col=text_col, num_buckets=cfg.dsir_num_buckets,
+        ).select(id_col)
+        # no forced broadcast: n_docs is caller-sized (could be 10^8 ids at
+        # 100 TB); AQE broadcasts the semi side when it fits
+        prof = prof.join(picked, id_col, "semi")
+
     # 3. PII redaction (codegen projection) — the redacted text REPLACES the
     # original so nothing downstream ever sees raw PII
     if cfg.redact_pii:
@@ -245,6 +275,25 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
         prof = dedup_keepers(
             prof, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
         ).where(F.col("is_keeper")).drop("cluster_id", "is_keeper")
+
+    # 5b. optional SemDeDup semantic pass (Abbas et al. 2023) over an
+    # embeddings table: k-means clusters, within-cluster cosine >= eps
+    # pairs, keep the cluster-edge member of each duplicate group. Runs
+    # AFTER lexical near-dedup (cheaper shuffles first; semantic dup sets
+    # shrink once lexical dups are gone). Docs without an embedding row
+    # pass through untouched (left anti on the DROPPED set, not semi on
+    # the kept set).
+    if embeddings is not None and cfg.semdedup_eps is not None:
+        from .operators.dedup import semdedup
+
+        survivors_emb = embeddings.join(
+            prof.select(F.col(id_col).alias("vec_id")), "vec_id", "semi"
+        )
+        dropped = semdedup(
+            survivors_emb, k=cfg.semdedup_k, eps=cfg.semdedup_eps,
+            checkpoint_dir=checkpoint_dir,
+        ).where(~F.col("keep")).select(F.col("vec_id").alias(id_col))
+        prof = prof.join(dropped, id_col, "anti")
 
     # 6. decontamination (broadcast benchmark grams)
     if bench is not None:

@@ -240,3 +240,55 @@ def test_pipeline_exact_substring_stage(spark):
     assert "rights reserved" in out[0]
     for i in (1, 2, 3):
         assert "rights reserved" not in out[i]
+
+
+def test_pipeline_dsir_stage(spark):
+    """DSIR resampling keeps exactly n_docs and prefers target-like docs."""
+    # pool: half storage-topic docs, half scheduler-topic docs
+    pool = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(24)], ["doc_id", "text"]
+    )
+    # target domain: storage-engine flavored (topic index 0 mod 6)
+    target = spark.createDataFrame(
+        [(1000 + i, _doc(i * 6)) for i in range(8)], ["doc_id", "text"]
+    )
+    cfg = CorpusConfig(near_dedup=False, redact_pii=False, dsir_n_docs=6)
+    out = build_training_set(pool, cfg, dsir_target=target)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert len(ids) == 6
+    # determinism: same call twice -> same selected set
+    ids2 = sorted(
+        r["doc_id"]
+        for r in build_training_set(pool, cfg, dsir_target=target)
+        .select("doc_id").collect()
+    )
+    assert ids == ids2
+    # the selection skews toward the target topic (doc_id % 6 == 0)
+    n_target_like = sum(1 for i in ids if i % 6 == 0)
+    assert n_target_like >= 3  # at least half despite being 1/6 of the pool
+
+
+def test_pipeline_semdedup_stage(spark):
+    """SemDeDup drops semantic duplicates that share an embedding direction
+    even when their TEXT differs (invisible to lexical dedup), and leaves
+    docs without an embedding row untouched."""
+    docs = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(8)], ["doc_id", "text"]
+    )
+    # docs 0 and 1: near-identical embeddings (semantic dups); others spread
+    def vec(i: int) -> list[float]:
+        if i in (0, 1):
+            return [1.0, 0.001 * i, 0.0, 0.0]
+        return [0.0, 1.0 + 0.1 * i, float(i), 1.0]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)],  # docs 6,7 have NO embedding
+        ["vec_id", "embedding"],
+    )
+    cfg = CorpusConfig(near_dedup=False, redact_pii=False,
+                       semdedup_eps=0.999, semdedup_k=2)
+    out = build_training_set(docs, cfg, embeddings=emb)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # exactly one of the {0,1} dup pair survives; everything else intact
+    assert len(ids & {0, 1}) == 1
+    assert {2, 3, 4, 5, 6, 7} <= ids
