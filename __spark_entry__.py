@@ -570,15 +570,17 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) gate: k-means (k=8, 2 rounds, the
-    q_kmeans trajectory) -> within-cluster cosine >= 0.4 pairs ->
-    connected duplicate groups -> keep the member least similar to its
-    centroid. The oracle replays the identical trajectory, pair set,
-    recursive-CTE components and keeper ranking."""
+    """SemDeDup (Abbas et al. 2023) gate: k-means (k=8, 1 round) ->
+    within-cluster cosine >= 0.4 pairs -> connected duplicate groups ->
+    keep the member least similar to its centroid. The oracle replays the
+    identical trajectory, pair set, recursive-CTE components and keeper
+    ranking. Bounded to 300 vectors / 1 round for gate-budget reasons
+    (r4 ask: every gate <= ~3s); the operator's full trajectory is
+    exercised by q_kmeans and tests/test_semdedup*."""
     from crawl4ai_custom_spark.operators.dedup import semdedup
 
-    emb = _t(spark, sf_dir, "embeddings")
-    out = semdedup(emb, k=8, iterations=2, eps=0.4)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    out = semdedup(emb, k=8, iterations=1, eps=0.4)
     # centroid_cos is already round-6 inside the operator (its determinism
     # contract) — emit as-is, the oracle computes the same rounding
     return out.select("vec_id", "cluster", "group_id", "centroid_cos",
@@ -3356,14 +3358,18 @@ ORACLES["q_ann_ivf"] = f"""
     from ranked where rank <= 5
 """
 
-def _kmeans_cte_parts(k: int = 8, iterations: int = 2):
+def _kmeans_cte_parts(k: int = 8, iterations: int = 2,
+                      max_id: int | None = None):
     """The kmeans_lloyd CTE chain (no leading WITH): v (id, v), c0..cN
     (cluster, centroid), af (id, cluster). Returns (parts, final_cents_cte)
     so composed oracles (q_kmeans, q_semdedup) share one replay of the
-    deterministic trajectory."""
+    deterministic trajectory. ``max_id`` bounds the input (gate-budget
+    shrink — the Spark side applies the same filter)."""
     cos = _COS_SQL
+    lim = f" where vec_id < {max_id}" if max_id is not None else ""
     parts = [
-        "v as (select vec_id as id, embedding::DOUBLE[] as v from embeddings)",
+        f"v as (select vec_id as id, embedding::DOUBLE[] as v"
+        f" from embeddings{lim})",
         f"""c0 as (
           select row_number() over (order by id asc) - 1 as cluster,
                  list_transform(v, x -> round(x, 6)) as centroid
@@ -3415,12 +3421,13 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
 
 
 def _semdedup_oracle_sql(k: int = 8, iterations: int = 2,
-                         eps: float = 0.5) -> str:
+                         eps: float = 0.5,
+                         max_id: int | None = None) -> str:
     """DuckDB twin of dedup.semdedup: the kmeans trajectory above, then
     within-cluster pairs at round-6 cosine >= eps, recursive-CTE connected
     components, keeper = min (centroid_cos, id) per group."""
     cos = _COS_SQL
-    parts, cents = _kmeans_cte_parts(k, iterations)
+    parts, cents = _kmeans_cte_parts(k, iterations, max_id=max_id)
     return f"""
     with recursive {",".join(parts)},
     pairs as (
@@ -3465,7 +3472,7 @@ def _semdedup_oracle_sql(k: int = 8, iterations: int = 2,
 
 
 ORACLES["q_kmeans"] = _kmeans_oracle_sql(8, 2)
-ORACLES["q_semdedup"] = _semdedup_oracle_sql(8, 2, 0.4)
+ORACLES["q_semdedup"] = _semdedup_oracle_sql(8, 1, 0.4, max_id=300)
 
 ORACLES["q_pack_sequences"] = """
     with t as (

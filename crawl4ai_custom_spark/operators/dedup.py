@@ -743,6 +743,7 @@ def cluster_pairs(
     pairs: DataFrame,
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs -> connected components: (id, cluster_id) where
     cluster_id = min id reachable through the pair graph (the keeper).
@@ -759,6 +760,17 @@ def cluster_pairs(
     (see dedup_keepers); the reference's per-page first-wins dedup
     (content_scraping_strategy seen-href logic) is the degenerate
     single-page case of the same keeper rule.
+
+    Small-graph fast path: when the materialized edge table holds at most
+    ``driver_max_edges`` rows (known for free from the parquet write — no
+    extra action), components come from a driver-side union-find over the
+    collected edges instead of iterative jobs. The collect is size-GATED
+    (200k edges = a few MB), so this is the bounded-scalar kind of driver
+    work, not a distributed-path regression: duplicate-pair graphs at
+    sf<=0.1 fit trivially, while a 100 TB near-dup graph exceeds the gate
+    and takes the propagation path unchanged. Same output either way —
+    the propagation's min-label fixpoint IS the union-find component
+    minimum.
     """
     import os
     import tempfile
@@ -777,6 +789,34 @@ def cluster_pairs(
     edges_path = os.path.join(ckpt, "edges")
     edges.write.mode("overwrite").parquet(edges_path)
     edges = spark.read.parquet(edges_path)
+
+    # row count comes from parquet footers (no data scan)
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for src, dst in edges.collect():
+            parent.setdefault(src, src)
+            parent.setdefault(dst, dst)
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        from pyspark.sql.types import StructField, StructType
+
+        rows = [(x, find(x)) for x in parent]
+        out_schema = StructType([
+            StructField("id", edges.schema["src"].dataType),
+            StructField("cluster_id", edges.schema["src"].dataType),
+        ])
+        return spark.createDataFrame(rows, out_schema)
 
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")

@@ -1731,3 +1731,28 @@ def test_semdedup_keeps_cluster_edge_member(spark, tmp_path):
              semdedup(emb, k=2, iterations=2, eps=0.97,
                       checkpoint_dir=str(tmp_path)).collect()}
     assert all(again[k] == out[k]["keep"] for k in again)
+
+
+def test_cluster_pairs_both_paths_agree(spark, tmp_path):
+    """The size-gated driver union-find fast path and the distributed
+    min-label propagation produce identical components (chain + pair +
+    implicit singletons), including on a chain whose diameter forces
+    several propagation rounds."""
+    from crawl4ai_custom_spark.operators.dedup import cluster_pairs
+
+    edges = [(i, i + 1) for i in range(1, 8)] + [(20, 21), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in cluster_pairs(
+            pairs, checkpoint_dir=str(tmp_path / "f")
+        ).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in cluster_pairs(
+            pairs, checkpoint_dir=str(tmp_path / "d"), driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[8] == 1 and fast[21] == 20 and fast[31] == 30
