@@ -1014,6 +1014,34 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "content_length", "payload")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink gate: pages -> warc_write (gzip members, hash-assigned
+    url-sorted segments) -> parse_warc_records(gz=True) is the identity on
+    (url, payload bytes, date). The oracle states the fixpoint directly
+    from documents — any framing, Content-Length, ordering or compression
+    defect breaks the hash."""
+    from crawl4ai_custom_spark.sources.warc import (
+        parse_warc_records,
+        warc_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pages = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    recs = parse_warc_records(
+        warc_write(pages, n_blobs=7, ts_col=None, gz=True), gz=True
+    )
+    return recs.select(
+        F.col("target_uri").alias("url"),
+        F.md5(F.encode("payload", "utf-8")).alias("payload_md5"),
+        "content_length",
+        "warc_date",
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter gate: build 3-line docs where every
     even doc repeats its first line, then verify duplicate-line fractions and
@@ -4524,6 +4552,14 @@ ORACLES["q_warc_parse"] = """
     from documents where doc_id < 500
 """
 
+ORACLES["q_warc_roundtrip"] = """
+    select 'https://' || source || '.example.com/doc/' || doc_id as url,
+           md5(text) as payload_md5,
+           octet_length(encode(text))::BIGINT as content_length,
+           '2024-01-01T00:00:00Z' as warc_date
+    from documents where doc_id < 400
+"""
+
 ORACLES["q_repetition"] = """
     with mdocs as (
       select doc_id,
@@ -5207,6 +5243,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
     "q_warc_parse": q_warc_parse,
+    "q_warc_roundtrip": q_warc_roundtrip,
     "q_pagerank": q_pagerank,
     "q_trustrank": q_trustrank,
     "q_crawl_diff": q_crawl_diff,

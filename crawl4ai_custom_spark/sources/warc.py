@@ -164,3 +164,99 @@ def build_warc_blobs(docs: DataFrame, id_col: str = "doc_id",
         docs.groupBy((F.col(id_col) / group_size).cast("long").alias("blob_id"))
         .agg(F.encode(F.concat_ws("", rec), "utf-8").alias("payload"))
     )
+
+
+def _warc_record_expr(url: Column, date: Column, payload: Column,
+                      warc_type: str) -> Column:
+    """One WARC/1.0 record as a string expression (Content-Length is the
+    BYTE length of the utf-8 payload, matching _parse_blob's slicing)."""
+    return F.concat(
+        F.lit(f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(F.encode(payload, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+
+
+def warc_write(pages: DataFrame, n_blobs: int,
+               url_col: str = "url", payload_col: str = "html",
+               ts_col: str | None = "warc_ts",
+               warc_type: str = "response",
+               gz: bool = False) -> DataFrame:
+    """The sink half of this source: pages -> (blob_id, payload binary)
+    WARC segments that `parse_warc_records` (and any ISO 28500 reader)
+    re-ingests byte-exactly. Reference parity: crawl4ai persists crawl
+    output to SQLite/files (async_database.py); at engine scale the
+    interoperable at-rest format for fetched pages IS Common Crawl's own —
+    this makes the engine a CC-style *producer*, closing the loop with the
+    reader above (crawl -> warc_write -> parse_warc_records -> pages is
+    identity, see test_warc_roundtrip / q_warc_roundtrip).
+
+    Layout: records are assigned to blobs by hash(url) % n_blobs and
+    sorted by url within a blob, so the segment set is deterministic under
+    any input partitioning. The caller sizes n_blobs for the target
+    segment size (CC ships ~1 GB): records/blob = |pages|/n_blobs bounds
+    the per-group buffer, and the build is ONE groupBy(blob_id) shuffle —
+    no window, no driver assembly.
+
+    Payload domain: utf-8 text (html/markdown). Binary payload columns are
+    decoded as utf-8 first — the parser returns utf-8 text payloads, so
+    non-utf8 media bytes do not round-trip through the STRING record
+    builder; store those as parquet binary columns instead (multimodal.py).
+
+    gz=True emits one gzip member per record (mtime=0 for determinism) —
+    CC's .warc.gz framing, re-read with parse_warc_records(gz=True). The
+    compression crossing is applyInPandas per blob group (same single
+    shuffle).
+    """
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    payload = F.col(payload_col)
+    if isinstance(pages.schema[payload_col].dataType, _Bin):
+        payload = F.decode(payload, "utf-8")
+    if ts_col is None:
+        date = F.lit("2024-01-01T00:00:00Z")
+    else:
+        dt = pages.schema[ts_col].dataType.simpleString()
+        date = (F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                if dt.startswith("timestamp") else F.col(ts_col).cast("string"))
+
+    rows = pages.select(
+        F.pmod(F.xxhash64(url_col), F.lit(n_blobs)).alias("blob_id"),
+        F.col(url_col).alias("_u"),
+        _warc_record_expr(F.col(url_col), date, payload, warc_type)
+        .alias("_rec"),
+    )
+    if not gz:
+        rec = F.transform(
+            F.sort_array(F.collect_list(F.struct("_u", "_rec"))),
+            lambda x: x["_rec"],
+        )
+        return rows.groupBy("blob_id").agg(
+            F.encode(F.concat_ws("", rec), "utf-8").alias("payload")
+        )
+
+    import gzip as _gzip
+    import io
+
+    out_schema = _ST([_SF("blob_id", _Long()), _SF("payload", _Bin())])
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_u")
+        buf = io.BytesIO()
+        for rec in pdf["_rec"]:
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec.encode("utf-8"))
+        return pd.DataFrame(
+            {"blob_id": [int(pdf["blob_id"].iloc[0])],
+             "payload": [buf.getvalue()]}
+        )
+
+    return rows.groupBy("blob_id").applyInPandas(assemble, out_schema)

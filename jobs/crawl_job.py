@@ -59,6 +59,14 @@ def parse_args(argv):
                    help="head-peek contextual scoring of discovered links"
                         " (needs --keywords)")
     p.add_argument("--max-waves", type=int, default=None)
+    p.add_argument("--warc-out", default=None,
+                   help="also export the crawl's extracted text as WARC "
+                        "conversion records (Common Crawl WET-style, gzip "
+                        "members): a (blob_id, payload) parquet segment "
+                        "table re-readable with parse_warc_records(gz=True)")
+    p.add_argument("--warc-blobs", type=int, default=16,
+                   help="number of WARC segments for --warc-out (size for "
+                        "~1 GB per segment at scale)")
     return p.parse_args(argv)
 
 
@@ -129,6 +137,20 @@ def main(argv=None) -> int:
     }
     if recrawl is not None:
         out["recrawl"] = recrawl
+    if args.warc_out:
+        from pyspark.sql import functions as F
+
+        from crawl4ai_custom_spark.sources.warc import warc_write
+
+        results = spark.read.parquet(f"{run.results_dir}/*/results.parquet")
+        pages = results.where(
+            F.col("success") & F.col("raw_markdown").isNotNull()
+        ).select("url", F.col("raw_markdown").alias("payload"))
+        warc_write(
+            pages, n_blobs=args.warc_blobs, payload_col="payload",
+            ts_col=None, warc_type="conversion", gz=True,
+        ).write.mode("overwrite").parquet(args.warc_out)
+        out["warc_out"] = args.warc_out
     print(json.dumps(out))
     return 0
 
