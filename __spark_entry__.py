@@ -1900,6 +1900,27 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_values", "val_sum", "val_min", "val_max")
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize gate: deterministic PNGs -> image_resize (nearest, 4x4)
+    -> decode the RESIZED bytes again -> exact pixel stats. Two full
+    encode/decode round trips bracket the resample; the oracle recomputes
+    each sampled source index (floor((t+0.5)*src/4)) and its closed-form
+    pixel value in SQL."""
+    from crawl4ai_custom_spark.operators.multimodal import (
+        decode_media_stats,
+        image_resize,
+        synth_png_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    resized = image_resize(
+        synth_png_payloads(docs), 4, 4, method="nearest"
+    ).select("media_id", "payload")
+    out = decode_media_stats(resized)
+    return out.select("media_id", "format", "decoder", "width", "height",
+                      "n_values", "val_sum", "val_min", "val_max")
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode gate: deterministic baseline JPEG per doc built
     from constant 8x8 blocks (all-ones quant table => DC-only blocks =>
@@ -3044,6 +3065,23 @@ ORACLES["q_image_decode"] = """
            any_value(w)::INT as width, any_value(h)::INT as height,
            count(*)::BIGINT as n_values, sum(v)::BIGINT as val_sum,
            min(v)::BIGINT as val_min, max(v)::BIGINT as val_max
+    from px group by doc_id
+"""
+
+ORACLES["q_image_resize"] = """
+    with d as (select doc_id, 8 + doc_id % 5 as w, 8 + doc_id % 3 as h
+               from documents where doc_id < 200),
+    ix as (select doc_id, w, h, unnest(generate_series(0, 15)) as i from d),
+    m as (select doc_id, w,
+                 cast(floor(((i // 4) + 0.5) * h / 4.0) as bigint) as sy,
+                 cast(floor(((i % 4) + 0.5) * w / 4.0) as bigint) as sx
+          from ix),
+    px as (select doc_id,
+                  (doc_id*37 + (sy*w + sx)*11 + 7) % 256 as v from m)
+    select doc_id as media_id, 'png' as format, 'png-stdlib' as decoder,
+           4::INT as width, 4::INT as height, count(*)::BIGINT as n_values,
+           sum(v)::BIGINT as val_sum, min(v)::BIGINT as val_min,
+           max(v)::BIGINT as val_max
     from px group by doc_id
 """
 
@@ -5295,6 +5333,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_revenue_nations": q_top_revenue_nations,
     "q_multimodal_features": q_multimodal_features,
     "q_image_decode": q_image_decode,
+    "q_image_resize": q_image_resize,
     "q_image_ahash": q_image_ahash,
     "q_image_neardup": q_image_neardup,
     "q_audio_ahash": q_audio_ahash,

@@ -417,3 +417,69 @@ def test_jpeg_honest_fences():
     with pytest.raises(NotImplementedError):
         # progressive SOF2
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08" + b"\x08\x00\x08\x00\x08\x01")
+
+
+def test_image_resize_area_is_exact_block_mean(spark):
+    """Integer-factor area resize = exact block mean (round half up),
+    verified through the full encode -> resize -> encode -> decode chain."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import decode_png, encode_png
+    from crawl4ai_custom_spark.operators.multimodal import image_resize
+
+    rng_px = (np.arange(256, dtype=np.int64) * 31 % 256).astype(
+        np.uint8).reshape(16, 16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(rng_px)))], ["media_id", "payload"]
+    )
+    out = image_resize(media, 4, 4, method="area").collect()[0]
+    assert (out["decoder"], out["src_width"], out["src_height"]) == (
+        "png-stdlib", 16, 16)
+    got = decode_png(bytes(out["payload"]))
+    exp = np.floor(
+        rng_px.reshape(4, 4, 4, 4).mean(axis=(1, 3)) + 0.5
+    ).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_image_resize_rgb_and_fractional(spark):
+    """RGB input and a fractional factor (10 -> 4): output geometry right,
+    channels independent, values within the source range per channel."""
+    import numpy as np
+
+    from crawl4ai_custom_spark.kernel.imagecodec import decode_png, encode_png
+    from crawl4ai_custom_spark.operators.multimodal import image_resize
+
+    px = np.zeros((10, 10, 3), dtype=np.uint8)
+    px[:, :, 0] = 200   # constant R plane must stay exactly 200
+    px[:, :, 1] = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_png(px)))], ["media_id", "payload"]
+    )
+    out = image_resize(media, 4, 4, method="area").collect()[0]
+    got = decode_png(bytes(out["payload"]))
+    assert got.shape == (4, 4, 3)
+    assert (got[:, :, 0] == 200).all()
+    assert got[:, :, 1].min() >= 0 and got[:, :, 1].max() <= 99
+    assert (got[:, :, 2] == 0).all()
+
+
+def test_image_resize_unsupported_and_corrupt(spark):
+    """Non-image and corrupt payloads follow the decode convention:
+    decoder 'unsupported'/'error', null payload — never a fake image."""
+    from crawl4ai_custom_spark.kernel.imagecodec import encode_png
+    import numpy as np
+
+    from crawl4ai_custom_spark.operators.multimodal import image_resize
+
+    good = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a not supported")),
+         (2, bytearray(good[:30])),   # truncated PNG -> error
+         (3, bytearray(good))],
+        ["media_id", "payload"],
+    )
+    rows = {r["media_id"]: r for r in image_resize(media, 2, 2).collect()}
+    assert rows[1]["decoder"] == "unsupported" and rows[1]["payload"] is None
+    assert rows[2]["decoder"] == "error" and rows[2]["payload"] is None
+    assert rows[3]["decoder"] == "png-stdlib" and rows[3]["payload"]
