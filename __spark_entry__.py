@@ -1117,6 +1117,30 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM gate: train on doc_id%5==0 docs,
+    score doc_id%5==1 — seen-pair discounting, continuation-probability
+    interpolation, unseen-context and unseen-word fallbacks all replayed
+    exactly by the oracle."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        kn_bigram_score,
+        kneser_ney_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = kneser_ney_bigram_lm(
+        docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1000))
+    )
+    out = kn_bigram_score(
+        docs.where((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 500)),
+        model,
+    )
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("avg_nll") + 1e-9, 6).alias("avg_nll"),
+    )
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination: 20 benchmark vectors broadcast
     against 300 corpus vectors; per-doc max cosine, hit count, and the
@@ -3957,6 +3981,47 @@ ORACLES["q_line_dedup"] = """
     left join tot on tot.doc_id = m.doc_id
 """
 
+ORACLES["q_kn_bigram"] = """
+    with rt as (
+      select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id % 5 = 0 and doc_id < 1000
+    ),
+    rbg as (select l[i] as w1, l[i+1] as w2
+            from rt, unnest(range(1, len(l))) as u(i)),
+    pairs as (select w1, w2, count(*) as c12 from rbg group by 1, 2),
+    bo as (select w1, sum(c12) as c1, count(*) as n1p_right
+           from pairs group by 1),
+    cont as (select w2, count(*) as n1p_left from pairs group by 1),
+    scal as (select count(*) as n_types from pairs),
+    tgt as (select doc_id, text from documents
+            where doc_id % 5 = 1 and doc_id < 500),
+    tt as (select doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 1) as l
+           from tgt),
+    tbg as (select doc_id, l[i] as w1, l[i+1] as w2
+            from tt, unnest(range(1, len(l))) as u(i)),
+    j as (
+      select t.doc_id,
+             case when bo.c1 is not null then
+               (greatest(coalesce(p.c12, 0) - 0.75, 0.0)
+                + 0.75 * bo.n1p_right
+                  * (coalesce(cont.n1p_left, 0.75) / scal.n_types)) / bo.c1
+             else coalesce(cont.n1p_left, 0.75) / scal.n_types end as p
+      from tbg t
+      left join pairs p using (w1, w2)
+      left join bo using (w1)
+      left join cont using (w2)
+      cross join scal
+    ),
+    agg as (select doc_id, count(*) as n_bigrams, -avg(ln(p)) as avg_nll
+            from j group by 1)
+    select d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT as n_bigrams,
+           round(coalesce(agg.avg_nll, 0.0) + 1e-9, 6) as avg_nll
+    from tgt d left join agg using (doc_id)
+"""
+
 ORACLES["q_lm_score"] = """
     with ref_toks as (
       select unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -5301,6 +5366,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dsir_sample": q_dsir_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
+    "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_url_blocklist": q_url_blocklist,

@@ -620,3 +620,100 @@ def ccnet_buckets(scored: DataFrame, thresholds: DataFrame,
         )
         .drop("_bl", "head_max", "middle_max")
     )
+
+
+def _bigram_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token bigrams over the engine's standard
+    tokenization (lowercase, alnum split, len>1) — pure array exprs, the
+    pair build never leaves codegen."""
+    a = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 1,
+    )
+    n = F.greatest(F.size(a) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(a, 1, n).alias("w1"), F.slice(a, 2, n).alias("w2")
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(zipped).alias("bg")
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def kneser_ney_bigram_lm(ref_docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Interpolated Kneser-Ney bigram LM trained in-dataflow (Kneser & Ney
+    1995; the KenLM default order-reduced to 2): returns
+    (pairs, backoff, cont) model tables —
+
+      pairs(w1, w2, c12)                    seen-bigram counts
+      backoff(w1, c1, n1p_right)            context mass + fan-out
+      cont(w2, n1p_left, n_types)           continuation counts + |types|
+
+    P(w2|w1) = (max(c12-d,0) + d*n1p_right(w1)*Pc(w2)) / c1(w1) for seen
+    contexts, Pc(w2) = n1p_left(w2)/n_types otherwise, with the unseen-w2
+    floor d/n_types — deterministic and SQL-replayable (q_kn_bigram).
+
+    Shape at 100 TB: training is ONE groupBy over exploded bigrams
+    (partial-agg combines duplicate pairs map-side) + two grouped rollups
+    of the pair table (each keyed on one word — no second corpus pass);
+    the model tables are vocab/type-sized, joined hash- or broadcast-side
+    by the scorer depending on size, exactly like unigram_lm above.
+    """
+    bg = _bigram_tokens(ref_docs, id_col, text_col)
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    backoff = pairs.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_right")
+    )
+    scal = pairs.agg(F.count(F.lit(1)).alias("n_types"))
+    cont = pairs.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_left")
+    ).crossJoin(F.broadcast(scal))
+    return pairs, backoff, cont
+
+
+def kn_bigram_score(docs: DataFrame, model, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    discount: float = 0.75) -> DataFrame:
+    """Per-doc mean bigram NLL under the KN model (lower = more
+    reference-like) — the order-2 upgrade of lm_quality_score's signal:
+    unlike the unigram filter it penalizes scrambled / concatenated text
+    whose word frequencies look fine but whose transitions don't.
+
+    Docs with <2 tokens score 0.0 / n_bigrams 0 (neutral, retained — the
+    zero-token convention). Shape: bigram explode -> three left joins
+    against the model tables (pair-keyed join shuffles on (w1,w2); the
+    word-keyed sides broadcast when small) -> one keyed agg.
+    """
+    pairs, backoff, cont = model
+    d = float(discount)
+    bg = _bigram_tokens(docs, id_col, text_col)
+    n_types = cont.select("n_types").limit(1)
+    j = (
+        bg.join(pairs, ["w1", "w2"], "left")
+        .join(backoff, "w1", "left")
+        .join(cont.select("w2", "n1p_left"), "w2", "left")
+        .crossJoin(F.broadcast(n_types))
+    )
+    pc = (
+        F.coalesce(F.col("n1p_left").cast("double"), F.lit(d))
+        / F.col("n_types")
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (F.greatest(F.coalesce("c12", F.lit(0)) - d, F.lit(0.0))
+         + d * F.col("n1p_right") * pc) / F.col("c1"),
+    ).otherwise(pc)
+    agg = j.select("id", F.log(p).alias("logp")).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("logp")).alias("avg_nll"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, docs[id_col] == agg["id"], "left")
+        .drop("id")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )

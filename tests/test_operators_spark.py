@@ -1756,3 +1756,74 @@ def test_cluster_pairs_both_paths_agree(spark, tmp_path):
     }
     assert fast == dist
     assert fast[8] == 1 and fast[21] == 20 and fast[31] == 30
+
+
+def test_kn_bigram_lm_matches_hand_model(spark):
+    """Interpolated KN bigram probabilities against an independent in-test
+    model (dict arithmetic), covering seen pairs, unseen pair in a seen
+    context, unseen context, unseen word, and the <2-token neutral doc."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        kn_bigram_score,
+        kneser_ney_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "the cat ran to the mat"),
+         (2, "one dog sat on one rug")],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat"),        # all seen pairs
+         (11, "the dog"),            # unseen pair, both words known
+         (12, "mat zebra"),          # seen context, unseen word
+         (13, "zebra quagga yak"),   # nothing known
+         (14, "hi")],                # <2 tokens -> neutral
+        ["doc_id", "text"],
+    )
+
+    # independent model: same tokenization (len>1 keeps every word here
+    # except none — all are len>=2), adjacent pairs per doc
+    def toks(t):
+        import re as _re
+        return [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if len(w) > 1]
+
+    from collections import Counter
+    c12, d = Counter(), 0.75
+    for t in ["the cat sat on the mat", "the cat ran to the mat",
+              "one dog sat on one rug"]:
+        ws = toks(t)
+        c12.update(zip(ws, ws[1:]))
+    c1, n1p_right, n1p_left = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p_right[a] += 1
+        n1p_left[b] += 1
+    n_types = len(c12)
+
+    def prob(a, b):
+        pc = (n1p_left[b] if b in n1p_left else d) / n_types
+        if a not in c1:
+            return pc
+        return (max(c12.get((a, b), 0) - d, 0.0)
+                + d * n1p_right[a] * pc) / c1[a]
+
+    def nll(t):
+        ws = toks(t)
+        ps = [prob(a, b) for a, b in zip(ws, ws[1:])]
+        return -sum(math.log(p) for p in ps) / len(ps) if ps else 0.0
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in kn_bigram_score(tgt, kneser_ney_bigram_lm(ref)).collect()
+    }
+    for doc_id, text in [(10, "the cat sat"), (11, "the dog"),
+                         (12, "mat zebra"), (13, "zebra quagga yak"),
+                         (14, "hi")]:
+        ws = toks(text)
+        assert got[doc_id][0] == max(len(ws) - 1, 0)
+        assert abs(got[doc_id][1] - nll(text)) < 1e-9, (doc_id, got[doc_id])
+    # seen text scores strictly better than word-salad
+    assert got[10][1] < got[13][1]
