@@ -1117,6 +1117,25 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train+encode gate (rows-only: the merge loop is an iterative
+    algorithm — per-round top-pair selection feeding the next round's
+    vocab rewrite — so no single SQL statement replays it; semantics are
+    pinned instead by tests/test_bpe.py against an independent reference
+    implementation, the policy's iterative exemption). Emits deterministic
+    encodings: stable merge table (count-desc, pair-asc tie break), stable
+    token arrays."""
+    from crawl4ai_custom_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs.where(F.col("doc_id") < 100), 3)
+    out = bpe_encode(docs.where(F.col("doc_id") < 50), merges)
+    return out.select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("tokens_md5"),
+    )
+
+
 def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM gate: train on doc_id%5==0 docs,
     score doc_id%5==1 — seen-pair discounting, continuation-probability
@@ -5366,6 +5385,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dsir_sample": q_dsir_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
+    "q_bpe": q_bpe,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,
