@@ -83,6 +83,20 @@ def _merge_once(left: str, right: str, syms: list) -> list:
     return out
 
 
+_MERGE_SCHEMA = StructType([
+    StructField("rank", LongType()),
+    StructField("left", StringType()),
+    StructField("right", StringType()),
+    StructField("merged", StringType()),
+])
+
+
+def _merge_table(spark, merges: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt) for r, l, rt in merges], _MERGE_SCHEMA
+    )
+
+
 def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
               checkpoint_dir: str | None = None,
               driver_max_vocab: int = 100_000) -> DataFrame:
@@ -106,12 +120,17 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
     tests/test_bpe.py.
     """
     spark = docs.sparkSession
-    vocab = _word_vocab(docs, text_col)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="bpe_")
+
+    # materialize the vocab ONCE, then the row count comes from parquet
+    # footers (no second pass over the corpus aggregation) and both paths
+    # read the materialized table
+    path = os.path.join(ckpt, "vocab_0")
+    _word_vocab(docs, text_col).write.mode("overwrite").parquet(path)
+    vocab = spark.read.parquet(path)
 
     merges: list[tuple[int, str, str]] = []
-    # count BEFORE materializing: the fast path never needs the parquet
-    # write (it exists only to truncate the iterative path's lineage)
-    if vocab.count() <= driver_max_vocab:
+    if vocab.count() <= driver_max_vocab:  # footer count, no data scan
         rows = vocab.select("word", "n").collect()
         words = {r["word"]: (list(r["word"]) + [END], int(r["n"]))
                  for r in rows}
@@ -132,20 +151,8 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
                 w: (_merge_once(left, right, syms), n)
                 for w, (syms, n) in words.items()
             }
-        return spark.createDataFrame(
-            [(r, l, rt, l + rt) for r, l, rt in merges],
-            StructType([
-                StructField("rank", LongType()),
-                StructField("left", StringType()),
-                StructField("right", StringType()),
-                StructField("merged", StringType()),
-            ]),
-        )
+        return _merge_table(spark, merges)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="bpe_")
-    path = os.path.join(ckpt, "vocab_0")
-    vocab.write.mode("overwrite").parquet(path)
-    vocab = spark.read.parquet(path)
     for r in range(n_merges):
         pairs = vocab.select(
             "n",
@@ -183,15 +190,7 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
         nxt.write.mode("overwrite").parquet(path)
         vocab = spark.read.parquet(path)
 
-    return spark.createDataFrame(
-        [(r, l, rt, l + rt) for r, l, rt in merges],
-        StructType([
-            StructField("rank", LongType()),
-            StructField("left", StringType()),
-            StructField("right", StringType()),
-            StructField("merged", StringType()),
-        ]),
-    )
+    return _merge_table(spark, merges)
 
 
 def bpe_encode(docs: DataFrame, merges: DataFrame, id_col: str = "doc_id",

@@ -779,7 +779,13 @@ def image_resize(media: DataFrame, width: int, height: int,
                         rows.append((mid, "unsupported", None, None,
                                      tw, th, None))
                         continue
-                except ValueError:
+                except NotImplementedError:
+                    # same fence as decode_media_stats: progressive /
+                    # subsampled jpeg, exotic png color types
+                    rows.append((mid, "unsupported", None, None,
+                                 tw, th, None))
+                    continue
+                except (ValueError, EOFError):
                     rows.append((mid, "error", None, None, tw, th, None))
                     continue
                 sh, sw = px.shape[:2]

@@ -234,6 +234,11 @@ def warc_write(pages: DataFrame, n_blobs: int,
         _warc_record_expr(F.col(url_col), date, payload, warc_type)
         .alias("_rec"),
     )
+    # a null url/payload/ts nulls the whole record expr: drop those rows
+    # EXPLICITLY so both paths behave identically (previously the plain
+    # path silently skipped them in concat_ws while gz crashed) — callers
+    # wanting them must materialize a placeholder payload first
+    rows = rows.where(F.col("_rec").isNotNull())
     if not gz:
         rec = F.transform(
             F.sort_array(F.collect_list(F.struct("_u", "_rec"))),
@@ -249,7 +254,10 @@ def warc_write(pages: DataFrame, n_blobs: int,
     out_schema = _ST([_SF("blob_id", _Long()), _SF("payload", _Bin())])
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_u")
+        # total order (url, record) with a stable sort: duplicate urls
+        # (e.g. recrawl waves) must not make segment bytes partitioning-
+        # dependent — mirrors the plain path's sort_array over the struct
+        pdf = pdf.sort_values(["_u", "_rec"], kind="mergesort")
         buf = io.BytesIO()
         for rec in pdf["_rec"]:
             with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:

@@ -142,7 +142,7 @@ def main(argv=None) -> int:
 
         from crawl4ai_custom_spark.sources.warc import warc_write
 
-        results = spark.read.parquet(f"{run.results_dir}/*/results.parquet")
+        results = run.results(spark)
         pages = results.where(
             F.col("success") & F.col("raw_markdown").isNotNull()
         ).select("url", F.col("raw_markdown").alias("payload"))

@@ -473,13 +473,19 @@ def test_image_resize_unsupported_and_corrupt(spark):
     from crawl4ai_custom_spark.operators.multimodal import image_resize
 
     good = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    # recognized PNG with an unsupported color type (palette): byte 25 is
+    # IHDR color_type -> NotImplementedError in the codec
+    exotic = bytearray(good)
+    exotic[25] = 3
     media = spark.createDataFrame(
         [(1, bytearray(b"GIF89a not supported")),
          (2, bytearray(good[:30])),   # truncated PNG -> error
-         (3, bytearray(good))],
+         (3, bytearray(good)),
+         (4, exotic)],                # decodable format, unsupported mode
         ["media_id", "payload"],
     )
     rows = {r["media_id"]: r for r in image_resize(media, 2, 2).collect()}
     assert rows[1]["decoder"] == "unsupported" and rows[1]["payload"] is None
     assert rows[2]["decoder"] == "error" and rows[2]["payload"] is None
     assert rows[3]["decoder"] == "png-stdlib" and rows[3]["payload"]
+    assert rows[4]["decoder"] == "unsupported" and rows[4]["payload"] is None

@@ -45,8 +45,15 @@ def test_warc_roundtrip_gzip(spark):
 
 def test_warc_segments_deterministic(spark):
     """Same input under different partitionings -> identical segment
-    bytes (hash-assigned blobs, url-sorted records, mtime-0 gzip)."""
-    pages = _pages(spark)
+    bytes (hash-assigned blobs, url-sorted records, mtime-0 gzip) —
+    including DUPLICATE urls with different payloads (recrawl waves),
+    which need the (url, record) total order, not a url-only sort."""
+    dup = spark.createDataFrame(
+        [("https://site0.example.com/p/0", "older capture of page zero",
+          "2024-02-01T00:00:00Z")],
+        ["url", "html", "warc_ts"],
+    )
+    pages = _pages(spark).unionByName(dup)
     for gz in (False, True):
         a = {r["blob_id"]: bytes(r["payload"])
              for r in warc_write(pages.repartition(1), 5, gz=gz).collect()}
@@ -69,3 +76,17 @@ def test_warc_write_binary_and_timestamp_columns(spark):
     assert row["payload"].startswith("<html><body>doc 0")
     assert row["warc_date"] == "2024-03-01T00:00:00Z"
     assert row["content_length"] == len(row["payload"].encode("utf-8"))
+
+
+def test_warc_write_drops_null_records_on_both_paths(spark):
+    """A null payload nulls the record expr; both paths drop the row
+    explicitly (no crash, no silent asymmetry)."""
+    pages = spark.createDataFrame(
+        [("https://a.example.com/1", "page one", "2024-01-01T00:00:00Z"),
+         ("https://a.example.com/2", None, "2024-01-01T00:00:00Z")],
+        ["url", "html", "warc_ts"],
+    )
+    for gz in (False, True):
+        recs = parse_warc_records(warc_write(pages, 1, gz=gz), gz=gz)
+        urls = [r["target_uri"] for r in recs.collect()]
+        assert urls == ["https://a.example.com/1"]
