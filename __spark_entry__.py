@@ -1117,6 +1117,27 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index gate: postings (term, doc, tf, sorted
+    positions over the filtered token stream) joined to the term
+    dictionary (df, cf) — every posting, position list and dictionary
+    count recomputed exactly by the oracle."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    p = inverted_postings(docs)
+    d = term_dictionary(p)
+    return p.join(d, "term").select(
+        "term", F.col("id").alias("doc_id"), "tf", "df", "cf",
+        F.concat_ws(",", F.transform("positions",
+                                     lambda x: x.cast("string")))
+        .alias("pos_csv"),
+    )
+
+
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train+encode gate (rows-only: the merge loop is an iterative
     algorithm — per-round top-pair selection feeding the next round's
@@ -4000,6 +4021,24 @@ ORACLES["q_line_dedup"] = """
     left join tot on tot.doc_id = m.doc_id
 """
 
+ORACLES["q_inverted_index"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 60
+    ),
+    tok as (select doc_id, l[i] as term, i - 1 as pos
+            from t, unnest(range(1, len(l) + 1)) as u(i)),
+    p as (select term, doc_id, count(*) as tf,
+                 string_agg(pos::VARCHAR, ',' order by pos) as pos_csv
+          from tok group by 1, 2),
+    d as (select term, count(*) as df, sum(tf) as cf from p group by 1)
+    select p.term, p.doc_id, p.tf::BIGINT as tf, d.df::BIGINT as df,
+           d.cf::BIGINT as cf, p.pos_csv
+    from p join d using (term)
+"""
+
 ORACLES["q_kn_bigram"] = """
     with rt as (
       select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -5386,6 +5425,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
     "q_bpe": q_bpe,
+    "q_inverted_index": q_inverted_index,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

@@ -717,3 +717,42 @@ def kn_bigram_score(docs: DataFrame, model, id_col: str = "doc_id",
             F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
         )
     )
+
+
+def inverted_postings(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Positional inverted index as a POSTINGS TABLE:
+    (term, id, tf, positions sorted-int-array) — one posexplode + ONE
+    groupBy(term, id) with partial-agg combines.
+
+    The index the engine's retrieval ops (bm25_rank, term_stats) compute
+    on the fly, materialized for reuse. Scale shape: postings stay ROWS
+    keyed by term — never per-term arrays of documents (a stopword's
+    posting list at 10^10 docs would be a single multi-GB value) — so the
+    natural at-rest layout is this table written bucketed/sorted by term,
+    and a term lookup is a storage-partitioned scan. Write positions off
+    (drop the column) when phrase queries aren't needed; tf alone halves
+    the bytes.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: F.length(t) > 1,
+            )
+        ).alias("pos", "term"),
+    )
+    return toks.groupBy("term", "id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def term_dictionary(postings: DataFrame) -> DataFrame:
+    """The index's dictionary: (term, df, cf) from the postings table —
+    one grouped rollup, no second corpus pass."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )

@@ -1827,3 +1827,29 @@ def test_kn_bigram_lm_matches_hand_model(spark):
         assert abs(got[doc_id][1] - nll(text)) < 1e-9, (doc_id, got[doc_id])
     # seen text scores strictly better than word-salad
     assert got[10][1] < got[13][1]
+
+
+def test_inverted_index_positions_and_dictionary(spark):
+    """Postings carry exact positions over the filtered token stream;
+    dictionary df/cf roll up from postings (no second corpus pass)."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "a cat! the end")],
+        ["doc_id", "text"],
+    )
+    # filtered tokens (len>1): doc1 = [the, cat, and, the, hat],
+    # doc2 = [cat, the, end]  ("a" drops, positions re-base)
+    p = {(r["term"], r["id"]): (r["tf"], list(r["positions"]))
+         for r in inverted_postings(docs).collect()}
+    assert p[("the", 1)] == (2, [0, 3])
+    assert p[("cat", 2)] == (1, [0])
+    assert p[("the", 2)] == (1, [1])
+    d = {r["term"]: (r["df"], r["cf"])
+         for r in term_dictionary(inverted_postings(docs)).collect()}
+    assert d["the"] == (2, 3)
+    assert d["cat"] == (2, 2)
+    assert d["hat"] == (1, 1)
