@@ -1138,6 +1138,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the positional inverted index: anchor
+    on the first term's positions, probe each next term's posting array at
+    pos+i. The oracle recomputes matches from raw adjacent token pairs."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        phrase_match,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = phrase_match(inverted_postings(docs), ["table", "key"])
+    return out.select(F.col("id").alias("doc_id"), "n_matches")
+
+
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train+encode gate (rows-only: the merge loop is an iterative
     algorithm — per-round top-pair selection feeding the next round's
@@ -4021,6 +4035,20 @@ ORACLES["q_line_dedup"] = """
     left join tot on tot.doc_id = m.doc_id
 """
 
+ORACLES["q_phrase_match"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 300
+    ),
+    tok as (select doc_id, l[i] as w1, l[i+1] as w2
+            from t, unnest(range(1, len(l))) as u(i))
+    select doc_id, count(*)::BIGINT as n_matches
+    from tok where w1 = 'table' and w2 = 'key'
+    group by doc_id
+"""
+
 ORACLES["q_inverted_index"] = """
     with t as (
       select doc_id,
@@ -5425,6 +5453,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_shuffle_shards": q_shuffle_shards,
     "q_bpe": q_bpe,
+    "q_phrase_match": q_phrase_match,
     "q_inverted_index": q_inverted_index,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,

@@ -756,3 +756,38 @@ def term_dictionary(postings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
     )
+
+
+def phrase_match(postings: DataFrame, terms: list[str],
+                 id_col: str = "id") -> DataFrame:
+    """Exact-phrase retrieval over the positional index: (id, n_matches)
+    for documents containing ``terms`` consecutively (positions are over
+    the engine's filtered token stream, so phrase terms must each pass
+    the len>1 tokenizer — enforced here).
+
+    Shape: the phrase's FIRST term anchors (explode its positions); each
+    subsequent term joins by document id with an array_contains(pos + i)
+    probe — k-1 doc-keyed joins total, each against a single term's
+    postings (index-pruned scans when the postings table is stored
+    bucketed/sorted by term). No corpus scan, no window.
+    """
+    terms = [t.lower() for t in terms]
+    if not terms or any(len(t) <= 1 for t in terms):
+        raise ValueError(
+            "phrase terms must be non-empty and each len>1 "
+            "(the index tokenizer drops single-character tokens)"
+        )
+    anchor = (
+        postings.where(F.col("term") == terms[0])
+        .select(F.col(id_col), F.explode("positions").alias("pos"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.where(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        anchor = anchor.join(nxt, id_col).where(
+            F.array_contains(F.col(f"_p{i}"), F.col("pos") + i)
+        ).drop(f"_p{i}")
+    return anchor.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

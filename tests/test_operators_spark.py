@@ -1853,3 +1853,27 @@ def test_inverted_index_positions_and_dictionary(spark):
     assert d["the"] == (2, 3)
     assert d["cat"] == (2, 2)
     assert d["hat"] == (1, 1)
+
+
+def test_phrase_match_over_inverted_index(spark):
+    """Exact-phrase retrieval: consecutive positions only, repeated
+    occurrences counted, filtered-token re-basing respected."""
+    import pytest as _pytest
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat and the cat sat again"),
+         (2, "the dog sat while cat the watched"),   # reversed -> no match
+         (3, "THE a CAT x SAT")],  # 1-char tokens drop -> phrase holds
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    got = {r["id"]: r["n_matches"]
+           for r in phrase_match(p, ["the", "cat", "sat"]).collect()}
+    assert got == {1: 2, 3: 1}
+    with _pytest.raises(ValueError):
+        phrase_match(p, ["a", "cat"])
