@@ -409,6 +409,47 @@ def ahash50k(spark) -> dict:
     }
 
 
+def index50k(spark) -> dict:
+    """Inverted index + retrieval at 50k docs: build positional postings
+    and the term dictionary over the sf0.1 documents table, then run a
+    phrase query against the materialized index. Validates that the build
+    is one shuffle pass (plan-asserted in tests) scaling with corpus
+    bytes, and that retrieval touches only the phrase terms' postings."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        phrase_match,
+        term_dictionary,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    out = tempfile.mkdtemp(prefix="idx50k_")
+    t0 = time.time()
+    inverted_postings(docs).write.mode("overwrite").parquet(f"{out}/postings")
+    postings = spark.read.parquet(f"{out}/postings")
+    n_postings = postings.count()  # footer count
+    t_build = time.time() - t0
+    t1 = time.time()
+    n_terms = term_dictionary(postings).count()
+    t_dict = time.time() - t1
+    t2 = time.time()
+    hits = phrase_match(postings, ["table", "key"])
+    n_hits = hits.count()
+    t_query = time.time() - t2
+    return {
+        "job": "index50k",
+        "docs": n_docs,
+        "postings": n_postings,
+        "terms": n_terms,
+        "build_seconds": round(t_build, 1),
+        "docs_per_sec": round(n_docs / t_build, 1),
+        "dict_seconds": round(t_dict, 1),
+        "phrase_hits": n_hits,
+        "phrase_seconds": round(t_query, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -424,6 +465,8 @@ def main() -> None:
         print(json.dumps(stream10x(spark)), flush=True)
     if which == "ahash50k":
         print(json.dumps(ahash50k(spark)), flush=True)
+    if which == "index50k":
+        print(json.dumps(index50k(spark)), flush=True)
 
 
 if __name__ == "__main__":

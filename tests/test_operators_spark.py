@@ -1877,3 +1877,26 @@ def test_phrase_match_over_inverted_index(spark):
     assert got == {1: 2, 3: 1}
     with _pytest.raises(ValueError):
         phrase_match(p, ["a", "cat"])
+
+
+def test_inverted_postings_plan_single_exchange(spark):
+    """The postings build is exactly ONE shuffle (the groupBy(term, id));
+    the dictionary adds one more grouped rollup of postings — never a
+    second corpus pass."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # dictionary: one additional exchange over the postings, corpus scan
+    # appears exactly once in the combined plan
+    d = term_dictionary(p)
+    dplan = d._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("Exchange") == 2
