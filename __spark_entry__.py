@@ -1152,6 +1152,62 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_matches")
 
 
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval FROM the materialized inverted index — the
+    query path that never re-tokenizes the corpus (postings + dictionary +
+    doc-length side table only). Oracle recomputes the identical scores
+    from raw text."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        bm25_from_index,
+        inverted_postings,
+        term_dictionary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    p = inverted_postings(docs)
+    out = bm25_from_index(p, term_dictionary(p), ["spark", "table", "query"])
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("bm25", 4).alias("bm25"),
+        "n_terms",
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by smoothed tf-idf
+    straight from the materialized index; the oracle replays the exact
+    weights and the term-tiebroken ranking from raw text."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    p = inverted_postings(docs)
+    out = tfidf_keywords(p, term_dictionary(p), k=5)
+    return out.select(
+        F.col("id").alias("doc_id"), "term", "tf", "df",
+        F.round("tfidf", 4).alias("tfidf"), "rank",
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: PMI over adjacent token pairs with an
+    integer min-count gate (row set reproducible exactly; pmi is the only
+    float column). Oracle recomputes pair counts, marginals and pmi."""
+    from crawl4ai_custom_spark.operators.textstats import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    out = pmi_collocations(docs, min_count=5)
+    return out.select(
+        "w1", "w2", "c12", "c1", "c2",
+        # +0.0 folds IEEE negative zero to +0 (engines disagree on -0.0
+        # when a tiny negative pmi rounds to zero)
+        (F.round("pmi", 4) + F.lit(0.0)).alias("pmi"),
+    )
+
+
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train+encode gate (rows-only: the merge loop is an iterative
     algorithm — per-round top-pair selection feeding the next round's
@@ -4067,6 +4123,78 @@ ORACLES["q_inverted_index"] = """
     from p join d using (term)
 """
 
+ORACLES["q_bm25_index"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 300
+    ),
+    tok as (select doc_id, unnest(l) as term from t),
+    p as (select term, doc_id, count(*) as tf from tok group by 1, 2),
+    dl as (select doc_id, sum(tf) as dl from p group by 1),
+    consts as (select (select count(*) from dl)::DOUBLE as n_docs,
+                      (select avg(dl) from dl) as avgdl),
+    d as (select term, count(*) as df from p group by 1),
+    scored as (
+      select p.doc_id,
+             ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * p.tf * 2.5
+             / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)) as part
+      from p join d using (term) join dl using (doc_id) cross join consts c
+      where p.term in ('spark', 'table', 'query')
+    )
+    select doc_id, round(sum(part), 4) as bm25,
+           count(*)::BIGINT as n_terms
+    from scored group by doc_id
+"""
+
+ORACLES["q_tfidf_keywords"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 200
+    ),
+    tok as (select doc_id, unnest(l) as term from t),
+    p as (select doc_id, term, count(*) as tf from tok group by 1, 2),
+    dl as (select doc_id, sum(tf) as dl from p group by 1),
+    d as (select term, count(*) as df from p group by 1),
+    nd as (select count(*)::DOUBLE as n from dl),
+    w as (
+      select p.doc_id, p.term, p.tf, d.df,
+             (p.tf::DOUBLE / dl.dl)
+             * (ln((1.0 + nd.n) / (1.0 + d.df)) + 1.0) as tfidf
+      from p join d using (term) join dl using (doc_id) cross join nd
+    ),
+    r as (select *, row_number() over
+            (partition by doc_id order by tfidf desc, term) as rank
+          from w)
+    select doc_id, term, tf::BIGINT as tf, df::BIGINT as df,
+           round(tfidf, 4) as tfidf, rank::BIGINT as rank
+    from r where rank <= 5
+"""
+
+ORACLES["q_pmi_collocations"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 400
+    ),
+    bg as (select l[i] as w1, l[i+1] as w2
+           from t, unnest(range(1, len(l))) as u(i)),
+    pairs as (select w1, w2, count(*) as c12 from bg group by 1, 2),
+    lm as (select w1, sum(c12) as c1 from pairs group by 1),
+    rm as (select w2, sum(c12) as c2 from pairs group by 1),
+    n as (select sum(c12)::DOUBLE as n_bg from pairs)
+    select p.w1, p.w2, p.c12::BIGINT as c12, lm.c1::BIGINT as c1,
+           rm.c2::BIGINT as c2,
+           round(ln(p.c12 * n.n_bg / (lm.c1 * rm.c2)), 4) + 0.0 as pmi
+    from pairs p join lm using (w1) join rm using (w2) cross join n
+    where p.c12 >= 5
+"""
+
 ORACLES["q_kn_bigram"] = """
     with rt as (
       select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -5455,6 +5583,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe": q_bpe,
     "q_phrase_match": q_phrase_match,
     "q_inverted_index": q_inverted_index,
+    "q_bm25_index": q_bm25_index,
+    "q_tfidf_keywords": q_tfidf_keywords,
+    "q_pmi_collocations": q_pmi_collocations,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

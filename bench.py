@@ -297,6 +297,16 @@ def main() -> None:
         "q_image_ahash",
         "q_video_neardup",
         "q_token_budget",
+        # this session's additions: index + retrieval, order-2 LM,
+        # WARC sink roundtrip, real pixel resize
+        "q_inverted_index",
+        "q_phrase_match",
+        "q_bm25_index",
+        "q_tfidf_keywords",
+        "q_pmi_collocations",
+        "q_kn_bigram",
+        "q_warc_roundtrip",
+        "q_image_resize",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 

@@ -9,7 +9,7 @@ Design note: each operator has an exact SQL twin in __spark_entry__.oracle_sql
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker words per language for the n-gram/stopword-voting language ID.
@@ -790,4 +790,173 @@ def phrase_match(postings: DataFrame, terms: list[str],
         ).drop(f"_p{i}")
     return anchor.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+def doc_lengths(postings: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, dl) side table from the postings: dl = sum(tf) over the doc's
+    indexed terms. At scale this is written ONCE at index-build time next
+    to the postings (it is a full-postings rollup) and reused by every
+    query — never derived per query."""
+    return postings.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: list[str],
+    *,
+    doclens: DataFrame | None = None,
+    k1: float = 1.5,
+    b: float = 0.75,
+    id_col: str = "id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval FROM the materialized index — the query
+    path that never touches the corpus text (vs :func:`bm25_rank`, which
+    re-tokenizes per query). Mirrors the reference's relevance scorer
+    semantics (crawl4ai's BM25 use in deep_crawling/filters.py /
+    content_filter_strategy.py) over the at-rest index instead of live
+    pages. idf = ln((N - df + 0.5)/(df + 0.5) + 1); N counts docs IN the
+    index (a doc with zero len>1 tokens has no postings and no dl row).
+
+    Scale shape: the postings/dictionary sides are filtered to the query's
+    terms BEFORE any join (index-pruned scans when stored bucketed/sorted
+    by term); the dictionary slice and the 1-row (N, avgdl) corpus stats
+    are broadcast; the only non-broadcast join is postings->doclens on the
+    doc key, then one partial-agg groupBy(id). No corpus scan, no scalar
+    driver actions — the whole query is a single plan.
+
+    Returns (id, bm25, n_terms) for every doc matching >=1 query term.
+    Compose ``.orderBy(F.desc("bm25"), id_col).limit(k)`` for top-k —
+    Catalyst turns that into TakeOrderedAndProject (no global sort).
+    """
+    qt = sorted({t.lower() for t in query_terms if len(t) > 1})
+    if not qt:
+        raise ValueError(
+            "query_terms must contain at least one len>1 term "
+            "(the index tokenizer drops single-character tokens)"
+        )
+    if doclens is None:
+        doclens = doc_lengths(postings, id_col)
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qp = postings.where(F.col("term").isin(qt)).select(id_col, "term", "tf")
+    qd = dictionary.where(F.col("term").isin(qt)).select("term", "df")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = (
+        idf * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf")
+           + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        qp.join(F.broadcast(qd), "term")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, part.alias("part"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("part").cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+def tfidf_keywords(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    *,
+    k: int = 5,
+    doclens: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k keyword terms per document by smoothed tf-idf, straight from
+    the materialized index (no corpus re-tokenization): weight =
+    (tf / dl) * (ln((1 + N)/(1 + df)) + 1) — the sklearn-smooth idf, so
+    corpus-wide terms still score > 0 and the log never sees 0.
+
+    Scale shape: dictionary df rides a broadcast after an N-row (small,
+    grouped) build; the per-doc top-k is a window PARTITIONED BY the doc
+    id — per-partition state is one doc's term list (page-sized), so the
+    window distributes cleanly at any corpus size. Ties break on term to
+    keep output deterministic.
+
+    Returns (id, term, tf, df, tfidf, rank<=k).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if doclens is None:
+        doclens = doc_lengths(postings, id_col)
+    n_docs = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        postings.select(id_col, "term", "tf")
+        .join(F.broadcast(dictionary.select("term", "df")), "term")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") / F.col("dl"))
+            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information over
+    adjacent token pairs (the index tokenizer's len>1 stream), using
+    bigram-table marginals — pmi = ln(c12 * n / (c1 * c2)) with
+    c1 = count(w1 as left), c2 = count(w2 as right), n = total bigrams.
+
+    ``min_count`` gates on the INTEGER pair count before any float math,
+    so the returned row set is exactly reproducible; pmi is the only
+    float column. Shape: one explode -> one groupBy(pair) -> two grouped
+    marginal rollups of the PAIR table (never a second corpus pass) that
+    re-join on single keys; the 1-row n rides a broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: F.length(t) > 1,
+            )
+        ).alias("pos", "w"),
+    )
+    # token at p re-keyed to p-1 so joining on pos pairs (w1@p, w2@p+1)
+    nxt = toks.select(
+        "id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    bg = toks.withColumnRenamed("w", "w1").join(nxt, ["id", "pos"])
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_row = pairs.agg(F.sum("c12").cast("double").alias("n_bg"))
+    return (
+        pairs.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.log(F.col("c12") * F.col("n_bg")
+                  / (F.col("c1") * F.col("c2"))).alias("pmi"),
+        )
     )

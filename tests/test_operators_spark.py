@@ -1900,3 +1900,135 @@ def test_inverted_postings_plan_single_exchange(spark):
     d = term_dictionary(p)
     dplan = d._jdf.queryExecution().executedPlan().toString()
     assert dplan.count("Exchange") == 2
+
+
+def test_bm25_from_index_exact_scores(spark):
+    """Index-backed BM25 equals an independently computed Okapi score
+    (idf = ln((N-df+.5)/(df+.5)+1), k1=1.5, b=0.75) over the index's
+    len>1 token universe; docs matching no query term are absent."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        bm25_from_index,
+        inverted_postings,
+        term_dictionary,
+    )
+
+    corpus = {1: "spark table query spark",
+              2: "table of contents table table",
+              3: "nothing relevant here"}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    p = inverted_postings(docs)
+    got = {r["id"]: (r["bm25"], r["n_terms"])
+           for r in bm25_from_index(
+               p, term_dictionary(p), ["spark", "table", "query"]
+           ).collect()}
+
+    toks = {i: [t for t in corpus[i].lower().split() if len(t) > 1]
+            for i in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    qt = ["spark", "table", "query"]
+    df = {t: sum(t in v for v in toks.values()) for t in qt}
+    exp = {}
+    for i, v in toks.items():
+        s, m = 0.0, 0
+        for t in qt:
+            tf = v.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * len(v) / avgdl))
+        if m:
+            exp[i] = (s, m)
+    assert set(got) == set(exp) == {1, 2}
+    for i in exp:
+        assert got[i][1] == exp[i][1]
+        assert abs(got[i][0] - exp[i][0]) < 1e-9
+    with pytest.raises(ValueError):
+        bm25_from_index(p, term_dictionary(p), ["a"])
+
+
+def test_bm25_from_index_plan_shape(spark):
+    """The query plan is index-shaped: the dictionary slice and corpus
+    stats ride broadcast joins (exactly one non-broadcast join — postings
+    -> doclens on the doc key), and top-k compiles to
+    TakeOrderedAndProject, not a global Sort."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        bm25_from_index,
+        inverted_postings,
+        term_dictionary,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    out = bm25_from_index(p, term_dictionary(p), ["alpha", "gamma"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin") <= 1
+    topk = out.orderBy(F.desc("bm25"), "id").limit(5)
+    tplan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tplan
+
+
+def test_tfidf_keywords_ranking_and_smooth_idf(spark):
+    """Top-k per-doc keywords: smoothed idf keeps ubiquitous terms > 0,
+    doc-frequent rare terms outrank common ones, term tiebreak is
+    deterministic, k caps the per-doc rows."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common rare rare common common filler"),
+         (2, "common filler filler zz"),
+         (3, "common solo")],
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    out = tfidf_keywords(p, term_dictionary(p), k=2)
+    rows = {(r["id"], r["rank"]): (r["term"], r["tfidf"])
+            for r in out.collect()}
+    # every doc emits <= k rows, ranks are 1..k
+    assert set(rows) <= {(i, r) for i in (1, 2, 3) for r in (1, 2)}
+    # doc1: 'rare' (tf2, df1) outranks 'common' (tf3, df3)
+    assert rows[(1, 1)][0] == "rare"
+    # doc3: both terms tf1; 'solo' df1 beats 'common' df3
+    assert rows[(3, 1)][0] == "solo"
+    # smooth idf: even the everywhere-term scores > 0
+    assert all(v[1] > 0 for v in rows.values())
+    with pytest.raises(ValueError):
+        tfidf_keywords(p, term_dictionary(p), k=0)
+
+
+def test_pmi_collocations_counts_and_direction(spark):
+    """PMI pairs are ADJACENT and ORDERED (w1 then w2); min_count gates
+    on the integer pair count; marginals come from the pair table."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and york new is rare") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           pmi_collocations(docs, min_count=3).collect()}
+    assert ("new", "york") in out and ("york", "new") in out
+    r = out[("new", "york")]
+    assert r["c12"] == 3          # once per doc
+    assert r["c1"] == 6           # 'new' opens 2 bigrams per doc
+    # pmi = ln(c12 * n / (c1 * c2)); n = 8 bigrams/doc * 3 docs
+    exp = math.log(3 * 24 / (6 * r["c2"]))
+    assert abs(r["pmi"] - exp) < 1e-9
+    # below min_count -> absent
+    assert ("is", "big") not in pmi_collocations(
+        docs, min_count=10).toPandas().set_index(["w1", "w2"]).index
