@@ -1173,6 +1173,38 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance gate: one re-crawl epoch (50 docs
+    re-tokenized with changed text, 10 docs retired) applied via
+    delete-insert postings merge + signed dictionary delta. The oracle
+    REBUILDS the index from scratch over the updated corpus — the
+    incremental result must match row for row."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+        update_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    base_p = inverted_postings(docs)
+    base_d = term_dictionary(base_p)
+    changed = (
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .withColumn("text",
+                    F.concat("text", F.lit(" refreshmarker refreshmarker")))
+    )
+    retired = docs.where(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 160)
+    ).select("doc_id")
+    p, d = update_index(base_p, base_d, changed, retired)
+    return p.join(d, "term").select(
+        "term", F.col("id").alias("doc_id"), "tf", "df", "cf",
+        F.concat_ws(",", F.transform("positions",
+                                     lambda x: x.cast("string")))
+        .alias("pos_csv"),
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by smoothed tf-idf
     straight from the materialized index; the oracle replays the exact
@@ -4149,6 +4181,32 @@ ORACLES["q_bm25_index"] = """
     from scored group by doc_id
 """
 
+ORACLES["q_index_update"] = """
+    with corpus as (
+      select doc_id,
+             case when doc_id between 100 and 149
+                  then text || ' refreshmarker refreshmarker'
+                  else text end as text
+      from documents
+      where doc_id < 200 and doc_id not between 150 and 159
+    ),
+    t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from corpus
+    ),
+    tok as (select doc_id, l[i] as term, i - 1 as pos
+            from t, unnest(range(1, len(l) + 1)) as u(i)),
+    p as (select term, doc_id, count(*) as tf,
+                 string_agg(pos::VARCHAR, ',' order by pos) as pos_csv
+          from tok group by 1, 2),
+    d as (select term, count(*) as df, sum(tf) as cf from p group by 1)
+    select p.term, p.doc_id, p.tf::BIGINT as tf, d.df::BIGINT as df,
+           d.cf::BIGINT as cf, p.pos_csv
+    from p join d using (term)
+"""
+
 ORACLES["q_tfidf_keywords"] = """
     with t as (
       select doc_id,
@@ -5586,6 +5644,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_index": q_bm25_index,
     "q_tfidf_keywords": q_tfidf_keywords,
     "q_pmi_collocations": q_pmi_collocations,
+    "q_index_update": q_index_update,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

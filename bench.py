@@ -304,6 +304,7 @@ def main() -> None:
         "q_bm25_index",
         "q_tfidf_keywords",
         "q_pmi_collocations",
+        "q_index_update",
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",

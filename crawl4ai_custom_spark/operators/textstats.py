@@ -793,6 +793,90 @@ def phrase_match(postings: DataFrame, terms: list[str],
     )
 
 
+def merge_postings(
+    base: DataFrame,
+    delta: DataFrame,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """LSM-style index maintenance: the postings of re-crawled documents
+    REPLACE their old postings (delete-insert), retired documents drop.
+    ``delta`` is :func:`inverted_postings` over just the changed docs;
+    ``retired_ids`` is a 1-column DataFrame of doc ids to remove outright.
+
+    Scale shape: the doomed-id set (changed + retired — one crawl epoch's
+    docs) rides a broadcast anti-join, so the base index is never
+    shuffled; the union is a plan-level concat. Note the base side IS a
+    full postings scan when stored bucketed by term (a doc-keyed probe
+    can't prune term buckets) — at 10^10 docs you amortize exactly like
+    the seen store: accumulate epochs as delta files and fold them into
+    the base on LSM compaction, not per epoch.
+    """
+    gone = delta.select(F.col(id_col)).distinct()
+    if retired_ids is not None:
+        rcol = retired_ids.columns[0]
+        gone = gone.unionByName(
+            retired_ids.select(F.col(rcol).alias(id_col))
+        ).distinct()
+    kept = base.join(F.broadcast(gone), id_col, "left_anti")
+    return kept.unionByName(delta)
+
+
+def merge_dictionary(
+    dictionary: DataFrame,
+    removed_postings: DataFrame,
+    added_postings: DataFrame,
+) -> DataFrame:
+    """Incremental (term, df, cf) maintenance: fold the postings LEAVING
+    the index and the postings ENTERING it into signed per-term deltas,
+    then one full-outer merge against the old dictionary — never a
+    rebuild pass over the whole postings table. Terms whose df hits 0
+    drop out."""
+    rem = removed_postings.groupBy("term").agg(
+        (-F.count(F.lit(1))).alias("ddf"), (-F.sum("tf")).alias("dcf"))
+    add = added_postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("ddf"), F.sum("tf").alias("dcf"))
+    delta = rem.unionByName(add).groupBy("term").agg(
+        F.sum("ddf").alias("ddf"), F.sum("dcf").alias("dcf"))
+    return (
+        dictionary.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0)))
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0)))
+            .alias("cf"),
+        )
+        .where(F.col("df") > 0)
+    )
+
+
+def update_index(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    changed_docs: DataFrame,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One re-crawl epoch applied to the index: changed docs re-tokenize
+    (delta postings), their old postings and any retired docs' postings
+    leave, the dictionary takes the signed delta. Returns the new
+    (postings, dictionary) pair — equal, row for row, to rebuilding both
+    from the updated corpus (pinned by the q_index_update oracle gate).
+    """
+    delta = inverted_postings(changed_docs, id_col, text_col)
+    gone = delta.select("id").distinct()
+    if retired_ids is not None:
+        rcol = retired_ids.columns[0]
+        gone = gone.unionByName(
+            retired_ids.select(F.col(rcol).alias("id"))).distinct()
+    removed = postings.join(F.broadcast(gone), "id", "semi")
+    new_postings = merge_postings(postings, delta, retired_ids, id_col="id")
+    new_dictionary = merge_dictionary(dictionary, removed, delta)
+    return new_postings, new_dictionary
+
+
 def doc_lengths(postings: DataFrame, id_col: str = "id") -> DataFrame:
     """(id, dl) side table from the postings: dl = sum(tf) over the doc's
     indexed terms. At scale this is written ONCE at index-build time next

@@ -2032,3 +2032,69 @@ def test_pmi_collocations_counts_and_direction(spark):
     # below min_count -> absent
     assert ("is", "big") not in pmi_collocations(
         docs, min_count=10).toPandas().set_index(["w1", "w2"]).index
+
+
+def test_update_index_equals_rebuild(spark):
+    """One re-crawl epoch (changed + retired + brand-new docs) applied
+    incrementally equals rebuilding postings AND dictionary from the
+    updated corpus; terms whose df hits 0 leave the dictionary."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        term_dictionary,
+        update_index,
+    )
+
+    base_corpus = {1: "alpha beta gamma", 2: "beta beta delta",
+                   3: "unique_zz alpha"}
+    docs = spark.createDataFrame(
+        list(base_corpus.items()), ["doc_id", "text"])
+    p0 = inverted_postings(docs)
+    d0 = term_dictionary(p0)
+    # doc2 changes, doc3 retires (taking unique_zz's last posting with
+    # it), doc4 is new
+    changed = spark.createDataFrame(
+        [(2, "beta epsilon"), (4, "gamma gamma zeta")],
+        ["doc_id", "text"])
+    retired = spark.createDataFrame([(3,)], ["doc_id"])
+    p1, d1 = update_index(p0, d0, changed, retired)
+
+    new_corpus = {1: base_corpus[1], 2: "beta epsilon",
+                  4: "gamma gamma zeta"}
+    rebuilt = spark.createDataFrame(
+        list(new_corpus.items()), ["doc_id", "text"])
+    pr = inverted_postings(rebuilt)
+    dr = term_dictionary(pr)
+
+    def pset(df):
+        return {(r["term"], r["id"], r["tf"], tuple(r["positions"]))
+                for r in df.collect()}
+
+    assert pset(p1) == pset(pr)
+    got_d = {r["term"]: (r["df"], r["cf"]) for r in d1.collect()}
+    exp_d = {r["term"]: (r["df"], r["cf"]) for r in dr.collect()}
+    assert got_d == exp_d
+    assert "unique_zz" not in got_d and "epsilon" in got_d
+
+
+def test_merge_postings_base_never_shuffles(spark):
+    """The doomed-id set rides a broadcast anti-join: the base postings
+    side of the merge has no Exchange beyond its own build (the epoch
+    delta must not repartition the whole index)."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        merge_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(100)],
+        ["doc_id", "text"])
+    base = inverted_postings(docs)
+    delta = inverted_postings(
+        spark.createDataFrame([(5, "alpha new")], ["doc_id", "text"]))
+    merged = merge_postings(base, delta)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only shuffles are the two index builds' groupBys plus the
+    # delta-sized doomed-id distinct (broadcast side) — the base index
+    # itself is never repartitioned by the merge
+    assert plan.count("Exchange hashpartitioning") == 3
