@@ -1205,6 +1205,32 @@ def q_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (±3 window) — the word2vec/GloVe
+    corpus statistic, built join-free (token array carried next to its
+    posexplode; context = per-row array slice; single groupBy). Oracle
+    replays the window with a lateral range join."""
+    from crawl4ai_custom_spark.operators.textstats import skipgram_counts
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return skipgram_counts(docs, window=3, min_count=2)
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets driven by the positional index: one
+    term's postings broadcast into the corpus scan, ±3-token context
+    sliced per occurrence. Oracle recomputes every occurrence window
+    from raw text."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        kwic_snippets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = kwic_snippets(docs, inverted_postings(docs), "table", width=3)
+    return out.select("doc_id", "pos", "snippet")
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by smoothed tf-idf
     straight from the materialized index; the oracle replays the exact
@@ -4181,6 +4207,42 @@ ORACLES["q_bm25_index"] = """
     from scored group by doc_id
 """
 
+ORACLES["q_skipgram"] = """
+    with t as (
+      select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 120
+    ),
+    c as (
+      select l[i] as center, l[j] as context
+      from t,
+           unnest(range(1, len(l) + 1)) as u(i),
+           unnest(range(greatest(i - 3, 1),
+                        least(i + 3, len(l)) + 1)) as v(j)
+      where j != i
+    )
+    select center, context, count(*)::BIGINT as count
+    from c group by 1, 2 having count(*) >= 2
+"""
+
+ORACLES["q_kwic"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 300
+    ),
+    hit as (
+      select doc_id, i - 1 as pos, l
+      from t, unnest(range(1, len(l) + 1)) as u(i)
+      where l[i] = 'table'
+    )
+    select doc_id, pos::BIGINT as pos,
+           array_to_string(l[greatest(pos + 1 - 3, 1) : pos + 1 + 3],
+                           ' ') as snippet
+    from hit
+"""
+
 ORACLES["q_index_update"] = """
     with corpus as (
       select doc_id,
@@ -5645,6 +5707,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tfidf_keywords": q_tfidf_keywords,
     "q_pmi_collocations": q_pmi_collocations,
     "q_index_update": q_index_update,
+    "q_skipgram": q_skipgram,
+    "q_kwic": q_kwic,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

@@ -305,6 +305,8 @@ def main() -> None:
         "q_tfidf_keywords",
         "q_pmi_collocations",
         "q_index_update",
+        "q_skipgram",
+        "q_kwic",
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",

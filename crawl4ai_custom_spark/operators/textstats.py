@@ -793,6 +793,89 @@ def phrase_match(postings: DataFrame, terms: list[str],
     )
 
 
+def skipgram_counts(
+    docs: DataFrame,
+    *,
+    window: int = 5,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(center, context, count) co-occurrence table with a symmetric
+    ±``window`` token window — the corpus statistic word2vec/GloVe-style
+    embedding training consumes. Tokenization matches the index (len>1).
+
+    Scale shape: NO self-join — each doc's token array is carried
+    alongside its posexplode, and the window is an array slice per
+    center token (2w context rows per token, emitted by a second
+    explode). The only shuffle is the final groupBy(center, context)
+    with partial-agg combines, so cost is linear in corpus token count
+    × window — the right plan at any corpus size (a positions self-join
+    per doc would build per-doc cartesians instead).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 1,
+    )
+    toks = docs.select(arr.alias("l")).select(
+        "l", F.posexplode("l").alias("pos", "center"))
+    # slice is 1-based: window [pos-w, pos+w] minus the center itself
+    lo = F.greatest(F.col("pos") - window + 1, F.lit(1))
+    ctx = F.filter(
+        F.slice("l", lo, F.col("pos") + 1 + window - lo + 1),
+        lambda _, i: lo + i != F.col("pos") + 1,
+    )
+    return (
+        toks.select("center", F.explode(ctx).alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    postings: DataFrame,
+    term: str,
+    *,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippet extraction: every occurrence of
+    ``term`` with ±``width`` tokens of context, driven by the positional
+    index. Returns (id, pos, snippet) — snippet over the index's
+    filtered token stream, so it reads as normalized text.
+
+    Scale shape: the index side prunes to ONE term's postings (a
+    storage-partitioned scan when bucketed by term) and broadcasts into
+    the corpus scan, so only matching documents re-tokenize — the
+    corpus-wide cost is the scan itself, and token slicing is per-row
+    array work. No shuffle at all for a rare term.
+    """
+    t = term.lower()
+    if len(t) <= 1:
+        raise ValueError("term must be len>1 (index tokenizer)")
+    hits = postings.where(F.col("term") == t).select(
+        F.col("id").alias(id_col), F.explode("positions").alias("pos"))
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    lo = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    ln = F.col("pos") + 1 + width - lo + 1
+    return (
+        docs.select(id_col, arr.alias("l"))
+        .join(F.broadcast(hits), id_col)
+        .select(
+            id_col, "pos",
+            F.concat_ws(" ", F.slice("l", lo, ln)).alias("snippet"),
+        )
+    )
+
+
 def merge_postings(
     base: DataFrame,
     delta: DataFrame,

@@ -2098,3 +2098,52 @@ def test_merge_postings_base_never_shuffles(spark):
     # delta-sized doomed-id distinct (broadcast side) — the base index
     # itself is never repartitioned by the merge
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_skipgram_counts_window_and_plan(spark):
+    """Symmetric ±w window, edge clamping, center excluded; the plan is
+    join-free with exactly one shuffle (the final groupBy)."""
+    from crawl4ai_custom_spark.operators.textstats import skipgram_counts
+
+    docs = spark.createDataFrame([(1, "aa bb cc dd ee")], ["doc_id", "text"])
+    out = {(r["center"], r["context"]): r["count"]
+           for r in skipgram_counts(docs, window=2).collect()}
+    toks = "aa bb cc dd ee".split()
+    exp = {}
+    for i, c in enumerate(toks):
+        for j in range(max(0, i - 2), min(len(toks), i + 3)):
+            if j != i:
+                exp[(c, toks[j])] = exp.get((c, toks[j]), 0) + 1
+    assert out == exp
+    plan = skipgram_counts(docs, window=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    with pytest.raises(ValueError):
+        skipgram_counts(docs, window=0)
+
+
+def test_kwic_snippets_occurrences_and_edges(spark):
+    """Every occurrence emits one snippet; context clamps at both doc
+    edges; only matching docs appear; 1-char tokens are out of the
+    position space."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        kwic_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hit aa bb cc hit dd"), (2, "no match here"),
+         (3, "x hit")],  # 'x' drops -> hit at pos 0
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    out = {(r["doc_id"], r["pos"]): r["snippet"]
+           for r in kwic_snippets(docs, p, "HIT", width=2).collect()}
+    assert out == {
+        (1, 0): "hit aa bb",
+        (1, 4): "bb cc hit dd",
+        (3, 0): "hit",
+    }
+    with pytest.raises(ValueError):
+        kwic_snippets(docs, p, "x")
