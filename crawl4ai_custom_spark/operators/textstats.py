@@ -902,7 +902,10 @@ def merge_postings(
             retired_ids.select(F.col(rcol).alias(id_col))
         ).distinct()
     kept = base.join(F.broadcast(gone), id_col, "left_anti")
-    return kept.unionByName(delta)
+    # project the delta onto the base schema: a positions-free at-rest
+    # index (built with positions dropped) takes a freshly-tokenized
+    # delta without re-widening
+    return kept.unionByName(delta.select(*base.columns))
 
 
 def merge_dictionary(
