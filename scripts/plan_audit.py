@@ -558,6 +558,56 @@ def main() -> None:
         ],
     )
 
+    # ---- round-5 retrieval family ----------------------------------------
+    from crawl4ai_custom_spark.operators.textstats import (
+        bm25_from_index,
+        inverted_postings,
+        merge_postings,
+        skipgram_counts,
+        term_dictionary,
+    )
+
+    postings_syn = inverted_postings(docs_syn.select("doc_id", "text"))
+    dict_syn = term_dictionary(postings_syn)
+    topk = (
+        bm25_from_index(postings_syn, dict_syn, ["alpha", "tok3"])
+        .orderBy(F.desc("bm25"), "id").limit(10)
+    )
+    audit(
+        "Index-backed BM25 top-k — broadcast dictionary + corpus stats, "
+        "TakeOrderedAndProject",
+        topk,
+        [
+            (r"BroadcastHashJoin", "the query-term dictionary slice ships "
+             "broadcast; the postings side never repartitions for it"),
+            (r"TakeOrderedAndProject", "top-k is a per-partition heap + "
+             "driver merge of k rows — never a global sort of all scores"),
+        ],
+    )
+    audit(
+        "Skip-gram co-occurrence — join-free, one exchange",
+        skipgram_counts(docs_syn.select("doc_id", "text"), window=3),
+        [
+            (r"(?s)^(?!.*Join)", "the ±w window is a per-row array slice "
+             "next to the posexplode — no positions self-join, no per-doc "
+             "cartesian"),
+            (r"(?s)^(?!.*\bWindow\b)", "no window function either — cost "
+             "is linear in tokens × window"),
+        ],
+    )
+    delta_syn = inverted_postings(
+        docs_syn.where(F.col("doc_id") < 5).select("doc_id", "text"))
+    audit(
+        "Incremental index merge — epoch ids broadcast, base never "
+        "repartitioned",
+        merge_postings(postings_syn, delta_syn),
+        [
+            (r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin",
+             "the doomed-id set (one re-crawl epoch) rides a broadcast "
+             "anti-join against the 10^10-row base index"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
@@ -568,6 +618,12 @@ def main() -> None:
         "operators/adaptive_session.py",  # query-variation ids: ~10 by contract
         "operators/filters.py",    # stats rows: one per filter in the chain
         "operators/textstats.py",  # bounded query-term list
+        "operators/dedup.py",  # union-find fast path: size-gated by a
+                               # parquet-footer count (n_edges <=
+                               # driver_max_edges) before the collect
+        "operators/bpe.py",    # vocab collect size-gated by footer count
+                               # (<= driver_max_vocab); merge table is
+                               # n_merges rows by construction
         "state/backend.py",  # catalog probe + snapshot tags: O(waves) rows
     }
     collect_viol = []
