@@ -1231,6 +1231,27 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pos", "snippet")
 
 
+def q_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranked retrieval from the materialized
+    index (the LM ranker beside BM25). Oracle replays the smoothed
+    log-likelihood decomposition exactly."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        ql_dirichlet_from_index,
+        term_dictionary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    p = inverted_postings(docs)
+    out = ql_dirichlet_from_index(
+        p, term_dictionary(p), ["spark", "table", "query"], mu=2000.0)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("ql", 4).alias("ql"),
+        "n_terms",
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by smoothed tf-idf
     straight from the materialized index; the oracle replays the exact
@@ -4269,6 +4290,32 @@ ORACLES["q_index_update"] = """
     from p join d using (term)
 """
 
+ORACLES["q_ql_retrieval"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 300
+    ),
+    tok as (select doc_id, unnest(l) as term from t),
+    p as (select term, doc_id, count(*) as tf from tok group by 1, 2),
+    dl as (select doc_id, sum(tf) as dl from p group by 1),
+    d as (select term, sum(tf) as cf from p group by 1),
+    c as (select sum(cf)::DOUBLE as c_total from d),
+    m as (
+      select p.doc_id,
+             sum(ln(1.0 + p.tf / (2000.0 * d.cf / c.c_total))) as match_ll,
+             count(*)::BIGINT as n_terms
+      from p join d using (term) cross join c
+      where p.term in ('spark', 'table', 'query')
+      group by p.doc_id
+    )
+    select m.doc_id,
+           round(m.match_ll + 3.0 * ln(2000.0 / (dl.dl + 2000.0)), 4) as ql,
+           m.n_terms
+    from m join dl using (doc_id)
+"""
+
 ORACLES["q_tfidf_keywords"] = """
     with t as (
       select doc_id,
@@ -5709,6 +5756,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_index_update": q_index_update,
     "q_skipgram": q_skipgram,
     "q_kwic": q_kwic,
+    "q_ql_retrieval": q_ql_retrieval,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

@@ -307,6 +307,7 @@ def main() -> None:
         "q_index_update",
         "q_skipgram",
         "q_kwic",
+        "q_ql_retrieval",
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",

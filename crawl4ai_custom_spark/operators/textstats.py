@@ -1037,6 +1037,67 @@ def bm25_from_index(
     )
 
 
+def ql_dirichlet_from_index(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: list[str],
+    *,
+    mu: float = 2000.0,
+    doclens: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing — the
+    LM-based ranker beside :func:`bm25_from_index`, from the same index.
+    log p(q|d) decomposes as
+    sum_t qtf_t * ln(1 + tf_td / (mu * cf_t / C))  +  |q| * ln(mu / (dl_d + mu))
+    so only MATCHING terms' postings are touched; the second term needs
+    just the doc-length sidecar. Scores are exact for every doc matching
+    >=1 query term (the returned set); a no-match doc's score is the
+    query-independent floor and never competes for top-k.
+
+    Scale shape: identical to bm25_from_index — term-pruned scans, the
+    query-term stats (qtf joined onto the dictionary slice) and the
+    1-row corpus total C broadcast, one doc-keyed join, one groupBy.
+    """
+    from collections import Counter
+
+    qtf = Counter(t.lower() for t in query_terms if len(t) > 1)
+    if not qtf:
+        raise ValueError(
+            "query_terms must contain at least one len>1 term "
+            "(the index tokenizer drops single-character tokens)"
+        )
+    q_len = float(sum(qtf.values()))
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, float(n)) for t, n in sorted(qtf.items())], ["term", "qtf"])
+    if doclens is None:
+        doclens = doc_lengths(postings, id_col)
+    corpus = dictionary.agg(
+        F.sum("cf").cast("double").alias("c_total"))
+    qd = dictionary.join(qdf, "term").select("term", "cf", "qtf")
+    qp = postings.where(
+        F.col("term").isin(sorted(qtf))).select(id_col, "term", "tf")
+    part = F.col("qtf") * F.log(
+        1.0 + F.col("tf") / (mu * F.col("cf") / F.col("c_total")))
+    return (
+        qp.join(F.broadcast(qd), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(id_col, part.alias("part"))
+        .groupBy(id_col)
+        .agg(F.sum("part").alias("match_ll"),
+             F.count(F.lit(1)).alias("n_terms"))
+        .join(doclens, id_col)
+        .select(
+            id_col,
+            (F.col("match_ll")
+             + q_len * F.log(mu / (F.col("dl") + mu)))
+            .cast("double").alias("ql"),
+            "n_terms",
+        )
+    )
+
+
 def tfidf_keywords(
     postings: DataFrame,
     dictionary: DataFrame,

@@ -2147,3 +2147,46 @@ def test_kwic_snippets_occurrences_and_edges(spark):
     }
     with pytest.raises(ValueError):
         kwic_snippets(docs, p, "x")
+
+
+def test_ql_dirichlet_exact_scores(spark):
+    """Dirichlet query likelihood from the index equals the independent
+    decomposition, including repeated query terms (qtf > 1) and the
+    query-independent length penalty."""
+    import math
+    from collections import Counter
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        ql_dirichlet_from_index,
+        term_dictionary,
+    )
+
+    corpus = {1: "spark spark table", 2: "table stone", 3: "other words"}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    p = inverted_postings(docs)
+    mu = 10.0
+    query = ["spark", "spark", "table"]  # qtf(spark)=2
+    got = {r["id"]: (r["ql"], r["n_terms"]) for r in
+           ql_dirichlet_from_index(p, term_dictionary(p), query,
+                                   mu=mu).collect()}
+
+    toks = {i: corpus[i].split() for i in corpus}
+    c_total = sum(len(v) for v in toks.values())
+    cf = Counter(t for v in toks.values() for t in v)
+    qtf = Counter(query)
+    exp = {}
+    for i, v in toks.items():
+        m = [t for t in qtf if v.count(t)]
+        if not m:
+            continue
+        s = sum(qtf[t] * math.log(1 + v.count(t) / (mu * cf[t] / c_total))
+                for t in m)
+        s += sum(qtf.values()) * math.log(mu / (len(v) + mu))
+        exp[i] = (s, len(m))
+    assert set(got) == set(exp) == {1, 2}
+    for i in exp:
+        assert got[i][1] == exp[i][1]
+        assert abs(got[i][0] - exp[i][0]) < 1e-9
+    with pytest.raises(ValueError):
+        ql_dirichlet_from_index(p, term_dictionary(p), ["a"])
