@@ -798,12 +798,12 @@ def skipgram_counts(
     *,
     window: int = 5,
     min_count: int = 1,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """(center, context, count) co-occurrence table with a symmetric
     ±``window`` token window — the corpus statistic word2vec/GloVe-style
-    embedding training consumes. Tokenization matches the index (len>1).
+    embedding training consumes; counts are corpus-global (id-agnostic).
+    Tokenization matches the index (len>1).
 
     Scale shape: NO self-join — each doc's token array is carried
     alongside its posexplode, and the window is an array slice per
@@ -850,10 +850,11 @@ def kwic_snippets(
     filtered token stream, so it reads as normalized text.
 
     Scale shape: the index side prunes to ONE term's postings (a
-    storage-partitioned scan when bucketed by term) and broadcasts into
-    the corpus scan, so only matching documents re-tokenize — the
-    corpus-wide cost is the scan itself, and token slicing is per-row
-    array work. No shuffle at all for a rare term.
+    storage-partitioned scan when bucketed by term) before joining the
+    corpus scan, so only matching documents re-tokenize. The join is NOT
+    force-broadcast: a stopword's occurrence list is corpus-sized and a
+    forced hint would be the OOM cliff — AQE promotes the rare-term case
+    to a broadcast join at runtime from the actual post-filter size.
     """
     t = term.lower()
     if len(t) <= 1:
@@ -868,7 +869,7 @@ def kwic_snippets(
     ln = F.col("pos") + 1 + width - lo + 1
     return (
         docs.select(id_col, arr.alias("l"))
-        .join(F.broadcast(hits), id_col)
+        .join(hits, id_col)
         .select(
             id_col, "pos",
             F.concat_ws(" ", F.slice("l", lo, ln)).alias("snippet"),
@@ -898,9 +899,11 @@ def merge_postings(
     gone = delta.select(F.col(id_col)).distinct()
     if retired_ids is not None:
         rcol = retired_ids.columns[0]
-        gone = gone.unionByName(
-            retired_ids.select(F.col(rcol).alias(id_col))
-        ).distinct()
+        retired = retired_ids.select(F.col(rcol).alias(id_col)).distinct()
+        gone = gone.unionByName(retired).distinct()
+        # retirement wins over re-crawl: a doc in both sets must LEAVE
+        # the index, not be re-inserted by its delta rows
+        delta = delta.join(F.broadcast(retired), id_col, "left_anti")
     kept = base.join(F.broadcast(gone), id_col, "left_anti")
     # project the delta onto the base schema: a positions-free at-rest
     # index (built with positions dropped) takes a freshly-tokenized
@@ -950,15 +953,28 @@ def update_index(
     leave, the dictionary takes the signed delta. Returns the new
     (postings, dictionary) pair — equal, row for row, to rebuilding both
     from the updated corpus (pinned by the q_index_update oracle gate).
+
+    Edge semantics (both oracle-equivalent to the rebuild): a changed doc
+    whose new text tokenizes to NOTHING still leaves the index (the
+    doomed set comes from changed_docs ids, not from the delta — a
+    delta-derived set would silently keep its stale postings); a doc in
+    BOTH changed_docs and retired_ids is retired (retirement wins).
     """
     delta = inverted_postings(changed_docs, id_col, text_col)
-    gone = delta.select("id").distinct()
+    gone = changed_docs.select(F.col(id_col).alias("id")).distinct()
     if retired_ids is not None:
         rcol = retired_ids.columns[0]
-        gone = gone.unionByName(
-            retired_ids.select(F.col(rcol).alias("id"))).distinct()
+        retired = retired_ids.select(F.col(rcol).alias("id")).distinct()
+        gone = gone.unionByName(retired).distinct()
+        delta = delta.join(F.broadcast(retired), "id", "left_anti")
     removed = postings.join(F.broadcast(gone), "id", "semi")
-    new_postings = merge_postings(postings, delta, retired_ids, id_col="id")
+    # the doomed set is broader than merge_postings would derive from the
+    # delta (empty-tokenizing changed docs have no delta rows), so the
+    # delete-insert is applied directly with the same broadcast-anti shape
+    new_postings = (
+        postings.join(F.broadcast(gone), "id", "left_anti")
+        .unionByName(delta.select(*postings.columns))
+    )
     new_dictionary = merge_dictionary(dictionary, removed, delta)
     return new_postings, new_dictionary
 
@@ -1111,11 +1127,14 @@ def tfidf_keywords(
     (tf / dl) * (ln((1 + N)/(1 + df)) + 1) — the sklearn-smooth idf, so
     corpus-wide terms still score > 0 and the log never sees 0.
 
-    Scale shape: dictionary df rides a broadcast after an N-row (small,
-    grouped) build; the per-doc top-k is a window PARTITIONED BY the doc
-    id — per-partition state is one doc's term list (page-sized), so the
-    window distributes cleanly at any corpus size. Ties break on term to
-    keep output deterministic.
+    Scale shape: this touches EVERY posting (unlike the query-pruned
+    rankers), so the dictionary join stays a plain term-keyed join —
+    postings and dictionary are co-partitioned on term at rest, and a
+    10^8-term dictionary (Heaps' law at web scale) must never be forced
+    broadcast; AQE still picks broadcast for small corpora. The per-doc
+    top-k is a window PARTITIONED BY the doc id — per-partition state is
+    one doc's term list (page-sized), so the window distributes cleanly
+    at any corpus size. Ties break on term to keep output deterministic.
 
     Returns (id, term, tf, df, tfidf, rank<=k).
     """
@@ -1127,7 +1146,7 @@ def tfidf_keywords(
         F.count(F.lit(1)).cast("double").alias("n_docs"))
     w = (
         postings.select(id_col, "term", "tf")
-        .join(F.broadcast(dictionary.select("term", "df")), "term")
+        .join(dictionary.select("term", "df"), "term")
         .join(doclens, id_col)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
@@ -1159,23 +1178,13 @@ def pmi_collocations(
 
     ``min_count`` gates on the INTEGER pair count before any float math,
     so the returned row set is exactly reproducible; pmi is the only
-    float column. Shape: one explode -> one groupBy(pair) -> two grouped
-    marginal rollups of the PAIR table (never a second corpus pass) that
-    re-join on single keys; the 1-row n rides a broadcast.
+    float column. Shape: the adjacent-pair build is pure array exprs
+    (:func:`_bigram_tokens` — never leaves codegen, no self-join) -> one
+    groupBy(pair) -> two grouped marginal rollups of the PAIR table
+    (never a second corpus pass) that re-join on single keys; the 1-row
+    n rides a broadcast.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                lambda t: F.length(t) > 1,
-            )
-        ).alias("pos", "w"),
-    )
-    # token at p re-keyed to p-1 so joining on pos pairs (w1@p, w2@p+1)
-    nxt = toks.select(
-        "id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
-    bg = toks.withColumnRenamed("w", "w1").join(nxt, ["id", "pos"])
+    bg = _bigram_tokens(docs, id_col, text_col)
     pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     left = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     right = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -62,6 +63,13 @@ def main(argv=None) -> int:
     if not args.docs and not args.base_index:
         print("either --docs or --base-index is required", file=sys.stderr)
         return 2
+    if args.base_index and os.path.abspath(args.out) == os.path.abspath(
+            args.base_index):
+        # Spark refuses to overwrite a path it is lazily reading from;
+        # LSM epochs write to a fresh dir and swap/retire the old one
+        print("--out must differ from --base-index (write the epoch to a "
+              "new directory, then swap)", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -90,9 +98,18 @@ def main(argv=None) -> int:
         if args.update_docs:
             changed = spark.read.parquet(args.update_docs)
         else:
-            # retire-only epoch: empty delta with the docs schema
+            # retire-only epoch: empty delta typed from the BASE index's
+            # id column (string url ids etc. — never assume long)
+            from pyspark.sql.types import StringType, StructField, StructType
+
             changed = spark.createDataFrame(
-                [], f"{args.id_col} long, {args.text_col} string")
+                [],
+                StructType([
+                    StructField(args.id_col,
+                                postings.schema["id"].dataType),
+                    StructField(args.text_col, StringType()),
+                ]),
+            )
         postings, dictionary = update_index(
             postings, dictionary, changed, retired,
             id_col=args.id_col, text_col=args.text_col)

@@ -2037,7 +2037,9 @@ def test_pmi_collocations_counts_and_direction(spark):
 def test_update_index_equals_rebuild(spark):
     """One re-crawl epoch (changed + retired + brand-new docs) applied
     incrementally equals rebuilding postings AND dictionary from the
-    updated corpus; terms whose df hits 0 leave the dictionary."""
+    updated corpus; terms whose df hits 0 leave the dictionary; a
+    changed doc whose new text tokenizes to NOTHING still leaves; a doc
+    both changed and retired is retired (retirement wins)."""
     from crawl4ai_custom_spark.operators.textstats import (
         inverted_postings,
         term_dictionary,
@@ -2045,17 +2047,20 @@ def test_update_index_equals_rebuild(spark):
     )
 
     base_corpus = {1: "alpha beta gamma", 2: "beta beta delta",
-                   3: "unique_zz alpha"}
+                   3: "unique_zz alpha", 5: "alpha beta old",
+                   6: "beta gamma stale"}
     docs = spark.createDataFrame(
         list(base_corpus.items()), ["doc_id", "text"])
     p0 = inverted_postings(docs)
     d0 = term_dictionary(p0)
-    # doc2 changes, doc3 retires (taking unique_zz's last posting with
-    # it), doc4 is new
+    # doc2 changes; doc3 retires (taking unique_zz's last posting with
+    # it); doc4 is new; doc5's new text has NO len>1 tokens (must still
+    # leave); doc6 is both changed AND retired (retirement wins)
     changed = spark.createDataFrame(
-        [(2, "beta epsilon"), (4, "gamma gamma zeta")],
+        [(2, "beta epsilon"), (4, "gamma gamma zeta"),
+         (5, "a ! -"), (6, "would be kept wrongly")],
         ["doc_id", "text"])
-    retired = spark.createDataFrame([(3,)], ["doc_id"])
+    retired = spark.createDataFrame([(3,), (6,)], ["doc_id"])
     p1, d1 = update_index(p0, d0, changed, retired)
 
     new_corpus = {1: base_corpus[1], 2: "beta epsilon",
