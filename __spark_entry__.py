@@ -1231,6 +1231,22 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pos", "snippet")
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval ('table' within 8 tokens of 'query') over the
+    positional index — min gap + window pair count, no positions×positions
+    row blowup. Oracle recomputes every occurrence-pair distance."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        proximity_match,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = proximity_match(inverted_postings(docs), "table", "query",
+                          within=8)
+    return out.select(F.col("id").alias("doc_id"), "min_dist",
+                      "n_pairs_within")
+
+
 def q_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood ranked retrieval from the materialized
     index (the LM ranker beside BM25). Oracle replays the smoothed
@@ -4290,6 +4306,26 @@ ORACLES["q_index_update"] = """
     from p join d using (term)
 """
 
+ORACLES["q_proximity"] = """
+    with t as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 1) as l
+      from documents where doc_id < 300
+    ),
+    tok as (select doc_id, l[i] as term, i - 1 as pos
+            from t, unnest(range(1, len(l) + 1)) as u(i)),
+    pa as (select doc_id, pos as p1 from tok where term = 'table'),
+    pb as (select doc_id, pos as p2 from tok where term = 'query'),
+    pairs as (
+      select pa.doc_id, abs(pa.p1 - pb.p2) as d
+      from pa join pb using (doc_id)
+    )
+    select doc_id, min(d)::INT as min_dist,
+           sum(case when d <= 8 then 1 else 0 end)::BIGINT as n_pairs_within
+    from pairs group by doc_id having min(d) <= 8
+"""
+
 ORACLES["q_ql_retrieval"] = """
     with t as (
       select doc_id,
@@ -5757,6 +5793,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skipgram": q_skipgram,
     "q_kwic": q_kwic,
     "q_ql_retrieval": q_ql_retrieval,
+    "q_proximity": q_proximity,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

@@ -308,6 +308,7 @@ def main() -> None:
         "q_skipgram",
         "q_kwic",
         "q_ql_retrieval",
+        "q_proximity",
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",

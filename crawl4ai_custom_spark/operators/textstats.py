@@ -979,6 +979,56 @@ def update_index(
     return new_postings, new_dictionary
 
 
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    within: int = 8,
+    id_col: str = "id",
+) -> DataFrame:
+    """Proximity retrieval over the positional index: documents where
+    ``term_a`` and ``term_b`` occur within ``within`` tokens of each
+    other (positions over the filtered token stream). Returns
+    (id, min_dist, n_pairs_within) — the minimum absolute position gap
+    and how many occurrence pairs fall inside the window.
+
+    Shape: two single-term index-pruned scans join once on the doc id;
+    the pair math is per-row array work (explode A's positions, probe
+    B's array with a transform/min — never a positions×positions row
+    blowup), then one groupBy(id). Distance 0 is impossible (two terms
+    cannot share a position), so min_dist >= 1.
+    """
+    a, b = term_a.lower(), term_b.lower()
+    if len(a) <= 1 or len(b) <= 1 or a == b:
+        raise ValueError(
+            "proximity terms must be distinct and each len>1 "
+            "(the index tokenizer drops single-character tokens)"
+        )
+    if within < 1:
+        raise ValueError("within must be >= 1")
+    pa = postings.where(F.col("term") == a).select(
+        F.col(id_col), F.explode("positions").alias("pa"))
+    pb = postings.where(F.col("term") == b).select(
+        F.col(id_col), F.col("positions").alias("pbs"))
+    dists = F.transform("pbs", lambda x: F.abs(x - F.col("pa")))
+    return (
+        pa.join(pb, id_col)
+        .select(
+            id_col,
+            F.array_min(dists).alias("row_min"),
+            F.size(F.filter(dists, lambda d: d <= within))
+            .alias("row_within"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min("row_min").alias("min_dist"),
+            F.sum("row_within").cast("bigint").alias("n_pairs_within"),
+        )
+        .where(F.col("min_dist") <= within)
+    )
+
+
 def doc_lengths(postings: DataFrame, id_col: str = "id") -> DataFrame:
     """(id, dl) side table from the postings: dl = sum(tf) over the doc's
     indexed terms. At scale this is written ONCE at index-build time next

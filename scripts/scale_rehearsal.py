@@ -450,6 +450,85 @@ def index50k(spark) -> dict:
     }
 
 
+def retrieval50k(spark) -> dict:
+    """The full retrieval family against a WRITTEN 50k-doc index in the
+    at-rest layout (range-clustered postings, dictionary + doclens
+    sidecars — exactly what jobs/index_job.py produces): BM25 top-10,
+    Dirichlet-QL top-10, exact phrase, proximity, KWIC. Validates that
+    query latency is index-bound (term-pruned scans + tiny joins), not
+    corpus-bound — the property that holds at 10^10 docs."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        bm25_from_index,
+        doc_lengths,
+        inverted_postings,
+        kwic_snippets,
+        phrase_match,
+        proximity_match,
+        ql_dirichlet_from_index,
+        term_dictionary,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    # 10x the corpus with disjoint high-bit id blocks (same pattern as the
+    # other rehearsals); vary a token so copies aren't byte-identical
+    docs = base
+    for i in range(1, 10):
+        docs = docs.unionByName(
+            base.select(
+                (F.col("doc_id") + (i << 41)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text"),
+            )
+        )
+    n_docs = docs.count()
+    out = tempfile.mkdtemp(prefix="ret50k_")
+    t0 = time.time()
+    (
+        inverted_postings(docs)
+        .repartitionByRange(32, "term")
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite").parquet(f"{out}/postings")
+    )
+    postings = spark.read.parquet(f"{out}/postings")
+    term_dictionary(postings).write.mode("overwrite").parquet(f"{out}/dict")
+    doc_lengths(postings).write.mode("overwrite").parquet(f"{out}/doclens")
+    d = spark.read.parquet(f"{out}/dict")
+    dl = spark.read.parquet(f"{out}/doclens")
+    t_build = time.time() - t0
+
+    r: dict = {"job": "retrieval50k", "docs": n_docs,
+               "postings": postings.count(),
+               "build_seconds": round(t_build, 1),
+               "build_docs_per_sec": round(n_docs / t_build, 1)}
+    t = time.time()
+    r["bm25_top10"] = len(
+        bm25_from_index(postings, d, ["spark", "table", "query"],
+                        doclens=dl)
+        .orderBy(F.desc("bm25"), "id").limit(10).collect())
+    r["bm25_seconds"] = round(time.time() - t, 2)
+    t = time.time()
+    r["ql_top10"] = len(
+        ql_dirichlet_from_index(postings, d, ["spark", "table", "query"],
+                                doclens=dl)
+        .orderBy(F.desc("ql"), "id").limit(10).collect())
+    r["ql_seconds"] = round(time.time() - t, 2)
+    t = time.time()
+    r["phrase_hits"] = phrase_match(postings, ["table", "key"]).count()
+    r["phrase_seconds"] = round(time.time() - t, 2)
+    t = time.time()
+    r["proximity_hits"] = proximity_match(
+        postings, "table", "query", within=8).count()
+    r["proximity_seconds"] = round(time.time() - t, 2)
+    t = time.time()
+    r["kwic_hits"] = kwic_snippets(docs, postings, "vector",
+                                   width=3).count()
+    r["kwic_seconds"] = round(time.time() - t, 2)
+    return r
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -467,6 +546,8 @@ def main() -> None:
         print(json.dumps(ahash50k(spark)), flush=True)
     if which == "index50k":
         print(json.dumps(index50k(spark)), flush=True)
+    if which == "retrieval50k":
+        print(json.dumps(retrieval50k(spark)), flush=True)
 
 
 if __name__ == "__main__":

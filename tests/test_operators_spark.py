@@ -2195,3 +2195,31 @@ def test_ql_dirichlet_exact_scores(spark):
         assert abs(got[i][0] - exp[i][0]) < 1e-9
     with pytest.raises(ValueError):
         ql_dirichlet_from_index(p, term_dictionary(p), ["a"])
+
+
+def test_proximity_match_distances(spark):
+    """Min gap + window pair count over the positional index; docs
+    outside the window are absent; validation rejects 1-char/equal
+    terms."""
+    from crawl4ai_custom_spark.operators.textstats import (
+        inverted_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa xx bb yy aa"),       # aa@0,4 bb@2 -> min 2; pairs<=3: 2
+         (2, "aa " + "zz " * 10 + "bb"),  # gap 11 -> excluded at within=3
+         (3, "bb only here")],
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(docs)
+    got = {r["id"]: (r["min_dist"], r["n_pairs_within"])
+           for r in proximity_match(p, "aa", "bb", within=3).collect()}
+    assert got == {1: (2, 2)}
+    # widen the window -> doc2 admits with its exact gap
+    got11 = {r["id"]: r["min_dist"]
+             for r in proximity_match(p, "aa", "bb", within=11).collect()}
+    assert got11 == {1: 2, 2: 11}
+    for bad in (("aa", "aa"), ("a", "bb")):
+        with pytest.raises(ValueError):
+            proximity_match(p, *bad)
