@@ -1218,9 +1218,10 @@ def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context snippets driven by the positional index: one
-    term's postings broadcast into the corpus scan, ±3-token context
-    sliced per occurrence. Oracle recomputes every occurrence window
-    from raw text."""
+    term's postings joined into the corpus scan (AQE promotes the
+    rare-term case to broadcast from the actual post-filter size — no
+    forced hint), ±3-token context sliced per occurrence. Oracle
+    recomputes every occurrence window from raw text."""
     from crawl4ai_custom_spark.operators.textstats import (
         inverted_postings,
         kwic_snippets,

@@ -882,11 +882,15 @@ def merge_postings(
     delta: DataFrame,
     retired_ids: DataFrame | None = None,
     id_col: str = "id",
+    changed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """LSM-style index maintenance: the postings of re-crawled documents
     REPLACE their old postings (delete-insert), retired documents drop.
     ``delta`` is :func:`inverted_postings` over just the changed docs;
-    ``retired_ids`` is a 1-column DataFrame of doc ids to remove outright.
+    ``retired_ids`` is a 1-column DataFrame of doc ids to remove outright;
+    ``changed_ids`` (1-column) widens the doomed set beyond the delta's
+    ids — pass it when a changed doc may tokenize to NOTHING (no delta
+    rows), or its stale postings would silently survive.
 
     Scale shape: the doomed-id set (changed + retired — one crawl epoch's
     docs) rides a broadcast anti-join, so the base index is never
@@ -896,7 +900,11 @@ def merge_postings(
     the seen store: accumulate epochs as delta files and fold them into
     the base on LSM compaction, not per epoch.
     """
-    gone = delta.select(F.col(id_col)).distinct()
+    if changed_ids is not None:
+        ccol = changed_ids.columns[0]
+        gone = changed_ids.select(F.col(ccol).alias(id_col)).distinct()
+    else:
+        gone = delta.select(F.col(id_col)).distinct()
     if retired_ids is not None:
         rcol = retired_ids.columns[0]
         retired = retired_ids.select(F.col(rcol).alias(id_col)).distinct()
@@ -961,20 +969,18 @@ def update_index(
     BOTH changed_docs and retired_ids is retired (retirement wins).
     """
     delta = inverted_postings(changed_docs, id_col, text_col)
-    gone = changed_docs.select(F.col(id_col).alias("id")).distinct()
+    changed_ids = changed_docs.select(F.col(id_col).alias("id"))
+    gone = changed_ids.distinct()
     if retired_ids is not None:
         rcol = retired_ids.columns[0]
         retired = retired_ids.select(F.col(rcol).alias("id")).distinct()
         gone = gone.unionByName(retired).distinct()
+        # keep the dictionary delta consistent with merge_postings'
+        # retirement-wins rule
         delta = delta.join(F.broadcast(retired), "id", "left_anti")
     removed = postings.join(F.broadcast(gone), "id", "semi")
-    # the doomed set is broader than merge_postings would derive from the
-    # delta (empty-tokenizing changed docs have no delta rows), so the
-    # delete-insert is applied directly with the same broadcast-anti shape
-    new_postings = (
-        postings.join(F.broadcast(gone), "id", "left_anti")
-        .unionByName(delta.select(*postings.columns))
-    )
+    new_postings = merge_postings(
+        postings, delta, retired_ids, id_col="id", changed_ids=changed_ids)
     new_dictionary = merge_dictionary(dictionary, removed, delta)
     return new_postings, new_dictionary
 

@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     if not args.docs and not args.base_index:
         print("either --docs or --base-index is required", file=sys.stderr)
         return 2
-    if args.base_index and os.path.abspath(args.out) == os.path.abspath(
+    if args.base_index and os.path.realpath(args.out) == os.path.realpath(
             args.base_index):
         # Spark refuses to overwrite a path it is lazily reading from;
         # LSM epochs write to a fresh dir and swap/retire the old one

@@ -13,7 +13,17 @@ Two jobs, each printed as one JSON line:
              -> decontam -> shard assignment. Watches the minhash
              recompute-over-persist choice and the LSH band join fan-out.
 
-Usage: python scripts/scale_rehearsal.py [crawl80k|corpus50k] (default both)
+Later rounds added more single-shot modes (each one JSON line):
+quality50k (C4+Gopher+dedup stack), ingest50k (incremental batch-vs-store
+dedup), stream10x (multi-epoch ingest stream + kill/resume), ahash50k
+(image perceptual-hash dedup at 50k), index50k (positional index build +
+phrase query), retrieval50k (the full retrieval family against a WRITTEN
+index in jobs/index_job.py's at-rest layout).
+
+Usage: python scripts/scale_rehearsal.py
+  [crawl80k|corpus50k|quality50k|ingest50k|stream10x|ahash50k|index50k|
+   retrieval50k]                                          (default: both
+  crawl80k and corpus50k plus quality50k)
 """
 
 from __future__ import annotations
@@ -461,13 +471,10 @@ def retrieval50k(spark) -> dict:
 
     from crawl4ai_custom_spark.operators.textstats import (
         bm25_from_index,
-        doc_lengths,
-        inverted_postings,
         kwic_snippets,
         phrase_match,
         proximity_match,
         ql_dirichlet_from_index,
-        term_dictionary,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -484,20 +491,24 @@ def retrieval50k(spark) -> dict:
             )
         )
     n_docs = docs.count()
-    out = tempfile.mkdtemp(prefix="ret50k_")
+    root = tempfile.mkdtemp(prefix="ret50k_")
+    src = f"{root}/docs.parquet"
+    docs.write.mode("overwrite").parquet(src)
+    out = f"{root}/index"
+    # build through the REAL job so the rehearsal pins index_job's actual
+    # at-rest layout (not a hand-rolled replica that can drift)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    try:
+        import index_job
+    finally:
+        sys.path.pop(0)
     t0 = time.time()
-    (
-        inverted_postings(docs)
-        .repartitionByRange(32, "term")
-        .sortWithinPartitions("term", "id")
-        .write.mode("overwrite").parquet(f"{out}/postings")
-    )
-    postings = spark.read.parquet(f"{out}/postings")
-    term_dictionary(postings).write.mode("overwrite").parquet(f"{out}/dict")
-    doc_lengths(postings).write.mode("overwrite").parquet(f"{out}/doclens")
-    d = spark.read.parquet(f"{out}/dict")
-    dl = spark.read.parquet(f"{out}/doclens")
+    rc = index_job.main(["--docs", src, "--out", out])
+    assert rc == 0
     t_build = time.time() - t0
+    postings = spark.read.parquet(f"{out}/postings.parquet")
+    d = spark.read.parquet(f"{out}/dictionary.parquet")
+    dl = spark.read.parquet(f"{out}/doclens.parquet")
 
     r: dict = {"job": "retrieval50k", "docs": n_docs,
                "postings": postings.count(),
