@@ -1232,6 +1232,59 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pos", "snippet")
 
 
+def q_cc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl index ingestion gate: deterministic CDXJ lines (one
+    capture) + API-JSON lines (a later capture of the same urls, urlkey/
+    timestamp inside the JSON) parsed by cc_index_records, then
+    cc_index_fetch_plan keeps 200/text-html and collapses to the latest
+    capture per urlkey. Oracle states the expected plan in closed form —
+    no JSON functions, every field recomputed from doc_id arithmetic."""
+    from crawl4ai_custom_spark.sources.ccindex import (
+        cc_index_fetch_plan,
+        cc_index_records,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").where(d < 300).select("doc_id")
+
+    def ts(year: str):
+        return F.concat(
+            F.lit(year),
+            F.lpad((d % 12 + 1).cast("string"), 2, "0"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+            F.lpad((d % 24).cast("string"), 2, "0"),
+            F.lpad((d % 60).cast("string"), 2, "0"),
+            F.lpad((d % 60).cast("string"), 2, "0"),
+        )
+
+    urlkey = F.concat(F.lit("com,example)/p/"), d.cast("string"))
+    url = F.concat(F.lit("https://example.com/p/"), d.cast("string"))
+    status = F.when(d % 10 == 0, F.lit("404")).otherwise(F.lit("200"))
+    cdxj = docs.select(F.concat(
+        urlkey, F.lit(" "), ts("2024"), F.lit(' {"url": "'), url,
+        F.lit('", "status": "'), status,
+        F.lit('", "mime": "text/html", "length": "'),
+        (d % 1000 + 100).cast("string"),
+        F.lit('", "offset": "'), (d * 1000).cast("string"),
+        F.lit('", "filename": "crawl-data/seg-'),
+        (d % 7).cast("string"), F.lit('.warc.gz"}'),
+    ).alias("value"))
+    apijson = docs.select(F.concat(
+        F.lit('{"urlkey": "'), urlkey, F.lit('", "timestamp": "'),
+        ts("2025"), F.lit('", "url": "'), url,
+        F.lit('", "status": "'), status,
+        F.lit('", "mime": "text/html", "length": "'),
+        (d % 1000 + 200).cast("string"),
+        F.lit('", "offset": "'), (d * 2000).cast("string"),
+        F.lit('", "filename": "crawl-data/seg-'),
+        ((d + 1) % 7).cast("string"), F.lit('.warc.gz"}'),
+    ).alias("value"))
+    plan = cc_index_fetch_plan(
+        cc_index_records(cdxj.unionByName(apijson)))
+    return plan.select("urlkey", "url", "capture_ts", "warc_filename",
+                       "warc_offset", "warc_length")
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval ('table' within 8 tokens of 'query') over the
     positional index — min gap + window pair count, no positions×positions
@@ -4307,6 +4360,24 @@ ORACLES["q_index_update"] = """
     from p join d using (term)
 """
 
+ORACLES["q_cc_index"] = """
+    select 'com,example)/p/' || doc_id as urlkey,
+           'https://example.com/p/' || doc_id as url,
+           strptime('2025'
+                    || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 60)::VARCHAR, 2, '0'),
+                    '%Y%m%d%H%M%S') as capture_ts,
+           'crawl-data/seg-' || ((doc_id + 1) % 7) || '.warc.gz'
+             as warc_filename,
+           (doc_id * 2000)::BIGINT as warc_offset,
+           (doc_id % 1000 + 200)::BIGINT as warc_length
+    from documents
+    where doc_id < 300 and doc_id % 10 <> 0
+"""
+
 ORACLES["q_proximity"] = """
     with t as (
       select doc_id,
@@ -5795,6 +5866,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kwic": q_kwic,
     "q_ql_retrieval": q_ql_retrieval,
     "q_proximity": q_proximity,
+    "q_cc_index": q_cc_index,
     "q_kn_bigram": q_kn_bigram,
     "q_lm_score": q_lm_score,
     "q_ccnet_buckets": q_ccnet_buckets,

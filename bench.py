@@ -309,6 +309,7 @@ def main() -> None:
         "q_kwic",
         "q_ql_retrieval",
         "q_proximity",
+        "q_cc_index",
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",

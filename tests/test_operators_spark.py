@@ -2223,3 +2223,56 @@ def test_proximity_match_distances(spark):
     for bad in (("aa", "aa"), ("a", "bb")):
         with pytest.raises(ValueError):
             proximity_match(p, *bad)
+
+
+def test_cc_index_records_framings_and_garbage(spark):
+    """Both CC-index line framings parse (CDXJ prefix vs API JSON
+    urlkey/timestamp); blank/garbage/no-JSON lines drop; numeric fields
+    cast; the fetch plan keeps wanted statuses and the latest capture."""
+    from crawl4ai_custom_spark.sources.ccindex import (
+        cc_index_fetch_plan,
+        cc_index_records,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            # CDXJ framing: urlkey + timestamp in the prefix
+            ('com,ex)/a 20240102030405 {"url": "https://ex.com/a", '
+             '"status": "200", "mime": "text/html", "length": "11", '
+             '"offset": "100", "filename": "seg-0.warc.gz"}',),
+            # API framing: everything in the JSON; later capture, same url
+            ('{"urlkey": "com,ex)/a", "timestamp": "20250102030405", '
+             '"url": "https://ex.com/a", "status": "200", '
+             '"mime": "text/html", "length": "12", "offset": "200", '
+             '"filename": "seg-1.warc.gz"}',),
+            # non-html mime and non-200 -> parsed but excluded from plan
+            ('com,ex)/b 20240101000000 {"url": "https://ex.com/b", '
+             '"status": "301", "mime": "text/html", "length": "9", '
+             '"offset": "5", "filename": "seg-2.warc.gz"}',),
+            ('com,ex)/c 20240101000000 {"url": "https://ex.com/c", '
+             '"status": "200", "mime": "application/pdf", "length": "9", '
+             '"offset": "5", "filename": "seg-2.warc.gz"}',),
+            ("",),                      # blank
+            ("not an index line",),     # no JSON object
+            ("garbage {broken json",),  # unparseable JSON
+        ],
+        ["value"],
+    )
+    recs = cc_index_records(lines)
+    got = {(r["urlkey"], r["timestamp_raw"]): r for r in recs.collect()}
+    assert len(got) == 4
+    r0 = got[("com,ex)/a", "20240102030405")]
+    assert (r0["status"], r0["warc_length"], r0["warc_offset"]) \
+        == (200, 11, 100)
+    assert r0["capture_ts"].year == 2024
+    assert got[("com,ex)/a", "20250102030405")]["warc_offset"] == 200
+
+    plan = {r["urlkey"]: r for r in cc_index_fetch_plan(recs).collect()}
+    # only com,ex)/a survives (b is 301, c is pdf), at its LATEST capture
+    assert set(plan) == {"com,ex)/a"}
+    p = plan["com,ex)/a"]
+    assert (p["warc_filename"], p["warc_offset"], p["warc_length"]) \
+        == ("seg-1.warc.gz", 200, 12)
+    assert p["capture_ts"].year == 2025
+    # latest_only=False keeps both captures
+    assert cc_index_fetch_plan(recs, latest_only=False).count() == 2
