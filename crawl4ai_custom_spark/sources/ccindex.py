@@ -87,6 +87,64 @@ def cc_index_records(lines: DataFrame, line_col: str = "value") -> DataFrame:
     return out.where(F.col("url").isNotNull())
 
 
+def read_warc_ranges(plan: DataFrame, segments_root: str) -> DataFrame:
+    """Execute a fetch plan against CC segment files: each row's
+    (warc_filename, warc_offset, warc_length) slice is read by seek —
+    one gzip member per slice in real CC segments. Returns
+    (url, warc_filename, warc_offset, payload binary); pipe into
+    `warc.parse_warc_records(..., gz=True)` to get records.
+
+    Scale shape: the plan repartitions on warc_filename so ONE task owns
+    each segment and reads its slices in offset order (sequential-ish
+    I/O; on object storage this stage is where range GETs happen — the
+    local seek/read here is the sandbox stand-in with the same per-task
+    access pattern). The segment is never read whole — cost is
+    sum(lengths), not sum(file sizes).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = ["url", "warc_filename", "warc_offset", "warc_length"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                pdf = pdf.sort_values(["warc_filename", "warc_offset"])
+                rows = []
+                for url, fname, off, ln in zip(
+                    pdf["url"], pdf["warc_filename"],
+                    pdf["warc_offset"], pdf["warc_length"],
+                ):
+                    path = os.path.join(segments_root, fname)
+                    fh = handles.get(path)
+                    if fh is None:
+                        fh = handles[path] = open(path, "rb")
+                    fh.seek(int(off))
+                    rows.append((url, fname, int(off), fh.read(int(ln))))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "warc_filename", "warc_offset",
+                             "payload"],
+                )
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return (
+        plan.select(*cols)
+        .repartition("warc_filename")
+        .mapInPandas(
+            fn,
+            "url string, warc_filename string, warc_offset long, "
+            "payload binary",
+        )
+    )
+
+
 def cc_index_fetch_plan(
     records: DataFrame,
     *,

@@ -2276,3 +2276,44 @@ def test_cc_index_records_framings_and_garbage(spark):
     assert p["capture_ts"].year == 2025
     # latest_only=False keeps both captures
     assert cc_index_fetch_plan(recs, latest_only=False).count() == 2
+
+
+def test_read_warc_ranges_end_to_end(spark, tmp_path):
+    """The full CC ingestion contract: a synthetic segment of
+    concatenated gzip members, an index plan with (offset, length) per
+    member, read_warc_ranges slices exactly those bytes, and
+    parse_warc_records(gz=True) recovers each record — the segment is
+    never read whole."""
+    import gzip
+
+    from crawl4ai_custom_spark.sources.ccindex import read_warc_ranges
+    from crawl4ai_custom_spark.sources.warc import parse_warc_records
+
+    def member(url, body):
+        rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode() \
+            + body.encode()
+        return gzip.compress(rec, mtime=0)
+
+    urls = [f"https://ex.com/{i}" for i in range(5)]
+    members = [member(u, f"payload-{i} " * (i + 1)) for i, u in
+               enumerate(urls)]
+    seg = b"".join(members)
+    (tmp_path / "seg-0.warc.gz").write_bytes(seg)
+    plan_rows, off = [], 0
+    for u, m in zip(urls, members):
+        plan_rows.append((u, "seg-0.warc.gz", off, len(m)))
+        off += len(m)
+    # fetch only urls 1 and 3 — proves slicing, not whole-file reads
+    plan = spark.createDataFrame(
+        [plan_rows[1], plan_rows[3]],
+        ["url", "warc_filename", "warc_offset", "warc_length"])
+    ranges = read_warc_ranges(plan, str(tmp_path))
+    recs = parse_warc_records(
+        ranges.withColumn("blob_id", F.xxhash64("url")),
+        payload_col="payload", gz=True)
+    got = {r["target_uri"]: r["payload"] for r in recs.collect()}
+    assert set(got) == {urls[1], urls[3]}
+    assert got[urls[3]].startswith("payload-3 payload-3")
