@@ -141,6 +141,21 @@ def warc_records_as_pages(records: DataFrame) -> DataFrame:
     )
 
 
+def wet_records_as_documents(records: DataFrame) -> DataFrame:
+    """Adapter: WET conversion records (Common Crawl's extracted-text
+    derivative — same ISO-28500 framing `parse_warc_records` already
+    splits, WARC-Type `conversion`, payload = plain text) -> the
+    documents-table shape (doc_id, url, text, warc_ts). doc_id is the
+    url+date hash so re-ingesting a crawl is idempotent upstream of the
+    dedup family."""
+    return records.where(F.col("warc_type") == "conversion").select(
+        F.xxhash64("target_uri", "warc_date").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("text"),
+        F.col("warc_date").alias("warc_ts"),
+    )
+
+
 def build_warc_blobs(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", group_size: int = 20,
                      uri_prefix: str = "https://", source_col: str = "source"
