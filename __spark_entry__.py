@@ -998,6 +998,27 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round(F.col("rank") + 1e-12, 8).alias("rank"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS gate: hub/authority scores over the same deterministic
+    2-out-degree graph as q_pagerank, 2 L1-normalized mutual-reinforcement
+    iterations (each half-step = join + groupBy + one-row scalar agg);
+    oracle unrolls the identical iterations."""
+    from crawl4ai_custom_spark.operators.linkgraph import hits
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 400).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 400).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .where(F.col("src") != F.col("dst")).distinct())
+    out = hits(edges, iterations=2)
+    return out.select(
+        "node",
+        F.round(F.col("hub") + 1e-12, 8).alias("hub"),
+        F.round(F.col("auth") + 1e-12, 8).alias("auth"),
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5133,6 +5154,50 @@ ORACLES["q_pagerank"] = """
     select node, round(rank + 1e-12, 8) as rank from r3
 """
 
+ORACLES["q_hits"] = """
+    with docs as (select doc_id from documents where doc_id < 400),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 400 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 400 from docs
+      ) where src <> dst
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    s0 as (select node, 1.0 as hub from nodes),
+    a1r as (select e.dst as node, sum(s.hub) as r
+            from edges e join s0 s on s.node = e.src group by e.dst),
+    a1z as (select sum(r) as z from a1r),
+    a1 as (select nodes.node, coalesce(a1r.r, 0) / a1z.z as auth
+           from nodes cross join a1z
+           left join a1r on a1r.node = nodes.node),
+    h1r as (select e.src as node, sum(a.auth) as r
+            from edges e join a1 a on a.node = e.dst group by e.src),
+    h1z as (select sum(r) as z from h1r),
+    h1 as (select nodes.node, coalesce(h1r.r, 0) / h1z.z as hub
+           from nodes cross join h1z
+           left join h1r on h1r.node = nodes.node),
+    a2r as (select e.dst as node, sum(h.hub) as r
+            from edges e join h1 h on h.node = e.src group by e.dst),
+    a2z as (select sum(r) as z from a2r),
+    a2 as (select nodes.node, coalesce(a2r.r, 0) / a2z.z as auth
+           from nodes cross join a2z
+           left join a2r on a2r.node = nodes.node),
+    h2r as (select e.src as node, sum(a.auth) as r
+            from edges e join a2 a on a.node = e.dst group by e.src),
+    h2z as (select sum(r) as z from h2r),
+    h2 as (select nodes.node, coalesce(h2r.r, 0) / h2z.z as hub
+           from nodes cross join h2z
+           left join h2r on h2r.node = nodes.node)
+    select h2.node,
+           round(h2.hub + 1e-12, 8) as hub,
+           round(a2.auth + 1e-12, 8) as auth
+    from h2 join a2 on a2.node = h2.node
+"""
+
 ORACLES["q_warc_parse"] = """
     select (doc_id // 20) as blob_id,
            row_number() over (partition by doc_id // 20 order by doc_id) - 1
@@ -5838,6 +5903,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warc_roundtrip": q_warc_roundtrip,
     "q_pagerank": q_pagerank,
     "q_trustrank": q_trustrank,
+    "q_hits": q_hits,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

@@ -285,3 +285,69 @@ def host_outdegree_stats(links: DataFrame, src_url: str = "url",
             + 1e-9, 6,
         ).alias("external_frac"),
     )
+
+
+def hits(edges: DataFrame, iterations: int = 2,
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """(src, dst) edges -> (node, hub, auth) after `iterations`
+    mutual-reinforcement steps (HITS, Kleinberg 1999, public paper) —
+    the hub/authority complement to :func:`pagerank` for seed curation:
+    high-authority hosts seed the frontier, high-hub hosts are the
+    directory pages worth re-crawling for link discovery (the reference
+    hand-tunes both roles into one static map,
+    deep_crawling/scorers.py DomainAuthorityScorer).
+
+    Semantics (L1-normalized power iteration, deterministic):
+      auth_i+1(v) = sum over in-edges (u,v) of hub_i(u),  then / sum
+      hub_i+1(u)  = sum over out-edges (u,v) of auth_i+1(v), then / sum
+    Nodes with no in-edges get auth 0; no out-edges -> hub 0. The DuckDB
+    oracle (`q_hits`) unrolls the identical iterations, so results match
+    to fixed rounding.
+
+    Scale shape: each half-step is one join keyed on src (or dst) + one
+    groupBy + a one-row scalar agg broadcast back — the same
+    materialized-rounds pattern as pagerank; checkpoint_dir truncates
+    lineage for double-digit iteration counts. No driver-side state."""
+    import os
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("auth"))
+    for it in range(iterations):
+        a_raw = (
+            edges.join(scores.select(F.col("node").alias("src"), "hub"),
+                       "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("r"))
+        )
+        a_z = a_raw.agg(F.sum("r").alias("z"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_z))
+            .select("node",
+                    (F.coalesce("r", F.lit(0.0)) / F.col("z")).alias("auth"))
+        )
+        h_raw = (
+            edges.join(auth.select(F.col("node").alias("dst"), "auth"),
+                       "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("r"))
+        )
+        h_z = h_raw.agg(F.sum("r").alias("z"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_z))
+            .select("node",
+                    (F.coalesce("r", F.lit(0.0)) / F.col("z")).alias("hub"))
+        )
+        scores = hub.join(auth, "node")
+        if checkpoint_dir is not None:
+            out = os.path.join(checkpoint_dir, f"hits_{it % 2}")
+            scores.write.mode("overwrite").parquet(out)
+            scores = spark.read.parquet(out)
+    return scores.select("node", "hub", "auth")

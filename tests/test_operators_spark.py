@@ -2317,3 +2317,33 @@ def test_read_warc_ranges_end_to_end(spark, tmp_path):
     got = {r["target_uri"]: r["payload"] for r in recs.collect()}
     assert set(got) == {urls[1], urls[3]}
     assert got[urls[3]].startswith("payload-3 payload-3")
+
+
+def test_hits_known_graph(spark):
+    from crawl4ai_custom_spark.operators.linkgraph import hits
+
+    # two hubs each pointing at the same two authorities: by symmetry the
+    # hubs split hub mass 0.5/0.5, authorities split auth mass 0.5/0.5,
+    # and pure hubs carry zero authority (no in-edges) / pure authorities
+    # zero hub (no out-edges) — the textbook bipartite HITS fixture.
+    g = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2")],
+        ["src", "dst"],
+    )
+    s = {x["node"]: (x["hub"], x["auth"]) for x in hits(g, iterations=3).collect()}
+    assert abs(s["h1"][0] - 0.5) < 1e-12 and abs(s["h2"][0] - 0.5) < 1e-12
+    assert abs(s["a1"][1] - 0.5) < 1e-12 and abs(s["a2"][1] - 0.5) < 1e-12
+    assert s["h1"][1] == 0.0 and s["a1"][0] == 0.0
+
+    # asymmetric: d links to everything (strongest hub); a1 also gets an
+    # extra in-edge from a2's side via d -> a1 twice is impossible
+    # (distinct edges), so add c -> a1: a1 must out-rank a2 in authority.
+    g2 = spark.createDataFrame(
+        [("d", "a1"), ("d", "a2"), ("c", "a1")], ["src", "dst"]
+    )
+    s2 = {x["node"]: (x["hub"], x["auth"]) for x in hits(g2, iterations=2).collect()}
+    assert s2["a1"][1] > s2["a2"][1]
+    assert s2["d"][0] > s2["c"][0]
+    # L1 invariants: hub and auth each sum to 1
+    assert abs(sum(v[0] for v in s2.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in s2.values()) - 1.0) < 1e-9
