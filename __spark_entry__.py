@@ -830,6 +830,30 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_stats(docs.select(url.alias("url")))
 
 
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap mining gate: four synthetic URL families — an infinite
+    calendar (distinct date per doc), a session-id family (md5 sid per
+    doc), a bounded product catalog (20 urls) and a bounded blog (10) —
+    the two unbounded families must flag, the bounded ones must not."""
+    from crawl4ai_custom_spark.operators.urlops import crawl_traps
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    m = d % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://trap.example.com/cal?d=2024-01-"),
+                                d.cast("string")))
+        .when(m == 1, F.concat(F.lit("https://shop.example.com/product/"),
+                               (d % 80).cast("string")))
+        .when(m == 2, F.concat(F.lit("https://forum.example.com/t/x?sid="),
+                               F.md5(d.cast("string"))))
+        .otherwise(F.concat(F.lit("https://blog.example.com/post-"),
+                            (d % 10).cast("string")))
+    )
+    return crawl_traps(docs.select(url.alias("url")),
+                       min_urls=30, min_share=0.5)
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation gate: 40 link targets, 7 rotating anchor
     texts; per-target counts + top-3 anchors (count desc, text asc)."""
@@ -4950,6 +4974,32 @@ ORACLES["q_hreflang"] = """
     from documents where doc_id < 400 and lang <> 'en'
 """
 
+ORACLES["q_crawl_traps"] = """
+    with u as (
+      select case doc_id % 4
+        when 0 then 'https://trap.example.com/cal?d=2024-01-' || doc_id
+        when 1 then 'https://shop.example.com/product/' || (doc_id % 80)
+        when 2 then 'https://forum.example.com/t/x?sid=' || md5(doc_id::VARCHAR)
+        else 'https://blog.example.com/post-' || (doc_id % 10)
+      end as url
+      from documents where doc_id < 500
+    ),
+    per as (
+      select lower(regexp_extract(url, 'https?://([^/:]+)', 1)) as host,
+             regexp_replace(
+               regexp_replace(url, '[0-9a-f]{8,}', '{H}', 'g'),
+               '\\d+', '{N}', 'g') as template,
+             count(distinct url)::BIGINT as n_urls
+      from u group by 1, 2
+    ),
+    tot as (select host, sum(n_urls)::BIGINT as host_total
+            from per group by host)
+    select per.host, template, n_urls, host_total,
+           round(n_urls / host_total::DOUBLE + 1e-9, 6) as url_share,
+           (n_urls >= 30 and n_urls / host_total::DOUBLE >= 0.5) as is_trap
+    from per join tot on tot.host = per.host
+"""
+
 ORACLES["q_outdegree"] = """
     with l as (
       select 'https://h' || (doc_id % 10) || '.com/p/' || doc_id as url,
@@ -5908,6 +5958,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,
     "q_url_templates": q_url_templates,
+    "q_crawl_traps": q_crawl_traps,
     "q_pagination": q_pagination,
     "q_hreflang": q_hreflang,
     "q_meta_refresh": q_meta_refresh,

@@ -143,3 +143,71 @@ def template_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_urls"),
              F.min("u").alias("example_url"))
     )
+
+
+def trap_template(url: Column) -> Column:
+    """Trap-detection template key: collapse >=8-char lowercase-hex runs
+    to '{H}' (session ids, cache busters, content hashes) THEN digit runs
+    to '{N}' (calendars, pagination, numeric ids). Native regexp,
+    RE2-safe, so the oracle applies the identical two passes."""
+    h = F.regexp_replace(url, r"[0-9a-f]{8,}", "{H}")
+    return F.regexp_replace(h, r"\d+", "{N}")
+
+
+def crawl_traps(urls: DataFrame, url_col: str = "url",
+                min_urls: int = 50, min_share: float = 0.5) -> DataFrame:
+    """Crawl-trap detection: (host, template) groups whose distinct-URL
+    count explodes — infinite calendars, session-id links, faceted
+    pagination — the parameter spaces a frontier must blocklist before
+    burning budget on them (the reference's URLPatternFilter,
+    deep_crawling/filters.py, expects a human to hand-write these
+    patterns; at 10^10 frontier scale the patterns must be mined from
+    the data).
+
+    A (host, template) is flagged when it holds >= min_urls distinct
+    URLs AND >= min_share of its host's distinct URLs. Returns one row
+    per (host, template): n_urls, host_total, url_share, is_trap.
+
+    Scale shape: one groupBy over (host, template) with map-side partial
+    aggs; the host rollup is a second agg over the ALREADY-AGGREGATED
+    template table (tiny next to the url set) joined back on host. No
+    window over raw URLs, nothing driver-side."""
+    host = url_host(F.col(url_col))
+    per = (
+        urls.select(host.alias("host"),
+                    trap_template(F.col(url_col)).alias("template"),
+                    F.col(url_col).alias("u"))
+        .groupBy("host", "template")
+        .agg(F.countDistinct("u").alias("n_urls"))
+    )
+    totals = per.groupBy("host").agg(F.sum("n_urls").alias("host_total"))
+    return (
+        per.join(totals, "host")
+        .select(
+            "host", "template", "n_urls", "host_total",
+            F.round(F.col("n_urls") / F.col("host_total") + 1e-9, 6)
+            .alias("url_share"),
+            ((F.col("n_urls") >= min_urls)
+             & (F.col("n_urls") / F.col("host_total") >= min_share))
+            .alias("is_trap"),
+        )
+    )
+
+
+def filter_trapped_urls(urls: DataFrame, traps: DataFrame,
+                        url_col: str = "url") -> DataFrame:
+    """Drop URLs whose (host, template) key is a flagged trap — the
+    admission-side consumer of :func:`crawl_traps`. The trap list is a
+    per-epoch mined blocklist (thousands of rows next to a 10^10
+    frontier), so it broadcasts; the frontier never shuffles."""
+    t = traps.where(F.col("is_trap")).select("host", "template")
+    keyed = urls.withColumn("_h", url_host(F.col(url_col))).withColumn(
+        "_t", trap_template(F.col(url_col)))
+    return (
+        keyed.join(
+            F.broadcast(t),
+            (keyed._h == t.host) & (keyed._t == t.template),
+            "left_anti",
+        )
+        .drop("_h", "_t")
+    )

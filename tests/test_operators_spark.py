@@ -2347,3 +2347,31 @@ def test_hits_known_graph(spark):
     # L1 invariants: hub and auth each sum to 1
     assert abs(sum(v[0] for v in s2.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] for v in s2.values()) - 1.0) < 1e-9
+
+
+def test_crawl_traps_and_filter(spark):
+    from crawl4ai_custom_spark.operators.urlops import (
+        crawl_traps,
+        filter_trapped_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://cal.com/day?d=2024-01-{i}",) for i in range(40)]
+        + [(f"https://cal.com/about",)]
+        + [(f"https://ok.com/p/{i % 5}",) for i in range(40)]
+        + [(f"https://sid.com/x?s={'%032x' % (i * 2654435761)}",) for i in range(35)],
+        ["url"],
+    )
+    traps = crawl_traps(urls, min_urls=30, min_share=0.5)
+    flagged = {(r["host"], r["template"]) for r in traps.collect() if r["is_trap"]}
+    assert ("cal.com", "https://cal.com/day?d={N}-{N}-{N}") in flagged
+    assert ("sid.com", "https://sid.com/x?s={H}") in flagged
+    # bounded catalog: 5 distinct urls, under min_urls -> never a trap
+    assert not any(h == "ok.com" for h, _ in flagged)
+
+    kept = filter_trapped_urls(urls, traps)
+    kept_urls = {r["url"] for r in kept.collect()}
+    # every calendar/sid url dropped; the about page and catalog survive
+    assert "https://cal.com/about" in kept_urls
+    assert all("ok.com" in u or u == "https://cal.com/about" for u in kept_urls)
+    assert kept.columns == ["url"]
