@@ -1144,6 +1144,66 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate strip gate: a promo line covering 100% of host
+    A's pages (and exactly ONE host-B page) must vanish from A but survive
+    on B — host-scoped, unlike global line_dedup; a host-B footer on every
+    B page vanishes from B; a two-page host C keeps its shared nav
+    (min_pages=3 evidence floor)."""
+    from crawl4ai_custom_spark.operators.dedup import host_boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    hostname = (
+        F.when(d < 2, F.lit("c.example.com"))
+        .when(d % 2 == 0, F.lit("a.example.com"))
+        .otherwise(F.lit("b.example.com"))
+    )
+    url = F.concat(F.lit("https://"), hostname, F.lit("/p/"), d.cast("string"))
+    text = F.concat(
+        F.when(((d >= 2) & (d % 2 == 0)) | (d == 3),
+               F.lit("COMMON PROMO LINE\n")).otherwise(F.lit("")),
+        F.substring("text", 1, 50),
+        F.when((d >= 2) & (d % 2 == 1),
+               F.lit("\nB FOOTER LINE")).otherwise(F.lit("")),
+        F.when(d < 2, F.lit("\nC NAV LINE")).otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), text.alias("text"))
+    out = host_boilerplate_strip(pages, min_pages=3, min_share=0.6)
+    return out.select(
+        "url", "host",
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 gate: every 7th doc is an identical error page (flags on
+    both hosts once >= 3 urls share it), every 7th+1 an identical login
+    template (host-shared but NO error phrase -> not a soft-404), the rest
+    unique real text (n_same_content = 1)."""
+    from crawl4ai_custom_spark.operators.headpeek import soft404_detect
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 2).cast("string"), F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    text = (
+        F.when(d % 7 == 0,
+               F.lit("Sorry, the  page you requested does not exist.\n"
+                     "  404 not found "))
+        .when(d % 7 == 1, F.lit("Please log in\nto continue."))
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(url.alias("url"), text.alias("text"))
+    out = soft404_detect(pages, min_urls=3)
+    return out.select(
+        "url", "host", "content_fp",
+        F.col("n_same_content").cast("long").alias("n_same_content"),
+        "has_error_phrase", "is_soft404",
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
     < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
@@ -4285,6 +4345,92 @@ ORACLES["q_line_dedup"] = """
     left join tot on tot.doc_id = m.doc_id
 """
 
+ORACLES["q_host_boilerplate"] = """
+    with m as (
+      select doc_id,
+             case when doc_id < 2 then 'c.example.com'
+                  when doc_id % 2 = 0 then 'a.example.com'
+                  else 'b.example.com' end as host,
+             'https://' ||
+             (case when doc_id < 2 then 'c.example.com'
+                   when doc_id % 2 = 0 then 'a.example.com'
+                   else 'b.example.com' end) || '/p/' || doc_id as url,
+             (case when (doc_id >= 2 and doc_id % 2 = 0) or doc_id = 3
+                   then 'COMMON PROMO LINE' || chr(10) else '' end)
+             || substr(text, 1, 50)
+             || (case when doc_id >= 2 and doc_id % 2 = 1
+                      then chr(10) || 'B FOOTER LINE' else '' end)
+             || (case when doc_id < 2
+                      then chr(10) || 'C NAV LINE' else '' end) as text
+      from documents where doc_id < 300
+    ),
+    tl as (select url, host, string_split(text, chr(10)) as l from m),
+    lines as (
+      select url, host, i as pos, l[i+1] as line, trim(l[i+1]) as key
+      from tl, unnest(range(0, len(l))) as t(i)
+    ),
+    hp as (select host, count(distinct url) as n_pages from m group by host),
+    heavy as (
+      select l.host, l.key from lines l join hp on hp.host = l.host
+      where l.key <> ''
+      group by l.host, l.key, hp.n_pages
+      having hp.n_pages >= 3
+         and count(distinct l.url) >= hp.n_pages * 0.6
+    ),
+    kept as (
+      select l.url, l.pos, l.line from lines l
+      left join heavy h on h.host = l.host and h.key = l.key
+      where l.key = '' or h.key is null
+    ),
+    reb as (
+      select url, string_agg(line, chr(10) order by pos) as clean,
+             count(*) as n_kept
+      from kept group by url
+    ),
+    tot as (select url, count(*) as n_lines from lines group by url)
+    select m.url, m.host,
+           (coalesce(tot.n_lines, 0) - coalesce(reb.n_kept, 0))::BIGINT
+             as n_lines_removed,
+           md5(coalesce(reb.clean, '')) as clean_md5
+    from m
+    left join reb on reb.url = m.url
+    left join tot on tot.url = m.url
+"""
+
+ORACLES["q_soft404"] = """
+    with m as (
+      select 'https://h' || (doc_id % 2) || '.example.com/p/' || doc_id
+               as url,
+             'h' || (doc_id % 2) || '.example.com' as host,
+             case when doc_id % 7 = 0
+                  then 'Sorry, the  page you requested does not exist.'
+                       || chr(10) || '  404 not found '
+                  when doc_id % 7 = 1
+                  then 'Please log in' || chr(10) || 'to continue.'
+                  else text end as text
+      from documents where doc_id < 400
+    ),
+    k as (
+      select url, host,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               as content_fp,
+             regexp_matches(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               'page not found|404 not found|no longer available'
+               || '|does not exist|nothing was found|page you requested')
+               as has_error_phrase
+      from m
+    ),
+    s as (
+      select host, content_fp, count(distinct url)::BIGINT as n_same_content
+      from k group by 1, 2
+    )
+    select k.url, k.host, k.content_fp, s.n_same_content,
+           k.has_error_phrase,
+           (s.n_same_content >= 3 and k.has_error_phrase) as is_soft404
+    from k join s on s.host = k.host and s.content_fp = k.content_fp
+"""
+
 ORACLES["q_phrase_match"] = """
     with t as (
       select doc_id,
@@ -5994,6 +6140,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_report": q_corpus_report,
     "q_semantic_decontam": q_semantic_decontam,
     "q_line_dedup": q_line_dedup,
+    "q_host_boilerplate": q_host_boilerplate,
+    "q_soft404": q_soft404,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,

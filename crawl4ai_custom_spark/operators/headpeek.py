@@ -195,6 +195,56 @@ def canonical_collapse(pages: DataFrame, url_col: str = "url",
     )
 
 
+SOFT404_PHRASES = (
+    "page not found|404 not found|no longer available|does not exist"
+    "|nothing was found|page you requested"
+)
+
+
+def soft404_detect(pages: DataFrame, url_col: str = "url",
+                   text_col: str = "text", min_urls: int = 3) -> DataFrame:
+    """Soft-404 / error-template detection: a server that answers HTTP 200
+    with the same "not found" page for every bad URL poisons a crawl (every
+    such URL looks fetched and unique). Detect them content-side: normalize
+    the page text (lowercase, collapse whitespace), fingerprint it, and
+    count how many DISTINCT urls on the SAME host share that exact
+    fingerprint. A page is a soft-404 when its content is host-shared by
+    >= ``min_urls`` urls AND carries an error phrase; the host-shared flag
+    alone also marks template pages (login walls, interstitials) worth
+    collapsing even without error wording.
+
+    Returns one row per page: url, host, content_fp, n_same_content,
+    has_error_phrase, is_soft404.
+
+    Scale shape: one (host, fingerprint) groupBy with map-side partials
+    joined back — linear, no self-join, no window; the phrase test is a
+    codegen rlike. Complements :func:`canonical_collapse` (declared
+    canonicals) with a content-evidence pass.
+    """
+    from .urlops import url_host
+
+    host = url_host(F.col(url_col))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keyed = pages.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.md5(norm).alias("content_fp"),
+        norm.rlike(SOFT404_PHRASES).alias("has_error_phrase"),
+    )
+    shared = keyed.groupBy("host", "content_fp").agg(
+        F.countDistinct("url").alias("n_same_content")
+    )
+    return (
+        keyed.join(shared, ["host", "content_fp"])
+        .withColumn(
+            "is_soft404",
+            (F.col("n_same_content") >= min_urls) & F.col("has_error_phrase"),
+        )
+        .select("url", "host", "content_fp", "n_same_content",
+                "has_error_phrase", "is_soft404")
+    )
+
+
 def rel_link(head: Column, rel: str) -> Column:
     """href of <link rel="<rel>"> (either attribute order); '' when absent."""
     c1 = F.regexp_extract(

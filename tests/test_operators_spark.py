@@ -1302,6 +1302,66 @@ def test_line_dedup_removes_global_boilerplate(spark):
     assert out[4]["n_lines_removed"] == 0
 
 
+def test_host_boilerplate_strip_is_host_scoped(spark):
+    from crawl4ai_custom_spark.operators.dedup import host_boilerplate_strip
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", "NAV\none"),
+            ("https://a.com/2", "NAV\ntwo"),
+            ("https://a.com/3", "NAV\nthree"),
+            # same NAV line on b.com, but b.com has only 1/3 share of it
+            ("https://b.com/1", "NAV\nb one"),
+            ("https://b.com/2", "b two"),
+            ("https://b.com/3", "b three"),
+            # two-page host: below min_pages, never stripped
+            ("https://c.com/1", "C NAV\nc one"),
+            ("https://c.com/2", "C NAV\nc two"),
+        ],
+        ["url", "text"],
+    )
+    out = {r["url"]: r for r in
+           host_boilerplate_strip(pages, min_pages=3, min_share=0.6).collect()}
+    assert out["https://a.com/1"]["text"] == "one"
+    assert out["https://a.com/1"]["n_lines_removed"] == 1
+    assert out["https://a.com/1"]["host"] == "a.com"
+    # host-scoped: the identical NAV line survives on b.com (share 1/3)
+    assert out["https://b.com/1"]["text"] == "NAV\nb one"
+    assert out["https://b.com/1"]["n_lines_removed"] == 0
+    # min_pages floor: c.com's 100%-shared nav kept
+    assert out["https://c.com/1"]["text"] == "C NAV\nc one"
+
+
+def test_soft404_detect_flags_shared_error_templates(spark):
+    from crawl4ai_custom_spark.operators.headpeek import soft404_detect
+
+    err = "Sorry, page not found."
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x", err),
+            ("https://a.com/y", "Sorry,  page NOT found. "),  # same after norm
+            ("https://a.com/z", err),
+            ("https://a.com/login", "Please log in"),
+            ("https://a.com/login2", "Please log in"),
+            ("https://a.com/login3", "Please log in"),
+            ("https://b.com/x", err),  # other host: only 1 url shares it
+            ("https://a.com/real", "genuine article text"),
+        ],
+        ["url", "text"],
+    )
+    out = {r["url"]: r for r in soft404_detect(pages, min_urls=3).collect()}
+    assert out["https://a.com/x"]["is_soft404"]
+    assert out["https://a.com/y"]["is_soft404"]  # normalization collapses ws/case
+    assert out["https://a.com/x"]["n_same_content"] == 3
+    # shared template without error wording: flagged shared, not soft-404
+    assert out["https://a.com/login"]["n_same_content"] == 3
+    assert not out["https://a.com/login"]["is_soft404"]
+    # host-scoped: b.com's single copy is not shared
+    assert out["https://b.com/x"]["n_same_content"] == 1
+    assert not out["https://b.com/x"]["is_soft404"]
+    assert not out["https://a.com/real"]["has_error_phrase"]
+
+
 def test_pq_encode_and_adc_recall(spark):
     import math
 
