@@ -1204,6 +1204,68 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link spam gate: a 4-host farm trading all 12 ordered
+    edges (reciprocity 1.0 -> flagged), a hub spraying 20 blogs with only
+    8 backlinks (0.4 -> clean), blogs/news/agency citing without
+    backlinks (clean)."""
+    from crawl4ai_custom_spark.operators.linkgraph import reciprocal_link_spam
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    m = d % 10
+    j = F.floor(d / 10) % 12
+    a = F.floor(j / 3)
+    r = j % 3
+    b = r + F.when(r >= a, F.lit(1)).otherwise(F.lit(0))
+    blog20 = F.concat(F.lit("https://blog"),
+                      (F.floor(d / 10) % 20).cast("string"), F.lit(".com/x"))
+    src = (
+        F.when(m <= 2, F.concat(F.lit("https://farm"), a.cast("string"),
+                                F.lit(".com/x")))
+        .when((m == 3) | (m == 4), blog20)
+        .when(m == 5, F.lit("https://news.com/x"))
+        .when(m == 6, F.lit("https://agency.com/x"))
+        .when(m == 7, F.lit("https://hub.com/x"))
+        .otherwise(F.concat(F.lit("https://blog"),
+                            (F.floor(d / 10) % 8).cast("string"),
+                            F.lit(".com/x")))
+    )
+    dst = (
+        F.when(m <= 2, F.concat(F.lit("https://farm"), b.cast("string"),
+                                F.lit(".com/x")))
+        .when((m == 3) | (m == 4), F.lit("https://news.com/x"))
+        .when(m == 5, F.lit("https://agency.com/x"))
+        .when((m == 6) | (m == 7), blog20)
+        .otherwise(F.lit("https://hub.com/x"))
+    )
+    links = docs.select(src.alias("url"), dst.alias("href"))
+    out = reciprocal_link_spam(links, min_out=3, min_reciprocity=0.5)
+    return out.select(
+        "src_host",
+        F.col("n_out_hosts").cast("long").alias("n_out_hosts"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        "reciprocity", "is_link_farm",
+    )
+
+
+def q_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder crawl-budget gate: 30 hosts with integer weights
+    (three zeros), 1000 pages; quotas must sum exactly to 1000 with
+    remainder pages to the largest fractional parts (ties host-asc),
+    zero-weight hosts pinned at 0."""
+    from crawl4ai_custom_spark.operators.politeness import allocate_crawl_budget
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    d = F.col("doc_id")
+    hw = docs.select(
+        F.concat(F.lit("h"), F.lpad(d.cast("string"), 2, "0")).alias("host"),
+        ((d * 7) % 13).cast("double").alias("weight"),
+    )
+    out = allocate_crawl_budget(hw, total_budget=1000)
+    return out.select("host", "weight", F.col("quota").cast("long").alias("quota"))
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
     < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
@@ -4345,6 +4407,82 @@ ORACLES["q_line_dedup"] = """
     left join tot on tot.doc_id = m.doc_id
 """
 
+ORACLES["q_link_spam"] = """
+    with raw as (
+      select doc_id, doc_id % 10 as m,
+             (doc_id // 10) % 12 as j,
+             (doc_id // 10) % 20 as b20,
+             (doc_id // 10) % 8 as b8
+      from documents where doc_id < 500
+    ),
+    fp as (
+      select *, j // 3 as a,
+             (j % 3) + (case when (j % 3) >= (j // 3) then 1 else 0 end)
+               as b
+      from raw
+    ),
+    e0 as (
+      select case when m <= 2 then 'farm' || a || '.com'
+                  when m in (3, 4) then 'blog' || b20 || '.com'
+                  when m = 5 then 'news.com'
+                  when m = 6 then 'agency.com'
+                  when m = 7 then 'hub.com'
+                  else 'blog' || b8 || '.com' end as src,
+             case when m <= 2 then 'farm' || b || '.com'
+                  when m in (3, 4) then 'news.com'
+                  when m = 5 then 'agency.com'
+                  when m in (6, 7) then 'blog' || b20 || '.com'
+                  else 'hub.com' end as dst
+      from fp
+    ),
+    e as (select distinct src, dst from e0 where src <> dst),
+    mk as (
+      select e.src, e.dst, (b.src is not null) as rec
+      from e left join e b on b.src = e.dst and b.dst = e.src
+    )
+    select src as src_host,
+           count(*)::BIGINT as n_out_hosts,
+           sum(case when rec then 1 else 0 end)::BIGINT as n_reciprocal,
+           round(sum(case when rec then 1 else 0 end)::DOUBLE / count(*)
+                 + 1e-9, 6) as reciprocity,
+           (count(*) >= 3
+            and sum(case when rec then 1 else 0 end)::DOUBLE / count(*)
+                >= 0.5) as is_link_farm
+    from mk group by src
+"""
+
+ORACLES["q_budget_alloc"] = """
+    with hw as (
+      select 'h' || lpad(doc_id::VARCHAR, 2, '0') as host,
+             ((doc_id * 7) % 13)::DOUBLE as weight
+      from documents where doc_id < 30
+    ),
+    tot as (select sum(case when weight > 0 then weight else 0 end) as w_sum
+            from hw),
+    ex as (
+      select host, weight,
+             case when weight > 0 and w_sum > 0
+                  then 1000.0 * weight / w_sum else 0.0 end as exact
+      from hw, tot
+    ),
+    fl as (
+      select host, weight, floor(exact)::BIGINT as fl,
+             round(exact - floor(exact), 9) as frac
+      from ex
+    ),
+    fs as (select sum(fl) as f_sum from fl),
+    rk as (
+      select host, weight, fl, frac,
+             row_number() over (order by frac desc, (weight > 0) desc,
+                                host asc) as rnk
+      from fl
+    )
+    select host, weight,
+           (fl + case when weight > 0 and rnk <= 1000 - f_sum
+                      then 1 else 0 end)::BIGINT as quota
+    from rk, fs
+"""
+
 ORACLES["q_host_boilerplate"] = """
     with m as (
       select doc_id,
@@ -6142,6 +6280,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_host_boilerplate": q_host_boilerplate,
     "q_soft404": q_soft404,
+    "q_link_spam": q_link_spam,
+    "q_budget_alloc": q_budget_alloc,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,

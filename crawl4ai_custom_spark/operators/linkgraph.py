@@ -351,3 +351,53 @@ def hits(edges: DataFrame, iterations: int = 2,
             scores.write.mode("overwrite").parquet(out)
             scores = spark.read.parquet(out)
     return scores.select("node", "hub", "auth")
+
+
+def reciprocal_link_spam(links: DataFrame, src_url: str = "url",
+                         dst_url: str = "href", min_out: int = 3,
+                         min_reciprocity: float = 0.5) -> DataFrame:
+    """Link-exchange / link-farm detection via reciprocity: for each source
+    host, the fraction of its distinct outgoing host-edges that are
+    reciprocated (the target links straight back). Organic hosts cite
+    mostly without backlinks; link farms trade edges, so their reciprocity
+    approaches 1. Flags hosts with >= ``min_out`` distinct targets AND
+    reciprocity >= ``min_reciprocity`` — the classic TrustRank-era spam
+    signal (Gyongyi et al. 2004, public paper), complementing
+    :func:`host_outdegree_stats` (volume) and :func:`trustrank` (seed
+    propagation).
+
+    Returns one row per source host: n_out_hosts, n_reciprocal,
+    reciprocity, is_link_farm.
+
+    Scale shape: distinct host-edge table once, then ONE self equi-join on
+    the reversed key (dst,src)=(src,dst) — keyed shuffle, no cross
+    product; per-host rollup is a single groupBy with map-side partials.
+    Self-edges are excluded (trivially "reciprocal")."""
+    host = lambda c: F.lower(F.regexp_extract(F.col(c), r"https?://([^/:]+)", 1))  # noqa: E731
+    e = (
+        links.select(host(src_url).alias("src"), host(dst_url).alias("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != "")
+               & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    back = e.select(F.col("src").alias("dst"), F.col("dst").alias("src"),
+                    F.lit(True).alias("_rec"))
+    marked = e.join(back, ["src", "dst"], "left")
+    return (
+        marked.groupBy(F.col("src").alias("src_host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_out_hosts"),
+            F.sum(F.col("_rec").cast("long")).alias("n_reciprocal"),
+        )
+        .withColumn("n_reciprocal", F.coalesce("n_reciprocal", F.lit(0)))
+        .withColumn(
+            "reciprocity",
+            F.round(F.col("n_reciprocal") / F.col("n_out_hosts") + 1e-9, 6),
+        )
+        .withColumn(
+            "is_link_farm",
+            (F.col("n_out_hosts") >= min_out)
+            & (F.col("n_reciprocal") / F.col("n_out_hosts")
+               >= min_reciprocity),
+        )
+    )

@@ -246,3 +246,55 @@ def admit_dfs_prefix(
         .drop("_pos", "_hpos", "_cut", "_budget", "current_delay",
               "fail_count", "crawl_delay")
     )
+
+
+def allocate_crawl_budget(host_weights: DataFrame, total_budget: int,
+                          host_col: str = "host",
+                          weight_col: str = "weight") -> DataFrame:
+    """Proportional-fair crawl budget allocation (largest-remainder /
+    Hamilton method): split a global page budget across hosts in
+    proportion to a quality/priority weight, exactly — the planning step
+    a 100-TB recrawl runs before :func:`admit_frontier` enforces the
+    per-host quotas. floor(total * w / W) per host, then the leftover
+    pages go one each to the hosts with the largest fractional parts
+    (ties: host asc), so sum(quota) == total_budget exactly and the
+    result is deterministic.
+
+    Returns (host, weight, quota). Non-positive weights get quota 0 and
+    never receive remainder pages.
+
+    Scale shape: one scalar agg broadcast back (sum of weights), one
+    global window ordered by (frac desc, host) for remainder ranking —
+    a single ordered shuffle over the HOST table (orders of magnitude
+    smaller than the url table), no driver loop."""
+    w = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(F.lit(0.0))
+    hw = host_weights.select(F.col(host_col).alias("host"),
+                             F.col(weight_col).cast("double").alias("weight"))
+    tot = hw.agg(F.sum(w.cast("double")).alias("_w_sum"))
+    exact = (
+        hw.crossJoin(F.broadcast(tot))
+        .withColumn("_exact",
+                    F.when((F.col("weight") > 0) & (F.col("_w_sum") > 0),
+                           F.lit(float(total_budget)) * F.col("weight")
+                           / F.col("_w_sum")).otherwise(F.lit(0.0)))
+        .withColumn("_floor", F.floor("_exact"))
+        .withColumn("_frac", F.round(F.col("_exact") - F.col("_floor"), 9))
+    )
+    floor_sum = exact.agg(F.sum("_floor").alias("_f_sum"))
+    # zero-weight hosts sit at frac 0.0 and must not occupy remainder
+    # ranks that a positive-weight integer-exact host deserves
+    win = Window.orderBy(F.col("_frac").desc(),
+                         (F.col("weight") > 0).desc(), F.col("host").asc())
+    return (
+        exact.crossJoin(F.broadcast(floor_sum))
+        .withColumn("_rank", F.row_number().over(win))
+        .withColumn(
+            "quota",
+            (F.col("_floor")
+             + F.when((F.col("weight") > 0)
+                      & (F.col("_rank")
+                         <= F.lit(total_budget) - F.col("_f_sum")),
+                      F.lit(1)).otherwise(F.lit(0))).cast("long"),
+        )
+        .select("host", "weight", "quota")
+    )

@@ -1362,6 +1362,49 @@ def test_soft404_detect_flags_shared_error_templates(spark):
     assert not out["https://a.com/real"]["has_error_phrase"]
 
 
+def test_reciprocal_link_spam_flags_exchanges_only(spark):
+    from crawl4ai_custom_spark.operators.linkgraph import reciprocal_link_spam
+
+    mk = lambda h, p="x": f"https://{h}/{p}"  # noqa: E731
+    links = spark.createDataFrame(
+        # 3-host farm trading all 6 ordered edges
+        [(mk(a), mk(b)) for a in ("f1.com", "f2.com", "f3.com")
+         for b in ("f1.com", "f2.com", "f3.com") if a != b]
+        # organic: blog cites news + hub, hub links back (1/2 reciprocity)
+        + [(mk("blog.com"), mk("news.com")),
+           (mk("blog.com"), mk("hub.com")),
+           (mk("hub.com"), mk("blog.com")),
+           # self-link must be ignored
+           (mk("blog.com"), mk("blog.com", "other"))],
+        ["url", "href"],
+    )
+    out = {r["src_host"]: r for r in
+           reciprocal_link_spam(links, min_out=2,
+                                min_reciprocity=0.75).collect()}
+    assert out["f1.com"]["is_link_farm"] and out["f1.com"]["reciprocity"] == 1.0
+    assert out["f1.com"]["n_out_hosts"] == 2
+    assert not out["blog.com"]["is_link_farm"]  # 1/2 < 0.75
+    assert out["blog.com"]["n_out_hosts"] == 2  # self-link excluded
+    assert out["blog.com"]["n_reciprocal"] == 1
+    assert not out["hub.com"]["is_link_farm"]  # n_out 1 < min_out
+
+
+def test_allocate_crawl_budget_exact_and_deterministic(spark):
+    from crawl4ai_custom_spark.operators.politeness import allocate_crawl_budget
+
+    hw = spark.createDataFrame(
+        [("a", 3.0), ("b", 3.0), ("c", 1.0), ("z", 0.0), ("n", -2.0)],
+        ["host", "weight"],
+    )
+    out = {r["host"]: r["quota"] for r in
+           allocate_crawl_budget(hw, total_budget=10).collect()}
+    # exact: 10*3/7=4.2857 (frac .2857) twice, 10*1/7=1.4286 (frac
+    # .4286); floors 4+4+1=9, the one remainder page goes to the largest
+    # fractional part -> c
+    assert out == {"a": 4, "b": 4, "c": 2, "z": 0, "n": 0}
+    assert sum(out.values()) == 10
+
+
 def test_pq_encode_and_adc_recall(spark):
     import math
 
