@@ -1266,6 +1266,46 @@ def q_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("host", "weight", F.col("quota").cast("long").alias("quota"))
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain doc cap gate: 500 docs over 7 domains, cap 10 with a
+    deterministic quality score — exactly the 10 best (score desc,
+    doc_id asc) survive per domain."""
+    from crawl4ai_custom_spark.operators.corpusmix import domain_doc_cap
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (d % 7).cast("string")).alias("domain"),
+        ((d * 13) % 101).cast("long").alias("score"),
+    )
+    out = domain_doc_cap(keyed, cap=10, score_col="score")
+    return out.select("domain", "doc_id", "score")
+
+
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair gate: every 3rd doc carries five classic cp1252
+    mojibake artifacts (counted and repaired), every 3rd+1 is clean
+    ASCII; the DuckDB twin applies the identical replace table to the
+    identical 80-char slice."""
+    from crawl4ai_custom_spark.operators.textstats import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    text = (
+        F.when(d % 3 == 0,
+               F.concat(F.substring("text", 1, 80),
+                        F.lit(" cafÃ© â€” donâ€™t Â« ok Â»")))
+        .when(d % 3 == 1, F.lit("plain ascii, no artifacts"))
+        .otherwise(F.substring("text", 1, 80))
+    )
+    out = fix_mojibake(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id", F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        "is_mojibake", F.md5("text").alias("fixed_md5"),
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
     < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
@@ -4483,6 +4523,53 @@ ORACLES["q_budget_alloc"] = """
     from rk, fs
 """
 
+ORACLES["q_domain_cap"] = """
+    with k as (
+      select doc_id, 'd' || (doc_id % 7) as domain,
+             ((doc_id * 13) % 101)::BIGINT as score
+      from documents where doc_id < 500
+    ),
+    r as (
+      select domain, doc_id, score,
+             row_number() over (partition by domain
+                                order by score desc, doc_id asc) as rn
+      from k
+    )
+    select domain, doc_id, score from r where rn <= 10
+"""
+
+
+def _mojibake_oracle() -> str:
+    """Build the q_mojibake SQL twin from the SAME pair table the Spark
+    operator uses, so the two can never drift."""
+    from crawl4ai_custom_spark.operators.textstats import MOJIBAKE_PAIRS
+
+    base = ("case when doc_id % 3 = 0 then substr(text, 1, 80) ||"
+            " ' cafÃ© â€” donâ€™t Â« ok Â»'"
+            " when doc_id % 3 = 1 then 'plain ascii, no artifacts'"
+            " else substr(text, 1, 80) end")
+    count_terms = " + ".join(
+        f"(length(t) - length(replace(t, '{bad}', ''))) // {len(bad)}"
+        for bad, _ in MOJIBAKE_PAIRS
+    )
+    fixed = "t"
+    for bad, good in MOJIBAKE_PAIRS:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+    with m as (
+      select doc_id, {base} as t
+      from documents where doc_id < 400
+    )
+    select doc_id,
+           ({count_terms})::BIGINT as n_mojibake,
+           ({count_terms}) > 0 as is_mojibake,
+           md5({fixed}) as fixed_md5
+    from m
+"""
+
+
+ORACLES["q_mojibake"] = _mojibake_oracle()
+
 ORACLES["q_host_boilerplate"] = """
     with m as (
       select doc_id,
@@ -6282,6 +6369,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_soft404": q_soft404,
     "q_link_spam": q_link_spam,
     "q_budget_alloc": q_budget_alloc,
+    "q_domain_cap": q_domain_cap,
+    "q_mojibake": q_mojibake,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,

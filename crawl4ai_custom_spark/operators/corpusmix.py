@@ -448,3 +448,34 @@ def dsir_resample(
         "gumbel_key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
     )
     return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(n_docs)
+
+
+def domain_doc_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
+                   id_col: str = "doc_id", score_col: str | None = None,
+                   salt_partitions: int = 0) -> DataFrame:
+    """Per-domain document cap (the FineWeb/RefinedWeb "no single domain
+    dominates the corpus" rule, public recipes: Penedo et al. 2023/2024):
+    keep at most ``cap`` documents per domain, chosen deterministically —
+    best ``score_col`` first when given (quality-aware retention), ties
+    and the unscored case by ``id_col`` asc.
+
+    Scale shape: ONE window keyed on the domain (a single keyed shuffle).
+    For pathological mega-domains set ``salt_partitions`` > 1: a first
+    within-(domain, salt) top-``cap`` bounds any single task to
+    ~|domain|/salt rows before the exact per-domain pass — the same
+    two-stage trick as the frontier's admission window."""
+    order = ([F.col(score_col).desc()] if score_col else []) \
+        + [F.col(id_col).asc()]
+    out = docs
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                      F.lit(salt_partitions))
+        w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(*order)
+        out = (out.withColumn("_srn", F.row_number().over(w1))
+               .where(F.col("_srn") <= cap).drop("_srn"))
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

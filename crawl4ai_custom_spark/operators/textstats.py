@@ -1256,3 +1256,64 @@ def pmi_collocations(
                   / (F.col("c1") * F.col("c2"))).alias("pmi"),
         )
     )
+
+
+# The classic UTF-8-read-as-cp1252 artifacts (ftfy's core table, public
+# knowledge): each is the cp1252 rendering of a common non-ASCII char's
+# UTF-8 bytes. Printable-only subset so Spark and DuckDB literals agree
+# byte-for-byte; longest-first so no entry is a prefix of a later one.
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),   # â€™ -> right single quote
+    ("â€˜", "‘"),   # â€˜ -> left single quote
+    ("â€œ", "“"),   # â€œ -> left double quote
+    ("â€“", "–"),   # â€“ -> en dash
+    ("â€”", "—"),   # â€” -> em dash
+    ("â€¦", "…"),   # â€¦ -> ellipsis
+    ("Ã©", "é"),         # Ã© -> é
+    ("Ã¨", "è"),         # Ã¨ -> è
+    ("Ã¡", "á"),         # Ã¡ -> á
+    ("Ã³", "ó"),         # Ã³ -> ó
+    ("Ãº", "ú"),         # Ãº -> ú
+    ("Ã¤", "ä"),         # Ã¤ -> ä
+    ("Ã¶", "ö"),         # Ã¶ -> ö
+    ("Ã¼", "ü"),         # Ã¼ -> ü
+    ("Ã±", "ñ"),         # Ã± -> ñ
+    ("Ã§", "ç"),         # Ã§ -> ç
+    ("Â«", "«"),         # Â« -> «
+    ("Â»", "»"),         # Â» -> »
+    ("Â ", " "),              # Â + nbsp -> space
+)
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-artifact repair (ftfy-lite): detect and fix the classic
+    "UTF-8 bytes decoded as cp1252" mojibake — â€™ for apostrophes, Ã©
+    for é, Â-prefixed punctuation — that litters real web crawls where
+    the page lied about its charset. Counts each artifact on the ORIGINAL
+    text (so overlapping repairs don't double-count), then applies the
+    repair table longest-first.
+
+    Adds ``n_mojibake`` (total artifact occurrences) and
+    ``is_mojibake``, and rewrites ``<text_col>`` repaired.
+
+    Scale shape: a pure projection — literal (non-regex) replace chains
+    and length arithmetic, all whole-stage codegen over the scan; no
+    shuffle, no UDF. Run BEFORE quality scoring: mojibake inflates
+    non-alpha ratios and poisons dedup shingles."""
+    t = F.col(text_col)
+    counts = [
+        ((F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+         / F.lit(len(bad))).cast("long")
+        for bad, _ in MOJIBAKE_PAIRS
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    fixed = t
+    for bad, good in MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return (
+        docs.withColumn("n_mojibake", total)
+        .withColumn("is_mojibake", F.col("n_mojibake") > 0)
+        .withColumn(text_col, fixed)
+    )

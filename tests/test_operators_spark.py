@@ -1405,6 +1405,51 @@ def test_allocate_crawl_budget_exact_and_deterministic(spark):
     assert sum(out.values()) == 10
 
 
+def test_domain_doc_cap_keeps_best_and_salted_agrees(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import domain_doc_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}", float((i * 7) % 11)) for i in range(60)],
+        ["doc_id", "domain", "score"],
+    )
+    plain = domain_doc_cap(docs, cap=4, score_col="score")
+    rows = plain.collect()
+    assert len(rows) == 12
+    per = {}
+    for r in rows:
+        per.setdefault(r["domain"], []).append((r["score"], r["doc_id"]))
+    for dom, kept in per.items():
+        assert len(kept) == 4
+        # kept set == the 4 best by (score desc, id asc) among that domain
+        all_dom = sorted(
+            ((float((i * 7) % 11), i) for i in range(60) if i % 3 == int(dom[1])),
+            key=lambda t: (-t[0], t[1]))[:4]
+        assert sorted(kept, key=lambda t: (-t[0], t[1])) == all_dom
+    # the salted two-stage pre-pass must not change the exact result
+    salted = domain_doc_cap(docs, cap=4, score_col="score",
+                            salt_partitions=5)
+    assert sorted((r["doc_id"]) for r in salted.collect()) \
+        == sorted(r["doc_id"] for r in rows)
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    from crawl4ai_custom_spark.operators.textstats import fix_mojibake
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafÃ© â€” donâ€™t"),
+            (2, "clean text"),
+            (3, "Ã©Ã©Ã©"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(docs).collect()}
+    assert out[1]["text"] == "café — don’t"
+    assert out[1]["n_mojibake"] == 3 and out[1]["is_mojibake"]
+    assert out[2]["text"] == "clean text" and not out[2]["is_mojibake"]
+    assert out[3]["text"] == "ééé" and out[3]["n_mojibake"] == 3
+
+
 def test_pq_encode_and_adc_recall(spark):
     import math
 
