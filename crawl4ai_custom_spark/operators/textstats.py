@@ -1279,6 +1279,8 @@ MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
     ("Ã¼", "ü"),         # Ã¼ -> ü
     ("Ã±", "ñ"),         # Ã± -> ñ
     ("Ã§", "ç"),         # Ã§ -> ç
+    ("Ã¯", "ï"),         # Ã¯ -> ï
+    ("Ã ", "à"),         # Ã + nbsp -> à
     ("Â«", "«"),         # Â« -> «
     ("Â»", "»"),         # Â» -> »
     ("Â ", " "),              # Â + nbsp -> space

@@ -52,6 +52,10 @@ class CorpusConfig:
     line_dedup_max_docs: int | None = None  # C4 global line dedup when set
     max_dup_window_frac: float | None = None  # Lee-et-al token-window gate
     dup_window_tokens: int = 10
+    fix_mojibake: bool = False    # cp1252 mojibake repair before anything
+    host_boilerplate_min_share: float | None = None  # per-host line strip
+    host_boilerplate_min_pages: int = 3              # (needs url_col)
+    domain_cap: int | None = None  # max docs per host, best quality first
     redact_pii: bool = True
     near_dedup: bool = True
     jaccard_threshold: float = 0.6
@@ -73,6 +77,7 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
                        dsir_target: DataFrame | None = None,
                        embeddings: DataFrame | None = None,
                        id_col: str = "doc_id", text_col: str = "text",
+                       url_col: str | None = None,
                        checkpoint_dir: str | None = None) -> DataFrame:
     """documents(doc_id, text[, lang, ...]) -> training corpus with
     (doc_id, text, lang_pred, quality, shard [, chunk_index]).
@@ -100,6 +105,32 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     from .operators.urlops import stable_hash60
 
     cfg = cfg or CorpusConfig()
+    if (cfg.host_boilerplate_min_share is not None or
+            cfg.domain_cap is not None) and url_col is None:
+        raise ValueError(
+            "host_boilerplate_min_share / domain_cap need url_col")
+
+    # -1. optional encoding repair FIRST: mojibake inflates non-alpha
+    # ratios, poisons shingles and splits otherwise-identical duplicates,
+    # so every downstream measurement must see repaired text
+    if cfg.fix_mojibake:
+        from .operators.textstats import fix_mojibake
+
+        docs = fix_mojibake(docs, text_col=text_col).drop(
+            "n_mojibake", "is_mojibake")
+
+    # -1b. optional per-host boilerplate strip (CCNet/WET): host-scoped
+    # nav/footer removal BEFORE the corpus-global line pass — host lines
+    # that never cross the global threshold still vanish where they are
+    # actually boilerplate
+    if cfg.host_boilerplate_min_share is not None:
+        from .operators.dedup import host_boilerplate_strip
+
+        docs = host_boilerplate_strip(
+            docs, url_col=url_col, text_col=text_col,
+            min_pages=cfg.host_boilerplate_min_pages,
+            min_share=cfg.host_boilerplate_min_share,
+        ).drop("host", "n_lines_removed")
 
     # 0. optional C4 global line dedup FIRST: boilerplate must vanish before
     # quality/repetition are measured, or nav/footer noise skews both
@@ -310,6 +341,20 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             prof, cfg.mixture, stratum_col="lang_pred", id_col=id_col,
             default_rate=cfg.default_rate,
         )
+
+    # 7a. optional per-domain doc cap (FineWeb rule): no host dominates
+    # the corpus — keep each host's best `domain_cap` docs by quality.
+    # One keyed window over the host; runs after mixture so caps apply to
+    # what actually ships
+    if cfg.domain_cap is not None:
+        from .operators.corpusmix import domain_doc_cap
+        from .operators.urlops import url_host
+
+        prof = domain_doc_cap(
+            prof.withColumn("_dom", url_host(F.col(url_col))),
+            cap=cfg.domain_cap, domain_col="_dom", id_col=id_col,
+            score_col="quality",
+        ).drop("_dom")
 
     # 7b. optional token-budget selection: keep the highest-quality docs
     # until the budget fills (bucket-quantized — no global sort; the

@@ -292,3 +292,40 @@ def test_pipeline_semdedup_stage(spark):
     # exactly one of the {0,1} dup pair survives; everything else intact
     assert len(ids & {0, 1}) == 1
     assert {2, 3, 4, 5, 6, 7} <= ids
+
+
+def test_pipeline_mojibake_hostboiler_domaincap_stages(spark):
+    """The round-5 optional stages: encoding repair first, host-scoped
+    boilerplate strip next, and the per-domain cap near the end."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i,
+          f"https://h{i % 2}.example.com/p/{i}",
+          "HOST NAV LINE\n" + _doc(i)
+          + (" cafÃ© â€” naÃ¯ve" if i % 2 == 0 else ""))
+         for i in range(12)],
+        ["doc_id", "url", "text"],
+    )
+    cfg = CorpusConfig(
+        near_dedup=False, redact_pii=False,
+        fix_mojibake=True, host_boilerplate_min_share=0.8,
+        domain_cap=4,
+    )
+    out = build_training_set(docs, cfg, url_col="url").collect()
+    # domain cap: 6 docs per host -> 4 best each
+    assert len(out) == 8
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["url"].split("/")[2], []).append(r)
+        # host boilerplate stripped on both hosts
+        assert "HOST NAV LINE" not in r["text"]
+        # mojibake repaired before anything measured it
+        assert "Ã" not in r["text"] and "â€" not in r["text"]
+    assert {len(v) for v in by_host.values()} == {4}
+    # the even docs (mojibake-injected) kept their repaired accents
+    evens = [r for r in out if r["doc_id"] % 2 == 0]
+    assert evens and all("café — naïve" in r["text"] for r in evens)
+    # url-dependent stages without url_col must refuse loudly
+    with _pytest.raises(ValueError):
+        build_training_set(docs, CorpusConfig(domain_cap=2))
