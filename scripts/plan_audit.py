@@ -311,6 +311,74 @@ def main() -> None:
             failures.append(f"{name}: unexpected Exchange")
         sections.append((f"{name} — shuffle-free projection", p, checks))
 
+    # 13b. round-5 webtext additions: mojibake repair must stay a pure
+    # projection; the host-scoped cleaners must never grow a Window; the
+    # graph/allocation ops must never fall into a non-broadcast cartesian
+    from crawl4ai_custom_spark.operators.corpusmix import domain_doc_cap
+    from crawl4ai_custom_spark.operators.dedup import host_boilerplate_strip
+    from crawl4ai_custom_spark.operators.headpeek import soft404_detect
+    from crawl4ai_custom_spark.operators.linkgraph import reciprocal_link_spam
+    from crawl4ai_custom_spark.operators.politeness import allocate_crawl_budget
+    from crawl4ai_custom_spark.operators.textstats import fix_mojibake
+
+    pages_small = spark.range(1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                 F.lit(".com/p/"), F.col("id")).alias("url"),
+        F.concat(F.lit("line one\ntext of page "), F.col("id")).alias("text"),
+    )
+    links_small = pages_small.select(
+        "url",
+        F.concat(F.lit("https://h"), ((F.col("url").substr(10, 2).cast("long")
+                                       + 1) % 37).cast("string"),
+                 F.lit(".com/")).alias("href"))
+
+    p = plan_of(fix_mojibake(docs_small))
+    ok = p.count("Exchange") == 0
+    checks = [(("PASS  " if ok else "FAIL  ") + "zero Exchange",
+               "the 21-entry repair table folds into one codegen "
+               "projection — encoding repair costs one scan pass at 100 TB")]
+    if not ok:
+        failures.append("fix_mojibake: unexpected Exchange")
+    sections.append(("Mojibake repair — shuffle-free projection", p, checks))
+
+    for name, df, no_window in [
+        ("host_boilerplate_strip",
+         host_boilerplate_strip(pages_small), True),
+        ("soft404_detect", soft404_detect(pages_small), True),
+        ("reciprocal_link_spam", reciprocal_link_spam(links_small), True),
+        ("domain_doc_cap",
+         domain_doc_cap(pages_small.withColumn(
+             "host", F.regexp_extract("url", "https://([^/]+)/", 1))
+             .withColumn("doc_id", F.monotonically_increasing_id()),
+             cap=5, domain_col="host"), False),
+        ("allocate_crawl_budget",
+         allocate_crawl_budget(
+             pages_small.select(F.col("url").alias("host"),
+                                F.lit(1.0).alias("weight")), 100), False),
+    ]:
+        p = plan_of(df)
+        checks = []
+        exp = [("CartesianProduct" not in p, "no CartesianProduct",
+                "every join is keyed or a broadcast of a scalar/host table "
+                "— nothing quadratic hides in the plan")]
+        if no_window:
+            exp.append(("Window" not in p, "no Window operator",
+                        "per-host rollups are aggregates with map-side "
+                        "partials, not rank windows"))
+        else:
+            # count real Window operators ("Window ["), not substrings like
+            # WindowGroupLimit — which is the map-side top-k pushdown we WANT
+            exp.append((len(re.findall(r"\bWindow \[", p)) <= 2,
+                        "<= 2 Window operators",
+                        "the only windows are the documented per-domain / "
+                        "remainder-rank ones over the (small) keyed table; "
+                        "WindowGroupLimit partials are the rank pushdown"))
+        for ok, label, why in exp:
+            checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+            if not ok:
+                failures.append(f"{name}: {label}")
+        sections.append((f"{name} — round-5 webtext op", p, checks))
+
     # 14. global span dedup: span keys are built at the ARRAY level and the
     # keeper pick is an aggregate — no Window operator anywhere (a per-doc
     # or per-span window would sort-shuffle the whole exploded span table)
