@@ -1306,6 +1306,33 @@ def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-coverage audit gate: three hosts declaring 100 urls each,
+    the crawl reached the even half plus an undeclared orphan family —
+    per-host coverage ~0.5 and a nonzero orphan fraction."""
+    from crawl4ai_custom_spark.operators.recrawl import sitemap_coverage
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    site = F.concat(F.lit("https://s"), (d % 3).cast("string"),
+                    F.lit(".com/p/"), d.cast("string"))
+    orphan = F.concat(F.lit("https://s"), (d % 3).cast("string"),
+                      F.lit(".com/orphan/"), d.cast("string"))
+    sitemap = docs.select(site.alias("url"))
+    crawled = (
+        docs.where(d % 2 == 0).select(site.alias("url"))
+        .unionByName(docs.where(d % 10 == 0).select(orphan.alias("url")))
+    )
+    out = sitemap_coverage(sitemap, crawled)
+    return out.select(
+        "host",
+        F.col("n_sitemap").cast("long").alias("n_sitemap"),
+        F.col("n_crawled").cast("long").alias("n_crawled"),
+        F.col("n_both").cast("long").alias("n_both"),
+        "coverage", "orphan_frac",
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape LM quality gate: unigram LM (add-one) trained on docs
     < 300, scoring docs < 500 by mean negative log-likelihood; DuckDB
@@ -4523,6 +4550,45 @@ ORACLES["q_budget_alloc"] = """
     from rk, fs
 """
 
+ORACLES["q_sitemap_coverage"] = """
+    with s as (
+      select distinct 'https://s' || (doc_id % 3) || '.com/p/' || doc_id
+               as u
+      from documents where doc_id < 300
+    ),
+    c as (
+      select distinct u from (
+        select 'https://s' || (doc_id % 3) || '.com/p/' || doc_id as u
+        from documents where doc_id < 300 and doc_id % 2 = 0
+        union all
+        select 'https://s' || (doc_id % 3) || '.com/orphan/' || doc_id
+        from documents where doc_id < 300 and doc_id % 10 = 0
+      )
+    ),
+    j as (
+      select coalesce(s.u, c.u) as u,
+             (case when s.u is not null then 1 else 0 end) as si,
+             (case when c.u is not null then 1 else 0 end) as ci
+      from s full outer join c on c.u = s.u
+    ),
+    g as (
+      select lower(regexp_extract(u, 'https?://([^/:]+)', 1)) as host,
+             sum(si)::BIGINT as n_sitemap,
+             sum(ci)::BIGINT as n_crawled,
+             sum(si * ci)::BIGINT as n_both
+      from j group by 1
+    )
+    select host, n_sitemap, n_crawled, n_both,
+           case when n_sitemap > 0
+                then round(n_both / n_sitemap::DOUBLE + 1e-9, 6)
+                else 0.0 end as coverage,
+           case when n_crawled > 0
+                then round((n_crawled - n_both) / n_crawled::DOUBLE
+                           + 1e-9, 6)
+                else 0.0 end as orphan_frac
+    from g
+"""
+
 ORACLES["q_domain_cap"] = """
     with k as (
       select doc_id, 'd' || (doc_id % 7) as domain,
@@ -6371,6 +6437,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_budget_alloc": q_budget_alloc,
     "q_domain_cap": q_domain_cap,
     "q_mojibake": q_mojibake,
+    "q_sitemap_coverage": q_sitemap_coverage,
     "q_ann_pq": q_ann_pq,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,

@@ -117,3 +117,51 @@ def sitemap_revisit_candidates(
         .where(F.col("lastmod_ts") > F.col("fetched"))
         .select(url_col, "fetched", "lastmod_ts")
     )
+
+
+def sitemap_coverage(sitemap_urls: DataFrame, crawled: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Crawl-coverage audit per host: of the URLs a site DECLARES (its
+    sitemaps), how many did the crawl actually reach, and how much of the
+    crawl was orphan pages the sitemap never mentioned? The two numbers
+    drive opposite knobs — low coverage means the politeness budget or
+    depth limit starved the host; a high orphan fraction means link
+    discovery is finding content the site forgot to declare (or a trap).
+
+    Returns one row per host:
+      n_sitemap, n_crawled, n_both,
+      coverage     = n_both / n_sitemap   (0.0 when the host declares none)
+      orphan_frac  = (n_crawled - n_both) / n_crawled  (0.0 when uncrawled)
+
+    Scale shape: two distinct projections + ONE full-outer equi-join on
+    the url (both sides keyed identically — bucketed capture tables make
+    it shuffle-free), then a single host rollup with map-side partials."""
+    from .urlops import url_host
+
+    s = sitemap_urls.select(F.col(url_col).alias("u")).distinct() \
+        .withColumn("_in_sitemap", F.lit(1))
+    c = crawled.select(F.col(url_col).alias("u")).distinct() \
+        .withColumn("_in_crawl", F.lit(1))
+    joined = s.join(c, "u", "full")
+    return (
+        joined.groupBy(url_host(F.col("u")).alias("host"))
+        .agg(
+            F.sum(F.coalesce("_in_sitemap", F.lit(0))).alias("n_sitemap"),
+            F.sum(F.coalesce("_in_crawl", F.lit(0))).alias("n_crawled"),
+            F.sum(F.coalesce("_in_sitemap", F.lit(0))
+                  * F.coalesce("_in_crawl", F.lit(0))).alias("n_both"),
+        )
+        .withColumn(
+            "coverage",
+            F.when(F.col("n_sitemap") > 0,
+                   F.round(F.col("n_both") / F.col("n_sitemap") + 1e-9, 6))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "orphan_frac",
+            F.when(F.col("n_crawled") > 0,
+                   F.round((F.col("n_crawled") - F.col("n_both"))
+                           / F.col("n_crawled") + 1e-9, 6))
+            .otherwise(F.lit(0.0)),
+        )
+    )

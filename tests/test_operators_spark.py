@@ -1450,6 +1450,32 @@ def test_fix_mojibake_repairs_and_counts(spark):
     assert out[3]["text"] == "ééé" and out[3]["n_mojibake"] == 3
 
 
+def test_sitemap_coverage_per_host(spark):
+    from crawl4ai_custom_spark.operators.recrawl import sitemap_coverage
+
+    sm = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/3",),
+         ("https://a.com/4",),
+         ("https://b.com/1",),
+         # duplicate declarations collapse
+         ("https://a.com/1",)],
+        ["url"],
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",),
+         ("https://a.com/orphan",),        # crawled, never declared
+         ("https://c.com/x",)],            # host with no sitemap at all
+        ["url"],
+    )
+    out = {r["host"]: r for r in sitemap_coverage(sm, crawled).collect()}
+    a = out["a.com"]
+    assert (a["n_sitemap"], a["n_crawled"], a["n_both"]) == (4, 3, 2)
+    assert a["coverage"] == 0.5
+    assert abs(a["orphan_frac"] - 1 / 3) < 1e-5
+    assert out["b.com"]["n_crawled"] == 0 and out["b.com"]["orphan_frac"] == 0.0
+    assert out["c.com"]["n_sitemap"] == 0 and out["c.com"]["coverage"] == 0.0
+
+
 def test_pq_encode_and_adc_recall(spark):
     import math
 
