@@ -1036,7 +1036,8 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def host_boilerplate_strip(pages: DataFrame, url_col: str = "url",
                            text_col: str = "text", min_pages: int = 3,
-                           min_share: float = 0.5) -> DataFrame:
+                           min_share: float = 0.5,
+                           id_col: str | None = None) -> DataFrame:
     """Per-host boilerplate line removal (CCNet/WET-style cleaning, Wenzek
     et al. 2020): within each host, drop every line whose trimmed form
     appears on at least ``min_share`` of that host's pages — nav bars,
@@ -1046,6 +1047,13 @@ def host_boilerplate_strip(pages: DataFrame, url_col: str = "url",
 
     Returns pages with ``<text_col>`` rebuilt (original line order, blank
     lines preserved), plus ``host`` and ``n_lines_removed``.
+
+    When the input may hold several rows per URL (a pre-dedup crawl with
+    refetches), pass ``id_col`` — a per-ROW unique key — so the rebuild
+    is keyed by it; without it the rebuild groups by URL and duplicate
+    fetches of one URL would merge into a line-interleaved text. Line
+    SHARE is always counted in distinct URLs (a refetched page is still
+    one page of evidence).
 
     Scale shape: one posexplode keyed by (host, trimmed line); the
     frequency count is a (host, key) groupBy with map-side partial aggs
@@ -1058,8 +1066,9 @@ def host_boilerplate_strip(pages: DataFrame, url_col: str = "url",
     from .urlops import url_host
 
     host = url_host(F.col(url_col))
+    row_key = F.col(id_col) if id_col is not None else F.col(url_col)
     lines = pages.select(
-        F.col(url_col).alias("_u"), host.alias("_h"),
+        row_key.alias("_k"), F.col(url_col).alias("_u"), host.alias("_h"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("key", F.trim("line"))
     host_pages = (
@@ -1077,7 +1086,7 @@ def host_boilerplate_strip(pages: DataFrame, url_col: str = "url",
     )
     marked = lines.join(heavy, ["_h", "key"], "left")
     kept = marked.where(F.col("_drop").isNull() | (F.col("key") == ""))
-    rebuilt = kept.groupBy("_u").agg(
+    rebuilt = kept.groupBy("_k").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
@@ -1087,11 +1096,12 @@ def host_boilerplate_strip(pages: DataFrame, url_col: str = "url",
         ).alias("_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    totals = lines.groupBy("_u").agg(F.count(F.lit(1)).alias("_n_lines"))
+    totals = lines.groupBy("_k").agg(F.count(F.lit(1)).alias("_n_lines"))
+    join_key = pages[id_col] if id_col is not None else pages[url_col]
     return (
         pages.withColumn("host", host)
-        .join(rebuilt, pages[url_col] == rebuilt["_u"], "left").drop("_u")
-        .join(totals, pages[url_col] == totals["_u"], "left").drop("_u")
+        .join(rebuilt, join_key == rebuilt["_k"], "left").drop("_k")
+        .join(totals, join_key == totals["_k"], "left").drop("_k")
         .withColumn(
             "n_lines_removed",
             F.coalesce("_n_lines", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)),

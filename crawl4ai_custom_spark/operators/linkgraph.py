@@ -373,9 +373,11 @@ def reciprocal_link_spam(links: DataFrame, src_url: str = "url",
     the reversed key (dst,src)=(src,dst) — keyed shuffle, no cross
     product; per-host rollup is a single groupBy with map-side partials.
     Self-edges are excluded (trivially "reciprocal")."""
-    host = lambda c: F.lower(F.regexp_extract(F.col(c), r"https?://([^/:]+)", 1))  # noqa: E731
+    from .urlops import url_host
+
     e = (
-        links.select(host(src_url).alias("src"), host(dst_url).alias("dst"))
+        links.select(url_host(F.col(src_url)).alias("src"),
+                     url_host(F.col(dst_url)).alias("dst"))
         .where((F.col("src") != "") & (F.col("dst") != "")
                & (F.col("src") != F.col("dst")))
         .distinct()

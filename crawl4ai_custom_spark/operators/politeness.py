@@ -257,20 +257,23 @@ def allocate_crawl_budget(host_weights: DataFrame, total_budget: int,
     a 100-TB recrawl runs before :func:`admit_frontier` enforces the
     per-host quotas. floor(total * w / W) per host, then the leftover
     pages go one each to the hosts with the largest fractional parts
-    (ties: host asc), so sum(quota) == total_budget exactly and the
-    result is deterministic.
+    (ties: host asc), so — provided at least one host has positive
+    weight — sum(quota) == total_budget exactly and the result is
+    deterministic.
 
     Returns (host, weight, quota). Non-positive weights get quota 0 and
-    never receive remainder pages.
+    never receive remainder pages; when NO host has positive weight the
+    budget is unallocatable and every quota is 0 (sum 0, not
+    total_budget — the one documented exception to the exact-sum rule).
 
     Scale shape: one scalar agg broadcast back (sum of weights), one
     global window ordered by (frac desc, host) for remainder ranking —
     a single ordered shuffle over the HOST table (orders of magnitude
     smaller than the url table), no driver loop."""
-    w = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(F.lit(0.0))
     hw = host_weights.select(F.col(host_col).alias("host"),
                              F.col(weight_col).cast("double").alias("weight"))
-    tot = hw.agg(F.sum(w.cast("double")).alias("_w_sum"))
+    w = F.when(F.col("weight") > 0, F.col("weight")).otherwise(F.lit(0.0))
+    tot = hw.agg(F.sum(w).alias("_w_sum"))
     exact = (
         hw.crossJoin(F.broadcast(tot))
         .withColumn("_exact",

@@ -126,11 +126,18 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
     if cfg.host_boilerplate_min_share is not None:
         from .operators.dedup import host_boilerplate_strip
 
+        # keep a caller-provided `host` column intact (the op adds its own)
+        had_host = "host" in docs.columns
+        if had_host:
+            docs = docs.withColumnRenamed("host", "_caller_host")
         docs = host_boilerplate_strip(
             docs, url_col=url_col, text_col=text_col,
             min_pages=cfg.host_boilerplate_min_pages,
             min_share=cfg.host_boilerplate_min_share,
+            id_col=id_col,  # rebuild per ROW: refetched urls must not merge
         ).drop("host", "n_lines_removed")
+        if had_host:
+            docs = docs.withColumnRenamed("_caller_host", "host")
 
     # 0. optional C4 global line dedup FIRST: boilerplate must vanish before
     # quality/repetition are measured, or nav/footer noise skews both

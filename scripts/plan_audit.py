@@ -328,8 +328,9 @@ def main() -> None:
     )
     links_small = pages_small.select(
         "url",
-        F.concat(F.lit("https://h"), ((F.col("url").substr(10, 2).cast("long")
-                                       + 1) % 37).cast("string"),
+        F.concat(F.lit("https://h"),
+                 ((F.regexp_extract("url", r"https://h(\d+)\.com", 1)
+                   .cast("long") + 1) % 37).cast("string"),
                  F.lit(".com/")).alias("href"))
 
     p = plan_of(fix_mojibake(docs_small))

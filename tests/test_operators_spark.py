@@ -1332,6 +1332,30 @@ def test_host_boilerplate_strip_is_host_scoped(spark):
     assert out["https://c.com/1"]["text"] == "C NAV\nc one"
 
 
+def test_host_boilerplate_strip_id_col_keeps_refetches_apart(spark):
+    from crawl4ai_custom_spark.operators.dedup import host_boilerplate_strip
+
+    pages = spark.createDataFrame(
+        [
+            # the same URL fetched twice with different bodies
+            (1, "https://a.com/1", "NAV\nfirst fetch"),
+            (2, "https://a.com/1", "NAV\nsecond fetch"),
+            (3, "https://a.com/2", "NAV\ntwo"),
+            (4, "https://a.com/3", "NAV\nthree"),
+        ],
+        ["row_id", "url", "text"],
+    )
+    out = {r["row_id"]: r for r in
+           host_boilerplate_strip(pages, min_pages=3, min_share=0.6,
+                                  id_col="row_id").collect()}
+    assert len(out) == 4
+    # each refetch keeps its own rebuilt text — no line interleaving
+    assert out[1]["text"] == "first fetch"
+    assert out[2]["text"] == "second fetch"
+    # share was counted in distinct URLs (3 pages), so NAV still stripped
+    assert out[3]["text"] == "two"
+
+
 def test_soft404_detect_flags_shared_error_templates(spark):
     from crawl4ai_custom_spark.operators.headpeek import soft404_detect
 
