@@ -22,7 +22,7 @@ index in jobs/index_job.py's at-rest layout).
 
 Usage: python scripts/scale_rehearsal.py
   [crawl80k|corpus50k|quality50k|ingest50k|stream10x|ahash50k|index50k|
-   retrieval50k]                                          (default: both
+   retrieval50k|webtext50k]                               (default: both
   crawl80k and corpus50k plus quality50k)
 """
 
@@ -419,6 +419,110 @@ def ahash50k(spark) -> dict:
     }
 
 
+def webtext50k(spark) -> dict:
+    """Round-5 webtext family at 50k pages / 500 hosts: mojibake repair +
+    per-host boilerplate strip + soft-404 detection over the page set,
+    reciprocal-link-farm mining over the host graph, then the FineWeb
+    domain cap and a global budget allocation. Validates every new
+    operator keeps its linear keyed-aggregate shape at 10x the gate
+    fixtures (no all-pairs, no per-host driver loops)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.corpusmix import domain_doc_cap
+    from crawl4ai_custom_spark.operators.dedup import host_boilerplate_strip
+    from crawl4ai_custom_spark.operators.headpeek import soft404_detect
+    from crawl4ai_custom_spark.operators.linkgraph import reciprocal_link_spam
+    from crawl4ai_custom_spark.operators.politeness import (
+        allocate_crawl_budget,
+    )
+    from crawl4ai_custom_spark.operators.textstats import fix_mojibake
+
+    n = 50_000
+    d = F.col("id")
+    host = F.concat(F.lit("h"), (d % 500).cast("string"), F.lit(".ex.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    # every 20th page is a pure soft-404: same body host-wide (the nav
+    # line is host-specific, so fingerprints shard per host as intended)
+    body = F.concat(
+        F.lit("NAV OF HOST "), (d % 500).cast("string"), F.lit("\n"),
+        F.when(d % 20 == 0,
+               F.lit("Sorry, the page you requested does not exist."))
+        .otherwise(F.concat(
+            F.lit("The chapter number "), d.cast("string"),
+            F.lit(" describes shard rebalancing; worked example "),
+            (d * 7).cast("string"),
+            F.when(d % 50 == 0, F.lit(" cafÃ© â€” naÃ¯ve"))
+            .otherwise(F.lit("")),
+        )),
+    )
+    pages = spark.range(n).select(
+        d.alias("doc_id"), url.alias("url"), body.alias("text")).persist()
+    pages.count()
+
+    t0 = time.time()
+    cleaned = host_boilerplate_strip(
+        fix_mojibake(pages), min_pages=3, min_share=0.6, id_col="doc_id")
+    n_clean = cleaned.where(~F.col("text").contains("NAV OF HOST")).count()
+    t_clean = time.time() - t0
+
+    t1 = time.time()
+    s404 = soft404_detect(pages)
+    n_404 = s404.where(F.col("is_soft404")).count()
+    t_404 = time.time() - t1
+
+    # host graph: ring edges + a 10-host farm clique trading all 90 pairs
+    ring = spark.range(n).select(
+        url.alias("url"),
+        F.concat(F.lit("https://h"), ((d + 1) % 500).cast("string"),
+                 F.lit(".ex.com/")).alias("href"))
+    farm = spark.range(90).select(
+        F.concat(F.lit("https://farm"), (F.col("id") / 9).cast("long")
+                 .cast("string"), F.lit(".spam/")).alias("url"),
+        F.concat(F.lit("https://farm"),
+                 ((F.col("id") % 9) + F.when(
+                     (F.col("id") % 9) >= (F.col("id") / 9).cast("long"),
+                     F.lit(1)).otherwise(F.lit(0))).cast("string"),
+                 F.lit(".spam/")).alias("href"))
+    t2 = time.time()
+    spam = reciprocal_link_spam(ring.unionByName(farm),
+                                min_out=2, min_reciprocity=0.9)
+    n_farms = spam.where(F.col("is_link_farm")).count()
+    t_spam = time.time() - t2
+
+    t3 = time.time()
+    capped = domain_doc_cap(
+        pages.withColumn("host", F.regexp_extract("url", "https://([^/]+)/",
+                                                  1))
+        .withColumn("q", (F.col("doc_id") * 13 % 101).cast("double")),
+        cap=60, domain_col="host", id_col="doc_id", score_col="q")
+    n_capped = capped.count()
+    t_cap = time.time() - t3
+
+    t4 = time.time()
+    quotas = allocate_crawl_budget(
+        spam.select(F.col("src_host").alias("host"),
+                    (1.0 / (1.0 + F.col("reciprocity"))).alias("weight")),
+        total_budget=1_000_000)
+    q_sum = quotas.agg(F.sum("quota")).collect()[0][0]
+    t_quota = time.time() - t4
+    pages.unpersist()
+    return {
+        "job": "webtext50k",
+        "pages": n,
+        "clean_seconds": round(t_clean, 1),
+        "clean_pages_per_sec": round(n / t_clean, 1),
+        "boilerplate_stripped_pages": n_clean,
+        "soft404_seconds": round(t_404, 1),
+        "soft404_flagged": n_404,
+        "linkspam_seconds": round(t_spam, 1),
+        "farms_flagged": n_farms,
+        "domain_cap_seconds": round(t_cap, 1),
+        "capped_pages": n_capped,
+        "budget_seconds": round(t_quota, 1),
+        "budget_sum": q_sum,
+    }
+
+
 def index50k(spark) -> dict:
     """Inverted index + retrieval at 50k docs: build positional postings
     and the term dictionary over the sf0.1 documents table, then run a
@@ -559,6 +663,8 @@ def main() -> None:
         print(json.dumps(index50k(spark)), flush=True)
     if which == "retrieval50k":
         print(json.dumps(retrieval50k(spark)), flush=True)
+    if which == "webtext50k":
+        print(json.dumps(webtext50k(spark)), flush=True)
 
 
 if __name__ == "__main__":
