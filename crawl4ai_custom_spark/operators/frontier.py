@@ -164,6 +164,12 @@ class CrawlConfig:
     domain_authority: tuple[tuple[str, float], ...] = ()  # registrable
     # domain -> weight pairs blended into the composite link score
     # (DomainAuthorityScorer, deep_crawling/scorers.py:414-519)
+    trap_guard_min_urls: int | None = None  # mine exploding (host, template)
+    # URL families from the accumulated discovery deltas each wave
+    # (urlops.crawl_traps thresholds) and drop flagged families from the
+    # frontier BEFORE they spend politeness budget; trapped urls stay in
+    # seen (discovered, never crawled). None disables.
+    trap_guard_min_share: float = 0.5
 
 
 @dataclass
@@ -526,6 +532,15 @@ class FrontierEngine:
                 shutil.rmtree(self.out_dir)
             os.makedirs(self.out_dir, exist_ok=True)
 
+        # trap-guard count deltas live beside each wave's new_links delta;
+        # rebuilding the list from the seen deltas makes resume seamless
+        trap_count_paths: list[str] = []
+        if cfg.trap_guard_min_urls is not None:
+            for p in seen_paths:
+                tc = os.path.join(os.path.dirname(p), "trap_counts.parquet")
+                if os.path.isdir(tc):
+                    trap_count_paths.append(tc)
+
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_DDL.split(", ")]
         wave = start_wave
         max_waves = cfg.max_waves or (1000 if cfg.strategy == "dfs" else 64)
@@ -780,6 +795,33 @@ class FrontierEngine:
                 # in seen (oracle semantics: discovered but never crawlable) and
                 # never enter the frontier, so no wave re-gates old rows.
                 delta = new_links
+                if cfg.trap_guard_min_urls is not None:
+                    # mine exploding (host, template) families from the
+                    # accumulated O(Δ) count deltas; flagged families never
+                    # enter the frontier (they stay in seen — discovered,
+                    # never crawled). The count append is a groupBy over
+                    # THIS wave's delta only; the mined list is tiny (one
+                    # row per template family) and broadcasts in the
+                    # anti-join, so the frontier never shuffles for it.
+                    from .urlops import (
+                        filter_trapped_urls,
+                        trap_counts,
+                        traps_from_counts,
+                    )
+
+                    if n_new > 0:
+                        tc_path = os.path.join(wave_dir, "trap_counts.parquet")
+                        trap_counts(new_links, url_col="url_canon") \
+                            .write.mode("overwrite").parquet(tc_path)
+                        trap_count_paths.append(tc_path)
+                    if trap_count_paths:
+                        mined = traps_from_counts(
+                            spark.read.parquet(*trap_count_paths),
+                            min_urls=cfg.trap_guard_min_urls,
+                            min_share=cfg.trap_guard_min_share,
+                        )
+                        delta = filter_trapped_urls(
+                            delta, mined, url_col="url_canon")
                 if cfg.check_robots and self.robots is not None:
                     delta = robots_gate(delta, self.robots)
                 leftover = frontier.join(

@@ -172,14 +172,33 @@ def crawl_traps(urls: DataFrame, url_col: str = "url",
     aggs; the host rollup is a second agg over the ALREADY-AGGREGATED
     template table (tiny next to the url set) joined back on host. No
     window over raw URLs, nothing driver-side."""
+    return traps_from_counts(trap_counts(urls, url_col=url_col),
+                             min_urls=min_urls, min_share=min_share)
+
+
+def trap_counts(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, template, n_urls) distinct-URL counts — the incremental half
+    of :func:`crawl_traps`. A crawl appends one of these per wave over its
+    O(Δ) discovery delta (deltas are anti-joined against seen before they
+    are written, so each url lands in exactly one delta and per-wave
+    counts SUM to exact distinct totals across waves)."""
     host = url_host(F.col(url_col))
-    per = (
+    return (
         urls.select(host.alias("host"),
                     trap_template(F.col(url_col)).alias("template"),
                     F.col(url_col).alias("u"))
         .groupBy("host", "template")
         .agg(F.countDistinct("u").alias("n_urls"))
     )
+
+
+def traps_from_counts(counts: DataFrame, min_urls: int = 50,
+                      min_share: float = 0.5) -> DataFrame:
+    """Fold (host, template, n_urls) count rows (one batch or a union of
+    per-wave deltas) into the flagged trap table — same output schema and
+    thresholds as :func:`crawl_traps`."""
+    per = counts.groupBy("host", "template").agg(
+        F.sum("n_urls").alias("n_urls"))
     totals = per.groupBy("host").agg(F.sum("n_urls").alias("host_total"))
     return (
         per.join(totals, "host")

@@ -58,6 +58,11 @@ def parse_args(argv):
     p.add_argument("--link-preview", action="store_true",
                    help="head-peek contextual scoring of discovered links"
                         " (needs --keywords)")
+    p.add_argument("--trap-guard", type=int, default=None, metavar="MIN_URLS",
+                   help="mine exploding (host, template) URL families from"
+                        " the discovery deltas and keep them out of the"
+                        " frontier (urlops.crawl_traps thresholds)")
+    p.add_argument("--trap-guard-share", type=float, default=0.5)
     p.add_argument("--max-waves", type=int, default=None)
     p.add_argument("--warc-out", default=None,
                    help="also export the crawl's extracted text as WARC "
@@ -111,6 +116,8 @@ def main(argv=None) -> int:
         fairness_waves=args.fairness_waves,
         link_preview_scoring=args.link_preview,
         max_waves=args.max_waves,
+        trap_guard_min_urls=args.trap_guard,
+        trap_guard_min_share=args.trap_guard_share,
     )
     robots = spark.read.parquet(args.robots) if args.robots else None
     engine = FrontierEngine(

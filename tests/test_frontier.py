@@ -427,3 +427,70 @@ def test_crawlrun_queue_stats(spark, site_dir, tmp_path):
     # BFS with no budget pressure: everything admits the wave after discovery
     assert all(r["max_wait_waves"] == 0 for r in qs.values())
     assert sum(r["admitted"] for r in qs.values()) == run.pages_crawled
+
+
+def test_trap_guard_blocks_exploding_family(spark, tmp_path):
+    """cfg.trap_guard_min_urls: an exploding calendar family (60 urls, one
+    (host,template) key) is mined from the discovery delta and never
+    enters the frontier; the bounded article family crawls normally; with
+    the guard off every url is crawled."""
+    import datetime as dt
+
+    hub = "https://t.example.com/"
+    cal = [f"https://t.example.com/cal?d=2024-01-{i}" for i in range(60)]
+    art = [f"https://t.example.com/article-{i}" for i in range(10)]
+    links = "".join(f'<a href="{u}">x</a>' for u in cal + art)
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(hub, ts, f"<html><body>{links}</body></html>".encode(),
+             "hub", "en")]
+    for u in cal + art:
+        rows.append((u, ts, b"<html><body>leaf page</body></html>",
+                     "leaf", "en"))
+    pages = spark.createDataFrame(
+        rows, ["url", "warc_ts", "html", "text", "lang"])
+
+    def crawl(guard):
+        cfg = CrawlConfig(
+            strategy="bfs", max_depth=2, max_pages=500, check_robots=False,
+            politeness=PolitenessConfig(wave_seconds=1e9),
+            use_bloom=False,
+            trap_guard_min_urls=30 if guard else None,
+        )
+        eng = FrontierEngine(
+            spark, pages, None, cfg,
+            checkpoint_dir=str(tmp_path / f"ck_{guard}"),
+            out_dir=str(tmp_path / f"out_{guard}"),
+        )
+        run = eng.run([hub])
+        return {r["url_canon"] for r in run.admitted_log(spark).collect()}
+
+    guarded = crawl(True)
+    assert sum("cal?d=" in u for u in guarded) == 0
+    assert sum("article-" in u for u in guarded) == 10
+    unguarded = crawl(False)
+    assert sum("cal?d=" in u for u in unguarded) == 60
+    assert sum("article-" in u for u in unguarded) == 10
+
+
+def test_trap_counts_incremental_equals_batch(spark):
+    """Summing per-delta trap_counts over disjoint url batches reproduces
+    crawl_traps over the whole set exactly."""
+    from crawl4ai_custom_spark.operators.urlops import (
+        crawl_traps,
+        trap_counts,
+        traps_from_counts,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://x.com/cal?d={i}",) for i in range(40)]
+        + [(f"https://x.com/post-{i % 5}",) for i in range(20)],
+        ["url"],
+    ).distinct()
+    half_a = urls.limit(30)
+    half_b = urls.subtract(half_a)
+    merged = traps_from_counts(
+        trap_counts(half_a).unionByName(trap_counts(half_b)),
+        min_urls=30, min_share=0.5)
+    whole = crawl_traps(urls, min_urls=30, min_share=0.5)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
