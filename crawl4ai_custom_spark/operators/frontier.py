@@ -814,6 +814,17 @@ class FrontierEngine:
                         trap_counts(new_links, url_col="url_canon") \
                             .write.mode("overwrite").parquet(tc_path)
                         trap_count_paths.append(tc_path)
+                    if len(trap_count_paths) >= cfg.seen_compact_every:
+                        # same LSM-style width bound as the seen deltas:
+                        # fold the per-wave counts into one file (the
+                        # template table is tiny — one row per family —
+                        # so the rewrite is O(templates), not O(urls))
+                        comp = os.path.join(wave_dir, "trap_counts_compact.parquet")
+                        (spark.read.parquet(*trap_count_paths)
+                         .groupBy("host", "template")
+                         .agg(F.sum("n_urls").alias("n_urls"))
+                         .write.mode("overwrite").parquet(comp))
+                        trap_count_paths = [comp]
                     if trap_count_paths:
                         mined = traps_from_counts(
                             spark.read.parquet(*trap_count_paths),

@@ -449,17 +449,17 @@ def test_trap_guard_blocks_exploding_family(spark, tmp_path):
     pages = spark.createDataFrame(
         rows, ["url", "warc_ts", "html", "text", "lang"])
 
-    def crawl(guard):
+    def crawl(guard, tag="", compact_every=64):
         cfg = CrawlConfig(
             strategy="bfs", max_depth=2, max_pages=500, check_robots=False,
             politeness=PolitenessConfig(wave_seconds=1e9),
-            use_bloom=False,
+            use_bloom=False, seen_compact_every=compact_every,
             trap_guard_min_urls=30 if guard else None,
         )
         eng = FrontierEngine(
             spark, pages, None, cfg,
-            checkpoint_dir=str(tmp_path / f"ck_{guard}"),
-            out_dir=str(tmp_path / f"out_{guard}"),
+            checkpoint_dir=str(tmp_path / f"ck_{guard}{tag}"),
+            out_dir=str(tmp_path / f"out_{guard}{tag}"),
         )
         run = eng.run([hub])
         return {r["url_canon"] for r in run.admitted_log(spark).collect()}
@@ -470,6 +470,8 @@ def test_trap_guard_blocks_exploding_family(spark, tmp_path):
     unguarded = crawl(False)
     assert sum("cal?d=" in u for u in unguarded) == 60
     assert sum("article-" in u for u in unguarded) == 10
+    # trap-delta compaction every wave must not change the result
+    assert crawl(True, tag="_c", compact_every=1) == guarded
 
 
 def test_trap_counts_incremental_equals_batch(spark):
