@@ -6353,6 +6353,111 @@ ORACLES["q_cosine_extract"] = """
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document (vowel-run
+    syllable estimator). Every 53rd doc is blanked to whitespace so the
+    zero-word guard path is exercised in the gate."""
+    from crawl4ai_custom_spark.operators.textstats import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.when(F.col("doc_id") % 53 == 0, F.lit("   ")).otherwise(
+        F.col("text"))
+    out = readability_scores(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.col("n_syllables").cast("int").alias("n_syllables"),
+        F.round(F.col("flesch_ease") + 1e-9, 4).alias("flesch_ease"),
+        F.round(F.col("fk_grade") + 1e-9, 4).alias("fk_grade"),
+        "readability_band",
+    )
+
+
+ORACLES["q_readability"] = """
+    with injected as (
+      select doc_id,
+        case when doc_id % 53 = 0 then '   ' else text end as text
+      from documents
+    ), m as (
+      select doc_id, text,
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '') as words
+      from injected
+    ), m2 as (
+      select doc_id,
+        len(words)::INT as n_words,
+        greatest(1, len(regexp_extract_all(text, '[.!?]+')))::INT
+          as n_sentences,
+        coalesce(list_sum(list_transform(words,
+          w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+          0)::INT as n_syllables
+      from m
+    ), m3 as (
+      select doc_id, n_words,
+        case when n_words = 0 then 1 else n_sentences end as n_sentences,
+        n_syllables,
+        case when n_words = 0 then 0.0
+             else 206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                  - 84.6 * (n_syllables::DOUBLE / n_words) end as ease,
+        case when n_words = 0 then 0.0
+             else 0.39 * (n_words::DOUBLE / n_sentences)
+                  + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59 end
+          as grade
+      from m2
+    )
+    select doc_id, n_words, n_sentences, n_syllables,
+      round(ease + 1e-9, 4) as flesch_ease,
+      round(grade + 1e-9, 4) as fk_grade,
+      case when n_words = 0 then 'hard'
+           when ease >= 70.0 then 'easy'
+           when ease >= 50.0 then 'medium'
+           else 'hard' end as readability_band
+    from m3
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf rank-frequency fit: one-row health check
+    (vocabulary size, token count, singleton fraction, least-squares
+    ln-ln slope + intercept)."""
+    from crawl4ai_custom_spark.operators.textstats import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_slope(docs.select("text"))
+    return out.select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("singleton_frac") + 1e-9, 4).alias("singleton_frac"),
+        F.round(F.col("zipf_slope") + 1e-9, 4).alias("zipf_slope"),
+        F.round(F.col("zipf_intercept") + 1e-9, 4).alias("zipf_intercept"),
+    )
+
+
+ORACLES["q_zipf_slope"] = """
+    with toks as (
+      select unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+        as term
+      from documents
+    ), counts as (
+      select term, count(*) as n from toks group by term
+    ), ranked as (
+      select ln(row_number() over (order by n desc, term)) as x,
+             ln(n) as y, n
+      from counts
+    )
+    select count(*)::BIGINT as vocab_size,
+      sum(n)::BIGINT as n_tokens,
+      round((sum(case when n = 1 then 1 else 0 end)::DOUBLE / count(*))
+            + 1e-9, 4) as singleton_frac,
+      round((covar_pop(x, y) / var_pop(x)) + 1e-9, 4) as zipf_slope,
+      round((avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x)) + 1e-9, 4)
+        as zipf_intercept
+    from ranked
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_normalize_url": q_normalize_url,
@@ -6383,6 +6488,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_prior": q_domain_prior,
     "q_gopher_rules": q_gopher_rules,
     "q_c4_filters": q_c4_filters,
+    "q_readability": q_readability,
+    "q_zipf_slope": q_zipf_slope,
     "q_span_dedup": q_span_dedup,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,

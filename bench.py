@@ -313,6 +313,9 @@ def main() -> None:
         "q_kn_bigram",
         "q_warc_roundtrip",
         "q_image_resize",
+        # closing additions: readability projection + corpus Zipf fit
+        "q_readability",
+        "q_zipf_slope",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 

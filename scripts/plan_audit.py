@@ -311,6 +311,34 @@ def main() -> None:
             failures.append(f"{name}: unexpected Exchange")
         sections.append((f"{name} — shuffle-free projection", p, checks))
 
+    # 13a2. readability is a pure projection; the Zipf fit's only sort is a
+    # top-k over the Heaps-bounded vocabulary, never a token-scale sort
+    from crawl4ai_custom_spark.operators.textstats import (
+        readability_scores,
+        zipf_slope,
+    )
+
+    p = plan_of(readability_scores(docs_small))
+    ok = "Exchange" not in p
+    checks = [(("PASS  " if ok else "FAIL  ") + "zero Exchange",
+               "Flesch/FK = one split + two array folds per row, all "
+               "codegen over the scan — readability costs one pass at "
+               "100 TB")]
+    if not ok:
+        failures.append("readability_scores: unexpected Exchange")
+    sections.append(("Readability scores — shuffle-free projection", p,
+                     checks))
+
+    audit(
+        "Zipf fit (top_n) — vocabulary top-k is TakeOrderedAndProject",
+        zipf_slope(docs_small, top_n=1000),
+        [
+            (r"TakeOrderedAndProject",
+             "the rank ordering materializes as a distributed top-k over "
+             "terms (partial per partition), not a global token sort"),
+        ],
+    )
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian

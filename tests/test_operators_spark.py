@@ -2573,3 +2573,61 @@ def test_crawl_traps_and_filter(spark):
     assert "https://cal.com/about" in kept_urls
     assert all("ok.com" in u or u == "https://cal.com/about" for u in kept_urls)
     assert kept.columns == ["url"]
+
+
+def test_readability_scores_known_values(spark):
+    from crawl4ai_custom_spark.operators.textstats import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words / 1 sentence; syllables (vowel-run): the=1 cat=1
+            # sat=1 down=1 -> 4
+            (1, "The cat sat down."),
+            # 7 words / 2 sentences
+            (2, "It is fine. Quite readable text here!"),
+            (3, "   "),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (4, 1, 4)
+    assert abs(r1["flesch_ease"] - (206.835 - 1.015 * 4 - 84.6 * 1.0)) < 1e-9
+    assert abs(r1["fk_grade"] - (0.39 * 4 + 11.8 * 1.0 - 15.59)) < 1e-9
+    assert r1["readability_band"] == "easy"
+    r2 = out[2]
+    assert r2["n_words"] == 7 and r2["n_sentences"] == 2
+    for d in (3, 4):
+        r = out[d]
+        assert r["n_words"] == 0 and r["n_sentences"] == 1
+        assert r["n_syllables"] == 0
+        assert r["flesch_ease"] == 0.0 and r["fk_grade"] == 0.0
+        assert r["readability_band"] == "hard"
+
+
+def test_zipf_slope_exact_fit(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import zipf_slope
+
+    # Construct counts that are EXACTLY Zipfian: freq(rank r) = 24 / r for
+    # ranks 1,2,3,4 -> ln/ln regression must recover slope -1 exactly.
+    words = (["aa"] * 24) + (["bb"] * 12) + (["cc"] * 8) + (["dd"] * 6)
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_slope(docs).collect()[0]
+    assert row["vocab_size"] == 4 and row["n_tokens"] == 50
+    assert row["singleton_frac"] == 0.0
+    assert abs(row["zipf_slope"] - (-1.0)) < 1e-9
+    assert abs(row["zipf_intercept"] - math.log(24.0)) < 1e-9
+
+    # singleton fraction + min_count / top_n knobs
+    docs2 = spark.createDataFrame(
+        [(1, "x x x y y z w")], ["doc_id", "text"])
+    row2 = zipf_slope(docs2).collect()[0]
+    assert row2["vocab_size"] == 4 and row2["n_tokens"] == 7
+    assert abs(row2["singleton_frac"] - 0.5) < 1e-9
+    row3 = zipf_slope(docs2, min_count=2).collect()[0]
+    assert row3["vocab_size"] == 2 and row3["n_tokens"] == 5
+    row4 = zipf_slope(docs2, top_n=2).collect()[0]
+    assert row4["vocab_size"] == 2 and row4["n_tokens"] == 5
