@@ -6458,6 +6458,149 @@ ORACLES["q_zipf_slope"] = """
 """
 
 
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina Poisson change-rate estimator over a synthetic
+    4-epoch visit log: per-doc visit counts vary (doc_id%4 — the %4==0
+    docs have ONE visit and exercise the null-rate path), intervals vary
+    (1-5 h), and the fingerprint period varies (1-6 — periods 5/6 never
+    change and exercise the exact-zero-rate path). All timestamps are
+    integral doubles, so the only FP work is the estimator itself."""
+    from crawl4ai_custom_spark.operators.recrawl import change_rate_poisson
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    vis = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"),
+                 d.cast("string")).alias("url"),
+        d, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("v"),
+    ).where((F.col("v") == 0) | (F.col("v") <= d % 4))
+    vis = vis.select(
+        "url",
+        (F.lit(1700000000.0) + d * 7.0
+         + F.col("v") * (3600.0 * (1 + d % 5))).alias("ts"),
+        F.floor(F.col("v").cast("double") / (1 + d % 6))
+        .cast("int").cast("string").alias("fingerprint"),
+    )
+    out = change_rate_poisson(vis, as_of=1700600000.0)
+    return out.select(
+        "url",
+        F.col("n_visits").cast("int").alias("n_visits"),
+        F.col("n_changes").cast("int").alias("n_changes"),
+        F.round(F.col("mean_interval_s") / 3600.0 + 1e-9, 6)
+        .alias("mean_int_h"),
+        F.round(F.col("lambda_hat") * 86400.0 + 1e-12, 8).alias("lambda_day"),
+        F.round(F.col("stale_prob") + 1e-12, 8).alias("stale_prob"),
+        F.round((F.col("next_due_ts") - 1700000000.0) / 3600.0 + 1e-9, 4)
+        .alias("next_due_h"),
+    )
+
+
+ORACLES["q_change_rate"] = """
+    with vis as (
+      select 'https://' || source || '.com/' || doc_id as url,
+             1700000000.0 + doc_id * 7.0
+               + v * (3600.0 * (1 + doc_id % 5)) as ts,
+             cast(cast(floor(cast(v as double) / (1 + doc_id % 6)) as int)
+                  as varchar) as fp
+      from documents
+      cross join (select unnest([0, 1, 2, 3]) as v)
+      where doc_id < 400 and (v = 0 or v <= doc_id % 4)
+    ), lagd as (
+      select url, ts, fp,
+             lag(fp) over (partition by url order by ts) as prev
+      from vis
+    ), agg as (
+      select url, count(*) as n_visits,
+             sum(case when prev is not null and fp <> prev then 1 else 0
+                 end) as n_changes,
+             max(ts) as last_ts, max(ts) - min(ts) as span
+      from lagd group by url
+    ), est as (
+      select url, n_visits, n_changes, last_ts,
+        case when n_visits > 1 and span > 0
+             then span / (n_visits - 1) end as mean_interval_s,
+        case when n_visits > 1 and span > 0
+             then -ln((n_visits - 1 - n_changes + 0.5) / (n_visits - 1 + 0.5))
+                  / (span / (n_visits - 1)) end as lam
+      from agg
+    )
+    select url, n_visits::INT as n_visits, n_changes::INT as n_changes,
+      round(mean_interval_s / 3600.0 + 1e-9, 6) as mean_int_h,
+      round(lam * 86400.0 + 1e-12, 8) as lambda_day,
+      round(case when lam is not null
+            then 1.0 - exp(-lam * (1700600000.0 - last_ts)) end
+            + 1e-12, 8) as stale_prob,
+      round(case when lam > 0
+            then (last_ts + 1.0 / lam - 1700000000.0) / 3600.0 end
+            + 1e-9, 4) as next_due_h
+    from est
+"""
+
+
+def q_refresh_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling refresh allocation under a global budget of 100
+    refreshes/unit-time over ~97 distinct change rates (plus null- and
+    zero-rate docs that must stay inert at f=0). The oracle recomputes
+    the identical bucket prefix solve — both engines walk the same
+    ascending-rate cumulative sums, so the water level matches
+    bit-for-bit before rounding."""
+    from crawl4ai_custom_spark.operators.recrawl import refresh_allocation
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    lam = (
+        F.when(d % 11 == 0, F.lit(None).cast("double"))
+        .when(d % 13 == 0, F.lit(0.0))
+        .otherwise((d % 97 + 1) / 10.0)
+    )
+    rates = docs.select("doc_id", lam.alias("lambda_hat"))
+    out = refresh_allocation(rates, budget=100.0)
+    return out.select(
+        "doc_id",
+        F.col("lambda_hat").alias("lam"),
+        F.round(F.col("f_opt") + 1e-9, 6).alias("f_opt"),
+        F.round(F.col("stale_frac") + 1e-9, 6).alias("stale_frac"),
+    )
+
+
+ORACLES["q_refresh_alloc"] = """
+    with rates as (
+      select doc_id,
+        case when doc_id % 11 = 0 then null
+             when doc_id % 13 = 0 then 0.0
+             else ((doc_id % 97) + 1) / 10.0 end as lam
+      from documents where doc_id < 500
+    ), b as (
+      select round(lam, 9) as lam_q, count(*) as cnt
+      from rates where lam > 0 group by 1
+    ), c as (
+      select lam_q,
+        sum(cnt * lam_q) over (order by lam_q
+          rows between unbounded preceding and current row) as cum_lam,
+        sum(cnt * sqrt(lam_q)) over (order by lam_q
+          rows between unbounded preceding and current row) as cum_rt,
+        lead(lam_q) over (order by lam_q) as nxt
+      from b
+    ), lvl as (
+      select min((100.0 + cum_lam) / cum_rt) as t
+      from c
+      where (100.0 + cum_lam) / cum_rt > sqrt(lam_q)
+        and (nxt is null or (100.0 + cum_lam) / cum_rt <= sqrt(nxt))
+    ), alloc as (
+      select doc_id, lam, round(lam, 9) as lam_q,
+        case when lam is not null and lam > 0
+             then greatest(0.0, sqrt(round(lam, 9)) * coalesce(t, 0.0)
+                                - round(lam, 9))
+             else 0.0 end as f
+      from rates cross join lvl
+    )
+    select doc_id, lam, round(f + 1e-9, 6) as f_opt,
+      round(case when lam is not null and lam > 0
+            then lam_q / (lam_q + f) else 0.0 end + 1e-9, 6) as stale_frac
+    from alloc
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_normalize_url": q_normalize_url,
@@ -6490,6 +6633,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_c4_filters": q_c4_filters,
     "q_readability": q_readability,
     "q_zipf_slope": q_zipf_slope,
+    "q_change_rate": q_change_rate,
+    "q_refresh_alloc": q_refresh_alloc,
     "q_span_dedup": q_span_dedup,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,

@@ -316,6 +316,9 @@ def main() -> None:
         # closing additions: readability projection + corpus Zipf fit
         "q_readability",
         "q_zipf_slope",
+        # freshness scheduling: Poisson rate estimator + water-filling
+        "q_change_rate",
+        "q_refresh_alloc",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 

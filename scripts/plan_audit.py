@@ -339,6 +339,59 @@ def main() -> None:
         ],
     )
 
+    # 13a3. freshness scheduling: the Poisson rate estimator is ONE
+    # partial-agg groupBy (history arrays bounded by epoch count) with no
+    # window over the visit stream; refresh allocation's window runs over
+    # the lambda-bucket table only and the one-row water level broadcasts
+    # back to the corpus
+    from crawl4ai_custom_spark.operators.recrawl import (
+        change_rate_poisson,
+        refresh_allocation,
+    )
+
+    visits_syn = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 500).cast("string"),
+                 F.lit(".com/p")).alias("url"),
+        (F.lit(1.7e9) + (F.col("id") % 4) * 3600.0).alias("ts"),
+        ((F.col("id") % 4) / (1 + F.col("id") % 3)).cast("int")
+        .cast("string").alias("fingerprint"),
+    )
+    p = plan_of(change_rate_poisson(visits_syn))
+    n_ex = p.count("Exchange")
+    checks = []
+    for ok, label, why in [
+        (n_ex == 1, f"exactly one Exchange (got {n_ex})",
+         "the visit log shuffles ONCE on url for the history collect; the "
+         "estimator itself is array folds in the final aggregate"),
+        ("Window" not in p, "no Window",
+         "per-URL histories are epoch-bounded arrays, never a window over "
+         "the corpus-scale visit stream"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"change_rate_poisson: {label}")
+    sections.append(
+        ("Poisson change-rate estimator — single shuffle, array-fold "
+         "estimator", p, checks))
+
+    rates_syn = spark.range(5000).select(
+        F.col("id").alias("url"),
+        ((F.col("id") % 97 + 1) / 10.0).alias("lambda_hat"),
+    )
+    audit(
+        "Refresh allocation — bucket-table water solve, broadcast level "
+        "join back",
+        refresh_allocation(rates_syn, budget=100.0),
+        [
+            (r"Window", "the cumulative prefix solve runs over the TINY "
+             "lambda-bucket table (distinct rounded rates), never over "
+             "the corpus"),
+            (r"BroadcastNestedLoopJoin",
+             "the one-row water level broadcasts back; the corpus never "
+             "repartitions for the join"),
+        ],
+    )
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian

@@ -2631,3 +2631,64 @@ def test_zipf_slope_exact_fit(spark):
     assert row3["vocab_size"] == 2 and row3["n_tokens"] == 5
     row4 = zipf_slope(docs2, top_n=2).collect()[0]
     assert row4["vocab_size"] == 2 and row4["n_tokens"] == 5
+
+
+def test_change_rate_poisson_closed_form(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.recrawl import change_rate_poisson
+
+    vis = spark.createDataFrame(
+        [
+            # daily visits, changes in intervals 1 and 3 -> n=3, X=2
+            ("u1", 0.0, "A"), ("u1", 86400.0, "B"),
+            ("u1", 172800.0, "B"), ("u1", 259200.0, "C"),
+            ("u2", 0.0, "A"),                       # single visit
+            ("u3", 0.0, "A"), ("u3", 86400.0, "A"),  # never changed
+        ],
+        ["url", "ts", "fingerprint"],
+    )
+    rows = {r["url"]: r
+            for r in change_rate_poisson(vis, as_of=345600.0).collect()}
+    r1 = rows["u1"]
+    lam = math.log(3.5 / 1.5) / 86400.0
+    assert (r1["n_visits"], r1["n_changes"]) == (4, 2)
+    assert abs(r1["lambda_hat"] - lam) < 1e-18
+    # one more mean interval elapsed: stale prob = 1 - (n-X+.5)/(n+.5)
+    assert abs(r1["stale_prob"] - (1 - 1.5 / 3.5)) < 1e-12
+    assert abs(r1["next_due_ts"] - (259200.0 + 1 / lam)) < 1e-6
+    r2 = rows["u2"]
+    assert r2["lambda_hat"] is None and r2["mean_interval_s"] is None
+    assert r2["n_changes"] == 0 and r2["stale_prob"] is None
+    r3 = rows["u3"]  # X=0 -> exactly zero rate, never due
+    assert r3["lambda_hat"] == 0.0 and r3["next_due_ts"] is None
+    assert r3["stale_prob"] == 0.0
+
+
+def test_refresh_allocation_water_filling(spark):
+    from crawl4ai_custom_spark.operators.recrawl import refresh_allocation
+
+    rates = spark.createDataFrame(
+        [("a", 1.0), ("b", 4.0), ("c", None), ("d", 0.0)],
+        ["url", "lambda_hat"],
+    )
+    out = {r["url"]: r for r in refresh_allocation(rates, budget=1.0).collect()}
+    # KKT: t=2, f(1) = sqrt(1)*2-1 = 1, f(4) = 0 — the HOT page is
+    # abandoned (Cho & G-M's non-proportional optimum), budget sums to 1
+    assert abs(out["a"]["f_opt"] - 1.0) < 1e-12
+    assert abs(out["a"]["stale_frac"] - 0.5) < 1e-12
+    assert out["b"]["f_opt"] == 0.0 and out["b"]["stale_frac"] == 1.0
+    assert out["c"]["f_opt"] == 0.0 and out["d"]["f_opt"] == 0.0
+
+    # zero budget -> nobody refreshes
+    out0 = {r["url"]: r["f_opt"]
+            for r in refresh_allocation(rates, budget=0.0).collect()}
+    assert all(v == 0.0 for v in out0.values())
+
+    # duplicate-rate bucket: two lambda=1 pages split the level evenly
+    rates2 = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 4.0)], ["url", "lambda_hat"])
+    out2 = {r["url"]: r["f_opt"]
+            for r in refresh_allocation(rates2, budget=2.0).collect()}
+    assert abs(out2["a"] - 1.0) < 1e-12 and abs(out2["b"] - 1.0) < 1e-12
+    assert out2["c"] == 0.0
