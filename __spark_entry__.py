@@ -1043,6 +1043,29 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC gate (Abiteboul et al. 2003): batch-synchronous on-line page
+    importance over the deterministic 2-out-degree graph, with every
+    doc_id % 50 == 0 node made DANGLING (its out-edges dropped) so the
+    virtual-node cash redistribution is exercised; 3 rounds, importances
+    sum to 1. Oracle unrolls the identical cash/history recurrence."""
+    from crawl4ai_custom_spark.operators.linkgraph import opic
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 400).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 400).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .where((F.col("src") != F.col("dst"))
+                    & (F.col("src") % 50 != 0)).distinct())
+    out = opic(edges, iterations=3)
+    return out.select(
+        "node",
+        F.round(F.col("cash") + 1e-12, 8).alias("cash"),
+        F.round(F.col("importance") + 1e-12, 8).alias("importance"),
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5685,6 +5708,62 @@ ORACLES["q_hits"] = """
     from h2 join a2 on a2.node = h2.node
 """
 
+ORACLES["q_opic"] = """
+    with docs as (select doc_id from documents where doc_id < 400),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 400 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 400 from docs
+      ) where src <> dst and src % 50 <> 0
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    nn as (select count(*)::DOUBLE as n from nodes),
+    deg as (select src, count(*) as d from edges group by src),
+    s0 as (select node, 1.0 / nn.n as cash, 0.0 as hist
+           from nodes cross join nn),
+    g0 as (select coalesce(sum(s.cash), 0) as dc
+           from s0 s left join deg g on g.src = s.node where g.src is null),
+    c1 as (select e.dst as node, sum(s.cash / g.d) as s
+           from edges e join s0 s on s.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    s1 as (select nodes.node,
+                  coalesce(c1.s, 0) + g0.dc / nn.n as cash,
+                  s0.hist + s0.cash as hist
+           from nodes cross join nn cross join g0
+           join s0 on s0.node = nodes.node
+           left join c1 on c1.node = nodes.node),
+    g1 as (select coalesce(sum(s.cash), 0) as dc
+           from s1 s left join deg g on g.src = s.node where g.src is null),
+    c2 as (select e.dst as node, sum(s.cash / g.d) as s
+           from edges e join s1 s on s.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    s2 as (select nodes.node,
+                  coalesce(c2.s, 0) + g1.dc / nn.n as cash,
+                  s1.hist + s1.cash as hist
+           from nodes cross join nn cross join g1
+           join s1 on s1.node = nodes.node
+           left join c2 on c2.node = nodes.node),
+    g2 as (select coalesce(sum(s.cash), 0) as dc
+           from s2 s left join deg g on g.src = s.node where g.src is null),
+    c3 as (select e.dst as node, sum(s.cash / g.d) as s
+           from edges e join s2 s on s.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    s3 as (select nodes.node,
+                  coalesce(c3.s, 0) + g2.dc / nn.n as cash,
+                  s2.hist + s2.cash as hist
+           from nodes cross join nn cross join g2
+           join s2 on s2.node = nodes.node
+           left join c3 on c3.node = nodes.node)
+    select node,
+           round(cash + 1e-12, 8) as cash,
+           round((hist + cash) / 4.0 + 1e-12, 8) as importance
+    from s3
+"""
+
 ORACLES["q_warc_parse"] = """
     select (doc_id // 20) as blob_id,
            row_number() over (partition by doc_id // 20 order by doc_id) - 1
@@ -6643,6 +6722,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_trustrank": q_trustrank,
     "q_hits": q_hits,
+    "q_opic": q_opic,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

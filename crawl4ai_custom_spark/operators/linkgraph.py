@@ -403,3 +403,96 @@ def reciprocal_link_spam(links: DataFrame, src_url: str = "url",
                >= min_reciprocity),
         )
     )
+
+
+def opic(edges: DataFrame, iterations: int = 3,
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobéna
+    2003, "Adaptive On-Line Page Importance Computation") — the published
+    crawl-ordering alternative to PageRank that needs NO damping factor
+    and works on the partially-seen graph a crawler actually has
+    (reference parity: the greedy score in deep_crawling/bff_strategy.py
+    chooses what to fetch next; OPIC is the principled importance it
+    approximates).
+
+    Batch-synchronous variant: every node starts with cash 1/N and empty
+    history. Each round, every node banks its cash into its history and
+    distributes it equally along its out-edges; DANGLING nodes hand their
+    cash to the virtual node, which redistributes it uniformly to all N
+    nodes in the same round (the paper's virtual-page trick — total cash
+    is conserved at exactly 1.0 per round):
+
+        H_{i+1}(v) = H_i(v) + C_i(v)
+        C_{i+1}(v) = sum_{(u,v) in E} C_i(u)/deg(u)  +  D_i / N
+        importance(v) = (H_k(v) + C_k(v)) / (k + 1)
+
+    where D_i is the round's dangling cash. Importances sum to 1.
+
+    Returns (node, cash, history, importance). Same scale shape as
+    :func:`pagerank`: one join + one groupBy per round, and the round's
+    dangling cash stays IN the dataflow as a broadcast one-row aggregate
+    (no driver collect per round — unlike the other iterative ops there
+    is no convergence test to make, so no scalar ever needs to leave the
+    executors); optional per-round parquet materialization keeps the plan
+    from growing with the iteration count. Composes with
+    :func:`pagerank_authority` unchanged for `CrawlConfig` scoring."""
+    import os
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("cash"), F.lit(0.0).alias("history"),
+            F.lit(0.0).alias("importance"))
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history"))
+    for it in range(iterations):
+        dangling = (
+            state.join(deg, state.node == deg.src, "left")
+            .where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dc"))
+        )
+        contribs = (
+            edges.join(state, edges.src == state.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("cash") / F.col("out_deg")).alias("c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        state = (
+            state.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) + F.col("_dc") / F.lit(float(n)))
+                .alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+        # Truncate lineage between rounds: state feeds BOTH next-round
+        # branches (dangling agg + contribs) and carries cumulative
+        # history, so an unmaterialized chain re-evaluates combinatorially
+        # with iteration count (pagerank escapes this because its new
+        # ranks derive from `sums` alone). Parquet rounds when a
+        # checkpoint_dir is given (cluster-safe, survives executor loss);
+        # eager localCheckpoint otherwise (one small job per round). The
+        # LAST round stays untruncated — the caller consumes it once, and
+        # the open plan is what scripts/plan_audit.py asserts on.
+        if it < iterations - 1:
+            if checkpoint_dir is not None:
+                out = os.path.join(checkpoint_dir, f"opic_{it % 2}")
+                state.write.mode("overwrite").parquet(out)
+                state = spark.read.parquet(out)
+            else:
+                state = state.localCheckpoint(eager=True)
+    return state.select(
+        "node", "cash", "history",
+        ((F.col("history") + F.col("cash")) / F.lit(float(iterations + 1)))
+        .alias("importance"),
+    )

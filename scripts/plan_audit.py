@@ -392,6 +392,37 @@ def main() -> None:
         ],
     )
 
+    # 13a4. OPIC (one round, unmaterialized): the dangling cash must enter
+    # as a broadcast one-row aggregate, never as a driver collect or a
+    # repartitioning cartesian
+    from crawl4ai_custom_spark.operators.linkgraph import opic
+
+    edges_syn = spark.range(2000).select(
+        (F.col("id") % 500).alias("src"),
+        ((F.col("id") * 7 + 1) % 500).alias("dst"),
+    ).where((F.col("src") != F.col("dst")) & (F.col("src") % 50 != 0))
+    p = plan_of(opic(edges_syn, iterations=1))
+    checks = []
+    for ok, label, why in [
+        ("BroadcastNestedLoopJoin" in p,
+         "dangling scalar is a broadcast join",
+         "the round's dangling cash stays in the dataflow as a one-row "
+         "broadcast — no per-round driver collect, no convergence scalar "
+         "leaving the executors"),
+        ("CartesianProduct" not in p, "no CartesianProduct",
+         "cash routing is the keyed edges join + groupBy(dst); the only "
+         "cross join is the one-row broadcast"),
+        ("Window" not in p, "no Window",
+         "importance accumulates as plain column arithmetic on the node "
+         "table, never a rank window over the graph"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"opic: {label}")
+    sections.append(
+        ("OPIC page importance — broadcast dangling cash, keyed routing",
+         p, checks))
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian

@@ -2692,3 +2692,39 @@ def test_refresh_allocation_water_filling(spark):
             for r in refresh_allocation(rates2, budget=2.0).collect()}
     assert abs(out2["a"] - 1.0) < 1e-12 and abs(out2["b"] - 1.0) < 1e-12
     assert out2["c"] == 0.0
+
+
+def test_opic_known_graph_and_dangling(spark):
+    """OPIC on a 3-node graph with one dangling node, hand-computed:
+    a -> b, b -> a, c dangling. Cash conservation holds every round and
+    importances sum to 1."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.linkgraph import opic
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"])
+    out = {r["node"]: r for r in opic(edges, iterations=2).collect()}
+    # round 0: cash 1/3 each, hist 0
+    # round 1: c is dangling, D=1/3 redistributes 1/9 to everyone
+    #   cash(a) = 1/3 (from b) + 1/9 = 4/9
+    #   cash(b) = 1/6 (half of a's) + 1/9 = 5/18
+    #   cash(c) = 1/6 + 1/9 = 5/18 ; hist = 1/3 each
+    # round 2: D = 5/18 -> 5/54 each
+    #   cash(a) = 5/18 + 5/54 = 20/54 ; hist(a) = 1/3 + 4/9 = 7/9
+    #   cash(b) = 4/18 + 5/54 = 17/54 ; hist(b) = 1/3 + 5/18 = 11/18
+    #   cash(c) = 4/18 + 5/54 = 17/54 ; hist(c) = 11/18
+    assert abs(out["a"]["cash"] - 20 / 54) < 1e-12
+    assert abs(out["b"]["cash"] - 17 / 54) < 1e-12
+    assert abs(out["c"]["cash"] - 17 / 54) < 1e-12
+    assert abs(out["a"]["history"] - 7 / 9) < 1e-12
+    total_cash = sum(r["cash"] for r in out.values())
+    total_imp = sum(r["importance"] for r in out.values())
+    assert abs(total_cash - 1.0) < 1e-12   # cash conserved
+    assert abs(total_imp - 1.0) < 1e-12    # importances normalized
+    # importance = (hist + cash) / (k+1)
+    assert abs(out["b"]["importance"]
+               - (11 / 18 + 17 / 54) / 3) < 1e-12
+
+    empty = opic(edges.where(F.lit(False)), iterations=2)
+    assert empty.count() == 0
