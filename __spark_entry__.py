@@ -1066,6 +1066,43 @@ def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog gate: 20 synthetic urls per document collapsed mod 3000
+    (10k rows -> 3000 distinct at sf0.01), sketched into 2^8 registers
+    from the shared stable 60-bit hash with pure BITWISE math; the oracle
+    reproduces every register row AND the raw estimate (the 2^-rho sum is
+    exact dyadic arithmetic, so both engines agree to float identity).
+    exact_distinct and rel_error ride along so the artifact shows the
+    sketch honest against the true cardinality."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.pmod(F.col("doc_id") * 20 + F.col("i"), F.lit(3000))
+    urls = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "doc_id"
+    ).select(
+        F.concat(F.lit("https://h"), F.pmod(key, F.lit(37)).cast("string"),
+                 F.lit(".com/p/"), key.cast("string")).alias("url")
+    )
+    regs = hll_registers(urls, "url", p=8)
+    est = hll_estimate(regs, p=8)
+    exact = urls.agg(F.countDistinct("url").alias("exact_distinct"))
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "register", "max_rho",
+            F.round("estimate", 4).alias("estimate"),
+            "exact_distinct",
+            F.round(F.abs(F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 4).alias("rel_error"),
+        )
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5708,6 +5745,49 @@ ORACLES["q_hits"] = """
     from h2 join a2 on a2.node = h2.node
 """
 
+ORACLES["q_hll_distinct"] = """
+    with urls as (
+      select 'https://h' || ((d.doc_id * 20 + t.i) % 3000 % 37)
+             || '.com/p/' || ((d.doc_id * 20 + t.i) % 3000) as url
+      from documents d, (select unnest(generate_series(0, 19)) as i) t
+    ),
+    hashed as (
+      select ('0x' || substr(md5(url), 1, 15))::BIGINT as h from urls
+    ),
+    rows_ as (
+      select h & 255 as register,
+             (h >> 8) & 1048575 as w
+      from hashed
+    ),
+    regs as (
+      select register,
+             max(case when w = 0 then 21 else 21 - length(bin(w)) end)
+               as max_rho
+      from rows_ group by register
+    ),
+    est as (
+      select count(*) as n_hit,
+             sum(power(2.0, -max_rho)) as s
+      from regs
+    ),
+    ex as (select count(distinct url)::BIGINT as exact_distinct from urls),
+    e2 as (
+      select n_hit,
+             case when 47072.71267120224 / (s + (256 - n_hit)) <= 640.0
+                       and (256 - n_hit) > 0
+                  then 256.0 * ln(256.0 / (256 - n_hit))
+                  else 47072.71267120224 / (s + (256 - n_hit)) end
+               as estimate
+      from est
+    )
+    select r.register, r.max_rho,
+           round(e2.estimate, 4) as estimate,
+           ex.exact_distinct,
+           round(abs(e2.estimate - ex.exact_distinct) / ex.exact_distinct, 4)
+             as rel_error
+    from regs r cross join e2 cross join ex
+"""
+
 ORACLES["q_opic"] = """
     with docs as (select doc_id from documents where doc_id < 400),
     edges as (
@@ -6723,6 +6803,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trustrank": q_trustrank,
     "q_hits": q_hits,
     "q_opic": q_opic,
+    "q_hll_distinct": q_hll_distinct,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

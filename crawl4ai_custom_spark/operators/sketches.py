@@ -1,0 +1,116 @@
+"""Mergeable cardinality sketches: HyperLogLog over URL-scale keys.
+
+At a 10^10-URL frontier, "how many distinct URLs / hosts / fingerprints"
+is itself a scale problem: exact countDistinct is a full shuffle of every
+key, and the engine needs the number per wave, per host and per epoch
+(reference parity: the reference keeps exact Python sets for its seen/
+stats counts, e.g. deep_crawling/bff_strategy.py visited sets — viable in
+one process, not at corpus scale; the engine's parquet-footer counts in
+operators/frontier.py:82 cover the SEEN table but not ad-hoc "distinct of
+this derived column" questions).
+
+HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) answers all of them
+with m = 2^p bytes of state that MERGE by register-max — across
+partitions, across epochs, across stores — so per-wave sketches append
+like the seen deltas and never rescan history. Spark ships HLL++ as
+``approx_count_distinct``, but its registers are opaque JVM state: they
+cannot be stored as a table, merged incrementally across epoch boundaries,
+or verified against an external oracle. This implementation keeps the
+registers as PLAIN ROWS (register, max_rho) built from the engine's
+oracle-reproducible ``stable_hash60`` with pure bitwise arithmetic, so
+DuckDB reproduces every register (and the estimate) bit-for-bit — the
+same portability contract as the minhash/simhash family in dedup.py.
+
+Layout of the 60-bit hash: low ``p`` bits pick the register, the next 20
+bits are the rho-window (rho = 21 - bit_length(w), 21 when w == 0 — a
+20-bit window bounds rho safely above log2 of any real corpus bucket
+count while keeping bit_length exact in both engines via binary-string
+length, immune to float log2 edge cases).
+
+Scale shape: one partial-agg groupBy(register) over a scan projection —
+map-side max reduces every partition to <= m rows before the shuffle, so
+the exchange moves O(m * partitions) bytes regardless of corpus size; the
+estimate is a one-row fold over <= m rows; merge is the same groupBy-max
+over the union of register tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urlops import stable_hash60
+
+_W_BITS = 20  # rho window width; rho in 1..21
+
+
+def hll_registers(df: DataFrame, col: str = "url", p: int = 8) -> DataFrame:
+    """(register, max_rho) rows — the dense-in-spirit HLL register table
+    (registers never hit by any key are simply absent; the estimator
+    counts them as zeros from m - rows). p in [4, 16]; m = 2^p registers.
+
+    DuckDB twin of the row math (shared with the q_hll_distinct oracle):
+
+        h      = ('0x' || substr(md5(x), 1, 15))::BIGINT
+        reg    = h & (m - 1)
+        w      = (h >> p) & 1048575
+        rho    = case when w = 0 then 21 else 21 - length(bin(w)) end
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    h = stable_hash60(F.col(col))
+    reg = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p).bitwiseAND(F.lit((1 << _W_BITS) - 1))
+    # bit_length via base-2 string length: exact integer arithmetic in
+    # both engines (Spark conv / DuckDB bin), no float log2 boundary risk
+    rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.conv(w, 10, 2))
+    )
+    return (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register").agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union register tables (same p!) into one — register-wise max.
+    This is the whole point of keeping registers as rows: per-wave /
+    per-epoch sketches stored next to the seen deltas combine in one
+    tiny groupBy, never rescanning the keys that produced them."""
+    it = iter(register_tables)
+    merged = next(it)
+    for t in it:
+        merged = merged.unionByName(t)
+    return merged.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One row (n_registers_hit, estimate) from a register table.
+
+    Standard HLL estimator: raw = alpha_m * m^2 / sum_j 2^(-M_j) with
+    absent registers contributing 2^0 = 1, plus the small-range linear-
+    counting correction (est = m * ln(m / zeros) when raw <= 2.5m and
+    zeros > 0). The 2^(-M_j) terms are dyadic rationals on a 2^21 grid,
+    so the sum is EXACT in binary regardless of aggregation order — the
+    oracle reproduces the estimate to float identity."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    zeros = F.lit(m) - F.col("n_registers_hit")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select("n_registers_hit", est.alias("estimate"))
+
+
+def hll_error_bound(p: int) -> float:
+    """The published relative standard error 1.04 / sqrt(2^p)."""
+    return 1.04 / math.sqrt(1 << p)

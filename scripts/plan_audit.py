@@ -423,6 +423,34 @@ def main() -> None:
         ("OPIC page importance — broadcast dangling cash, keyed routing",
          p, checks))
 
+    # 13a5. HLL registers: one partial-agg groupBy(register) — map-side
+    # max reduces every partition to <= m rows before the only Exchange,
+    # so the shuffle moves O(m * partitions) bytes at any corpus size
+    from crawl4ai_custom_spark.operators.sketches import hll_registers
+
+    keys_syn = spark.range(5000).select(
+        F.concat(F.lit("https://k"), F.col("id").cast("string"),
+                 F.lit(".com/")).alias("url"))
+    p = plan_of(hll_registers(keys_syn, p=8))
+    n_ex = p.count("Exchange")
+    checks = []
+    for ok, label, why in [
+        (n_ex == 1, f"exactly one Exchange (got {n_ex})",
+         "registers shuffle once, post-partial-agg: the exchange carries "
+         "at most m rows per map partition regardless of key count"),
+        ("partial_max" in p or "HashAggregate" in p,
+         "map-side partial max present",
+         "the register max combines before the shuffle — the whole "
+         "corpus folds to 2^p rows per partition first"),
+        ("Window" not in p, "no Window",
+         "rho is scan-level bitwise arithmetic, never a ranking pass"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"hll_registers: {label}")
+    sections.append(
+        ("HLL registers — single partial-agg exchange", p, checks))
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian

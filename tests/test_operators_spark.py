@@ -2728,3 +2728,42 @@ def test_opic_known_graph_and_dangling(spark):
 
     empty = opic(edges.where(F.lit(False)), iterations=2)
     assert empty.count() == 0
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL estimate within 3x the published standard error at 10k
+    distinct keys (p=10 -> 3.25%), and epoch-merge (register-wise max of
+    two half sketches) equals the sketch of the union exactly."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        hll_error_bound,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 10_000
+    keys = spark.range(n).select(
+        F.concat(F.lit("https://x"), F.col("id").cast("string"),
+                 F.lit(".com/")).alias("url"))
+    est = hll_estimate(hll_registers(keys, p=10), p=10).collect()[0]
+    rel = abs(est["estimate"] - n) / n
+    assert rel < 3 * hll_error_bound(10), (est["estimate"], rel)
+
+    # mergeability: sketch(first half) max-merged with sketch(second half,
+    # overlapping by 1000) == sketch(union), register for register
+    a = keys.where(F.col("url") < "https://x5")
+    b = keys.where(F.col("url") >= "https://x4")
+    merged = {
+        (r["register"], r["max_rho"])
+        for r in hll_merge(hll_registers(a, p=8),
+                           hll_registers(b, p=8)).collect()
+    }
+    whole = {(r["register"], r["max_rho"])
+             for r in hll_registers(keys, p=8).collect()}
+    assert merged == whole
+
+    import pytest
+    with pytest.raises(ValueError):
+        hll_registers(keys, p=3)
