@@ -1103,6 +1103,42 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² keyness gate: focus corpus = doc_id % 3 == 0, reference
+    = the rest (doc_id < 400); integer min-count gate makes the row set
+    exact, G²/log-ratio are the only float columns. Oracle recomputes
+    term counts, totals and the closed form."""
+    from crawl4ai_custom_spark.operators.textstats import keyness_g2
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    focus = docs.where(F.col("doc_id") % 3 == 0)
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    out = keyness_g2(focus, ref, min_count=10)
+    return out.select(
+        "term", "focus_count", "ref_count",
+        (F.round("g2", 4) + F.lit(0.0)).alias("g2"),
+        (F.round("log_ratio", 4) + F.lit(0.0)).alias("log_ratio"),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-entropy gibberish gate: per-doc Shannon entropy of the char
+    distribution as a shuffle-free projection; flags decided on the
+    ROUNDED value so both engines agree at thresholds. Oracle recomputes
+    entropy via per-char unnest + groupBy (different mechanics, same
+    numbers)."""
+    from crawl4ai_custom_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    ent = F.round(char_entropy(F.col("text")), 6)
+    return docs.select(
+        "doc_id",
+        ent.alias("entropy_bits"),
+        (ent < 2.5).alias("low_entropy"),
+        (ent > 5.2).alias("high_entropy"),
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5788,6 +5824,69 @@ ORACLES["q_hll_distinct"] = """
     from regs r cross join e2 cross join ex
 """
 
+ORACLES["q_char_entropy"] = """
+    with base as (select doc_id, text from documents where doc_id < 400),
+    chars as (
+      select b.doc_id, substring(b.text, u.i, 1) as ch,
+             length(b.text) as n
+      from base b, unnest(range(1, length(b.text) + 1)) as u(i)
+    ),
+    counts as (
+      select doc_id, n, ch, count(*)::DOUBLE as c
+      from chars group by doc_id, n, ch
+    ),
+    ent as (
+      select doc_id, round(-sum((c / n) * log2(c / n)), 6) as e
+      from counts group by doc_id, n
+    )
+    select b.doc_id,
+           ent.e as entropy_bits,
+           ent.e < 2.5 as low_entropy,
+           ent.e > 5.2 as high_entropy
+    from base b left join ent on ent.doc_id = b.doc_id
+"""
+
+ORACLES["q_keyness"] = """
+    with base as (select doc_id, text from documents where doc_id < 400),
+    ftok as (
+      select unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) > 1)) as term
+      from base where doc_id % 3 = 0
+    ),
+    rtok as (
+      select unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) > 1)) as term
+      from base where doc_id % 3 <> 0
+    ),
+    fa as (select term, count(*) as a from ftok group by term),
+    rb as (select term, count(*) as b from rtok group by term),
+    tot as (select (select sum(a)::DOUBLE from fa) as c,
+                   (select sum(b)::DOUBLE from rb) as d),
+    j as (
+      select coalesce(fa.term, rb.term) as term,
+             coalesce(fa.a, 0)::DOUBLE as a,
+             coalesce(rb.b, 0)::DOUBLE as b
+      from fa full outer join rb on fa.term = rb.term
+    )
+    select term,
+           a::BIGINT as focus_count,
+           b::BIGINT as ref_count,
+           round(2.0 * (
+             case when a > 0
+                  then a * ln(a / (tot.c * (a + b) / (tot.c + tot.d)))
+                  else 0.0 end
+             + case when b > 0
+                    then b * ln(b / (tot.d * (a + b) / (tot.c + tot.d)))
+                    else 0.0 end), 4) + 0.0 as g2,
+           case when a > 0 and b > 0
+                then round(log2((a / tot.c) / (b / tot.d)), 4) + 0.0
+                end as log_ratio
+    from j cross join tot
+    where a + b >= 10
+"""
+
 ORACLES["q_opic"] = """
     with docs as (select doc_id from documents where doc_id < 400),
     edges as (
@@ -6804,6 +6903,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,
+    "q_keyness": q_keyness,
+    "q_char_entropy": q_char_entropy,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

@@ -1417,3 +1417,119 @@ def zipf_slope(docs: DataFrame, text_col: str = "text",
         (F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x")
          ).alias("zipf_intercept"),
     )
+
+
+def keyness_g2(
+    focus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-comparison keyness: Dunning's log-likelihood ratio G²
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise and
+    Coincidence") between a FOCUS corpus and a REFERENCE corpus — the
+    standard "what vocabulary characterizes this slice" statistic for
+    corpus curation (which terms mark a domain, a crawl wave, a suspected
+    spam segment) that stays valid for the rare events a chi-square
+    approximation butchers.
+
+    Per term: a = focus count, b = reference count, c/d = corpus token
+    totals, expecteds E1 = c(a+b)/(c+d), E2 = d(a+b)/(c+d),
+
+        G² = 2 * ( a·ln(a/E1) + b·ln(b/E2) )      (0-count terms drop
+                                                   their own summand)
+
+    plus ``log_ratio`` = log2((a/c)/(b/d)) as the effect size (null when
+    either side is absent — G² alone says "surprising", log_ratio says
+    "which way and how hard"). ``min_count`` gates on the INTEGER a+b so
+    the returned row set is exactly reproducible; floats never decide
+    membership.
+
+    Scale shape: one tokenize+groupBy(term) pass per corpus (partial
+    map-side counts), a full-outer equi-join of the two TERM tables
+    (vocabulary-sized, Heaps-bounded — never the token streams), and the
+    two one-row totals ride a single broadcast. Nothing here is a window
+    or a self-join; both corpora are read exactly once."""
+    def term_counts(df: DataFrame, out: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: F.length(t) > 1,
+        )
+        return (
+            df.select(F.explode(toks).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias(out))
+        )
+
+    fa = term_counts(focus, "a")
+    rb = term_counts(reference, "b")
+    totals = (
+        fa.agg(F.sum("a").cast("double").alias("c"))
+        .crossJoin(rb.agg(F.sum("b").cast("double").alias("d")))
+    )
+    a = F.coalesce("a", F.lit(0)).cast("double")
+    b = F.coalesce("b", F.lit(0)).cast("double")
+    e1 = F.col("c") * (a + b) / (F.col("c") + F.col("d"))
+    e2 = F.col("d") * (a + b) / (F.col("c") + F.col("d"))
+    g2 = F.lit(2.0) * (
+        F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    )
+    log_ratio = F.when(
+        (a > 0) & (b > 0),
+        F.log2((a / F.col("c")) / (b / F.col("d"))),
+    )
+    return (
+        fa.join(rb, "term", "full_outer")
+        .where(F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0))
+               >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.coalesce("a", F.lit(0)).alias("focus_count"),
+            F.coalesce("b", F.lit(0)).alias("ref_count"),
+            g2.alias("g2"),
+            log_ratio.alias("log_ratio"),
+        )
+    )
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the character distribution, in bits/char — the
+    classic gibberish detector for web text (base64 blobs, minified JS
+    and hash dumps run HIGH ~5-6 bits; keyboard mashing and repeated-char
+    padding run LOW <2.5 bits; natural language sits ~3.5-4.5). Null for
+    empty text.
+
+    Scale shape: a PURE PROJECTION — no explode, no groupBy, no shuffle.
+    Using -sum(p·log2 p) = log2(n) - (sum over chars c of cnt_c·log2
+    cnt_c)/n, the frequency table never materializes at all: ONE fold
+    over the sorted char array tracks (previous char, current run
+    length, running sum of c·log2 c) and closes the last run in the
+    finish lambda. Each array subtree is referenced exactly once — an
+    index-based formulation would re-evaluate the sort inside every
+    lambda probe (lambda bodies sit outside common-subexpression
+    elimination) and go quadratic. Entropy of a 100 TB corpus costs one
+    scan pass, same as the Gopher/C4 rule packs."""
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    n = F.size(chars).cast("double")
+    clog = lambda run: run.cast("double") * F.log2(run.cast("double"))  # noqa: E731
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    folded = F.aggregate(
+        F.array_sort(chars),
+        acc0,
+        lambda acc, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(ch == acc["prev"], acc["s"])
+            .otherwise(acc["s"] + F.when(acc["run"] > 0, clog(acc["run"]))
+                       .otherwise(F.lit(0.0))).alias("s"),
+        ),
+        lambda acc: acc["s"] + F.when(acc["run"] > 0, clog(acc["run"]))
+        .otherwise(F.lit(0.0)),
+    )
+    return F.when(n > 0, F.log2(n) - folded / n)

@@ -423,6 +423,46 @@ def main() -> None:
         ("OPIC page importance — broadcast dangling cash, keyed routing",
          p, checks))
 
+    # 13a4b. char entropy is a pure projection (single fold over the
+    # sorted char array — the frequency table never materializes); keyness
+    # joins the two Heaps-bounded TERM tables and broadcasts the one-row
+    # totals, never windowing or cross-joining the corpora
+    from crawl4ai_custom_spark.operators.textstats import (
+        char_entropy,
+        keyness_g2,
+    )
+
+    p = plan_of(docs_small.select(char_entropy(F.col("text"))))
+    ok = "Exchange" not in p
+    checks = [(("PASS  " if ok else "FAIL  ") + "zero Exchange",
+               "entropy = log2(n) - fold(c*log2 c)/n over the sorted "
+               "char array — gibberish detection costs one scan pass")]
+    if not ok:
+        failures.append("char_entropy: unexpected Exchange")
+    sections.append(("Char entropy — shuffle-free projection", p, checks))
+
+    p = plan_of(keyness_g2(
+        docs_small.where(F.col("doc_id") % 2 == 0),
+        docs_small.where(F.col("doc_id") % 2 == 1)))
+    checks = []
+    for ok, label, why in [
+        ("BroadcastNestedLoopJoin" in p, "totals ride one broadcast",
+         "the two one-row corpus totals broadcast to the term join — the "
+         "vocabulary table never repartitions for them"),
+        ("Window" not in p, "no Window",
+         "G2 is closed-form column math on the joined term counts"),
+        ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p,
+         "term join is an equi-join",
+         "focus and reference vocabularies meet on the term key, "
+         "Heaps-bounded — never a token-stream join"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"keyness_g2: {label}")
+    sections.append(
+        ("Keyness G2 — vocabulary equi-join, broadcast totals", p, checks))
+
     # 13a5. HLL registers: one partial-agg groupBy(register) — map-side
     # max reduces every partition to <= m rows before the only Exchange,
     # so the shuffle moves O(m * partitions) bytes at any corpus size

@@ -2767,3 +2767,53 @@ def test_hll_accuracy_and_merge(spark):
     import pytest
     with pytest.raises(ValueError):
         hll_registers(keys, p=3)
+
+
+def test_keyness_g2_closed_form(spark):
+    """Dunning G² on a tiny two-corpus fixture, hand-computed:
+    focus = 'apple apple banana' (c=3), ref = 'banana banana cherry
+    cherry' (d=4)."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import keyness_g2
+
+    focus = spark.createDataFrame([("apple apple banana",)], ["text"])
+    ref = spark.createDataFrame([("banana banana cherry cherry",)], ["text"])
+    rows = {r["term"]: r
+            for r in keyness_g2(focus, ref, min_count=1).collect()}
+    assert set(rows) == {"apple", "banana", "cherry"}
+    b = rows["banana"]  # a=1 b=2, E1=9/7, E2=12/7
+    g2 = 2 * (math.log(7 / 9) + 2 * math.log(7 / 6))
+    assert (b["focus_count"], b["ref_count"]) == (1, 2)
+    assert abs(b["g2"] - g2) < 1e-12
+    assert abs(b["log_ratio"] - math.log2((1 / 3) / (2 / 4))) < 1e-12
+    a = rows["apple"]  # focus-only: E1=6/7, b-summand drops, no log_ratio
+    assert abs(a["g2"] - 4 * math.log(7 / 3)) < 1e-12
+    assert a["log_ratio"] is None
+    c = rows["cherry"]  # ref-only
+    assert (c["focus_count"], c["ref_count"]) == (0, 2)
+    assert abs(c["g2"] - 4 * math.log(7 / 4)) < 1e-12
+
+
+def test_char_entropy_known_values_and_plan(spark):
+    """Hand-computed entropies + shuffle-free plan (pure projection)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [("aab",), ("",), ("aaaa",), ("abcd",), ("héé!",)], ["text"])
+    rows = {r["text"]: r["e"] for r in df.select(
+        "text", char_entropy(F.col("text")).alias("e")).collect()}
+    assert abs(rows["aab"]
+               - -(2 / 3 * math.log2(2 / 3)
+                   + 1 / 3 * math.log2(1 / 3))) < 1e-12
+    assert rows[""] is None          # empty text: no distribution
+    assert rows["aaaa"] == 0.0       # single symbol: zero entropy
+    assert rows["abcd"] == 2.0       # uniform over 4: 2 bits
+    assert rows["héé!"] == 1.5       # codepoint-level, not byte-level
+    plan = df.select(char_entropy(F.col("text"))
+                     )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan    # one scan pass at any corpus size
