@@ -1139,6 +1139,31 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch gate: a deterministic Zipf-ish stream (key
+    h_k appears 2k+1 times via floor(sqrt)), sketched into a 4x256 grid
+    and point-queried for every distinct key. Integer-exact oracle
+    reproduces every cell and every min-estimate; ``over`` carries the
+    one-sided error (est - true, always >= 0)."""
+    from crawl4ai_custom_spark.operators.sketches import cms_query, cms_table
+
+    docs = _t(spark, sf_dir, "documents")
+    r = F.col("doc_id") * 20 + F.col("i")
+    stream = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "doc_id"
+    ).select(
+        F.concat(F.lit("h"), F.floor(F.sqrt(r)).cast("string")).alias("key")
+    )
+    cms = cms_table(stream, "key", depth=4, width=256)
+    truth = stream.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_query(cms, truth.select("key"), "key", depth=4, width=256)
+    return (
+        truth.join(est, "key")
+        .select("key", "true_cnt", "est",
+                (F.col("est") - F.col("true_cnt")).alias("over"))
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5824,6 +5849,41 @@ ORACLES["q_hll_distinct"] = """
     from regs r cross join e2 cross join ex
 """
 
+ORACLES["q_cms_heavy"] = """
+    with stream as (
+      select 'h' || floor(sqrt(d.doc_id * 20 + t.i))::BIGINT as key
+      from documents d, (select unnest(generate_series(0, 19)) as i) t
+    ),
+    expanded as (
+      select s.key, j.row_idx from stream s,
+             (select unnest(generate_series(0, 3)) as row_idx) j
+    ),
+    cms as (
+      select row_idx,
+             ('0x' || substr(md5(row_idx::VARCHAR || ':' || key), 1, 15))
+               ::BIGINT % 256 as col_idx,
+             count(*)::BIGINT as cnt
+      from expanded group by 1, 2
+    ),
+    truth as (select key, count(*)::BIGINT as true_cnt
+              from stream group by key),
+    probes as (
+      select t.key, j.row_idx,
+             ('0x' || substr(md5(j.row_idx::VARCHAR || ':' || t.key), 1, 15))
+               ::BIGINT % 256 as col_idx
+      from truth t, (select unnest(generate_series(0, 3)) as row_idx) j
+    ),
+    est as (
+      select p.key, min(coalesce(c.cnt, 0))::BIGINT as est
+      from probes p
+      left join cms c on c.row_idx = p.row_idx and c.col_idx = p.col_idx
+      group by p.key
+    )
+    select truth.key, truth.true_cnt, est.est,
+           (est.est - truth.true_cnt)::BIGINT as over
+    from truth join est on est.key = truth.key
+"""
+
 ORACLES["q_char_entropy"] = """
     with base as (select doc_id, text from documents where doc_id < 400),
     chars as (
@@ -6905,6 +6965,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,
     "q_keyness": q_keyness,
     "q_char_entropy": q_char_entropy,
+    "q_cms_heavy": q_cms_heavy,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

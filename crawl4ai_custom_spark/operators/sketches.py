@@ -114,3 +114,75 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
 def hll_error_bound(p: int) -> float:
     """The published relative standard error 1.04 / sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def cms_table(df: DataFrame, col: str = "url", depth: int = 4,
+              width: int = 1024,
+              weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as plain rows
+    (row_idx, col_idx, cnt) — d*w counters answering "how often did key
+    X occur" over a 10^10-key stream with FIXED memory and a one-sided
+    error guarantee (never undercounts; overshoot <= e*N/w with prob
+    1 - e^-d). The frequency twin of :func:`hll_registers`: same
+    portable ``stable_hash60`` rows (row j hashes ``j:key``), same
+    merge-by-rows story — per-wave/per-epoch sketches ADD cell-wise
+    (sum, vs HLL's max), so host-frequency monitoring appends like the
+    seen deltas.
+
+    Scale shape: depth is a tiny array-explode on the scan (d rows per
+    key occurrence, d <= 8), then ONE partial-agg groupBy over at most
+    d*w distinct cells — the exchange carries O(d*w*partitions) rows
+    regardless of stream length. ``weight_col`` lets a pre-aggregated
+    (key, count) table feed the sketch without re-expanding."""
+    w8 = (F.col(weight_col).cast("long") if weight_col
+          else F.lit(1).cast("long"))
+    rows = df.select(
+        F.col(col).alias("_k"), w8.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+    )
+    cell = F.pmod(
+        stable_hash60(F.concat(F.col("row_idx").cast("string"), F.lit(":"),
+                               F.col("_k"))),
+        F.lit(width),
+    )
+    return (
+        rows.select("row_idx", cell.alias("col_idx"), F.col("_w"))
+        .groupBy("row_idx", "col_idx").agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Cell-wise ADD of same-shape sketches (same depth/width!) — the
+    epoch/partition merge."""
+    it = iter(tables)
+    merged = next(it)
+    for t in it:
+        merged = merged.unionByName(t)
+    return merged.groupBy("row_idx", "col_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(cms: DataFrame, keys: DataFrame, col: str = "url",
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate every key in ``keys``: min over the d cells the key
+    hashes to. Keys the sketch never saw can still collide into nonzero
+    cells — the estimate is an UPPER bound, exact for keys whose d cells
+    are collision-free (heavy keys in a skewed stream almost always
+    are). Returns (key, est).
+
+    Shape: keys expand d-fold, equi-join the d*w cell table (broadcast —
+    the sketch is bounded, never the stream), one groupBy(key) min."""
+    probes = keys.select(
+        F.col(col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+    )
+    cell = F.pmod(
+        stable_hash60(F.concat(F.col("row_idx").cast("string"), F.lit(":"),
+                               F.col("key"))),
+        F.lit(width),
+    )
+    return (
+        probes.withColumn("col_idx", cell)
+        .join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

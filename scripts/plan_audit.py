@@ -491,6 +491,24 @@ def main() -> None:
     sections.append(
         ("HLL registers — single partial-agg exchange", p, checks))
 
+    from crawl4ai_custom_spark.operators.sketches import cms_table
+
+    p = plan_of(cms_table(keys_syn, "url", depth=4, width=1024))
+    n_ex = p.count("Exchange")
+    checks = []
+    for ok, label, why in [
+        (n_ex == 1, f"exactly one Exchange (got {n_ex})",
+         "the 4-fold depth explode stays on the scan; cells combine "
+         "map-side to <= d*w rows per partition before the shuffle"),
+        ("Window" not in p, "no Window",
+         "cell addressing is scan-level hash arithmetic"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"cms_table: {label}")
+    sections.append(
+        ("Count-min sketch — single partial-agg exchange", p, checks))
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian

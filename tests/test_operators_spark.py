@@ -2817,3 +2817,49 @@ def test_char_entropy_known_values_and_plan(spark):
     plan = df.select(char_entropy(F.col("text"))
                      )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan    # one scan pass at any corpus size
+
+
+def test_cms_one_sided_and_merge(spark):
+    """CMS never undercounts, is exact on a collision-free grid, and
+    cell-wise merge of two half-streams equals the whole-stream sketch."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        cms_merge,
+        cms_query,
+        cms_table,
+    )
+
+    # key k appears k+1 times, k in 0..49
+    stream = spark.range(50).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("_"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+    ).select("key")
+    cms = cms_table(stream, "key", depth=4, width=512)
+    truth = stream.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    est = {r["key"]: r["est"]
+           for r in cms_query(cms, truth.select("key"), "key",
+                              depth=4, width=512).collect()}
+    for r in truth.collect():
+        assert est[r["key"]] >= r["t"]          # one-sided
+    # 50 keys into 4x512 cells: overwhelmingly collision-free -> exact
+    exact = sum(1 for r in truth.collect() if est[r["key"]] == r["t"])
+    assert exact >= 48
+
+    # weighted build from the pre-aggregated table == raw-stream build
+    w = cms_table(truth, "key", depth=4, width=512, weight_col="t")
+    raw = {(r["row_idx"], r["col_idx"]): r["cnt"] for r in cms.collect()}
+    wtd = {(r["row_idx"], r["col_idx"]): r["cnt"] for r in w.collect()}
+    assert raw == wtd
+
+    # epoch merge: two halves add cell-wise to the whole
+    a = cms_table(stream.where(F.col("key") < "k3"), "key", 4, 512)
+    b = cms_table(stream.where(F.col("key") >= "k3"), "key", 4, 512)
+    merged = {(r["row_idx"], r["col_idx"]): r["cnt"]
+              for r in cms_merge(a, b).collect()}
+    assert merged == raw
+
+    # unseen key: estimate is >= 0 and still one-sided (true count 0)
+    unseen = spark.createDataFrame([("never-seen",)], ["key"])
+    e = cms_query(cms, unseen, "key", depth=4, width=512).collect()[0]
+    assert e["est"] >= 0
