@@ -1164,6 +1164,24 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: one-row health check / capacity
+    planner (checkpoints at power-of-two doc prefixes, first-occurrence
+    vocabulary counts, closed-form ln-ln regression). Oracle recomputes
+    the identical bucket table and fit."""
+    from crawl4ai_custom_spark.operators.textstats import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = heaps_fit(docs)
+    return out.select(
+        F.col("n_checkpoints").cast("bigint").alias("n_checkpoints"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("heaps_beta") + 1e-9, 4).alias("heaps_beta"),
+        F.round(F.col("heaps_lnk") + 1e-9, 4).alias("heaps_lnk"),
+    )
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl ingestion gate: build WARC blobs (20 concatenated records
     each, native exprs) from documents, parse them byte-exactly with the
@@ -5849,6 +5867,43 @@ ORACLES["q_hll_distinct"] = """
     from regs r cross join e2 cross join ex
 """
 
+ORACLES["q_heaps"] = """
+    with toks as (
+      select doc_id as d,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+               as term
+      from documents
+    ),
+    first as (select term, min(d) as fd from toks group by term),
+    vb as (select length(bin(fd + 1)) as b, count(*) as vocab_new
+           from first group by 1),
+    tb as (select length(bin(doc_id + 1)) as b,
+                  sum(case when trim(text) = '' then 0
+                      else len(string_split_regex(trim(text), '\\s+')) end)
+                    as tokens_new
+           from documents group by 1),
+    pts0 as (
+      select coalesce(vb.b, tb.b) as b,
+             sum(coalesce(vb.vocab_new, 0))
+               over (order by coalesce(vb.b, tb.b)) as v,
+             sum(coalesce(tb.tokens_new, 0))
+               over (order by coalesce(vb.b, tb.b)) as n
+      from vb full outer join tb on vb.b = tb.b
+    ),
+    pts as (
+      select ln(n) as x, ln(v) as y, v, n
+      from pts0 where v > 0 and n > 0
+    )
+    select count(*)::BIGINT as n_checkpoints,
+           max(v)::BIGINT as vocab_size,
+           max(n)::BIGINT as n_tokens,
+           round((covar_pop(x, y) / var_pop(x)) + 1e-9, 4) as heaps_beta,
+           round((avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x)) + 1e-9, 4)
+             as heaps_lnk
+    from pts
+"""
+
 ORACLES["q_cms_heavy"] = """
     with stream as (
       select 'h' || floor(sqrt(d.doc_id * 20 + t.i))::BIGINT as key
@@ -6966,6 +7021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_keyness": q_keyness,
     "q_char_entropy": q_char_entropy,
     "q_cms_heavy": q_cms_heavy,
+    "q_heaps": q_heaps,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

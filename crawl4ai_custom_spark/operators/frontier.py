@@ -170,6 +170,14 @@ class CrawlConfig:
     # frontier BEFORE they spend politeness budget; trapped urls stay in
     # seen (discovered, never crawled). None disables.
     trap_guard_min_share: float = 0.5
+    sketch_cardinality: bool = False  # write a per-wave HyperLogLog
+    # register table (operators/sketches.py) over the discovery delta's
+    # registrable domains, next to each new_links delta. Registers merge
+    # by max across waves (and across crawls), so "how many distinct
+    # hosts has this crawl touched" is answered from O(waves * 2^p) rows
+    # without ever rescanning the seen set. Default off: costs one tiny
+    # extra job per wave.
+    sketch_p: int = 12                # 2^p registers (~1.6% std error)
 
 
 @dataclass
@@ -208,6 +216,36 @@ class CrawlRun:
         from .politeness import queue_wait_stats
 
         return queue_wait_stats(self.admitted_log(spark))
+
+    def host_cardinality(self, spark: SparkSession, p: int = 12,
+                         seeds_path: str | None = None) -> DataFrame:
+        """Distinct-host estimate for the whole crawl from the per-wave
+        HyperLogLog sketches (CrawlConfig.sketch_cardinality): merge the
+        O(waves * 2^p)-row register deltas by max, estimate once. The
+        seen set is never rescanned. ``seeds_path`` defaults to the seed
+        table the engine materialized (seed hosts that produced no
+        discovery delta still count). Raises if the crawl ran without
+        sketching — there is nothing honest to estimate from."""
+        import glob as _glob
+
+        from .sketches import hll_estimate, hll_merge, hll_registers
+
+        paths = sorted(_glob.glob(
+            os.path.join(self.results_dir, "wave=*", "hll_hosts.parquet")))
+        if not paths:
+            raise ValueError(
+                "no hll_hosts.parquet sketches under "
+                f"{self.results_dir}; run with "
+                "CrawlConfig.sketch_cardinality=True")
+        if seeds_path is None:
+            cand = os.path.join(self.checkpoint_dir, "_state", "seeds_all")
+            seeds_path = cand if os.path.isdir(cand) else None
+        tables = [spark.read.parquet(pth) for pth in paths]
+        if seeds_path is not None:
+            tables.append(hll_registers(
+                spark.read.parquet(seeds_path).select("registrable_domain"),
+                "registrable_domain", p=p))
+        return hll_estimate(hll_merge(*tables), p=p)
 
 
 class FrontierEngine:
@@ -794,6 +832,19 @@ class FrontierEngine:
                 # gate runs on the O(Δ) discovery delta only — blocked urls stay
                 # in seen (oracle semantics: discovered but never crawlable) and
                 # never enter the frontier, so no wave re-gates old rows.
+                if cfg.sketch_cardinality and n_new > 0:
+                    # per-wave HLL host sketch, stored like the trap-count
+                    # deltas: O(2^p) rows from the already-materialized
+                    # discovery delta; merged on demand by
+                    # host_cardinality() with register-max
+                    from .sketches import hll_registers
+
+                    hll_registers(
+                        new_links.select("registrable_domain"),
+                        "registrable_domain", p=cfg.sketch_p,
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(wave_dir, "hll_hosts.parquet"))
+
                 delta = new_links
                 if cfg.trap_guard_min_urls is not None:
                     # mine exploding (host, template) families from the

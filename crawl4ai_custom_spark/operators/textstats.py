@@ -1533,3 +1533,67 @@ def char_entropy(text: Column) -> Column:
         .otherwise(F.lit(0.0)),
     )
     return F.when(n > 0, F.log2(n) - folded / n)
+
+
+def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) = K * n^beta over the
+    corpus prefix ordered by ``id_col`` — the companion one-row health
+    check to :func:`zipf_slope` (natural web text sits near beta ~
+    0.4-0.6; a template-flooded crawl's vocabulary saturates, beta -> 0;
+    OCR noise / gibberish floods push beta -> 1 because every page mints
+    new "words"). Also the engine's own capacity planner: the fitted
+    (K, beta) extrapolates vocabulary size — and hence term-dictionary /
+    index width — from a rehearsal corpus to the 100 TB target.
+
+    Checkpoints are the power-of-two doc prefixes: bucket(d) =
+    bit_length(d+1), so checkpoint b summarizes the first 2^b - 1 docs.
+    V(b) = terms whose FIRST occurrence falls at or before b (one
+    groupBy(term).min pass — first occurrence needs no sort, no window
+    over the token stream); n(b) = cumulative token count (a projection
+    + tiny groupBy over docs). The cumulative window and the closed-form
+    ln-ln regression (covar_pop/var_pop, like zipf_slope) run over the
+    <= 64-row bucket table only.
+
+    Returns one row: ``n_checkpoints``, ``vocab_size``, ``n_tokens``,
+    ``heaps_beta``, ``heaps_lnk``.
+
+    Scale shape: two corpus scans (explode -> partial-agg groupBy(term)
+    min; projection -> bucket sum), then strictly bucket-table work.
+    Nothing global ever sorts: doc->bucket is scan-level integer math."""
+    bucket = lambda c: F.length(F.conv(c + 1, 10, 2))  # noqa: E731
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    first = toks.groupBy("term").agg(F.min("d").alias("fd"))
+    vocab_b = first.groupBy(bucket(F.col("fd")).alias("b")).agg(
+        F.count(F.lit(1)).alias("vocab_new"))
+    tokens_b = docs.select(
+        bucket(F.col(id_col)).alias("b"),
+        token_count(F.col(text_col)).alias("tc"),
+    ).groupBy("b").agg(F.sum("tc").alias("tokens_new"))
+    cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    pts = (
+        vocab_b.join(tokens_b, "b", "full_outer")
+        .select(
+            "b",
+            F.sum(F.coalesce("vocab_new", F.lit(0))).over(cum).alias("v"),
+            F.sum(F.coalesce("tokens_new", F.lit(0))).over(cum).alias("n"),
+        )
+        .where((F.col("v") > 0) & (F.col("n") > 0))
+        .select(F.log("n").alias("x"), F.log("v").alias("y"),
+                "v", "n")
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.max("v").alias("vocab_size"),
+        F.max("n").alias("n_tokens"),
+        slope.alias("heaps_beta"),
+        (F.avg("y") - slope * F.avg("x")).alias("heaps_lnk"),
+    )

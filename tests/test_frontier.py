@@ -496,3 +496,57 @@ def test_trap_counts_incremental_equals_batch(spark):
     whole = crawl_traps(urls, min_urls=30, min_share=0.5)
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, whole.collect()))
+
+
+def test_crawlrun_host_cardinality_sketch(spark, site_dir, tmp_path):
+    """sketch_cardinality=True writes per-wave HLL host sketches; merged
+    estimate tracks the exact distinct-host count over seeds + discovery
+    deltas (few hosts -> linear-counting regime, near-exact)."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+    )
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    eng = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site_dir, "pages.parquet")),
+        spark.read.parquet(os.path.join(site_dir, "robots.parquet")),
+        CrawlConfig(max_depth=2, max_pages=60,
+                    politeness=PolitenessConfig(wave_seconds=1e9),
+                    sketch_cardinality=True),
+        checkpoint_dir=str(tmp_path / "c"), out_dir=str(tmp_path / "o"),
+    )
+    seeds = [r["url"] for r in spark.read.parquet(
+        os.path.join(site_dir, "seeds.parquet")).collect()]
+    run = eng.run(seeds)
+    sk = glob.glob(str(tmp_path / "o" / "wave=*" / "hll_hosts.parquet"))
+    assert sk, "per-wave sketches missing"
+    est = run.host_cardinality(spark).collect()[0]["estimate"]
+    deltas = [os.path.join(str(tmp_path / "c"), "_state", "seeds_all")] + [
+        os.path.join(os.path.dirname(p), "new_links.parquet") for p in sk]
+    exact = (
+        spark.read.parquet(*deltas)
+        .agg(F.countDistinct("registrable_domain")).collect()[0][0]
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05
+
+    # a crawl without sketching has nothing to estimate from
+    eng2 = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site_dir, "pages.parquet")),
+        spark.read.parquet(os.path.join(site_dir, "robots.parquet")),
+        CrawlConfig(max_depth=1, max_pages=5,
+                    politeness=PolitenessConfig(wave_seconds=1e9)),
+        checkpoint_dir=str(tmp_path / "c2"), out_dir=str(tmp_path / "o2"),
+    )
+    run2 = eng2.run(seeds[:1])
+    with pytest.raises(ValueError):
+        run2.host_cardinality(spark)

@@ -2863,3 +2863,33 @@ def test_cms_one_sided_and_merge(spark):
     unseen = spark.createDataFrame([("never-seen",)], ["key"])
     e = cms_query(cms, unseen, "key", depth=4, width=512).collect()[0]
     assert e["est"] >= 0
+
+
+def test_heaps_fit_checkpoints_and_regression(spark):
+    """Hand-built corpus: checkpoints at doc prefixes 1, 3, 7; vocabulary
+    and token cumulatives known exactly; beta/lnK match a NumPy-free OLS
+    recomputation."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import heaps_fit
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),                    # bucket 1: V=2, n=2
+            (1, "a c"), (2, "c d e"),      # bucket 2: +3 vocab, +5 tokens
+            (3, "f g"), (4, "a"), (5, "h"), (6, "a b"),  # b3: +3, +6
+        ],
+        ["doc_id", "text"],
+    )
+    row = heaps_fit(docs).collect()[0]
+    assert row["n_checkpoints"] == 3
+    assert row["vocab_size"] == 8
+    assert row["n_tokens"] == 13
+    pts = [(2, 2), (7, 5), (13, 8)]  # (n, V) cumulative per checkpoint
+    xs = [math.log(n) for n, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 3
+    var = sum((x - mx) ** 2 for x in xs) / 3
+    assert abs(row["heaps_beta"] - cov / var) < 1e-12
+    assert abs(row["heaps_lnk"] - (my - cov / var * mx)) < 1e-12
