@@ -317,6 +317,40 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder): per-host shingle-union
+    minhash, LSH host-pair candidates, exact resemblance + two-way
+    containment on candidates only. Synthetic mirror farm: every source
+    re-appears as a full mirror (``full.<source>``) and an 80% section
+    mirror (``part.<source>``, doc_id % 5 != 0). Oracle recomputes the
+    identical shingle/minhash/band chain keyed by host."""
+    from crawl4ai_custom_spark.operators.dedup import host_mirror_pairs
+
+    # doc_id % 4 == 0 only: keeps the gate <=3s at sf0.01 (driver gate
+    # budget); the oracle recomputes the identical subset
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    base = docs.select(F.col("source").alias("host"), "text")
+    full = docs.select(
+        F.concat(F.lit("full."), "source").alias("host"), "text")
+    part = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("part."), "source").alias("host"), "text")
+    out = host_mirror_pairs(
+        base.unionByName(full).unionByName(part),
+        num_hashes=N_MINHASH, bands=N_BANDS,
+        resemblance_threshold=0.9, containment_threshold=0.95,
+        # the shingle table feeds 6 plan branches; at gate scale the tiny
+        # MEMORY cache beats the recompute (3.0s vs 4.3s measured)
+        persist_shingles=True,
+    )
+    return out.select(
+        "host_a", "host_b",
+        F.round(F.col("resemblance") + 1e-9, 4).alias("resemblance"),
+        F.round(F.col("containment_a_in_b") + 1e-9, 4).alias("cont_a_in_b"),
+        F.round(F.col("containment_b_in_a") + 1e-9, 4).alias("cont_b_in_a"),
+        "mirror_class",
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus minhash dedup: the existing corpus
     participates only through its stored signature table (never re-shingled)
@@ -3327,6 +3361,64 @@ ORACLES["q_minhash_lsh"] = f"""
     join sizes sa on sa.id = id_a
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.6
+"""
+
+ORACLES["q_host_mirrors"] = f"""
+    with docs2 as (select * from documents where doc_id % 4 = 0),
+    hostdocs as (
+      select source as host, text from docs2
+      union all
+      select 'full.' || source as host, text from docs2
+      union all
+      select 'part.' || source as host, text from docs2
+      where doc_id % 5 <> 0
+    ),
+    hsh as (
+      select distinct host as id,
+             {_HASH_SQL.format(x="shingle")} as shingle_hash
+      from (
+        select host, array_to_string(l[i+1:i+3], ' ') as shingle
+        from (select host, string_split({_NORM_TEXT_SQL}, ' ') as l
+              from hostdocs),
+             unnest(range(0, greatest(len(l)-3, 0) + 1)) as t(i)
+      ) where length(shingle) > 0
+    ),
+    sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from hsh group by id
+    ),
+    banded as ({_lsh_band_sql()}),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from banded a join banded b using (band, band_key)
+      where a.id < b.id
+    ),
+    sizes as (select id, count(*) as sz from hsh group by id),
+    inter as (
+      select c.id_a, c.id_b, count(*) as inter
+      from cand c
+      join hsh a on a.id = c.id_a
+      join hsh b on b.id = c.id_b and b.shingle_hash = a.shingle_hash
+      group by c.id_a, c.id_b
+    ),
+    scored as (
+      select id_a as host_a, id_b as host_b,
+             inter / (sa.sz + sb.sz - inter) as r,
+             inter / sa.sz as ca,
+             inter / sb.sz as cb
+      from inter
+      join sizes sa on sa.id = id_a
+      join sizes sb on sb.id = id_b
+    )
+    select host_a, host_b,
+           round(r + 1e-9, 4) as resemblance,
+           round(ca + 1e-9, 4) as cont_a_in_b,
+           round(cb + 1e-9, 4) as cont_b_in_a,
+           case when r >= 0.9 then 'mirror'
+                when greatest(ca, cb) >= 0.95 then 'partial'
+           end as mirror_class
+    from scored
+    where r >= 0.9 or greatest(ca, cb) >= 0.95
 """
 
 ORACLES["q_dedup_incremental"] = f"""
@@ -7022,6 +7114,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy": q_char_entropy,
     "q_cms_heavy": q_cms_heavy,
     "q_heaps": q_heaps,
+    "q_host_mirrors": q_host_mirrors,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

@@ -243,6 +243,70 @@ def minhash_lsh_dedup(
     ).select("id_a", "id_b", "jaccard")
 
 
+def host_mirror_pairs(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    resemblance_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    persist_shingles: bool = False,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, "Mirror, Mirror on the Web",
+    WWW 1999, via Broder's resemblance/containment, SEQUENCES 1997): a host's
+    content profile is S(host) = the UNION of the k-shingle sets of all its
+    pages; for a host pair, resemblance r = |A∩B|/|A∪B| and containment
+    c(A→B) = |A∩B|/|A|. Output one row per detected pair (host_a < host_b):
+    ``mirror`` when r >= resemblance_threshold, else ``partial`` when either
+    direction's containment >= containment_threshold (one host embeds the
+    other — a section mirror). The reference crawls mirrors blind
+    (`crawl4ai/deep_crawling` dedups urls, never cross-host content); at
+    CC scale mirror farms waste politeness budget, so this is the
+    frontier-level companion to document dedup.
+
+    Spark shape: keying :func:`shingle_table` by ``host_col`` makes the
+    per-host shingle UNION a plain ``distinct`` — per-page sets are never
+    materialized, and the union's minhash is the same single
+    groupBy(host) partial-agg as document minhash (min is associative
+    across a host's pages). LSH banding cuts the host×host space to
+    colliding buckets; exact set arithmetic (one shingle self-join) runs on
+    candidates only. Hosts number ~10^7 even under a 10^10-page corpus, so
+    every post-shingle stage is orders smaller than the document dedup
+    this reuses. Candidate recall is the standard LSH s-curve: with the
+    default 8 bands × 4 rows, a true mirror (r=1) always collides; r=0.8
+    collides w.p. ~0.98; pure-containment pairs with low resemblance
+    (tiny host inside a huge one) need smaller ``bands`` rows or a
+    dedicated containment sketch — documented, not silently covered."""
+    sh = shingle_table(docs, host_col, text_col, k)
+    if persist_shingles:
+        sh = sh.persist()
+    # per-host set sizes ride the minhash aggregation (with_size) — one
+    # fewer full shingle pass than the document-level dedup path
+    sig = minhash_signatures(sh, num_hashes, with_size=True)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes=num_hashes)
+    j = jaccard_of_pairs(cand, sh, sizes=sig.select("id", "sz"))
+    cont_a = (F.col("inter") / F.col("sz_a")).cast("double")
+    cont_b = (F.col("inter") / F.col("sz_b")).cast("double")
+    out = j.select(
+        F.col("id_a").alias("host_a"),
+        F.col("id_b").alias("host_b"),
+        F.col("jaccard").alias("resemblance"),
+        cont_a.alias("containment_a_in_b"),
+        cont_b.alias("containment_b_in_a"),
+    ).withColumn(
+        "mirror_class",
+        F.when(F.col("resemblance") >= resemblance_threshold, F.lit("mirror"))
+        .when(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= containment_threshold,
+            F.lit("partial"),
+        ),
+    )
+    return out.where(F.col("mirror_class").isNotNull())
+
+
 def signature_agreement(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
     """Fraction of equal minhash positions — the standard unbiased estimator
     of Jaccard similarity from two signatures. Pure array expression

@@ -2893,3 +2893,55 @@ def test_heaps_fit_checkpoints_and_regression(spark):
     var = sum((x - mx) ** 2 for x in xs) / 3
     assert abs(row["heaps_beta"] - cov / var) < 1e-12
     assert abs(row["heaps_lnk"] - (my - cov / var * mx)) < 1e-12
+
+
+def test_host_mirror_pairs_classes_and_containment(spark):
+    """Hand-built mirror farm: full mirror (resemblance 1.0, class
+    'mirror'), section mirror (strict shingle subset -> containment 1.0
+    into the big host, class 'partial'), and an unrelated host (no pair).
+    Shingle-set arithmetic is checked exactly."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        host_mirror_pairs,
+        shingle_table,
+    )
+
+    pages = {
+        "a": "the quick brown fox jumps over the lazy dog every day",
+        "b": "pack my box with five dozen liquor jugs for the party",
+        "c": "sphinx of black quartz judge my vow said the editor",
+    }
+    rows = (
+        # origin: all three pages
+        [("origin.example", t) for t in pages.values()]
+        # full mirror: identical three pages
+        + [("full.example", t) for t in pages.values()]
+        # section mirror: pages a+b only (strict shingle subset)
+        + [("part.example", pages["a"]), ("part.example", pages["b"])]
+        # unrelated
+        + [("other.example", "completely different words appear here only")]
+    )
+    docs = spark.createDataFrame(rows, ["host", "text"])
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_mirror_pairs(
+            docs, num_hashes=16, bands=4,
+            resemblance_threshold=0.9, containment_threshold=0.95,
+        ).collect()
+    }
+    assert ("full.example", "origin.example") in out
+    m = out[("full.example", "origin.example")]
+    assert m["mirror_class"] == "mirror"
+    assert m["resemblance"] == 1.0
+
+    # exact expected resemblance of the section mirror from shingle counts
+    by_host = {}
+    for r in shingle_table(docs, "host", "text").collect():
+        by_host.setdefault(r["id"], set()).add(r["shingle_hash"])
+    inter = len(by_host["origin.example"] & by_host["part.example"])
+    union = len(by_host["origin.example"] | by_host["part.example"])
+    p = out[("origin.example", "part.example")]
+    assert p["mirror_class"] == "partial"
+    assert abs(p["resemblance"] - inter / union) < 1e-12
+    # part is a strict subset of origin: containment of part in origin = 1
+    assert p["containment_b_in_a"] == 1.0
+    assert all("other.example" not in k for k in out)
