@@ -351,6 +351,42 @@ def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST parameter-rule mining gate (Bar-Yossef et al.): 4 url variants
+    per content id (bare, +sid, +page, +utm) — sid/utm vary without
+    changing content (must be judged irrelevant), page changes content
+    (violations > 0, not irrelevant), id changes content (not
+    irrelevant). Moduli chosen so each content id cycles through all
+    variants (25 coprime to 4) and group spacing 100 varies page (mod 3)
+    and utm (mod 7). Oracle recomputes the evidence-group semantics."""
+    from crawl4ai_custom_spark.operators.dust import dust_param_rules
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    c = (d % 25).cast("string")
+    m = d % 4
+    base = F.concat(F.lit("https://d.example.com/item?id="), c)
+    url = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(base, F.lit("&sid="), F.md5(d.cast("string"))))
+        .when(m == 2, F.concat(base, F.lit("&page="), (d % 3).cast("string")))
+        .otherwise(F.concat(base, F.lit("&utm="), (d % 7).cast("string")))
+    )
+    text = F.when(
+        m == 2,
+        F.concat(F.lit("page body "), c, F.lit(" p"), (d % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("page body "), c))
+    rules = dust_param_rules(
+        docs.select(url.alias("url"), text.alias("text")), min_support=2
+    )
+    return rules.select(
+        "host", "param",
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("violations").cast("bigint").alias("violations"),
+        "irrelevant",
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus minhash dedup: the existing corpus
     participates only through its stored signature table (never re-shingled)
@@ -3419,6 +3455,59 @@ ORACLES["q_host_mirrors"] = f"""
            end as mirror_class
     from scored
     where r >= 0.9 or greatest(ca, cb) >= 0.95
+"""
+
+ORACLES["q_dust_rules"] = f"""
+    with pages as (
+      select
+        'https://d.example.com/item?id=' || (doc_id % 25)::varchar ||
+        case doc_id % 4
+          when 0 then ''
+          when 1 then '&sid=' || md5(doc_id::varchar)
+          when 2 then '&page=' || (doc_id % 3)::varchar
+          else '&utm=' || (doc_id % 7)::varchar
+        end as url,
+        'page body ' || (doc_id % 25)::varchar ||
+        case when doc_id % 4 = 2 then ' p' || (doc_id % 3)::varchar
+             else '' end as text
+      from documents where doc_id < 400
+    ),
+    t as (
+      select
+        lower(regexp_extract(url,
+          '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) as host,
+        regexp_extract(url, '^([^?#]*)', 1) as base,
+        list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    x -> x <> '') as params,
+        {_HASH_SQL.format(x=_NORM_TEXT_SQL)} as fp
+      from pages
+    ),
+    ex as (
+      select host, base, fp, kv,
+             list_filter(params, x -> x <> kv) as others
+      from t, unnest(params) as un(kv)
+    ),
+    res as (
+      select host,
+             string_split(kv, '=')[1] as param,
+             base || case when len(others) > 0
+                          then '?' || array_to_string(others, '&')
+                          else '' end as residual,
+             kv, fp
+      from ex
+    ),
+    groups as (
+      select host, param, residual,
+             count(distinct kv) as nv, count(distinct fp) as nf
+      from res group by 1, 2, 3
+    )
+    select host, param,
+           count(*)::BIGINT as n_groups,
+           sum(case when nf > 1 then 1 else 0 end)::BIGINT as violations,
+           (count(*) >= 2 and
+            sum(case when nf > 1 then 1 else 0 end) = 0) as irrelevant
+    from groups where nv >= 2
+    group by host, param
 """
 
 ORACLES["q_dedup_incremental"] = f"""
@@ -7115,6 +7204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cms_heavy": q_cms_heavy,
     "q_heaps": q_heaps,
     "q_host_mirrors": q_host_mirrors,
+    "q_dust_rules": q_dust_rules,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

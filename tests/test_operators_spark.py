@@ -2945,3 +2945,74 @@ def test_host_mirror_pairs_classes_and_containment(spark):
     # part is a strict subset of origin: containment of part in origin = 1
     assert p["containment_b_in_a"] == 1.0
     assert all("other.example" not in k for k in out)
+
+
+def test_dust_param_rules_evidence_semantics(spark):
+    """Hand-built evidence: 'sid' varies with fixed residual and fixed
+    content -> irrelevant; 'page' varies and content varies -> violation;
+    a param that never varies within a residual group yields no evidence
+    row at all; min_support gates single-group rules out."""
+    from crawl4ai_custom_spark.operators.dust import dust_param_rules
+
+    rows = [
+        # sid: two residual groups (id=1, id=2), 2 sid values each, same text
+        ("https://h.com/a?id=1&sid=x1", "alpha"),
+        ("https://h.com/a?id=1&sid=x2", "alpha"),
+        ("https://h.com/a?id=2&sid=y1", "beta"),
+        ("https://h.com/a?id=2&sid=y2", "beta"),
+        # page: varies, content varies -> violation
+        ("https://h.com/b?id=1&page=1", "p one"),
+        ("https://h.com/b?id=1&page=2", "p two"),
+        # cb: varies in ONE group only, same text -> evidence but below
+        # min_support=2 -> not irrelevant
+        ("https://h.com/c?cb=111", "gamma"),
+        ("https://h.com/c?cb=222", "gamma"),
+        # konst: same value everywhere -> no evidence row
+        ("https://h.com/d?konst=5&z=1", "delta"),
+        ("https://h.com/d?konst=5&z=2", "delta"),
+    ]
+    out = {(r["host"], r["param"]): r for r in dust_param_rules(
+        spark.createDataFrame(rows, ["url", "text"]), min_support=2
+    ).collect()}
+    assert out[("h.com", "sid")]["irrelevant"] is True
+    assert out[("h.com", "sid")]["n_groups"] == 2
+    assert out[("h.com", "sid")]["violations"] == 0
+    assert out[("h.com", "page")]["irrelevant"] is False
+    assert out[("h.com", "page")]["violations"] == 1
+    assert out[("h.com", "cb")]["irrelevant"] is False  # support 1 < 2
+    assert ("h.com", "konst") not in out
+    # z: varies with same text but in a single residual group -> evidence
+    # exists yet support 1 < min_support, same as cb
+    assert out[("h.com", "z")]["n_groups"] == 1
+    assert out[("h.com", "z")]["irrelevant"] is False
+
+
+def test_apply_dust_rules_rewrites_only_learned_hosts(spark):
+    """Learned rules strip only the irrelevant params of the matching
+    host; param order is preserved; foreign hosts and query-free urls
+    pass through byte-identical."""
+    from pyspark.sql import Row
+
+    from crawl4ai_custom_spark.operators.dust import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("h.com", "sid", 5, 0, True), ("h.com", "page", 5, 5, False)],
+        ["host", "param", "n_groups", "violations", "irrelevant"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/a?sid=zz&id=7&page=2",),
+            ("https://h.com/plain",),
+            ("https://h.com/only?sid=1",),
+            ("https://other.com/a?sid=keepme",),
+        ],
+        ["url"],
+    )
+    got = {r["url"]: r["dust_url"]
+           for r in apply_dust_rules(urls, rules).collect()}
+    assert got["https://h.com/a?sid=zz&id=7&page=2"] == \
+        "https://h.com/a?id=7&page=2"
+    assert got["https://h.com/plain"] == "https://h.com/plain"
+    assert got["https://h.com/only?sid=1"] == "https://h.com/only"
+    assert got["https://other.com/a?sid=keepme"] == \
+        "https://other.com/a?sid=keepme"
