@@ -86,6 +86,11 @@ def _duped_docs(docs: DataFrame) -> DataFrame:
 # MinHash parameters shared with the SQL oracle (imported from dedup.py so
 # the Spark operator and the oracle can never drift)
 MERSENNE31 = (1 << 31) - 1
+import statistics as _statistics
+
+# Phi^-1(0.95), shared verbatim between the q_moments gate and its oracle
+Z95 = _statistics.NormalDist().inv_cdf(0.95)
+
 MINHASH_SEED = 1
 N_MINHASH = 16
 N_BANDS = 4
@@ -348,6 +353,30 @@ def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("containment_a_in_b") + 1e-9, 4).alias("cont_a_in_b"),
         F.round(F.col("containment_b_in_a") + 1e-9, 4).alias("cont_b_in_a"),
         "mirror_class",
+    )
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments-sketch gate: per-source power-sum sketch over doc length
+    (scaled to KB), central-moment stats and a Cornish-Fisher p95
+    estimate clamped to the observed range. Oracle recomputes the
+    identical power sums and closed-form algebra."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        cf_quantile, moment_stats, moment_sums,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") / 1000.0).alias("kb"))
+    out = cf_quantile(
+        moment_stats(moment_sums(docs, "kb", ["source"])), 0.95, Z95)
+    return out.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mean") + 1e-9, 4).alias("mean_kb"),
+        F.round(F.col("std") + 1e-9, 4).alias("std_kb"),
+        F.round(F.col("skewness") + 1e-9, 4).alias("skewness"),
+        F.round(F.col("kurtosis") + 1e-9, 4).alias("kurtosis"),
+        F.round(F.col("q_est") + 1e-9, 4).alias("p95_est_kb"),
     )
 
 
@@ -3455,6 +3484,50 @@ ORACLES["q_host_mirrors"] = f"""
            end as mirror_class
     from scored
     where r >= 0.9 or greatest(ca, cb) >= 0.95
+"""
+
+ORACLES["q_moments"] = f"""
+    with zc as (select {Z95!r}::DOUBLE as z),
+    s as (
+      select source, count(*)::BIGINT as n,
+             sum(v) as s1, sum(v*v) as s2, sum(v*v*v) as s3,
+             sum(v*v*v*v) as s4, min(v) as mn, max(v) as mx
+      from (select source, n_chars::DOUBLE / 1000.0 as v from documents)
+      group by source
+    ),
+    st as (
+      select source, n, mn, mx,
+             s1/n as mean,
+             sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) as std,
+             s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) as m3,
+             s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+               - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) as m4,
+             greatest(s2/n - (s1/n)*(s1/n), 0.0) as var
+      from s
+    ),
+    g as (
+      select source, n, mn, mx, mean, std,
+             case when std > 0 then m3 / (std*std*std) end as skewness,
+             case when var > 0 then m4 / (var*var) - 3 end as kurtosis
+      from st
+    ),
+    q as (
+      select *,
+             coalesce(skewness, 0.0) as g1, coalesce(kurtosis, 0.0) as g2
+      from g
+    )
+    select source, n,
+           round(mean + 1e-9, 4) as mean_kb,
+           round(std + 1e-9, 4) as std_kb,
+           round(skewness + 1e-9, 4) as skewness,
+           round(kurtosis + 1e-9, 4) as kurtosis,
+           round(least(greatest(
+             mean + std * (z
+               + (z*z - 1) * g1 / 6
+               + (z*z*z - 3*z) * g2 / 24
+               - (2*z*z*z - 5*z) * g1 * g1 / 36),
+             mn), mx) + 1e-9, 4) as p95_est_kb
+    from q, zc
 """
 
 ORACLES["q_dust_rules"] = f"""
@@ -7205,6 +7278,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_heaps": q_heaps,
     "q_host_mirrors": q_host_mirrors,
     "q_dust_rules": q_dust_rules,
+    "q_moments": q_moments,
     "q_crawl_diff": q_crawl_diff,
     "q_canonical_collapse": q_canonical_collapse,
     "q_anchor_stats": q_anchor_stats,

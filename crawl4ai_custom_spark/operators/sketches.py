@@ -186,3 +186,106 @@ def cms_query(cms: DataFrame, keys: DataFrame, col: str = "url",
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Moments sketch: mergeable distribution summaries (Gan et al., VLDB 2018)
+# ---------------------------------------------------------------------------
+
+def moment_sums(df: DataFrame, value_col: str,
+                group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Power-sum distribution sketch: per group, (n, s1..s4, mn, mx) where
+    s_k = sum(x^k) in double. The moments-sketch idea (Gan, Ding, Tai,
+    Sharan & Bailis, "Moment-Based Quantile Sketches", VLDB 2018): power
+    sums are the CELL-WISE MERGEABLE summary of a distribution — merge =
+    plain addition (min/max for the range) — so per-wave fetch-latency or
+    doc-length summaries append like the HLL register deltas and fold
+    across waves/epochs/stores without rescanning history, in O(1) state
+    per group.
+
+    Shape: one partial-agg groupBy — map-side combine reduces every
+    partition to one row per group before the exchange.
+
+    Numerical caveat (documented, not hidden): raw power sums of
+    large-magnitude values lose double precision (x^4 at x ~ 1e5 with
+    1e10 rows approaches 2^53 in the SUM). For such columns, pre-scale to
+    a sane unit (ms -> s, bytes -> KB) at the call site; the estimator is
+    scale-equivariant."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*list(group_cols)).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def moment_merge(*tables: DataFrame,
+                 group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Fold any number of moment_sums tables into one: sums add, range
+    folds by min/max — associative and commutative, so epoch deltas merge
+    in any order (the same contract as hll_merge / cms_merge)."""
+    it = iter(tables)
+    merged = next(it)
+    for t in it:
+        merged = merged.unionByName(t)
+    return merged.groupBy(*list(group_cols)).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def moment_stats(sums: DataFrame) -> DataFrame:
+    """Central-moment statistics from the power sums: population mean,
+    std, skewness g1 = m3/std^3 and excess kurtosis g2 = m4/var^2 - 3
+    (null when degenerate). Pure column algebra over the tiny sketch
+    table — never touches the data again."""
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    var = F.greatest(m2, F.lit(0.0))
+    std = F.sqrt(var)
+    m3 = (F.col("s3") / n - 3 * mean * F.col("s2") / n
+          + 2 * mean * mean * mean)
+    m4 = (F.col("s4") / n - 4 * mean * F.col("s3") / n
+          + 6 * mean * mean * F.col("s2") / n
+          - 3 * mean * mean * mean * mean)
+    return sums.withColumns({
+        "mean": mean,
+        "std": std,
+        "skewness": F.when(std > 0, m3 / (std * std * std)),
+        "kurtosis": F.when(var > 0, m4 / (var * var) - 3),
+    })
+
+
+def cf_quantile(stats: DataFrame, p: float, z: float,
+                out_col: str = "q_est") -> DataFrame:
+    """Cornish-Fisher quantile estimate from moment_stats output: adjust
+    the normal quantile ``z`` (= Phi^-1(p), computed caller-side — e.g.
+    ``statistics.NormalDist().inv_cdf(p)``; passed in so the constant is
+    shared verbatim with SQL oracles) by the sketch's skewness/kurtosis,
+    then clamp into the observed [mn, mx]. Approximate BY DESIGN — the
+    honest trade for O(1) mergeable state; exact quantiles at 100 TB need
+    a full sort or a KLL-class sketch, neither of which merges as plain
+    column sums. Accuracy degrades for strongly non-Gaussian shapes; the
+    clamp keeps estimates sane even then."""
+    g1 = F.coalesce(F.col("skewness"), F.lit(0.0))
+    g2 = F.coalesce(F.col("kurtosis"), F.lit(0.0))
+    zl = F.lit(float(z))
+    w = (
+        zl
+        + (zl * zl - 1) * g1 / 6
+        + (zl * zl * zl - 3 * zl) * g2 / 24
+        - (2 * zl * zl * zl - 5 * zl) * g1 * g1 / 36
+    )
+    est = F.col("mean") + F.col("std") * w
+    return stats.withColumn(
+        out_col, F.least(F.greatest(est, F.col("mn")), F.col("mx")))

@@ -3016,3 +3016,68 @@ def test_apply_dust_rules_rewrites_only_learned_hosts(spark):
     assert got["https://h.com/only?sid=1"] == "https://h.com/only"
     assert got["https://other.com/a?sid=keepme"] == \
         "https://other.com/a?sid=keepme"
+
+
+def test_moments_sketch_closed_form_and_merge(spark):
+    """Moments sketch (Gan et al., VLDB 2018 shape): stats from power
+    sums match a NumPy-free hand computation; merging two half sketches
+    equals the whole-stream sketch cell for cell; the Cornish-Fisher
+    estimate is exact for a symmetric two-point distribution and always
+    clamped into [mn, mx]."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        cf_quantile,
+        moment_merge,
+        moment_stats,
+        moment_sums,
+    )
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    st = moment_stats(moment_sums(df, "v")).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((x - mean) ** 2 for x in vals) / n
+    m3 = sum((x - mean) ** 3 for x in vals) / n
+    m4 = sum((x - mean) ** 4 for x in vals) / n
+    assert st["n"] == n and st["mn"] == 1.0 and st["mx"] == 10.0
+    assert abs(st["mean"] - mean) < 1e-12
+    assert abs(st["std"] - math.sqrt(m2)) < 1e-12
+    assert abs(st["skewness"] - m3 / m2 ** 1.5) < 1e-10
+    assert abs(st["kurtosis"] - (m4 / m2 ** 2 - 3)) < 1e-10
+
+    # degenerate group: std 0 -> skew/kurt null, estimate clamps to value
+    one = spark.createDataFrame([(7.0,), (7.0,)], ["v"])
+    s1 = cf_quantile(moment_stats(moment_sums(one, "v")), 0.95,
+                     1.6448536269514722).collect()[0]
+    assert s1["skewness"] is None and s1["kurtosis"] is None
+    assert s1["q_est"] == 7.0
+
+    # merge: two halves fold to exactly the whole-stream sums
+    a = moment_sums(df.where(F.col("v") < 2.5), "v")
+    b = moment_sums(df.where(F.col("v") >= 2.5), "v")
+    merged = moment_merge(a, b).collect()[0]
+    whole = moment_sums(df, "v").collect()[0]
+    for c in ("n", "s1", "s2", "s3", "s4", "mn", "mx"):
+        assert merged[c] == whole[c], c
+
+    # symmetric two-point distribution: g1=0, g2=-2, CF p95 before the
+    # clamp is mean + std*(z - (z^3-3z)/12); hand-check the algebra
+    z = 1.6448536269514722
+    two = spark.createDataFrame([(0.0,), (4.0,)], ["v"])
+    r = cf_quantile(moment_stats(moment_sums(two, "v")), 0.95, z)
+    row = r.collect()[0]
+    raw = 2.0 + 2.0 * (z + (z * z * z - 3 * z) * (-2.0) / 24)
+    assert abs(row["q_est"] - min(max(raw, 0.0), 4.0)) < 1e-12
+    assert 0.0 <= row["q_est"] <= 4.0
+
+    # grouped: per-group rows survive with independent ranges
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 100.0)], ["k", "v"])
+    rows = {r["k"]: r for r in moment_stats(
+        moment_sums(g, "v", ["k"])).collect()}
+    assert rows["a"]["mx"] == 5.0 and rows["b"]["n"] == 1
+    assert rows["b"]["mn"] == 100.0
