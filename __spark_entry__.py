@@ -1202,6 +1202,50 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k gate: two crawl 'waves' of synthetic urls (even/odd
+    event ids, key space collapsed mod 6000 so the waves genuinely
+    overlap), each sketched to its 256 smallest stable-60-bit hashes;
+    per-wave distinct estimates plus union/intersection/Jaccard from the
+    merged sketch. Oracle rebuilds the identical bottom-k sets in SQL
+    (distinct + order by hash + limit) and the identical estimator
+    algebra — every number matches to float identity, exact_union rides
+    along to show the sketch honest."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_setops,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("url"),
+                   F.pmod(F.col("event_id"), F.lit(6000)).cast("string"))
+    a = ev.where(F.col("event_id") % 2 == 0).select(url.alias("url"))
+    b = ev.where(F.col("event_id") % 2 == 1).select(url.alias("url"))
+    ka, kb = kmv_sketch(a, "url", k=256), kmv_sketch(b, "url", k=256)
+    ea = kmv_estimate(ka, k=256).select(
+        F.col("n_sample").alias("n_a"), F.col("estimate").alias("est_a"))
+    eb = kmv_estimate(kb, k=256).select(
+        F.col("n_sample").alias("n_b"), F.col("estimate").alias("est_b"))
+    ops = kmv_setops(ka, kb, k=256)
+    exact = (a.unionByName(b)
+             .agg(F.countDistinct("url").alias("exact_union")))
+    return (
+        ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(ops))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_a", "n_b",
+            F.round(F.col("est_a") + 1e-9, 4).alias("est_a"),
+            F.round(F.col("est_b") + 1e-9, 4).alias("est_b"),
+            F.round(F.col("union_est") + 1e-9, 4).alias("union_est"),
+            F.round(F.col("intersection_est") + 1e-9, 4)
+            .alias("intersection_est"),
+            F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"),
+            "exact_union",
+        )
+    )
+
+
 def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G² keyness gate: focus corpus = doc_id % 3 == 0, reference
     = the rest (doc_id < 400); integer min-count gate makes the row set
@@ -6215,6 +6259,51 @@ ORACLES["q_char_entropy"] = """
     from base b left join ent on ent.doc_id = b.doc_id
 """
 
+ORACLES["q_kmv_setops"] = """
+    with keys as (
+      select event_id % 2 as side,
+             ('0x' || substr(md5('url' || (event_id % 6000)::VARCHAR),
+                             1, 15))::BIGINT as h
+      from events
+    ),
+    ka as (select h from (select distinct h from keys where side = 0)
+           order by h limit 256),
+    kb as (select h from (select distinct h from keys where side = 1)
+           order by h limit 256),
+    ku as (select h from (select h from ka union select h from kb)
+           order by h limit 256),
+    ea as (select count(*)::BIGINT as n_a,
+                  case when count(*) < 256 then count(*)::DOUBLE
+                       else 255.0 / (max(h) / 1152921504606846976.0) end
+                  as est_a
+           from ka),
+    eb as (select count(*)::BIGINT as n_b,
+                  case when count(*) < 256 then count(*)::DOUBLE
+                       else 255.0 / (max(h) / 1152921504606846976.0) end
+                  as est_b
+           from kb),
+    eu as (select count(*)::BIGINT as nu,
+                  case when count(*) < 256 then count(*)::DOUBLE
+                       else 255.0 / (max(h) / 1152921504606846976.0) end
+                  as union_est
+           from ku),
+    mk as (select count(*)::BIGINT as n_union_sample,
+                  sum(case when ku.h in (select h from ka)
+                            and ku.h in (select h from kb)
+                       then 1 else 0 end)::BIGINT as n_both
+           from ku),
+    ex as (select count(distinct h)::BIGINT as exact_union from keys)
+    select n_a, n_b,
+           round(est_a + 1e-9, 4) as est_a,
+           round(est_b + 1e-9, 4) as est_b,
+           round(union_est + 1e-9, 4) as union_est,
+           round((n_both::DOUBLE / n_union_sample) * union_est + 1e-9, 4)
+             as intersection_est,
+           round(n_both::DOUBLE / n_union_sample + 1e-9, 4) as jaccard,
+           exact_union
+    from ea, eb, eu, mk, ex
+"""
+
 ORACLES["q_keyness"] = """
     with base as (select doc_id, text from documents where doc_id < 400),
     ftok as (
@@ -7272,6 +7361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,
+    "q_kmv_setops": q_kmv_setops,
     "q_keyness": q_keyness,
     "q_char_entropy": q_char_entropy,
     "q_cms_heavy": q_cms_heavy,

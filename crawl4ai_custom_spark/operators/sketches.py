@@ -289,3 +289,135 @@ def cf_quantile(stats: DataFrame, p: float, z: float,
     est = F.col("mean") + F.col("std") * w
     return stats.withColumn(
         out_col, F.least(F.greatest(est, F.col("mn")), F.col("mx")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: SET OPERATIONS on cardinality
+# ---------------------------------------------------------------------------
+#
+# HLL answers "how many distinct" and merges by UNION only. The crawl
+# questions it cannot answer are intersective: how many URLs did wave 17
+# and wave 18 both touch? what fraction of host A's fingerprints also
+# appear on host B? how much of this epoch's discovery is genuinely new
+# vs the whole store? KMV (Bar-Yossef et al. 2002 "Counting distinct
+# elements in a data stream"; Beyer et al. SIGMOD 2007 unbiased
+# estimator; the theta-sketch family in the DataSketches literature)
+# keeps the k SMALLEST hash values of the distinct keys — a uniform
+# sample of the key space that supports union (min-k of the union of two
+# sketches), intersection and Jaccard (membership of the union sample in
+# both sides), all in O(k) state, mergeable like every other sketch in
+# this module and exactly reproducible in the DuckDB oracle because rows
+# are plain (group, h) pairs under ``stable_hash60``.
+
+_H60_SPAN = float(1 << 60)  # hashes are uniform on [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, col: str = "url", k: int = 256,
+               group_cols: tuple[str, ...] | list[str] = (),
+               prefilter_frac: float | None = None) -> DataFrame:
+    """Bottom-k sketch: per group, the k smallest distinct
+    ``stable_hash60`` values of ``col`` as plain (group..., h) rows.
+
+    Shape: distinct on (group, h) — one exchange with map-side combine —
+    then a row_number window per group over the already-distinct hashes.
+    For steady-state use the window never sees the corpus: sketches are
+    built per wave/epoch DELTA and folded with :func:`kmv_merge`, so the
+    window input is the delta's distinct set. For a one-shot sketch of a
+    10^10-key table, pass ``prefilter_frac`` (e.g. ``8 * k / est_n`` from
+    a prior HLL estimate or last epoch's k-th hash): hashes above
+    ``frac * 2^60`` are dropped AT THE SCAN, the distinct+window run over
+    the ~8k survivors per group, and the result is IDENTICAL as long as
+    >= k survivors remain (the k smallest are unaffected by dropping
+    large values) — determinism the oracle relies on."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    h = stable_hash60(F.col(col))
+    rows = df.select(*gcols, h.alias("h"))
+    if prefilter_frac is not None:
+        rows = rows.where(F.col("h") <= int(prefilter_frac * _H60_SPAN))
+    from pyspark.sql import Window
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("h")
+    return (
+        rows.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256,
+              group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Fold sketches (same k!) into the sketch of the UNION of their key
+    sets: distinct-union the rows, keep the k smallest per group. Exact —
+    the k smallest of A ∪ B are a subset of (k smallest of A) ∪ (k
+    smallest of B) — and associative/commutative like hll/cms/moment
+    merges, so per-epoch deltas fold in any order over O(epochs * k)
+    rows."""
+    gcols = list(group_cols)
+    it = iter(sketches)
+    merged = next(it)
+    for t in it:
+        merged = merged.unionByName(t)
+    from pyspark.sql import Window
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("h")
+    return (
+        merged.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch: when the
+    sketch holds fewer than k rows the count is EXACT (the sketch is the
+    whole distinct set); otherwise the Beyer et al. unbiased estimator
+    (k - 1) / U_(k) with U_(k) = kth_smallest_hash / 2^60."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max("h").alias("_hk"),   # rows are the k smallest -> max = h_(k)
+    )
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(_H60_SPAN))
+    )
+    return agg.select(*gcols, "n_sample", est.alias("estimate"))
+
+
+def kmv_setops(sketch_a: DataFrame, sketch_b: DataFrame,
+               k: int = 256) -> DataFrame:
+    """One row of set-operation estimates between two ungrouped sketches:
+    union / intersection / a-only / b-only distinct counts plus Jaccard.
+
+    Method (Beyer et al. 2007; the theta-sketch intersection): form the
+    union sketch K = min-k(A ∪ B); every h in K is a uniform sample of
+    A ∪ B, so jaccard ≈ |{h in K: h in A and h in B}| / |K| and
+    intersection ≈ jaccard * union_estimate. Everything is plain joins
+    over O(k) rows; exact whenever |A ∪ B| <= k (the sketches ARE the
+    sets)."""
+    union_sk = kmv_merge(sketch_a, sketch_b, k=k)
+    u_est = kmv_estimate(union_sk, k=k)
+    in_a = sketch_a.select(F.col("h"), F.lit(1).alias("_a"))
+    in_b = sketch_b.select(F.col("h"), F.lit(1).alias("_b"))
+    marked = (
+        union_sk.join(in_a, "h", "left").join(in_b, "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_sample"),
+            F.sum(F.when(F.col("_a").isNotNull()
+                         & F.col("_b").isNotNull(), 1).otherwise(0))
+            .alias("n_both"),
+        )
+    )
+    j = F.col("n_both").cast("double") / F.col("n_union_sample")
+    return (
+        marked.crossJoin(u_est)   # two one-row frames
+        .select(
+            F.col("estimate").alias("union_est"),
+            j.alias("jaccard"),
+            (j * F.col("estimate")).alias("intersection_est"),
+        )
+    )

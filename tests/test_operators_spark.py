@@ -3081,3 +3081,70 @@ def test_moments_sketch_closed_form_and_merge(spark):
         moment_sums(g, "v", ["k"])).collect()}
     assert rows["a"]["mx"] == 5.0 and rows["b"]["n"] == 1
     assert rows["b"]["mn"] == 100.0
+
+
+def test_kmv_sketch_exact_merge_and_setops(spark):
+    """KMV bottom-k: exact when k >= n; merge(A,B) == sketch(A ∪ B) row
+    for row; estimator within 3/sqrt(k) of truth at 4k distinct keys;
+    set-op estimates exact on small sets; prefilter leaves the sketch
+    identical while >= k survivors remain."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_setops,
+        kmv_sketch,
+    )
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://x.com/"),
+                     F.col("id").cast("string")).alias("url"))
+
+    # exact regime: k >= n -> the sketch IS the distinct set
+    small = urls(0, 100)
+    sk = kmv_sketch(small, "url", k=256)
+    assert sk.count() == 100
+    est = kmv_estimate(sk, k=256).collect()[0]
+    assert est["n_sample"] == 100 and est["estimate"] == 100.0
+
+    # estimator regime: 4000 distinct, k=256 -> relative error < 3/sqrt(k)
+    big = urls(0, 4000)
+    e = kmv_estimate(kmv_sketch(big, "url", k=256), k=256).collect()[0]
+    assert abs(e["estimate"] - 4000) / 4000 < 3 / math.sqrt(256)
+
+    # merge == sketch of the union, exactly
+    a, b = urls(0, 2500), urls(1500, 4000)
+    merged = {r["h"] for r in kmv_merge(
+        kmv_sketch(a, "url", k=64), kmv_sketch(b, "url", k=64),
+        k=64).collect()}
+    whole = {r["h"] for r in kmv_sketch(big, "url", k=64).collect()}
+    assert merged == whole
+
+    # set ops exact when |A ∪ B| <= k: A=0..59, B=40..99
+    sa = kmv_sketch(urls(0, 60), "url", k=256)
+    sb = kmv_sketch(urls(40, 100), "url", k=256)
+    ops = kmv_setops(sa, sb, k=256).collect()[0]
+    assert ops["union_est"] == 100.0
+    assert abs(ops["jaccard"] - 20 / 100) < 1e-12
+    assert abs(ops["intersection_est"] - 20.0) < 1e-9
+
+    # prefilter determinism: generous threshold -> identical rows
+    pre = {r["h"] for r in kmv_sketch(
+        big, "url", k=64, prefilter_frac=0.5).collect()}
+    assert pre == whole
+
+    # grouped sketches keep groups independent
+    g = urls(0, 300).withColumn(
+        "side", (F.length("url") % 2).cast("string"))
+    rows = kmv_estimate(
+        kmv_sketch(g, "url", k=512, group_cols=["side"]),
+        k=512, group_cols=["side"]).collect()
+    assert sum(r["n_sample"] for r in rows) == 300
+
+    import pytest
+    with pytest.raises(ValueError):
+        kmv_sketch(small, "url", k=1)
