@@ -1246,6 +1246,46 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill/MLE power-law fit gate: a deterministic heavy-tailed
+    in-degree graph (host k receives ~2k+1 links via floor(sqrt)), fit
+    over the tail deg >= 4 with the Clauset-Shalizi-Newman discrete
+    correction. Oracle recomputes degrees and the closed form."""
+    from crawl4ai_custom_spark.operators.linkgraph import degree_powerlaw
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            F.floor(F.sqrt((F.col("event_id") % 4096).cast("double")))
+            .cast("string")).alias("dst"),
+    )
+    out = degree_powerlaw(edges, x_min=4, direction="in")
+    return out.select(
+        "direction", "x_min", "n_nodes", "n_tail", "max_degree",
+        F.round(F.col("alpha") + 1e-9, 6).alias("alpha"),
+        F.round(F.col("alpha_se") + 1e-9, 6).alias("alpha_se"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted-sample gate: 20 docs per language
+    drawn without replacement proportional to n_chars, the 'random' draw
+    seeded from the shared 60-bit hash so the sample is reproducible.
+    Oracle recomputes the exponential race times and the per-group
+    top-20."""
+    from crawl4ai_custom_spark.operators.corpusmix import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", 20, key_col="doc_id",
+                          group_cols=["lang"])
+    return out.select(
+        "lang", "doc_id", "n_chars",
+        F.round(F.col("priority") + 1e-9, 6).alias("priority"),
+    )
+
+
 def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G² keyness gate: focus corpus = doc_id % 3 == 0, reference
     = the rest (doc_id < 400); integer min-count gate makes the row set
@@ -6304,6 +6344,44 @@ ORACLES["q_kmv_setops"] = """
     from ea, eb, eu, mk, ex
 """
 
+ORACLES["q_degree_powerlaw"] = """
+    with deg as (
+      select 'h' || floor(sqrt((event_id % 4096)::DOUBLE))::BIGINT::VARCHAR
+               as node,
+             count(*)::BIGINT as deg
+      from events group by 1
+    ),
+    t as (
+      select count(*)::BIGINT as n_nodes,
+             count(case when deg >= 4 then 1 end)::BIGINT as n_tail,
+             sum(case when deg >= 4
+                  then ln(deg::DOUBLE / 3.5) end) as s,
+             max(deg) as max_degree
+      from deg
+    )
+    select 'in' as direction, 4 as x_min, n_nodes, n_tail, max_degree,
+           round(1.0 + n_tail::DOUBLE / s + 1e-9, 6) as alpha,
+           round((n_tail::DOUBLE / s) / sqrt(n_tail::DOUBLE) + 1e-9, 6)
+             as alpha_se
+    from t
+"""
+
+ORACLES["q_weighted_sample"] = """
+    with w as (
+      select lang, doc_id, n_chars,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0) / n_chars::DOUBLE as priority
+      from documents where n_chars is not null and n_chars > 0
+    ),
+    r as (
+      select *, row_number() over
+               (partition by lang order by priority, doc_id) as rn
+      from w
+    )
+    select lang, doc_id, n_chars, round(priority + 1e-9, 6) as priority
+    from r where rn <= 20
+"""
+
 ORACLES["q_keyness"] = """
     with base as (select doc_id, text from documents where doc_id < 400),
     ftok as (
@@ -7362,6 +7440,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,
     "q_kmv_setops": q_kmv_setops,
+    "q_degree_powerlaw": q_degree_powerlaw,
+    "q_weighted_sample": q_weighted_sample,
     "q_keyness": q_keyness,
     "q_char_entropy": q_char_entropy,
     "q_cms_heavy": q_cms_heavy,

@@ -479,3 +479,39 @@ def domain_doc_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    key_col: str = "doc_id",
+                    group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    Spirakis 2006 via the exponential-race form): row i gets
+    t_i = -ln(u_i) / w_i with u_i = (stable_hash60(key)+1) / 2^60, and
+    the n smallest t per group are exactly a weight-proportional
+    without-replacement sample. The hash-seeded u makes the "random"
+    draw reproducible row-by-row — reruns, retries and the DuckDB oracle
+    all pick the same sample (the same trick as stratified_sample /
+    temperature_mixture, extended to exact-size weighted draws: use this
+    to pull a fixed-budget, quality-weighted corpus slice instead of a
+    Bernoulli rate that only hits the budget in expectation).
+
+    Shape: ungrouped -> sort+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition top-n, driver merge of n rows —
+    no full exchange); grouped -> one window per group over rows carrying
+    only (key, weight, priority). Rows with weight <= 0 or null never
+    qualify (they'd be +inf race times)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    u = ((stable_hash60(F.col(key_col).cast("string")) + 1).cast("double")
+         / F.lit(float(1 << 60)))
+    out = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("priority", -F.log(u) / w)
+    )
+    gcols = list(group_cols)
+    if not gcols:
+        return out.orderBy("priority", key_col).limit(n)
+    rn = F.row_number().over(
+        Window.partitionBy(*gcols).orderBy("priority", key_col))
+    return out.withColumn("_rn", rn).where(F.col("_rn") <= n).drop("_rn")

@@ -496,3 +496,53 @@ def opic(edges: DataFrame, iterations: int = 3,
         ((F.col("history") + F.col("cash")) / F.lit(float(iterations + 1)))
         .alias("importance"),
     )
+
+
+def degree_powerlaw(edges: DataFrame, x_min: int = 2,
+                    direction: str = "in") -> DataFrame:
+    """Power-law tail fit of the link-graph degree distribution — the
+    scale-free-ness check every crawl-graph paper starts with (Broder et
+    al. 2000 report alpha ≈ 2.1 for web in-degree). Hill/MLE estimator
+    with the discrete correction (Clauset, Shalizi & Newman 2009, eq.
+    3.7): over nodes with degree >= x_min,
+
+        alpha = 1 + n_tail / sum(ln(deg / (x_min - 0.5)))
+        se    = (alpha - 1) / sqrt(n_tail)
+
+    A sane alpha (2-3) with small se says the crawl is sampling the web's
+    natural topology; alpha drifting low says mega-hubs are eating the
+    frontier (tighten per-host caps), a bent tail says a link farm is
+    inflating mid-degrees. Shape: one groupBy for degrees, one global
+    fold over the (already aggregated) per-node rows — two exchanges
+    regardless of edge count. Returns one row: (direction, x_min,
+    n_nodes, n_tail, max_degree, alpha, alpha_se); alpha is null when the
+    tail is empty or degenerate (all tail degrees == x_min with the
+    correction still > 0, so degenerate only means n_tail == 0 here)."""
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    key = "dst" if direction == "in" else "src"
+    deg = edges.groupBy(F.col(key).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    tail_log = F.when(
+        F.col("deg") >= x_min,
+        F.log(F.col("deg").cast("double") / F.lit(x_min - 0.5)),
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count(tail_log).alias("n_tail"),
+        F.sum(tail_log).alias("_s"),
+        F.max("deg").alias("max_degree"),
+    )
+    alpha = F.when(
+        (F.col("n_tail") > 0) & (F.col("_s") > 0),
+        1.0 + F.col("n_tail").cast("double") / F.col("_s"),
+    )
+    return agg.select(
+        F.lit(direction).alias("direction"),
+        F.lit(x_min).alias("x_min"),
+        "n_nodes", "n_tail", "max_degree",
+        alpha.alias("alpha"),
+        F.when(alpha.isNotNull(),
+               (alpha - 1.0) / F.sqrt(F.col("n_tail").cast("double")))
+        .alias("alpha_se"),
+    )

@@ -3148,3 +3148,88 @@ def test_kmv_sketch_exact_merge_and_setops(spark):
     import pytest
     with pytest.raises(ValueError):
         kmv_sketch(small, "url", k=1)
+
+
+def test_degree_powerlaw_closed_form(spark):
+    """Hand-built degree multiset {1,1,4,4,8,16}: tail at x_min=4 is
+    {4,4,8,16}; alpha and se match the closed form; empty tail -> null;
+    out-direction counts src degrees; bad direction raises."""
+    import math
+
+    from crawl4ai_custom_spark.operators.linkgraph import degree_powerlaw
+
+    # node n_k receives deg_k edges
+    degs = {"a": 1, "b": 1, "c": 4, "d": 4, "e": 8, "f": 16}
+    rows = [(f"s{n}_{i}", n) for n, d in degs.items() for i in range(d)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    r = degree_powerlaw(edges, x_min=4, direction="in").collect()[0]
+    s = sum(math.log(d / 3.5) for d in (4, 4, 8, 16))
+    assert (r["n_nodes"], r["n_tail"], r["max_degree"]) == (6, 4, 16)
+    assert abs(r["alpha"] - (1 + 4 / s)) < 1e-12
+    assert abs(r["alpha_se"] - (4 / s) / 2.0) < 1e-12
+
+    # all degrees below x_min: alpha null, counts still honest
+    low = degree_powerlaw(edges, x_min=100).collect()[0]
+    assert low["n_tail"] == 0 and low["alpha"] is None
+    assert low["alpha_se"] is None
+
+    # out-direction: every src here has out-degree 1
+    out = degree_powerlaw(edges, x_min=1, direction="out").collect()[0]
+    assert out["n_nodes"] == 34 and out["max_degree"] == 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        degree_powerlaw(edges, direction="sideways")
+
+
+def test_weighted_sample_exact_race_and_grouping(spark):
+    """E-S sample: priorities match the hand-computed -ln(u)/w race;
+    the global top-n is the n smallest priorities; grouped draws are
+    per-group; zero/null weights never qualify; heavier weights win
+    overwhelmingly more often across disjoint key universes."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.corpusmix import weighted_sample
+
+    def prio(key, w):
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / float(1 << 60)) / w
+
+    rows = [(i, float(1 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, "w", 5, key_col="doc_id").collect()
+    expect = sorted(rows, key=lambda r: (prio(r[0], r[1]), r[0]))[:5]
+    assert [(r["doc_id"], r["w"]) for r in got] == expect
+    for r in got:
+        assert abs(r["priority"] - prio(r["doc_id"], r["w"])) < 1e-12
+
+    # grouped: n per group, groups independent
+    g = spark.createDataFrame(
+        [(i, "g" + str(i % 3), 1.0 + (i % 5)) for i in range(60)],
+        ["doc_id", "grp", "w"])
+    per = weighted_sample(g, "w", 4, key_col="doc_id",
+                          group_cols=["grp"]).groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in per} == {
+        "g0": 4, "g1": 4, "g2": 4}
+
+    # zero / null weights excluded even when n exceeds survivors
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0)], ["doc_id", "w"])
+    kept = weighted_sample(z, "w", 10).collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+    # weight-proportionality: ids 0..999 at weight 1 vs 1000..1999 at
+    # weight 20 -> the heavy half dominates a 100-draw sample
+    mix = spark.createDataFrame(
+        [(i, 1.0 if i < 1000 else 20.0) for i in range(2000)],
+        ["doc_id", "w"])
+    heavy = sum(1 for r in weighted_sample(mix, "w", 100).collect()
+                if r["w"] == 20.0)
+    assert heavy > 80
+
+    import pytest
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 0)
