@@ -1121,6 +1121,58 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round(F.col("rank") + 1e-12, 8).alias("rank"))
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-mass gate (Gyöngyi et al. 2006): same deterministic graph and
+    good core (doc_id % 40 == 0) as q_pagerank/q_trustrank; mass =
+    (pr - core)/pr with core = trustrank scaled by n_seed/n (linearity of
+    personalized PageRank in the teleport vector). Oracle unrolls BOTH
+    3-iteration chains and the identical algebra."""
+    from crawl4ai_custom_spark.operators.linkgraph import spam_mass
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 200).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 200).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .where(F.col("src") != F.col("dst")).distinct())
+    seeds = docs.where(d % 40 == 0).select(d.alias("node"))
+    out = spam_mass(edges, seeds, iterations=2, damping=0.85)
+    return out.select(
+        "node",
+        F.round(F.col("pagerank") + 1e-12, 8).alias("pagerank"),
+        F.round(F.col("core_rank") + 1e-12, 8).alias("core_rank"),
+        F.round(F.col("spam_mass") + 1e-9, 6).alias("spam_mass"),
+    )
+
+
+def q_ucb_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 host-allocation gate: per-host fetch history from events
+    (count + value sum per synthetic host) plus three never-fetched
+    hosts; top-15 by the UCB1 rule with unexplored hosts first. Oracle
+    recomputes the scores and the identical deterministic ordering."""
+    from crawl4ai_custom_spark.operators.recrawl import ucb_host_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy(
+            F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+            .alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_fetches"),
+             F.round(F.sum("value"), 6).alias("reward_sum"))
+    )
+    fresh = spark.createDataFrame(
+        [("new-a",), ("new-b",), ("new-c",)], ["host"]
+    ).select("host", F.lit(None).cast("long").alias("n_fetches"),
+             F.lit(None).cast("double").alias("reward_sum"))
+    out = ucb_host_allocation(hist.unionByName(fresh), k=15, c=1.0)
+    return out.select(
+        "host", "n_fetches",
+        F.round(F.col("mean_reward") + 1e-9, 6).alias("mean_reward"),
+        F.round(F.col("ucb_score") + 1e-9, 6).alias("ucb_score"),
+        "explored",
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS gate: hub/authority scores over the same deterministic
     2-out-degree graph as q_pagerank, 2 L1-normalized mutual-reinforcement
@@ -6118,6 +6170,97 @@ ORACLES["q_pagerank"] = """
     select node, round(rank + 1e-12, 8) as rank from r3
 """
 
+ORACLES["q_spam_mass"] = """
+    with docs as (select doc_id from documents where doc_id < 200),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 200 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 200 from docs
+      ) where src <> dst
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    nn as (select count(*)::DOUBLE as n from nodes),
+    deg as (select src, count(*) as d from edges group by src),
+    -- plain PageRank, 3 unrolled iterations
+    r0 as (select node, 1.0 / nn.n as rank from nodes cross join nn),
+    c1 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r0 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r1 as (select nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.s, 0) as rank
+           from nodes cross join nn left join c1 on c1.node = nodes.node),
+    c2 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join r1 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    r2 as (select nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.s, 0) as rank
+           from nodes cross join nn left join c2 on c2.node = nodes.node),
+    -- TrustRank (teleport uniform over the good core), 3 iterations
+    seedset as (
+      select node from nodes
+      where node in (select doc_id from docs where doc_id % 40 = 0)
+    ),
+    ns as (select count(*)::DOUBLE as n from seedset),
+    tp as (select nodes.node,
+                  case when s.node is not null then 1.0 / ns.n else 0 end as t
+           from nodes cross join ns
+           left join seedset s on s.node = nodes.node),
+    t0 as (select node, t as rank from tp),
+    d1 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join t0 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    t1 as (select tp.node, 0.15 * tp.t + 0.85 * coalesce(d1.s, 0) as rank
+           from tp left join d1 on d1.node = tp.node),
+    d2 as (select e.dst as node, sum(r.rank / g.d) as s
+           from edges e join t1 r on r.node = e.src
+           join deg g on g.src = e.src group by e.dst),
+    t2 as (select tp.node, 0.15 * tp.t + 0.85 * coalesce(d2.s, 0) as rank
+           from tp left join d2 on d2.node = tp.node)
+    select r2.node,
+           round(r2.rank + 1e-12, 8) as pagerank,
+           round(t2.rank * (ns.n / nn.n) + 1e-12, 8) as core_rank,
+           round(least(greatest(
+             (r2.rank - t2.rank * (ns.n / nn.n)) / r2.rank, 0.0), 1.0)
+             + 1e-9, 6) as spam_mass
+    from r2 join t2 on t2.node = r2.node
+    cross join ns cross join nn
+"""
+
+ORACLES["q_ucb_hosts"] = """
+    with hist as (
+      select 'h' || (user_id % 37)::VARCHAR as host,
+             count(*)::BIGINT as n_fetches,
+             round(sum(value), 6) as reward_sum
+      from events group by 1
+      union all
+      select h, null::BIGINT, null::DOUBLE
+      from (values ('new-a'), ('new-b'), ('new-c')) v(h)
+    ),
+    tot as (select greatest(coalesce(sum(n_fetches), 0), 1)::DOUBLE as N
+            from hist),
+    scored as (
+      select host,
+             coalesce(n_fetches, 0)::BIGINT as n_fetches,
+             case when coalesce(n_fetches, 0) > 0
+                  then reward_sum / n_fetches::DOUBLE end as mean_reward,
+             case when coalesce(n_fetches, 0) > 0
+                  then reward_sum / n_fetches::DOUBLE
+                       + sqrt(2.0 * ln(tot.N) / n_fetches::DOUBLE)
+             end as ucb_score,
+             coalesce(n_fetches, 0) > 0 as explored
+      from hist cross join tot
+    )
+    select host, n_fetches,
+           round(mean_reward + 1e-9, 6) as mean_reward,
+           round(ucb_score + 1e-9, 6) as ucb_score,
+           explored
+    from scored
+    order by explored asc, ucb_score desc nulls first, host asc
+    limit 15
+"""
+
 ORACLES["q_hits"] = """
     with docs as (select doc_id from documents where doc_id < 400),
     edges as (
@@ -7436,6 +7579,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warc_roundtrip": q_warc_roundtrip,
     "q_pagerank": q_pagerank,
     "q_trustrank": q_trustrank,
+    "q_spam_mass": q_spam_mass,
+    "q_ucb_hosts": q_ucb_hosts,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

@@ -546,3 +546,89 @@ def degree_powerlaw(edges: DataFrame, x_min: int = 2,
                (alpha - 1.0) / F.sqrt(F.col("n_tail").cast("double")))
         .alias("alpha_se"),
     )
+
+
+def spam_mass(edges: DataFrame, good_seeds: DataFrame,
+              iterations: int = 3, damping: float = 0.85,
+              checkpoint_dir: str | None = None) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen 2006, "Link
+    spam detection based on mass estimation", public paper): the fraction
+    of a node's PageRank that does NOT flow from a trusted good core,
+
+        mass = (pr - core) / pr
+
+    where ``pr`` is plain PageRank and ``core`` is the good-core rank —
+    personalized PageRank whose teleport vector keeps the GLOBAL scale
+    1/n on the good nodes and 0 elsewhere. mass near 1 means essentially
+    all of the node's rank arrives from outside the vetted web (the link-
+    farm signature); near 0 means trust accounts for it. The demotion
+    signal that composes with :func:`trustrank` (ranking) the way the
+    paper pairs them.
+
+    Implementation notes: personalized PageRank is LINEAR in the
+    teleport vector (the iteration r <- (1-d)t + dMr is affine and
+    r0 = t), so core = trustrank * (n_seed / n) exactly; and both chains
+    walk the SAME edges with the same degrees, so the power iteration
+    carries the two rank columns through ONE join + ONE groupBy per
+    round instead of two parallel chains — half the shuffles of calling
+    :func:`pagerank` and :func:`trustrank` separately, same numbers.
+    pr >= (1-d)/n > 0 for every node, so the ratio is always defined.
+    Returns (node, pagerank, core_rank, spam_mass); spam_mass is clamped
+    to [0, 1] (tiny negatives can appear when the core over-covers a
+    node at small iteration counts)."""
+    import os
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("pagerank"),
+            F.lit(0.0).alias("core_rank"), F.lit(0.0).alias("spam_mass"))
+    seed = good_seeds.select(
+        F.col(good_seeds.columns[0]).alias("node")).distinct()
+    seed_in_graph = nodes.join(seed, "node", "left_semi")
+    n_seed = seed_in_graph.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    teleport = nodes.join(
+        seed_in_graph.withColumn(
+            "_t", F.lit(1.0 / n_seed if n_seed else 0.0)), "node", "left"
+    ).select("node", F.coalesce("_t", F.lit(0.0)).alias("t"))
+    state = teleport.select(
+        "node", F.lit(1.0 / n).alias("pr"), F.col("t").alias("tr"))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        contribs = (
+            edges.join(state, edges.src == state.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("out_deg")).alias("cp"),
+                    (F.col("tr") / F.col("out_deg")).alias("ct"))
+        )
+        sums = contribs.groupBy("node").agg(
+            F.sum("cp").alias("sp"), F.sum("ct").alias("st"))
+        state = teleport.join(sums, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("sp", F.lit(0.0)))
+            .alias("pr"),
+            (F.lit(1.0 - damping) * F.col("t")
+             + F.lit(damping) * F.coalesce("st", F.lit(0.0))).alias("tr"),
+        )
+        if checkpoint_dir is not None:
+            out = os.path.join(checkpoint_dir, f"mass_{it % 2}")
+            state.write.mode("overwrite").parquet(out)
+            state = spark.read.parquet(out)
+    scale = n_seed / n
+    core = F.col("tr") * F.lit(scale)
+    return state.select(
+        F.col("node"),
+        F.col("pr").alias("pagerank"),
+        core.alias("core_rank"),
+        F.least(F.greatest(
+            (F.col("pr") - core) / F.col("pr"),
+            F.lit(0.0)), F.lit(1.0)).alias("spam_mass"),
+    )

@@ -347,3 +347,54 @@ def refresh_allocation(
         )
         .drop("_t")
     )
+
+
+def ucb_host_allocation(history: DataFrame, k: int,
+                        host_col: str = "host",
+                        pulls_col: str = "n_fetches",
+                        reward_col: str = "reward_sum",
+                        c: float = 1.0) -> DataFrame:
+    """UCB1 bandit selection of the next wave's hosts (Auer, Cesa-Bianchi
+    & Fischer 2002, public paper) — the explore/exploit answer to "which
+    hosts deserve frontier budget": hosts that historically yield (new
+    links, changed pages — whatever the caller books as reward per fetch)
+    get exploited, rarely-fetched hosts keep an exploration bonus that
+    grows with total experience,
+
+        ucb = reward_sum / n  +  c * sqrt(2 * ln(N) / n)
+
+    with N = total fetches across all hosts. Never-fetched hosts (n = 0
+    or null) rank FIRST (infinite bonus), ordered by host for
+    determinism — the optimistic-initialization rule that makes UCB1
+    sample every arm once.
+
+    Shape: one one-row total agg broadcast back, a scan projection for
+    the scores, then a global top-k that Spark executes as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k rows —
+    no full sort at 10^8 hosts). Returns the k chosen rows:
+    (host, n_fetches, mean_reward, ucb_score, explored)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = F.coalesce(F.col(pulls_col).cast("double"), F.lit(0.0))
+    tot = history.agg(
+        F.sum(n).alias("_N")).select(
+        F.greatest(F.col("_N"), F.lit(1.0)).alias("_N"))
+    mean = F.col(reward_col).cast("double") / n
+    bonus = F.lit(float(c)) * F.sqrt(2.0 * F.log(F.col("_N")) / n)
+    scored = (
+        history.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(host_col).alias("host"),
+            n.cast("bigint").alias("n_fetches"),
+            F.when(n > 0, mean).alias("mean_reward"),
+            F.when(n > 0, mean + bonus).alias("ucb_score"),
+            (n > 0).alias("explored"),
+        )
+    )
+    return (
+        scored
+        .orderBy(F.col("explored").asc(),          # unexplored first
+                 F.col("ucb_score").desc_nulls_first(),
+                 F.col("host").asc())
+        .limit(k)
+    )

@@ -3233,3 +3233,77 @@ def test_weighted_sample_exact_race_and_grouping(spark):
     import pytest
     with pytest.raises(ValueError):
         weighted_sample(df, "w", 0)
+
+
+def test_spam_mass_farm_vs_core(spark):
+    """A good core (g0->g1->g2 cycle, seeded) plus a link farm
+    (f1<->f2, unreachable from the core): farm nodes carry spam mass
+    ~1 after clamping, core nodes low; core_rank equals trustrank
+    scaled by n_seed/n exactly (linearity)."""
+    from crawl4ai_custom_spark.operators.linkgraph import (
+        spam_mass,
+        trustrank,
+    )
+
+    edges = spark.createDataFrame(
+        [("g0", "g1"), ("g1", "g2"), ("g2", "g0"),
+         ("f1", "f2"), ("f2", "f1")], ["src", "dst"])
+    seeds = spark.createDataFrame([("g0",)], ["node"])
+    out = {r["node"]: r for r in
+           spam_mass(edges, seeds, iterations=3).collect()}
+    assert set(out) == {"g0", "g1", "g2", "f1", "f2"}
+    for f in ("f1", "f2"):   # zero trust reaches the farm
+        assert out[f]["core_rank"] == 0.0
+        assert out[f]["spam_mass"] == 1.0
+    for g in ("g0", "g1", "g2"):
+        assert out[g]["core_rank"] > 0.0
+        assert out[g]["spam_mass"] < 1.0
+    # linearity check: core = trustrank * n_seed/n (1/5 here)
+    tr = {r["node"]: r["rank"]
+          for r in trustrank(edges, seeds, iterations=3).collect()}
+    for n, r in out.items():
+        assert abs(r["core_rank"] - tr[n] / 5.0) < 1e-12
+    # mass in [0,1] always
+    assert all(0.0 <= r["spam_mass"] <= 1.0 for r in out.values())
+
+    empty = spam_mass(edges.where(F.lit(False)), seeds)
+    assert empty.count() == 0
+
+
+def test_ucb_host_allocation_explore_exploit(spark):
+    """UCB1: never-fetched hosts rank first (by name); among explored
+    arms the score is mean + sqrt(2 ln N / n) exactly; a rarely-pulled
+    arm outranks a heavily-pulled one of equal mean; k caps the output."""
+    import math
+
+    from crawl4ai_custom_spark.operators.recrawl import ucb_host_allocation
+
+    hist = spark.createDataFrame(
+        [("often", 90, 45.0),     # mean .5, tiny bonus
+         ("rare", 10, 5.0),       # mean .5, big bonus
+         ("bad", 100, 1.0),       # mean .01
+         ("fresh", None, None)],
+        ["host", "n_fetches", "reward_sum"])
+    got = ucb_host_allocation(hist, k=4, c=1.0).collect()
+    assert [r["host"] for r in got][:1] == ["fresh"]
+    assert got[0]["explored"] is False and got[0]["ucb_score"] is None
+    order = [r["host"] for r in got]
+    assert order.index("rare") < order.index("often")
+    n_total = 200.0
+    rare = next(r for r in got if r["host"] == "rare")
+    assert abs(rare["ucb_score"]
+               - (0.5 + math.sqrt(2 * math.log(n_total) / 10))) < 1e-12
+
+    top2 = ucb_host_allocation(hist, k=2, c=1.0).collect()
+    assert [r["host"] for r in top2] == ["fresh", "rare"]
+
+    # all-unexplored: deterministic name order, N floors at 1
+    cold = spark.createDataFrame(
+        [("b", None, None), ("a", None, None)],
+        "host string, n_fetches bigint, reward_sum double")
+    assert [r["host"] for r in
+            ucb_host_allocation(cold, k=2).collect()] == ["a", "b"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        ucb_host_allocation(hist, k=0)
