@@ -1173,6 +1173,45 @@ def q_ucb_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-shape gate: the q_pagerank graph plus explicit reverse edges
+    for doc_id % 5 == 0 (nonzero reciprocity); one row of reciprocity +
+    Newman out-in degree assortativity. Oracle recomputes degrees and the
+    Pearson power sums."""
+    from crawl4ai_custom_spark.operators.linkgraph import graph_shape
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 400).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 400).alias("dst"))
+    e3 = (docs.where(d % 5 == 0)
+          .select(((d * 7 + 1) % 400).alias("src"), d.alias("dst")))
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    out = graph_shape(edges)
+    return out.select(
+        "n_nodes", "n_edges",
+        F.round(F.col("reciprocity") + 1e-9, 6).alias("reciprocity"),
+        F.round(F.col("assortativity") + 1e-9, 6).alias("assortativity"),
+    )
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing saturation gate: per event_type, observations keyed by
+    event_id % 1500 — the singleton fraction estimates the unseen mass
+    (integer counts, exact division). Oracle recomputes the two-level
+    aggregation."""
+    from crawl4ai_custom_spark.operators.recrawl import good_turing_saturation
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 1500).alias("key"))
+    out = good_turing_saturation(ev, "key", group_cols=["event_type"])
+    return out.select(
+        "event_type", "n_obs", "n_distinct", "f1",
+        F.round(F.col("unseen_mass") + 1e-9, 6).alias("unseen_mass"),
+        F.round(F.col("coverage") + 1e-9, 6).alias("coverage"),
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS gate: hub/authority scores over the same deterministic
     2-out-degree graph as q_pagerank, 2 L1-normalized mutual-reinforcement
@@ -6228,6 +6267,63 @@ ORACLES["q_spam_mass"] = """
     cross join ns cross join nn
 """
 
+ORACLES["q_graph_shape"] = """
+    with docs as (select doc_id from documents where doc_id < 400),
+    edges as (
+      select distinct src, dst from (
+        select doc_id as src, (doc_id*7 + 1) % 400 as dst from docs
+        union all
+        select doc_id, (doc_id*13 + 2) % 400 from docs
+        union all
+        select (doc_id*7 + 1) % 400, doc_id from docs where doc_id % 5 = 0
+      ) where src <> dst
+    ),
+    outdeg as (select src, count(*)::DOUBLE as x from edges group by src),
+    indeg as (select dst, count(*)::DOUBLE as y from edges group by dst),
+    pairs as (
+      select case when r.src is not null then 1 else 0 end as rev, o.x, i.y
+      from edges e
+      left join edges r on r.src = e.dst and r.dst = e.src
+      join outdeg o on o.src = e.src
+      join indeg i on i.dst = e.dst
+    ),
+    agg as (
+      select count(*)::BIGINT as n_edges, sum(rev)::DOUBLE as nrev,
+             sum(x) as sx, sum(y) as sy, sum(x*x) as sxx,
+             sum(y*y) as syy, sum(x*y) as sxy
+      from pairs
+    ),
+    nodes as (
+      select count(*)::BIGINT as n_nodes from (
+        select distinct node from (
+          select src as node from edges union all select dst from edges))
+    )
+    select n_nodes, n_edges,
+           round(nrev / n_edges + 1e-9, 6) as reciprocity,
+           round(case when n_edges*sxx - sx*sx > 0
+                       and n_edges*syy - sy*sy > 0
+                 then (n_edges*sxy - sx*sy)
+                      / sqrt((n_edges*sxx - sx*sx) * (n_edges*syy - sy*sy))
+                 end + 1e-9, 6) as assortativity
+    from agg, nodes
+"""
+
+ORACLES["q_good_turing"] = """
+    with per_key as (
+      select event_type, event_id % 1500 as key, count(*)::BIGINT as c
+      from events group by 1, 2
+    )
+    select event_type,
+           sum(c)::BIGINT as n_obs,
+           count(*)::BIGINT as n_distinct,
+           sum(case when c = 1 then 1 else 0 end)::BIGINT as f1,
+           round(sum(case when c = 1 then 1 else 0 end)::DOUBLE / sum(c)
+                 + 1e-9, 6) as unseen_mass,
+           round(1.0 - sum(case when c = 1 then 1 else 0 end)::DOUBLE
+                 / sum(c) + 1e-9, 6) as coverage
+    from per_key group by event_type
+"""
+
 ORACLES["q_ucb_hosts"] = """
     with hist as (
       select 'h' || (user_id % 37)::VARCHAR as host,
@@ -7581,6 +7677,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trustrank": q_trustrank,
     "q_spam_mass": q_spam_mass,
     "q_ucb_hosts": q_ucb_hosts,
+    "q_graph_shape": q_graph_shape,
+    "q_good_turing": q_good_turing,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

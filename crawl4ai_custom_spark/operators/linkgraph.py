@@ -632,3 +632,57 @@ def spam_mass(edges: DataFrame, good_seeds: DataFrame,
             (F.col("pr") - core) / F.col("pr"),
             F.lit(0.0)), F.lit(1.0)).alias("spam_mass"),
     )
+
+
+def graph_shape(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of the link graph: reciprocity (what
+    fraction of edges have their reverse — mutual-link density, the
+    macro version of the reciprocal-spam pair signal) and directed
+    degree assortativity (Newman 2002/2003: the Pearson correlation,
+    taken over EDGES, between the source's out-degree and the target's
+    in-degree — positive means hubs link to hubs, strongly negative is
+    the star/link-farm signature; the web's natural value is mildly
+    negative).
+
+    Shape: degree tables are two partial-agg groupBys; the per-edge
+    degree pairs are two broadcast-or-shuffle equi-joins back to edges;
+    everything folds in ONE global agg (sums/sum-of-squares — the same
+    power-sum trick as the moments sketch), so no window and no
+    per-node state beyond the degree tables. assortativity is null when
+    either degree sequence is constant (zero variance)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")) \
+             .distinct()
+    back = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    F.lit(1).alias("_rev"))
+    rec = e.join(back, ["src", "dst"], "left")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    pairs = (
+        rec.join(outdeg, "src").join(indeg, "dst")
+        .select(F.col("_rev").isNotNull().cast("int").alias("rev"),
+                F.col("x").cast("double").alias("x"),
+                F.col("y").cast("double").alias("y"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("rev").alias("_nrev"),
+        F.sum("x").alias("_sx"), F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    n = F.col("n_edges").cast("double")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes", "n_edges",
+        (F.col("_nrev").cast("double") / n).alias("reciprocity"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        .alias("assortativity"),
+    )

@@ -398,3 +398,42 @@ def ucb_host_allocation(history: DataFrame, k: int,
                  F.col("host").asc())
         .limit(k)
     )
+
+
+def good_turing_saturation(
+        observations: DataFrame, key_col: str,
+        group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Good-Turing frontier-saturation estimate: per group (host,
+    template family, wave...), the probability that the NEXT observation
+    is a never-seen key is estimated by the singleton fraction
+
+        unseen_mass = f1 / N        (Good 1953; Gale & Sampson 1995)
+
+    with f1 = keys seen exactly once and N = total observations.
+    coverage = 1 - unseen_mass is the Turing estimate of how much of the
+    host's key distribution the crawl has already captured — the
+    principled "stop crawling this host" signal the adaptive crawler's
+    saturation confidence approximates with consistency heuristics, and
+    the per-host complement to the corpus-wide Heaps'-law fit
+    (textstats.heaps_fit answers "how fast is GLOBAL vocabulary still
+    growing", this answers "is THIS host's key space exhausted").
+
+    Shape: two partial-agg groupBys — (group, key) counts, then the
+    group fold — both map-side combinable, no windows, no state beyond
+    the aggregates. Returns (group..., n_obs, n_distinct, f1,
+    unseen_mass, coverage)."""
+    gcols = list(group_cols)
+    per_key = observations.groupBy(
+        *gcols, F.col(key_col).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = per_key.groupBy(*gcols).agg(
+        F.sum("_c").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("_c") == 1).cast("bigint")).alias("f1"),
+    )
+    um = F.col("f1").cast("double") / F.col("n_obs")
+    return agg.select(
+        *gcols, "n_obs", "n_distinct", "f1",
+        um.alias("unseen_mass"),
+        (1.0 - um).alias("coverage"),
+    )

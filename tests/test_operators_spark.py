@@ -3307,3 +3307,73 @@ def test_ucb_host_allocation_explore_exploit(spark):
     import pytest
     with pytest.raises(ValueError):
         ucb_host_allocation(hist, k=0)
+
+
+def test_graph_shape_closed_form(spark):
+    """Hand-built graphs: a 2-cycle (reciprocity 1), a directed 3-cycle
+    (reciprocity 0, constant degrees -> null assortativity), and a mixed
+    graph whose assortativity matches a hand Pearson computation."""
+    import math
+
+    from crawl4ai_custom_spark.operators.linkgraph import graph_shape
+
+    two = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    r = graph_shape(two).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["reciprocity"]) == (2, 2, 1.0)
+    assert r["assortativity"] is None     # all degrees 1 -> zero variance
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    r = graph_shape(cyc).collect()[0]
+    assert r["reciprocity"] == 0.0 and r["assortativity"] is None
+
+    # star + tail: edges (h,a) (h,b) (a,h). out-deg h=2,a=1; in-deg
+    # a=1,b=1,h=1. per-edge (x,y): (2,1) (2,1) (1,1)
+    mixed = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("a", "h")], ["src", "dst"])
+    r = graph_shape(mixed).collect()[0]
+    # (h,a) and (a,h) each see their reverse; (h,b) doesn't -> 2/3
+    assert abs(r["reciprocity"] - 2 / 3) < 1e-12
+    assert r["assortativity"] is None              # y constant
+    # add (b,h),(h,h-dup?) no: extend so both vary:
+    # edges (h,a),(h,b),(a,h),(b,b2): out h=2,a=1,b=1; in a=1,b=1,h=1,b2=1
+    ext = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("a", "h"), ("b", "a")], ["src", "dst"])
+    r = graph_shape(ext).collect()[0]
+    xs, ys = [2.0, 2.0, 1.0, 1.0], [2.0, 1.0, 1.0, 2.0]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r["assortativity"] - expect) < 1e-12
+
+    # self-loops and duplicate edges are ignored
+    noisy = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")], ["src", "dst"])
+    r = graph_shape(noisy).collect()[0]
+    assert (r["n_edges"], r["reciprocity"]) == (2, 1.0)
+
+
+def test_good_turing_saturation_exact(spark):
+    """Counts {a:3, b:1, c:1} -> N=5, V=3, f1=2, unseen 0.4; grouped
+    fixture keeps groups independent; saturated group -> unseen 0."""
+    from crawl4ai_custom_spark.operators.recrawl import good_turing_saturation
+
+    obs = spark.createDataFrame(
+        [("g1", k) for k in ["a", "a", "a", "b", "c"]]
+        + [("g2", k) for k in ["x", "x", "y", "y"]],
+        ["grp", "key"])
+    rows = {r["grp"]: r for r in good_turing_saturation(
+        obs, "key", group_cols=["grp"]).collect()}
+    g1 = rows["g1"]
+    assert (g1["n_obs"], g1["n_distinct"], g1["f1"]) == (5, 3, 2)
+    assert abs(g1["unseen_mass"] - 0.4) < 1e-12
+    assert abs(g1["coverage"] - 0.6) < 1e-12
+    g2 = rows["g2"]   # every key repeated: nothing unseen
+    assert g2["f1"] == 0 and g2["unseen_mass"] == 0.0
+
+    # ungrouped: one row over everything
+    tot = good_turing_saturation(obs, "key").collect()
+    assert len(tot) == 1 and tot[0]["n_obs"] == 9
