@@ -187,6 +187,7 @@ class CrawlRun:
     pages_crawled: int
     waves: int
     checkpoint_dir: str
+    sketch_p: int = 12   # the p the per-wave HLL sketches were built with
 
     def results(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.results_dir, "*", "results.parquet"))
@@ -217,15 +218,22 @@ class CrawlRun:
 
         return queue_wait_stats(self.admitted_log(spark))
 
-    def host_cardinality(self, spark: SparkSession, p: int = 12,
+    def host_cardinality(self, spark: SparkSession, p: int | None = None,
                          seeds_path: str | None = None) -> DataFrame:
         """Distinct-host estimate for the whole crawl from the per-wave
         HyperLogLog sketches (CrawlConfig.sketch_cardinality): merge the
         O(waves * 2^p)-row register deltas by max, estimate once. The
-        seen set is never rescanned. ``seeds_path`` defaults to the seed
-        table the engine materialized (seed hosts that produced no
-        discovery delta still count). Raises if the crawl ran without
-        sketching — there is nothing honest to estimate from."""
+        seen set is never rescanned. ``p`` defaults to the p the crawl's
+        sketches were actually built with (CrawlConfig.sketch_p, carried
+        on the run) — registers built at different p live in different
+        address spaces and must never be max-merged, so only override it
+        if you know the on-disk sketches used something else.
+        ``seeds_path`` defaults to the seed table the engine materialized
+        (seed hosts that produced no discovery delta still count). Raises
+        if the crawl ran without sketching — there is nothing honest to
+        estimate from."""
+        if p is None:
+            p = self.sketch_p
         import glob as _glob
 
         from .sketches import hll_estimate, hll_merge, hll_registers
@@ -246,6 +254,32 @@ class CrawlRun:
                 spark.read.parquet(seeds_path).select("registrable_domain"),
                 "registrable_domain", p=p))
         return hll_estimate(hll_merge(*tables), p=p)
+
+    def payload_profile(self, spark: SparkSession,
+                        quantile: float = 0.95) -> DataFrame:
+        """One-row extracted-payload size profile (KB) for the whole
+        crawl from the per-wave moments sketches
+        (CrawlConfig.sketch_cardinality): fold the power-sum rows by
+        plain addition, then mean/std/skew/kurtosis and a Cornish-Fisher
+        ``quantile`` estimate — results history is never rescanned (the
+        per-wave sketch is 1 row). Raises if the crawl ran without
+        sketching."""
+        import glob as _glob
+        import statistics as _stats
+
+        from .sketches import cf_quantile, moment_merge, moment_stats
+
+        paths = sorted(_glob.glob(os.path.join(
+            self.results_dir, "wave=*", "moments_payload.parquet")))
+        if not paths:
+            raise ValueError(
+                "no moments_payload.parquet sketches under "
+                f"{self.results_dir}; run with "
+                "CrawlConfig.sketch_cardinality=True")
+        merged = moment_merge(*[spark.read.parquet(pth) for pth in paths])
+        z = _stats.NormalDist().inv_cdf(quantile)
+        return cf_quantile(moment_stats(merged), quantile, z,
+                           out_col="kb_q_est")
 
 
 class FrontierEngine:
@@ -726,6 +760,21 @@ class FrontierEngine:
                 # delta we just wrote — avoids a whole Spark job per wave
                 n_ok = _parquet_count_eq(results_path, "status_code", 200,
                                          fallback=results)
+                if cfg.sketch_cardinality and n_ok > 0:
+                    # per-wave payload moments sketch (power sums of the
+                    # extracted-markdown size in KB) next to the HLL host
+                    # registers: 1 row per wave, folds across waves/epochs
+                    # by plain addition (CrawlRun.payload_profile) — crawl
+                    # telemetry that never rescans results history
+                    from .sketches import moment_sums
+
+                    moment_sums(
+                        results.where(F.col("status_code") == 200).select(
+                            (F.length(F.coalesce("raw_markdown", F.lit("")))
+                             / 1000.0).alias("kb")),
+                        "kb",
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(wave_dir, "moments_payload.parquet"))
                 _mark("t_fetch_extract")
 
                 # ---- link discovery (hrefs already canonical from the kernel).
@@ -1014,6 +1063,7 @@ class FrontierEngine:
             pages_crawled=crawled,
             waves=wave - start_wave,
             checkpoint_dir=self.checkpoint_dir,
+            sketch_p=self.cfg.sketch_p,
         )
 
     # ---- re-crawl scheduling (operate between runs, on the checkpoint) ---

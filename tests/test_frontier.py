@@ -550,3 +550,70 @@ def test_crawlrun_host_cardinality_sketch(spark, site_dir, tmp_path):
     run2 = eng2.run(seeds[:1])
     with pytest.raises(ValueError):
         run2.host_cardinality(spark)
+
+
+def test_crawlrun_payload_moments_profile(spark, site_dir, tmp_path):
+    """sketch_cardinality=True also writes per-wave payload moments;
+    the merged profile matches exact whole-crawl stats (n/min/max
+    integer-exact, mean/std to float tolerance) and the CF p95 estimate
+    lands inside the observed range. host_cardinality defaults to the
+    run's own sketch_p."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+    )
+    from crawl4ai_custom_spark.operators.politeness import PolitenessConfig
+
+    eng = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site_dir, "pages.parquet")),
+        spark.read.parquet(os.path.join(site_dir, "robots.parquet")),
+        CrawlConfig(max_depth=2, max_pages=60,
+                    politeness=PolitenessConfig(wave_seconds=1e9),
+                    sketch_cardinality=True, sketch_p=10),
+        checkpoint_dir=str(tmp_path / "c"), out_dir=str(tmp_path / "o"),
+    )
+    seeds = [r["url"] for r in spark.read.parquet(
+        os.path.join(site_dir, "seeds.parquet")).collect()]
+    run = eng.run(seeds)
+    assert run.sketch_p == 10
+    sk = glob.glob(str(tmp_path / "o" / "wave=*" / "moments_payload.parquet"))
+    assert sk, "per-wave payload moments missing"
+
+    prof = run.payload_profile(spark, quantile=0.95).collect()[0]
+    exact = (
+        run.results(spark).where(F.col("status_code") == 200)
+        .select((F.length(F.coalesce("raw_markdown", F.lit("")))
+                 / 1000.0).alias("kb"))
+        .agg(F.count("kb").alias("n"), F.avg("kb").alias("mean"),
+             F.min("kb").alias("mn"), F.max("kb").alias("mx"))
+        .collect()[0]
+    )
+    assert prof["n"] == exact["n"] and exact["n"] > 0
+    assert prof["mn"] == exact["mn"] and prof["mx"] == exact["mx"]
+    assert abs(prof["mean"] - exact["mean"]) < 1e-9
+    assert exact["mn"] <= prof["kb_q_est"] <= exact["mx"]
+
+    # host_cardinality picks up the run's sketch_p automatically (mixing
+    # register widths would silently corrupt the estimate)
+    est = run.host_cardinality(spark).collect()[0]["estimate"]
+    assert est > 0
+
+    # a run without sketching refuses to fabricate a profile
+    eng2 = FrontierEngine(
+        spark,
+        spark.read.parquet(os.path.join(site_dir, "pages.parquet")),
+        spark.read.parquet(os.path.join(site_dir, "robots.parquet")),
+        CrawlConfig(max_depth=1, max_pages=5,
+                    politeness=PolitenessConfig(wave_seconds=1e9)),
+        checkpoint_dir=str(tmp_path / "c2"), out_dir=str(tmp_path / "o2"),
+    )
+    run2 = eng2.run(seeds[:1])
+    with pytest.raises(ValueError):
+        run2.payload_profile(spark)
