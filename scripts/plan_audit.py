@@ -875,6 +875,99 @@ def main() -> None:
         ],
     )
 
+    # ---- round-5 sketch / sampling / scheduling plans ---------------------
+    from crawl4ai_custom_spark.operators.corpusmix import weighted_sample
+    from crawl4ai_custom_spark.operators.linkgraph import graph_shape
+    from crawl4ai_custom_spark.operators.recrawl import (
+        good_turing_saturation,
+        ucb_host_allocation,
+    )
+    from crawl4ai_custom_spark.operators.sketches import (
+        kmv_sketch,
+        moment_sums,
+    )
+
+    audit(
+        "Moments sketch — one partial-agg exchange, nothing else",
+        moment_sums(
+            docs_syn.select("doc_id",
+                            (F.length("text") / 1000.0).alias("kb")),
+            "kb", ["doc_id"]),
+        [
+            (r"(?s)^(?!.*Exchange.*Exchange)", "exactly one exchange: "
+             "map-side partial power sums reduce every partition to one "
+             "row per group before any shuffle"),
+            (r"(?s)^(?!.*\bWindow\b)(?!.*Join)", "no window, no join — "
+             "per-wave latency/size profiles cost one scan at any corpus "
+             "size"),
+        ],
+    )
+    audit(
+        "KMV bottom-k sketch — distinct + per-group top-k, no joins",
+        kmv_sketch(docs_syn.selectExpr("cast(doc_id as string) as url"),
+                   "url", k=64, prefilter_frac=0.25),
+        [
+            (r"(?s)^(?!.*Join)", "the sketch is distinct-then-rank over "
+             "(group, hash) rows; set operations happen later over O(k) "
+             "rows, never here"),
+            (r"Filter", "the deterministic hash prefilter drops ~3/4 of "
+             "rows before the distinct exchange (one-shot sketches of "
+             "10^10-key tables pass ~8k/est_n)"),
+        ],
+    )
+    audit(
+        "Weighted sample (ungrouped) — TakeOrderedAndProject, no exchange",
+        weighted_sample(
+            docs_syn.select("doc_id", F.length("text").alias("w")),
+            "w", 10, key_col="doc_id"),
+        [
+            (r"TakeOrderedAndProject", "exact-size top-n by race time is "
+             "a per-partition heap + driver merge of n rows — no global "
+             "sort of the corpus"),
+            (r"(?s)^(?!.*Exchange)", "zero shuffles: the race key is a "
+             "scan-level projection"),
+        ],
+    )
+    ucb_hist = docs_syn.groupBy(
+        (F.col("doc_id") % 7).cast("string").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.length("text")).alias("reward_sum"))
+    audit(
+        "UCB1 host allocation — broadcast total, top-k heap",
+        ucb_host_allocation(ucb_hist, k=3),
+        [
+            (r"BroadcastNestedLoopJoin|BroadcastExchange", "the one-row "
+             "fetch total broadcasts back; the host table never "
+             "repartitions for it"),
+            (r"TakeOrderedAndProject", "the k chosen hosts come off a "
+             "per-partition heap, not a global sort of 10^8 hosts"),
+        ],
+    )
+    audit(
+        "Good-Turing saturation — two partial aggs, no window/join",
+        good_turing_saturation(
+            docs_syn.select(
+                (F.col("doc_id") % 3).cast("string").alias("source"),
+                (F.col("doc_id") % 50).alias("key")),
+            "key", group_cols=["source"]),
+        [
+            (r"(?s)^(?!.*\bWindow\b)(?!.*Join)", "both levels are keyed "
+             "groupBys with map-side combine — the singleton census never "
+             "materializes per-key state beyond the aggregates"),
+        ],
+    )
+    audit(
+        "Graph shape — degree joins + one power-sum fold, no window",
+        graph_shape(docs_syn.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % 50).alias("dst"))),
+        [
+            (r"(?s)^(?!.*\bWindow\b)", "reciprocity and assortativity "
+             "fold in ONE global aggregate over per-edge degree pairs — "
+             "the Pearson sums are the moments-sketch trick"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
