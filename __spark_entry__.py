@@ -310,6 +310,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering exact similarity join gate (PPJoin family): same
+    planted-dup corpus as q_ngram_jaccard at threshold 0.6 — the operator
+    generates candidates from rarest-first prefixes only, but the lemma
+    guarantees the result equals brute force, so the oracle IS the
+    brute-force all-pairs Jaccard."""
+    from crawl4ai_custom_spark.operators.dedup import prefix_filter_dedup
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    out = prefix_filter_dedup(corpus, threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.dedup import minhash_lsh_dedup
 
@@ -3570,6 +3585,26 @@ ORACLES["q_ngram_jaccard"] = f"""
     join sizes sa on sa.id = id_a
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+ORACLES["q_prefix_join"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sizes as (select id, count(*) as sz from shingles group by id),
+    pairs as (
+      select a.id as id_a, b.id as id_b, count(*) as inter
+      from shingles a join shingles b using (shingle_hash)
+      where a.id < b.id
+      group by a.id, b.id
+    )
+    select id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) as jaccard
+    from pairs
+    join sizes sa on sa.id = id_a
+    join sizes sb on sb.id = id_b
+    where inter / (sa.sz + sb.sz - inter) >= 0.6
 """
 
 ORACLES["q_minhash_lsh"] = f"""
@@ -7646,6 +7681,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_filter_chain": q_url_filter_chain,
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_prefix_join": q_prefix_join,
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dup_fraction": q_dup_fraction,

@@ -647,6 +647,66 @@ def ngram_jaccard_dedup(
     )
 
 
+def prefix_filter_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering (PPJoin
+    family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008, public
+    papers): same answer as :func:`ngram_jaccard_dedup`, provably, but
+    candidates come only from each document's PREFIX under a global
+    rarest-first shingle order instead of every shingle.
+
+    Why this is the scale path for exact joins: the all-shingles join
+    blows up on its most frequent key (one boilerplate shingle shared by
+    10^6 docs creates 10^12 candidate rows); here a doc with n shingles
+    exposes only its n - ceil(t*n) + 1 RAREST ones, so frequent shingles
+    sit at the back of every prefix-ordering and almost never join. The
+    prefix-filtering lemma guarantees zero false negatives: two sets with
+    J >= t overlap in more than (1-t)*max(|x|,|y|) elements, so their
+    prefixes under ANY shared total order must intersect. A length filter
+    (t*|x| <= |y| <= |x|/t) prunes candidates further, then the exact
+    Jaccard verify runs only on survivors (:func:`jaccard_of_pairs` —
+    same verify stage LSH uses, here completing an exact pipeline).
+
+    Order = (global shingle df ASC, shingle_hash ASC) — rarest first, the
+    order that minimizes candidates; df comes from ONE vocab-sized
+    groupBy, per-doc positions from a window whose partition is a single
+    document's shingle set (page-sized state, distributes at any corpus
+    size)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_table(docs, id_col, text_col, k)
+    df_tbl = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy("_df", "shingle_hash")
+    prefix = (
+        sh.join(df_tbl, "shingle_hash")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(F.col("_pos")
+               <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle_hash", "sz")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "shingle_hash",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle_hash",
+                      F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "shingle_hash")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.col("sz_b") * F.lit(threshold) <= F.col("sz_a"))
+               & (F.col("sz_a") * F.lit(threshold) <= F.col("sz_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_of_pairs(cand, sh, sizes).where(
+        F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """(id, simhash long): sign-sum over token hashes, bit by bit — native

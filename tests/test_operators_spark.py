@@ -3377,3 +3377,53 @@ def test_good_turing_saturation_exact(spark):
     # ungrouped: one row over everything
     tot = good_turing_saturation(obs, "key").collect()
     assert len(tot) == 1 and tot[0]["n_obs"] == 9
+
+
+def test_prefix_filter_join_exactness_and_pruning(spark):
+    """Prefix-filtering join returns EXACTLY the brute-force pairs at
+    every threshold tried (the lemma's zero-false-negative guarantee),
+    and its prefix table is strictly smaller than the full shingle
+    table (the point of the algorithm); threshold validation raises."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        ngram_jaccard_dedup,
+        prefix_filter_dedup,
+        shingle_table,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "riverbank while searching for food in the early morning")
+    words = base.split()
+    rows = []
+    for i in range(30):
+        w = list(words)
+        # mutate i%7 words deterministically -> a spread of Jaccards
+        for j in range(i % 7):
+            w[(j * 5 + i) % len(w)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for t in (0.3, 0.5, 0.8):
+        exact = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                 for r in ngram_jaccard_dedup(docs, threshold=t).collect()}
+        fast = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in prefix_filter_dedup(docs, threshold=t).collect()}
+        assert fast == exact, f"t={t}"
+    assert exact, "fixture produced no similar pairs at t=0.8"
+
+    # the prefix table really is a strict subset of the shingle table
+    sh = shingle_table(docs)
+    n_all = sh.count()
+    t = 0.8
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    n_prefix = (
+        sizes.select(
+            (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).alias("p"))
+        .agg(F.sum("p")).collect()[0][0]
+    )
+    assert n_prefix < n_all / 3   # t=0.8 exposes < a third of shingles
+
+    import pytest
+    with pytest.raises(ValueError):
+        prefix_filter_dedup(docs, threshold=0.0)
