@@ -310,6 +310,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy-detection gate (MOSS algorithm): fingerprints =
+    rightmost-minimum hash of each 8-window over char 12-gram hashes of
+    the squashed text; pairs sharing >= 5 fingerprints flag. Oracle
+    replays grams, windows and the rightmost-min selection via a range
+    join + row_number in SQL."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 40
+    ).withColumn("text", F.substring("text", 1, 400))
+    fps = winnow_fingerprints(corpus, k=12, window=8)
+    return winnow_matches(fps, min_shared=5).select(
+        "id_a", "id_b", "n_shared")
+
+
 def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtering exact similarity join gate (PPJoin family): same
     planted-dup corpus as q_ngram_jaccard at threshold 0.6 — the operator
@@ -3585,6 +3604,48 @@ ORACLES["q_ngram_jaccard"] = f"""
     join sizes sa on sa.id = id_a
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+ORACLES["q_winnow"] = f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 40
+    ),
+    sq as (
+      select doc_id as id,
+             regexp_replace(lower(substr(text, 1, 400)),
+                            '[^a-z0-9]', '', 'g') as s
+      from corpus
+    ),
+    grams as (
+      select id, t.i as pos,
+             ('0x' || substr(md5(substr(s, t.i + 1, 12)), 1, 15))::BIGINT as h
+      from sq, unnest(range(greatest(length(s) - 11, 0))) as t(i)
+    ),
+    meta as (
+      select id,
+             greatest(length(s) - 11, 0) as n_grams,
+             greatest(greatest(length(s) - 11, 0) - 8 + 1,
+                      least(greatest(length(s) - 11, 0), 1)) as n_wins
+      from sq
+    ),
+    wins as (
+      select m.id, w.i as win
+      from meta m, unnest(range(m.n_wins)) as w(i)
+    ),
+    cand as (
+      select g.id, w.win, g.h, g.pos,
+             row_number() over (partition by g.id, w.win
+                                order by g.h asc, g.pos desc) as rn
+      from wins w
+      join grams g on g.id = w.id
+                  and g.pos between w.win and w.win + 7
+    ),
+    fps as (select distinct id, h, pos from cand where rn = 1)
+    select a.id as id_a, b.id as id_b,
+           count(distinct a.h)::BIGINT as n_shared
+    from fps a join fps b on a.h = b.h and a.id < b.id
+    group by 1, 2
+    having count(distinct a.h) >= 5
 """
 
 ORACLES["q_prefix_join"] = f"""
@@ -7682,6 +7743,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_prefix_join": q_prefix_join,
+    "q_winnow": q_winnow,
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dup_fraction": q_dup_fraction,

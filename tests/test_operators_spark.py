@@ -3427,3 +3427,60 @@ def test_prefix_filter_join_exactness_and_pruning(spark):
     import pytest
     with pytest.raises(ValueError):
         prefix_filter_dedup(docs, threshold=0.0)
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing invariants: case/punctuation-insensitive (identical
+    squashed text -> identical fingerprints); the w+k-1 guarantee (a
+    shared substring of that length always yields a shared fingerprint);
+    density ~2/(w+1); short/empty texts degrade gracefully; parameter
+    validation."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    shared = "zqvxkjwpbfmg"          # rare 12-char block (w+k-1 = 8+5-1)
+    docs = spark.createDataFrame([
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "the QUICK, brown fox JUMPS over the lazy dog"),
+        (3, f"alpha beta {shared} gamma delta unrelated tail one"),
+        (4, f"totally other words {shared} and different everything"),
+        (5, "no overlap with anything else whatsoever in here"),
+        (6, "ab"),                   # shorter than k -> no fingerprints
+        (7, ""),                     # empty
+        (8, "abcdefg"),              # 3 grams < window -> one window
+    ], ["doc_id", "text"])
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    by = {}
+    for r in fp.collect():
+        by.setdefault(r["id"], set()).add((r["fp_hash"], r["pos"]))
+
+    assert by[1] == by[2]                      # squash-identical
+    assert 6 not in by and 7 not in by         # too short / empty
+    assert len(by[8]) == 1                     # single short window
+
+    # guarantee: docs 3 and 4 share a >= w+k-1 char substring (after
+    # squashing) -> at least one common fingerprint HASH
+    h3 = {h for h, _ in by[3]}
+    h4 = {h for h, _ in by[4]}
+    assert h3 & h4, "shared-substring guarantee violated"
+    h5 = {h for h, _ in by[5]}
+    assert not (h3 & h5)                       # unrelated docs don't
+
+    # density: ~2/(w+1) of grams, loosely bounded
+    import re
+    n_grams = len(re.sub(r"[^a-z0-9]", "",
+                         docs.collect()[0]["text"].lower())) - 4
+    assert n_grams * 0.15 <= len(by[1]) <= n_grams * 0.75
+
+    m = {(r["id_a"], r["id_b"]): r["n_shared"]
+         for r in winnow_matches(fp, min_shared=1).collect()}
+    assert m[(1, 2)] == len({h for h, _ in by[1]})   # all fps shared
+    assert (3, 4) in m and (1, 5) not in m
+
+    import pytest
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=1)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, window=0)
