@@ -310,6 +310,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy-join gate: distinct 5-10 char words (hash-thinned
+    1-in-7 for a bounded set), all pairs within Levenshtein 1 via
+    deletion-neighborhood candidates + exact verify. The operator is
+    exact, so the oracle IS the brute-force all-pairs levenshtein."""
+    from crawl4ai_custom_spark.operators.textstats import fuzzy_term_pairs
+    from crawl4ai_custom_spark.operators.urlops import stable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(
+        F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+    )).alias("term"))
+    terms = (
+        words.where(F.length("term").between(5, 10)).distinct()
+        .where(stable_hash60(F.col("term")) % 7 == 0)
+    )
+    return fuzzy_term_pairs(terms).select("term_a", "term_b", "dist")
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing copy-detection gate (MOSS algorithm): fingerprints =
     rightmost-minimum hash of each 8-window over char 12-gram hashes of
@@ -3604,6 +3623,22 @@ ORACLES["q_ngram_jaccard"] = f"""
     join sizes sa on sa.id = id_a
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+ORACLES["q_fuzzy_terms"] = """
+    with words as (
+      select distinct unnest(string_split(
+        regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) as term
+      from documents
+    ),
+    terms as (
+      select term from words
+      where length(term) between 5 and 10
+        and ('0x' || substr(md5(term), 1, 15))::BIGINT % 7 = 0
+    )
+    select a.term as term_a, b.term as term_b, 1 as dist
+    from terms a join terms b
+      on a.term < b.term and levenshtein(a.term, b.term) <= 1
 """
 
 ORACLES["q_winnow"] = f"""
@@ -7743,6 +7778,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_prefix_join": q_prefix_join,
+    "q_fuzzy_terms": q_fuzzy_terms,
     "q_winnow": q_winnow,
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_incremental": q_dedup_incremental,

@@ -1597,3 +1597,53 @@ def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
         slope.alias("heaps_beta"),
         (F.avg("y") - slope * F.avg("x")).alias("heaps_lnk"),
     )
+
+
+def fuzzy_term_pairs(terms: DataFrame, term_col: str = "term",
+                     min_len: int = 3) -> DataFrame:
+    """Edit-distance-1 term pairs via DELETION NEIGHBORHOODS (the
+    SymSpell/FastSS family — Bocek et al. 2007 "Fast Similarity Search
+    in Large Dictionaries"; public algorithm): every term generates
+    itself plus its |t| single-character deletions; two terms are within
+    one edit (insert/delete/substitute) IFF their neighborhoods
+    intersect, so candidates come from ONE equi-join on the variant key
+    instead of an all-pairs Levenshtein — the fuzzy-match shape that
+    survives a 10^8-term dictionary (typo'd anchors, scannos, host-name
+    confusables). Survivors are verified with exact Levenshtein, so the
+    pair set is EXACT for distance 1 — the neighborhood only bounds the
+    candidates (it also admits some distance-2 pairs, e.g. two deletions
+    at the same spot; the verify removes them).
+
+    Shape: the variant table is a per-row array transform (|t|+1 rows
+    per term after the explode), one self-join keyed by variant, exact
+    verify on the O(candidates) survivors. ``min_len`` drops terms too
+    short to match meaningfully (every 1-char term is within 1 edit of
+    every other). Returns (term_a, term_b, dist=1) with term_a < term_b
+    and a length-1 guard on the join asymmetry."""
+    t = F.col(term_col)
+    base = (
+        terms.select(t.alias("term")).where(F.length("term") >= min_len)
+        .distinct()
+    )
+    variants = base.select(
+        "term",
+        F.explode(F.array_union(
+            F.array(F.col("term")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("term")),
+                lambda i: F.concat(
+                    F.col("term").substr(F.lit(1), i - 1),
+                    F.col("term").substr(i + 1, F.length("term")),
+                ),
+            ),
+        )).alias("variant"),
+    )
+    a = variants.select(F.col("term").alias("term_a"), "variant")
+    b = variants.select(F.col("term").alias("term_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .where(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b").distinct()
+        .where(F.levenshtein("term_a", "term_b") <= 1)
+        .withColumn("dist", F.lit(1))
+    )

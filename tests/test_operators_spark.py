@@ -3484,3 +3484,37 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
         winnow_fingerprints(docs, k=1)
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, window=0)
+
+
+def test_fuzzy_term_pairs_exact_vs_bruteforce(spark):
+    """Deletion-neighborhood fuzzy join equals brute-force Levenshtein<=1
+    on a fixture covering substitution/insertion/deletion/identity/
+    distance-2 rejects; min_len excludes short terms."""
+    import itertools
+
+    from crawl4ai_custom_spark.operators.textstats import fuzzy_term_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    vocab = ["crawl", "crawls", "craal", "trawl", "crwl", "totally",
+             "spider", "spiter", "spidery", "ab", "abc", "abd",
+             "mirror", "mirrors", "mirrro"]
+    terms = spark.createDataFrame([(t,) for t in vocab], ["term"])
+    got = sorted((r["term_a"], r["term_b"])
+                 for r in fuzzy_term_pairs(terms, min_len=3).collect())
+    keep = [t for t in vocab if len(t) >= 3]
+    expect = sorted((a, b) for a, b in
+                    itertools.combinations(sorted(set(keep)), 2)
+                    if lev(a, b) <= 1)
+    assert got == expect
+    assert ("abc", "abd") in got          # substitution
+    assert ("crawl", "crawls") in got     # insertion
+    assert ("craal", "crwl") not in got   # distance 2 rejected
+    assert all("ab" not in p for p in got)  # min_len enforced
