@@ -319,6 +319,19 @@ def main() -> None:
         # freshness scheduling: Poisson rate estimator + water-filling
         "q_change_rate",
         "q_refresh_alloc",
+        # sketch / similarity / scheduling family (this session): KMV
+        # set ops, moments profile, exact prefix-filter join, winnowing
+        # copy detection, fuzzy term join, spam mass, UCB allocation
+        "q_kmv_setops",
+        "q_moments",
+        "q_prefix_join",
+        "q_winnow",
+        "q_fuzzy_terms",
+        "q_spam_mass",
+        "q_ucb_hosts",
+        "q_weighted_sample",
+        "q_good_turing",
+        "q_degree_powerlaw",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 
