@@ -326,7 +326,16 @@ def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.where(F.length("term").between(5, 10)).distinct()
         .where(stable_hash60(F.col("term")) % 7 == 0)
     )
-    return fuzzy_term_pairs(terms).select("term_a", "term_b", "dist")
+    # plant typos (3rd char deleted from a hash-chosen subset) so the
+    # gate exercises non-empty match sets at every scale factor
+    typos = terms.where(stable_hash60(F.col("term")) % 3 == 0).select(
+        F.concat(
+            F.expr("substring(term, 1, 2)"),
+            F.expr("substring(term, 4, length(term))"),
+        ).alias("term")
+    )
+    allt = terms.unionByName(typos).distinct()
+    return fuzzy_term_pairs(allt).select("term_a", "term_b", "dist")
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,9 +365,9 @@ def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs Jaccard."""
     from crawl4ai_custom_spark.operators.dedup import prefix_filter_dedup
 
-    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
-        (F.col("doc_id") % 100000) < 60
-    )
+    base = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.substring("text", 1, 600))
+    corpus = _duped_docs(base).where((F.col("doc_id") % 100000) < 60)
     out = prefix_filter_dedup(corpus, threshold=0.6)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -373,6 +382,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, num_hashes=N_MINHASH, bands=N_BANDS, jaccard_threshold=0.6
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-config planner gate: for each candidate (bands,
+    rows_per_band) split of the 16-hash signature, the exact number of
+    candidate rows the band self-join WOULD produce (sum n*(n-1)/2 over
+    bucket histogram), without running any join. Oracle replays the
+    banding + histogram in SQL."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        lsh_plan_stats,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    corpus = _duped_docs(_t(spark, sf_dir, "documents")).where(
+        (F.col("doc_id") % 100000) < 60
+    )
+    sigs = minhash_signatures(shingle_table(corpus), N_MINHASH, MINHASH_SEED)
+    return lsh_plan_stats(sigs, [2, 4, 8, 16], num_hashes=N_MINHASH)
 
 
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3635,9 +3663,15 @@ ORACLES["q_fuzzy_terms"] = """
       select term from words
       where length(term) between 5 and 10
         and ('0x' || substr(md5(term), 1, 15))::BIGINT % 7 = 0
-    )
+    ),
+    typos as (
+      select distinct substr(term, 1, 2) || substr(term, 4) as term
+      from terms
+      where ('0x' || substr(md5(term), 1, 15))::BIGINT % 3 = 0
+    ),
+    allt as (select term from terms union select term from typos)
     select a.term as term_a, b.term as term_b, 1 as dist
-    from terms a join terms b
+    from allt a join allt b
       on a.term < b.term and levenshtein(a.term, b.term) <= 1
 """
 
@@ -3684,8 +3718,18 @@ ORACLES["q_winnow"] = f"""
 """
 
 ORACLES["q_prefix_join"] = f"""
-    with corpus as (
-      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    with base as (
+      select doc_id, substr(text, 1, 600) as text from documents
+    ),
+    duped as (
+      select doc_id, text from base
+      union all
+      select doc_id + 100000 as doc_id,
+             text || ' extra tail words appended here' as text
+      from base where doc_id % 10 = 0
+    ),
+    corpus as (
+      select * from duped where doc_id % 100000 < 60
     ),
     {_SHINGLES_SQL},
     sizes as (select id, count(*) as sz from shingles group by id),
@@ -3733,6 +3777,58 @@ ORACLES["q_minhash_lsh"] = f"""
     join sizes sb on sb.id = id_b
     where inter / (sa.sz + sb.sz - inter) >= 0.6
 """
+
+def _lsh_plan_band_sql(b: int, sig_cte: str = "sigs") -> str:
+    """Band CTE body for an arbitrary band count (generalizes
+    _lsh_band_sql, which is pinned to N_BANDS)."""
+    rows = N_MINHASH // b
+    parts = []
+    for band in range(b):
+        cols = " || ',' || ".join(
+            f"h{band * rows + r}::varchar" for r in range(rows)
+        )
+        parts.append(
+            f"select id, {band} as band, {cols} as band_key from {sig_cte}"
+        )
+    return " union all ".join(parts)
+
+
+def _lsh_plan_oracle_sql() -> str:
+    ctes, aggs = [], []
+    for b in (2, 4, 8, 16):
+        r = N_MINHASH // b
+        thr = (1.0 / b) ** (1.0 / r)
+        ctes.append(
+            f"banded{b} as ({_lsh_plan_band_sql(b)}),\n"
+            f"    hist{b} as (select band, band_key, count(*) as n "
+            f"from banded{b} group by 1, 2)"
+        )
+        aggs.append(f"""select {b} as bands, {r} as rows_per_band,
+           {thr!r} as threshold_jaccard,
+           count(*)::BIGINT as n_buckets,
+           coalesce(sum(case when n > 1 then 1 else 0 end), 0)::BIGINT
+             as n_colliding_buckets,
+           max(n)::BIGINT as max_bucket,
+           (coalesce(sum(n * (n - 1)), 0) // 2)::BIGINT
+             as pred_candidate_rows
+    from hist{b}""")
+    cte_block = ",\n    ".join(ctes)
+    agg_block = " union all ".join(aggs)
+    return f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from shingles group by id
+    ),
+    {cte_block}
+    {agg_block}
+"""
+
+
+ORACLES["q_lsh_plan"] = _lsh_plan_oracle_sql()
 
 ORACLES["q_host_mirrors"] = f"""
     with docs2 as (select * from documents where doc_id % 4 = 0),
@@ -7778,6 +7874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_prefix_join": q_prefix_join,
+    "q_lsh_plan": q_lsh_plan,
     "q_fuzzy_terms": q_fuzzy_terms,
     "q_winnow": q_winnow,
     "q_minhash_lsh": q_minhash_lsh,

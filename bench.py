@@ -324,6 +324,7 @@ def main() -> None:
         # copy detection, fuzzy term join, spam mass, UCB allocation
         "q_kmv_setops",
         "q_moments",
+        "q_lsh_plan",
         "q_prefix_join",
         "q_winnow",
         "q_fuzzy_terms",

@@ -3429,6 +3429,54 @@ def test_prefix_filter_join_exactness_and_pruning(spark):
         prefix_filter_dedup(docs, threshold=0.0)
 
 
+def test_lsh_plan_stats_predicts_band_join_exactly(spark):
+    """The planner's pred_candidate_rows equals the ACTUAL pre-distinct
+    row count of the band self-join it models, for every config; the
+    S-curve threshold and shape columns are right; non-divisor band
+    counts raise."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        banded_signatures,
+        lsh_plan_stats,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(24):
+        w = list(words)
+        for j in range(i % 5):
+            w[(j * 3 + i) % len(w)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+
+    plan = {r["bands"]: r for r in
+            lsh_plan_stats(sigs, [2, 4, 8, 16], num_hashes=16).collect()}
+    assert set(plan) == {2, 4, 8, 16}
+    for b, row in plan.items():
+        assert row["rows_per_band"] == 16 // b
+        assert abs(row["threshold_jaccard"]
+                   - (1.0 / b) ** (b / 16.0)) < 1e-12
+        banded = banded_signatures(sigs, b, 16)
+        a = banded.select(F.col("id").alias("id_a"), "band_hash")
+        bb = banded.select(F.col("id").alias("id_b"), "band_hash")
+        actual = (a.join(bb, "band_hash")
+                  .where(F.col("id_a") < F.col("id_b")).count())
+        assert row["pred_candidate_rows"] == actual, f"bands={b}"
+        assert row["max_bucket"] >= 2  # planted near-dups collide
+    # more bands -> lower threshold (the S-curve moves left)
+    thrs = [plan[b]["threshold_jaccard"] for b in (2, 4, 8, 16)]
+    assert thrs == sorted(thrs, reverse=True)
+
+    import pytest
+    with pytest.raises(ValueError):
+        lsh_plan_stats(sigs, [3], num_hashes=16)
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing invariants: case/punctuation-insensitive (identical
     squashed text -> identical fingerprints); the w+k-1 guarantee (a
