@@ -509,6 +509,36 @@ def main() -> None:
     sections.append(
         ("Count-min sketch — single partial-agg exchange", p, checks))
 
+    # 13a6. LSH band planner: predicts the band join's candidate count
+    # WITHOUT executing any join — the plan must contain aggregates and a
+    # union only, never a Join node (that would be running the thing it
+    # exists to avoid) and never a Window
+    from crawl4ai_custom_spark.operators.dedup import (
+        lsh_plan_stats,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    sigs_syn = minhash_signatures(shingle_table(docs_small), 16, 1)
+    p = plan_of(lsh_plan_stats(sigs_syn, [2, 4, 8], num_hashes=16))
+    checks = []
+    for ok, label, why in [
+        ("Join" not in p and "CartesianProduct" not in p, "no Join",
+         "the whole point: cost prediction from the bucket histogram, "
+         "one groupBy per config — the band self-join never runs"),
+        ("Window" not in p, "no Window",
+         "sum n(n-1)/2 is closed-form aggregation over bucket counts"),
+        ("Union" in p, "per-config aggregates union",
+         "each band config is an independent two-level aggregate over "
+         "the signature table; rows meet only at the final 1-row-each "
+         "union"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"lsh_plan_stats: {label}")
+    sections.append(
+        ("LSH band planner — histogram aggregates, zero joins", p, checks))
+
     # 13b. round-5 webtext additions: mojibake repair must stay a pure
     # projection; the host-scoped cleaners must never grow a Window; the
     # graph/allocation ops must never fall into a non-broadcast cartesian
