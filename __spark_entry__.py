@@ -1944,6 +1944,19 @@ def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_counts(docs, window=3, min_count=2)
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword gate: per-doc co-occurrence graph (±2 window over
+    length>=4 tokens), 3 weighted-PageRank iterations ranked top-5 per
+    doc. Oracle unrolls the identical 3 iterations per document in SQL —
+    ranks rounded (+1e-12 nudge) BEFORE the ranking window on both sides
+    so the keyword set is summation-order deterministic."""
+    from crawl4ai_custom_spark.operators.textstats import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    return textrank_keywords(
+        docs, window=2, iterations=3, damping=0.85, top_k=5, min_len=4)
+
+
 def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context snippets driven by the positional index: one
     term's postings joined into the corpus scan (AQE promotes the
@@ -5593,6 +5606,69 @@ ORACLES["q_skipgram"] = """
     from c group by 1, 2 having count(*) >= 2
 """
 
+def _textrank_oracle_sql(iterations: int = 3, damping: float = 0.85,
+                         window: int = 2, top_k: int = 5,
+                         min_len: int = 4) -> str:
+    it_ctes = []
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        it_ctes.append(f"""r{i} as (
+      select nd.id, nd.token,
+             {1.0 - damping!r} / nd.n
+               + {damping!r} * coalesce(c.s, 0) as rank, nd.n
+      from nodes_n nd
+      left join (
+        select e.id, e.dst as token, sum(r.rank * e.w / o.out_s) as s
+        from edges e
+        join {prev} r on r.id = e.id and r.token = e.src
+        join outs o on o.id = e.id and o.src = e.src
+        group by 1, 2
+      ) c on c.id = nd.id and c.token = nd.token
+    )""")
+    it_block = ",\n    ".join(it_ctes)
+    return f"""
+    with t as (
+      select doc_id as id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) >= {min_len}) as l
+      from documents where doc_id < 80
+    ),
+    tok as (
+      select id, i as pos, l[i] as src, l
+      from t, unnest(range(1, len(l) + 1)) as u(i)
+    ),
+    pairs as (
+      select id, src, l[j] as dst
+      from tok,
+           unnest(range(greatest(pos - {window}, 1),
+                        least(pos + {window}, len(l)) + 1)) as v(j)
+      where j != pos and l[j] != src
+    ),
+    edges as (
+      select id, src, dst, count(*)::DOUBLE as w
+      from pairs group by 1, 2, 3
+    ),
+    outs as (select id, src, sum(w) as out_s from edges group by 1, 2),
+    nodes as (select distinct id, src as token from tok),
+    nodes_n as (
+      select nodes.id, token, n
+      from nodes join (select id, count(*) as n from nodes group by 1) nn
+        using (id)
+    ),
+    r0 as (select id, token, 1.0 / n as rank, n from nodes_n),
+    {it_block}
+    select id, token, round(rank + 1e-12, 8) as rank, rn from (
+      select id, token, rank,
+             row_number() over (
+               partition by id
+               order by round(rank + 1e-12, 8) desc, token) as rn
+      from r{iterations}
+    ) where rn <= {top_k}
+"""
+
+
+ORACLES["q_textrank"] = _textrank_oracle_sql()
+
 ORACLES["q_kwic"] = """
     with t as (
       select doc_id,
@@ -7950,6 +8026,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_index_update": q_index_update,
     "q_skipgram": q_skipgram,
     "q_kwic": q_kwic,
+    "q_textrank": q_textrank,
     "q_ql_retrieval": q_ql_retrieval,
     "q_proximity": q_proximity,
     "q_cc_index": q_cc_index,

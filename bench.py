@@ -325,6 +325,7 @@ def main() -> None:
         "q_kmv_setops",
         "q_moments",
         "q_lsh_plan",
+        "q_textrank",
         "q_prefix_join",
         "q_winnow",
         "q_fuzzy_terms",

@@ -1647,3 +1647,94 @@ def fuzzy_term_pairs(terms: DataFrame, term_col: str = "term",
         .where(F.levenshtein("term_a", "term_b") <= 1)
         .withColumn("dist", F.lit(1))
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 2,
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 5,
+    min_len: int = 4,
+    round_to: int = 8,
+) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004 — public paper): build
+    each document's co-occurrence graph over candidate tokens (length >=
+    ``min_len``, symmetric ±``window`` over the FILTERED token sequence),
+    run ``iterations`` steps of weighted PageRank on every graph, return
+    the ``top_k`` tokens per doc as (id, token, rank, rn).
+
+    Scale shape: the per-doc graph never materializes anywhere special —
+    every step keys by (id[, token]), so one dataflow ranks ALL documents'
+    graphs at once and the corpus dimension distributes. Edge building is
+    the join-free array-slice shape (see :func:`skipgram_counts`): token
+    array carried next to its posexplode, context = per-row slice — no
+    positions self-join, no per-doc cartesian. Each power iteration is
+    one equi-join + one groupBy over the edge table; the graph-wide
+    normalizers (out-strength, node count) ride as columns.
+
+    ``round_to`` rounds ranks (with the +1e-12 half-up nudge, as
+    :func:`linkgraph.pagerank` gates do) BEFORE the ranking window, so the
+    keyword set is deterministic under float summation order — reruns,
+    partitionings and the SQL oracle agree exactly. Ties break token-asc.
+
+    Reference parity: crawl4ai ships BM25/keyword relevance but no
+    graph keyword extractor; this is the standard public algorithm a
+    training-data pipeline wants for per-doc topic tags at corpus scale.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    toks = docs.select(F.col(id_col).alias("id"), arr.alias("l")).select(
+        "id", "l", F.posexplode("l").alias("pos", "src"))
+    # slice is 1-based: window [pos-w, pos+w] minus the center itself
+    lo = F.greatest(F.col("pos") - window + 1, F.lit(1))
+    ctx = F.filter(
+        F.slice("l", lo, F.col("pos") + 1 + window - lo + 1),
+        lambda _, i: lo + i != F.col("pos") + 1,
+    )
+    edges = (
+        toks.select("id", "src", F.explode(ctx).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("id", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outs = edges.groupBy("id", "src").agg(F.sum("w").alias("out_s"))
+    nodes = toks.select("id", F.col("src").alias("token")).distinct()
+    nodes_n = nodes.join(
+        nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
+    ranks = nodes_n.select(
+        "id", "token", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+    for _ in range(iterations):
+        contribs = (
+            edges
+            .join(ranks.select("id", F.col("token").alias("src"), "rank"),
+                  ["id", "src"])
+            .join(outs, ["id", "src"])
+            .select("id", F.col("dst").alias("token"),
+                    (F.col("rank") * F.col("w") / F.col("out_s")).alias("c"))
+        )
+        sums = contribs.groupBy("id", "token").agg(F.sum("c").alias("s"))
+        ranks = nodes_n.join(sums, ["id", "token"], "left").select(
+            "id", "token",
+            ((1.0 - damping) / F.col("n")
+             + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            "n",
+        )
+    rounded = F.round(F.col("rank") + 1e-12, round_to)
+    w_rn = Window.partitionBy("id").orderBy(rounded.desc(), F.col("token"))
+    return (
+        ranks.withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") <= top_k)
+        .select("id", "token", rounded.alias("rank"), "rn")
+    )

@@ -3477,6 +3477,51 @@ def test_lsh_plan_stats_predicts_band_join_exactly(spark):
         lsh_plan_stats(sigs, [3], num_hashes=16)
 
 
+def test_textrank_keywords_ranks_hub_tokens(spark):
+    """Hub tokens of the co-occurrence graph outrank peripheral ones; an
+    isolated single-token doc keeps exactly the teleport mass; docs with
+    no candidate tokens are absent; a connected graph conserves rank mass
+    (sum = 1); rn is a contiguous 1..k ranking ordered by rank desc."""
+    import pytest
+
+    from crawl4ai_custom_spark.operators.textstats import textrank_keywords
+
+    rows = [
+        (1, "graph rank graph rank walk graph rank node walk node"),
+        (2, "solo"),
+        (3, "to ab cd"),  # nothing >= min_len
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textrank_keywords(docs, window=2, iterations=3, top_k=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+
+    d2 = by_doc[2]
+    assert [r["token"] for r in d2] == ["solo"]
+    assert abs(d2[0]["rank"] - 0.15) < 1e-9  # (1-d)/n with n=1, no edges
+
+    d1 = sorted(by_doc[1], key=lambda r: r["rn"])
+    assert [r["rn"] for r in d1] == list(range(1, len(d1) + 1))
+    ranks = [r["rank"] for r in d1]
+    assert ranks == sorted(ranks, reverse=True)
+    assert d1[0]["token"] in {"graph", "rank"}  # the two hubs
+    assert {r["token"] for r in d1} == {"graph", "rank", "walk", "node"}
+    assert abs(sum(ranks) - 1.0) < 1e-6  # connected graph conserves mass
+
+    # top_k truncates
+    top2 = textrank_keywords(docs, window=2, iterations=3, top_k=2)
+    assert top2.where(F.col("id") == 1).count() == 2
+
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, window=0)
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, iterations=0)
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, damping=1.0)
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing invariants: case/punctuation-insensitive (identical
     squashed text -> identical fingerprints); the w+k-1 guarantee (a
