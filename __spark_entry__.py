@@ -1957,6 +1957,18 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, window=2, iterations=3, damping=0.85, top_k=5, min_len=4)
 
 
+def q_textrank_sents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive-summary gate: sentence-similarity graph (TextRank
+    normalized overlap over distinct len>1 tokens), 3 weighted-PageRank
+    iterations, top-3 sentences per doc with original positions. Oracle
+    unrolls the identical pipeline per doc in SQL."""
+    from crawl4ai_custom_spark.operators.textstats import textrank_sentences
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return textrank_sentences(
+        docs, iterations=3, damping=0.85, top_k=3, min_tokens=3)
+
+
 def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context snippets driven by the positional index: one
     term's postings joined into the corpus scan (AQE promotes the
@@ -5669,6 +5681,84 @@ def _textrank_oracle_sql(iterations: int = 3, damping: float = 0.85,
 
 ORACLES["q_textrank"] = _textrank_oracle_sql()
 
+
+def _textrank_sents_oracle_sql(iterations: int = 3, damping: float = 0.85,
+                               top_k: int = 3, min_tokens: int = 3) -> str:
+    it_ctes = []
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        it_ctes.append(f"""r{i} as (
+      select nd.id, nd.sidx,
+             {1.0 - damping!r} / nd.n
+               + {damping!r} * coalesce(c.s, 0) as rank, nd.n
+      from nodes_n nd
+      left join (
+        select e.id, e.dst as sidx, sum(r.rank * e.w / o.out_s) as s
+        from edges e
+        join {prev} r on r.id = e.id and r.sidx = e.src
+        join outs o on o.id = e.id and o.src = e.src
+        group by 1, 2
+      ) c on c.id = nd.id and c.sidx = nd.sidx
+    )""")
+    it_block = ",\n    ".join(it_ctes)
+    return f"""
+    with base as (
+      select doc_id as id,
+             regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g')
+               as marked
+      from documents where doc_id < 60
+    ),
+    parts as (
+      select id, i - 1 as sidx, trim(l[i]) as sentence
+      from (select id, string_split(marked, chr(1)) as l from base),
+           unnest(range(1, len(l) + 1)) as u(i)
+    ),
+    qual as (
+      select * from (
+        select id, sidx, sentence,
+               list_distinct(list_filter(
+                 string_split_regex(lower(sentence), '[^a-z0-9]+'),
+                 x -> length(x) > 1)) as toks
+        from parts where length(sentence) > 0
+      ) where len(toks) >= {min_tokens}
+    ),
+    tok as (
+      select id, sidx, len(toks) as n_toks, unnest(toks) as t from qual
+    ),
+    half as (
+      select a.id, a.sidx as sa, b.sidx as sb,
+             count(*) / (ln(a.n_toks) + ln(b.n_toks)) as w
+      from tok a
+      join tok b on a.id = b.id and a.t = b.t and a.sidx < b.sidx
+      group by a.id, a.sidx, b.sidx, a.n_toks, b.n_toks
+    ),
+    edges as (
+      select id, sa as src, sb as dst, w from half
+      union all
+      select id, sb as src, sa as dst, w from half
+    ),
+    outs as (select id, src, sum(w) as out_s from edges group by 1, 2),
+    nodes as (select id, sidx, sentence from qual),
+    nodes_n as (
+      select nodes.id, sidx, sentence, n
+      from nodes join (select id, count(*) as n from nodes group by 1) nn
+        using (id)
+    ),
+    r0 as (select id, sidx, 1.0 / n as rank from nodes_n),
+    {it_block}
+    select id, sidx, sentence, round(rank + 1e-12, 8) as rank, rn from (
+      select r.id, r.sidx, nd.sentence, r.rank,
+             row_number() over (
+               partition by r.id
+               order by round(r.rank + 1e-12, 8) desc, r.sidx) as rn
+      from r{iterations} r
+      join nodes nd on nd.id = r.id and nd.sidx = r.sidx
+    ) where rn <= {top_k}
+"""
+
+
+ORACLES["q_textrank_sents"] = _textrank_sents_oracle_sql()
+
 ORACLES["q_kwic"] = """
     with t as (
       select doc_id,
@@ -8027,6 +8117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skipgram": q_skipgram,
     "q_kwic": q_kwic,
     "q_textrank": q_textrank,
+    "q_textrank_sents": q_textrank_sents,
     "q_ql_retrieval": q_ql_retrieval,
     "q_proximity": q_proximity,
     "q_cc_index": q_cc_index,

@@ -326,6 +326,7 @@ def main() -> None:
         "q_moments",
         "q_lsh_plan",
         "q_textrank",
+        "q_textrank_sents",
         "q_prefix_join",
         "q_winnow",
         "q_fuzzy_terms",

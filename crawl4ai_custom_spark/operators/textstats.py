@@ -1738,3 +1738,113 @@ def textrank_keywords(
         .where(F.col("rn") <= top_k)
         .select("id", "token", rounded.alias("rank"), "rn")
     )
+
+
+def textrank_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 3,
+    min_tokens: int = 3,
+    round_to: int = 8,
+) -> DataFrame:
+    """Extractive summarization via sentence-level TextRank (Mihalcea &
+    Tarau 2004; the similarity graph of LexRank, Erkan & Radev 2004 —
+    public papers): per document, rank sentences by weighted PageRank on
+    the sentence-similarity graph and keep the ``top_k``. Edge weight is
+    the TextRank normalized overlap |tokens(a) ∩ tokens(b)| /
+    (ln|tokens(a)| + ln|tokens(b)|) over distinct len>1 tokens; sentences
+    with fewer than ``min_tokens`` distinct tokens are excluded (also
+    keeps the log denominator positive). Sentence boundaries are the
+    reference chunker's rule (split after .!? + whitespace — see
+    :func:`chunking.sentence_chunks`), kept POSITIONED (sidx) rather than
+    deduped so the summary can be re-emitted in document order.
+
+    Scale shape: everything keys by (id[, sidx]) — one dataflow
+    summarizes the whole corpus. The pairwise-overlap join is the
+    inverted-index shape (explode distinct tokens, equi-join on (id,
+    token), count per sentence pair): per-document work is page-sized
+    (s² in the number of QUALIFYING sentences) while the corpus dimension
+    distributes; no cross-doc pairs ever form. Power iterations are the
+    same equi-join + groupBy loop as :func:`textrank_keywords`, ranks
+    rounded before the ranking window for summation-order determinism.
+
+    Returns (id, sidx, sentence, rank, rn); sort by (id, sidx) to read
+    the summary in document order."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2 (ln(1) = 0 denominator)")
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\x01")
+    sents = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(marked, "\x01")).alias("sidx", "raw"),
+        )
+        .select("id", "sidx", F.trim("raw").alias("sentence"))
+        .where(F.length("sentence") > 0)
+        .withColumn(
+            "toks",
+            F.array_distinct(F.filter(
+                F.split(F.lower("sentence"), r"[^a-z0-9]+"),
+                lambda t: F.length(t) > 1,
+            )),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .where(F.col("n_toks") >= min_tokens)
+    )
+    tok = sents.select("id", "sidx", "n_toks", F.explode("toks").alias("t"))
+    a = tok.select("id", F.col("sidx").alias("sa"),
+                   F.col("n_toks").alias("na"), "t")
+    b = tok.select("id", F.col("sidx").alias("sb"),
+                   F.col("n_toks").alias("nb"), "t")
+    half = (
+        a.join(b, ["id", "t"])
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("id", "sa", "sb", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            "id", "sa", "sb",
+            (F.col("common")
+             / (F.log(F.col("na").cast("double"))
+                + F.log(F.col("nb").cast("double")))).alias("w"),
+        )
+    )
+    edges = half.select("id", F.col("sa").alias("src"),
+                        F.col("sb").alias("dst"), "w").unionByName(
+        half.select("id", F.col("sb").alias("src"),
+                    F.col("sa").alias("dst"), "w"))
+    outs = edges.groupBy("id", "src").agg(F.sum("w").alias("out_s"))
+    nodes = sents.select("id", "sidx", "sentence")
+    nodes_n = nodes.join(
+        nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
+    ranks = nodes_n.select(
+        "id", "sidx", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges
+            .join(ranks.select("id", F.col("sidx").alias("src"), "rank"),
+                  ["id", "src"])
+            .join(outs, ["id", "src"])
+            .select("id", F.col("dst").alias("sidx"),
+                    (F.col("rank") * F.col("w") / F.col("out_s")).alias("c"))
+        )
+        sums = contribs.groupBy("id", "sidx").agg(F.sum("c").alias("s"))
+        ranks = nodes_n.join(sums, ["id", "sidx"], "left").select(
+            "id", "sidx",
+            ((1.0 - damping) / F.col("n")
+             + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+    rounded = F.round(F.col("rank") + 1e-12, round_to)
+    w_rn = Window.partitionBy("id").orderBy(rounded.desc(), F.col("sidx"))
+    return (
+        ranks.join(nodes, ["id", "sidx"])
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") <= top_k)
+        .select("id", "sidx", "sentence", rounded.alias("rank"), "rn")
+    )

@@ -3522,6 +3522,40 @@ def test_textrank_keywords_ranks_hub_tokens(spark):
         textrank_keywords(docs, damping=1.0)
 
 
+def test_textrank_sentences_extracts_central_sentences(spark):
+    """Sentences sharing vocabulary with the rest of the document outrank
+    a lexical outlier; positions survive so the summary re-emits in doc
+    order; sentences below min_tokens and docs with no qualifying
+    sentences are absent; validation raises."""
+    import pytest
+
+    from crawl4ai_custom_spark.operators.textstats import textrank_sentences
+
+    rows = [
+        (1, "The crawler fetches pages from the web. "
+            "The crawler parses pages into markdown text. "
+            "The crawler ranks pages by their link score. "
+            "Bananas taste like yellow fruit!"),
+        (2, "Hi. Ok. No."),  # every sentence below min_tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textrank_sentences(docs, iterations=3, top_k=3).collect()
+    assert {r["id"] for r in out} == {1}
+
+    d1 = sorted(out, key=lambda r: r["rn"])
+    assert [r["rn"] for r in d1] == [1, 2, 3]
+    ranks = [r["rank"] for r in d1]
+    assert ranks == sorted(ranks, reverse=True)
+    # the banana outlier shares no vocabulary -> never in the top 3 of 4
+    assert {r["sidx"] for r in d1} == {0, 1, 2}
+    assert all(r["sentence"].startswith("The crawler") for r in d1)
+
+    with pytest.raises(ValueError):
+        textrank_sentences(docs, min_tokens=1)
+    with pytest.raises(ValueError):
+        textrank_sentences(docs, iterations=0)
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing invariants: case/punctuation-insensitive (identical
     squashed text -> identical fingerprints); the w+k-1 guarantee (a
