@@ -1957,6 +1957,21 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, window=2, iterations=3, damping=0.85, top_k=5, min_len=4)
 
 
+_BLOCKLIST_TERMS = ["hash join", "vector", "slow"]
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 banned-words gate: whole-word, case-insensitive blocklist scan
+    (incl. a multi-word phrase) compiled to one alternation regex —
+    shuffle-free codegen projection. Oracle runs the SAME pattern through
+    DuckDB's RE2."""
+    from crawl4ai_custom_spark.operators.textstats import blocklist_scan
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return blocklist_scan(docs, _BLOCKLIST_TERMS).select(
+        "doc_id", "blocklist_hits", "n_blocklist_hits", "blocklist_keep")
+
+
 def q_textrank_sents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive-summary gate: sentence-similarity graph (TextRank
     normalized overlap over distinct len>1 tokens), 3 weighted-PageRank
@@ -5759,6 +5774,22 @@ def _textrank_sents_oracle_sql(iterations: int = 3, damping: float = 0.85,
 
 ORACLES["q_textrank_sents"] = _textrank_sents_oracle_sql()
 
+_BLOCKLIST_PAT = (
+    r"\b(" + "|".join(sorted(_BLOCKLIST_TERMS, key=lambda t: (-len(t), t)))
+    + r")\b"
+)
+ORACLES["q_blocklist"] = f"""
+    select doc_id,
+           list_sort(list_distinct(
+             regexp_extract_all(lower(text), '{_BLOCKLIST_PAT}', 1)))
+             as blocklist_hits,
+           len(regexp_extract_all(lower(text), '{_BLOCKLIST_PAT}', 1))
+             as n_blocklist_hits,
+           len(regexp_extract_all(lower(text), '{_BLOCKLIST_PAT}', 1)) = 0
+             as blocklist_keep
+    from documents where doc_id < 400
+"""
+
 ORACLES["q_kwic"] = """
     with t as (
       select doc_id,
@@ -8118,6 +8149,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kwic": q_kwic,
     "q_textrank": q_textrank,
     "q_textrank_sents": q_textrank_sents,
+    "q_blocklist": q_blocklist,
     "q_ql_retrieval": q_ql_retrieval,
     "q_proximity": q_proximity,
     "q_cc_index": q_cc_index,

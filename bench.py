@@ -327,6 +327,7 @@ def main() -> None:
         "q_lsh_plan",
         "q_textrank",
         "q_textrank_sents",
+        "q_blocklist",
         "q_prefix_join",
         "q_winnow",
         "q_fuzzy_terms",

@@ -1848,3 +1848,44 @@ def textrank_sentences(
         .where(F.col("rn") <= top_k)
         .select("id", "sidx", "sentence", rounded.alias("rank"), "rn")
     )
+
+
+def blocklist_scan(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's banned-words rule (Raffel et al. 2019 §2.2 drops any page
+    containing a word from the public "List of Dirty, Naughty, Obscene..."
+    blocklist — the one C4 cleaning rule :func:`c4_quality_filter` does
+    not cover): flag documents containing any of ``terms`` as a whole
+    word, case-insensitive. Adds ``blocklist_hits`` (sorted distinct
+    matched terms), ``n_blocklist_hits`` (total occurrences) and
+    ``blocklist_keep``.
+
+    Scale shape: the list compiles into ONE word-boundary alternation
+    regex evaluated as a codegen projection — shuffle-free, zero joins,
+    the right plan for the real C4 list (~400 terms; RE2/Java both
+    compile alternations of that size to a DFA-ish matcher). For 10^5+
+    term dictionaries switch to the token-explode + broadcast-join shape
+    (see decontam) instead of growing the pattern. Terms are validated to
+    a letters/digits/space/apostrophe/hyphen alphabet so the pattern
+    needs no escaping and the SAME string runs in the DuckDB oracle;
+    multi-word phrases match across single spaces. Longest-first
+    alternation so overlapping terms prefer the longer match."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9][a-z0-9' -]*", t):
+            raise ValueError(f"term {t!r} outside the safe alphabet")
+    pat = r"\b(" + "|".join(
+        sorted(terms, key=lambda t: (-len(t), t))) + r")\b"
+    hits = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
+    return docs.select(
+        "*",
+        F.array_sort(F.array_distinct(hits)).alias("blocklist_hits"),
+        F.size(hits).alias("n_blocklist_hits"),
+        (F.size(hits) == 0).alias("blocklist_keep"),
+    )

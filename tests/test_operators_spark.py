@@ -3556,6 +3556,43 @@ def test_textrank_sentences_extracts_central_sentences(spark):
         textrank_sentences(docs, iterations=0)
 
 
+def test_blocklist_scan_word_boundaries_and_phrases(spark):
+    """Whole-word semantics (no substring hits), multi-word phrases,
+    longest-first overlap preference, case-insensitivity, occurrence
+    counting — and the whole scan is a shuffle-free projection."""
+    import pytest
+
+    from crawl4ai_custom_spark.operators.textstats import blocklist_scan
+
+    rows = [
+        (1, "We vectorize the loop."),            # substring only -> clean
+        (2, "A Vector and a vector again."),      # 2 hits, case-folded
+        (3, "the hash join beats hash joins"),    # phrase + its prefix
+        (4, "totally clean text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           blocklist_scan(docs, ["hash join", "vector", "hash"]).collect()}
+    assert out[1]["blocklist_keep"] and out[1]["blocklist_hits"] == []
+    assert out[2]["n_blocklist_hits"] == 2
+    assert out[2]["blocklist_hits"] == ["vector"]
+    # "hash join" wins over "hash" at the overlap; second "hash" (of
+    # "hash joins") still matches the shorter term
+    assert out[3]["blocklist_hits"] == ["hash", "hash join"]
+    assert out[3]["n_blocklist_hits"] == 2
+    assert not out[3]["blocklist_keep"]
+    assert out[4]["blocklist_keep"]
+
+    plan = blocklist_scan(docs, ["vector"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure codegen projection
+
+    with pytest.raises(ValueError):
+        blocklist_scan(docs, [])
+    with pytest.raises(ValueError):
+        blocklist_scan(docs, ["bad|regex"])
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing invariants: case/punctuation-insensitive (identical
     squashed text -> identical fingerprints); the w+k-1 guarantee (a
