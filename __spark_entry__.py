@@ -2125,6 +2125,46 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) Viterbi segmentation gate: vocabulary
+    seeded from the corpus (all chars + top-48 substrings, integer
+    micro-nat costs), minimum-cost split of hash-thinned 4-12 char words.
+    Unlike BPE's iterative merge loop, the unigram DP IS SQL-expressible:
+    the oracle unrolls the 12-position min-plus recursion as chained
+    CTEs with an argmin key of zero-padded cost || '|' || path — the
+    exact tuple order the pandas Viterbi uses."""
+    from crawl4ai_custom_spark.operators.bpe import (
+        unigram_seed_vocab,
+        unigram_segment,
+    )
+    from crawl4ai_custom_spark.operators.urlops import stable_hash60
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    vocab = unigram_seed_vocab(docs, max_piece=4, extra_pieces=48)
+    words = docs.select(F.explode(
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda t: F.length(t) > 0)).alias("word")).distinct()
+    gate_words = words.where(
+        F.length("word").between(4, 12)
+        & (stable_hash60(F.col("word")) % 2 == 0))
+    return unigram_segment(gate_words, vocab, max_piece=4)
+
+
+def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM EM count step gate: Viterbi-segment every distinct
+    word (len <= 12) of the corpus under the seeded vocabulary, re-count
+    piece usage weighted by word frequency — the M-step statistics.
+    Oracle = the same unrolled DP + one weighted groupBy."""
+    from crawl4ai_custom_spark.operators.bpe import (
+        unigram_em_counts,
+        unigram_seed_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    vocab = unigram_seed_vocab(docs, max_piece=4, extra_pieces=48)
+    return unigram_em_counts(docs, vocab, max_piece=4, max_word_len=12)
+
+
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train+encode gate (rows-only: the merge loop is an iterative
     algorithm — per-round top-pair selection feeding the next round's
@@ -5774,6 +5814,114 @@ def _textrank_sents_oracle_sql(iterations: int = 3, damping: float = 0.85,
 
 ORACLES["q_textrank_sents"] = _textrank_sents_oracle_sql()
 
+def _unigram_prefix_sql(doc_cap: int, max_piece: int = 4,
+                        extra_pieces: int = 48) -> str:
+    """Shared CTE prefix: corpus words + seeded unigram vocabulary with
+    integer micro-nat costs (mirrors bpe.unigram_seed_vocab)."""
+    return f"""
+    words as materialized (
+      select word, count(*)::BIGINT as freq from (
+        select unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> length(x) > 0)) as word
+        from documents where doc_id < {doc_cap}
+      ) group by word
+    ),
+    subs as (
+      select piece, sum(freq)::BIGINT as count from (
+        select substr(word, s.i, l.j) as piece, freq
+        from words,
+             unnest(range(1, length(word) + 1)) as s(i),
+             unnest(range(1, least({max_piece},
+                                   length(word) - i + 1) + 1)) as l(j)
+      ) group by piece
+    ),
+    vocab0 as (
+      select piece, count from subs where length(piece) = 1
+      union all
+      select piece, count from (
+        select piece, count,
+               row_number() over (order by count desc, piece) as rn
+        from subs where length(piece) > 1
+      ) where rn <= {extra_pieces}
+    ),
+    vocab as materialized (
+      select piece, count,
+             round(-ln(count / (select sum(count) from vocab0)) * 1e6)
+               ::BIGINT as cost
+      from vocab0
+    )"""
+
+
+def _unigram_dp_sql(max_len: int, max_piece: int = 4,
+                    words_cte: str = "gatewords") -> str:
+    """Unrolled min-plus Viterbi DP over positions 1..max_len: best{{i}}
+    = argmin over j of best{{j}} + cost(word[j+1 .. i]), argmin keyed by
+    zero-padded cost || '|' || path (== the pandas (cost, path) tuple
+    order: costs are fixed-width non-negative integers, paths ASCII)."""
+    ctes = [f"best0 as materialized (select word, 0::BIGINT as cost, "
+            f"'' as path from {words_cte})"]
+    for i in range(1, max_len + 1):
+        branches = []
+        for j in range(max(0, i - max_piece), i):
+            branches.append(f"""
+        select b.word, b.cost + v.cost as cost,
+               case when b.path = '' then v.piece
+                    else b.path || ' ' || v.piece end as path
+        from best{j} b
+        join vocab v on v.piece = substr(b.word, {j + 1}, {i - j})
+        where length(b.word) >= {i}""")
+        union = " union all ".join(branches)
+        ctes.append(f"""cand{i} as ({union}),
+    best{i} as materialized (
+      select word,
+             arg_min(cost, printf('%012d', cost) || '|' || path) as cost,
+             arg_min(path, printf('%012d', cost) || '|' || path) as path
+      from cand{i} group by word
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _unigram_segment_oracle_sql() -> str:
+    dp = _unigram_dp_sql(12)
+    finals = " union all ".join(
+        f"select word, path, cost from best{i} where length(word) = {i}"
+        for i in range(4, 13))
+    return f"""
+    with {_unigram_prefix_sql(200)},
+    gatewords as (
+      select word from words
+      where length(word) between 4 and 12
+        and ('0x' || substr(md5(word), 1, 15))::BIGINT % 2 = 0
+    ),
+    {dp},
+    seg as ({finals})
+    select word, path as pieces_str,
+           len(string_split(path, ' '))::BIGINT as n_pieces, cost
+    from seg
+"""
+
+
+def _unigram_em_oracle_sql() -> str:
+    dp = _unigram_dp_sql(12, words_cte="gatewords")
+    finals = " union all ".join(
+        f"select word, path from best{i} where length(word) = {i}"
+        for i in range(1, 13))
+    return f"""
+    with {_unigram_prefix_sql(120)},
+    gatewords as (select word from words where length(word) <= 12),
+    {dp},
+    seg as ({finals})
+    select piece, sum(freq)::BIGINT as new_count from (
+      select unnest(string_split(s.path, ' ')) as piece, w.freq
+      from seg s join words w using (word)
+    ) group by piece
+"""
+
+
+ORACLES["q_unigram_segment"] = _unigram_segment_oracle_sql()
+ORACLES["q_unigram_em"] = _unigram_em_oracle_sql()
+
 _BLOCKLIST_PAT = (
     r"\b(" + "|".join(sorted(_BLOCKLIST_TERMS, key=lambda t: (-len(t), t)))
     + r")\b"
@@ -8150,6 +8298,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_textrank": q_textrank,
     "q_textrank_sents": q_textrank_sents,
     "q_blocklist": q_blocklist,
+    "q_unigram_segment": q_unigram_segment,
+    "q_unigram_em": q_unigram_em,
     "q_ql_retrieval": q_ql_retrieval,
     "q_proximity": q_proximity,
     "q_cc_index": q_cc_index,

@@ -328,6 +328,8 @@ def main() -> None:
         "q_textrank",
         "q_textrank_sents",
         "q_blocklist",
+        "q_unigram_segment",
+        "q_unigram_em",
         "q_prefix_join",
         "q_winnow",
         "q_fuzzy_terms",

@@ -261,3 +261,165 @@ def bpe_encode(docs: DataFrame, merges: DataFrame, id_col: str = "doc_id",
             .alias("tokens"),
         )
     )
+
+
+def unigram_seed_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece: int = 4,
+    extra_pieces: int = 48,
+) -> DataFrame:
+    """Seed vocabulary for a unigram-LM tokenizer (Kudo 2018,
+    "Subword Regularization", arXiv:1804.10959 — the SentencePiece
+    unigram model; public paper): every substring of length 1..max_piece
+    of every distinct word, counted weighted by word frequency; the
+    vocabulary keeps ALL single characters (so any word stays
+    segmentable) plus the ``extra_pieces`` most frequent multi-character
+    pieces (count desc, piece asc — deterministic). Unigram costs are
+    INTEGER micro-nats, cost = round(-ln(count/total)*1e6), so the
+    downstream Viterbi is exact integer arithmetic — bit-identical across
+    Spark, pandas workers and the SQL oracle, no float-summation drift.
+
+    Scale shape: one corpus pass builds the word-frequency table (the
+    BPE trick above — Heaps-bounded), substring explode runs on the
+    VOCAB table (≤ len·max_piece rows per distinct word), one groupBy
+    counts pieces, the one-row total broadcasts. The global top-K window
+    is vocab-sized by construction."""
+    from pyspark.sql import Window
+
+    if max_piece < 2:
+        raise ValueError("max_piece must be >= 2")
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 0)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = (
+        words
+        .select("word", "freq",
+                F.explode(F.sequence(F.lit(1), F.length("word")))
+                 .alias("start"))
+        .select("word", "freq", "start",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece),
+                            F.length("word") - F.col("start") + 1)))
+                 .alias("plen"))
+        .select(F.expr("substring(word, start, plen)").alias("piece"),
+                "freq")
+        .groupBy("piece").agg(F.sum("freq").alias("count"))
+    )
+    chars = subs.where(F.length("piece") == 1)
+    w = Window.orderBy(F.col("count").desc(), F.col("piece"))
+    multis = (
+        subs.where(F.length("piece") > 1)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= extra_pieces)
+        .drop("rn")
+    )
+    vocab = chars.unionByName(multis)
+    total = vocab.agg(F.sum("count").alias("tot"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece", "count",
+        F.round(-F.log(F.col("count") / F.col("tot")) * 1e6, 0)
+         .cast("long").alias("cost"),
+    )
+
+
+def unigram_segment(
+    tokens: DataFrame,
+    pieces: DataFrame,
+    *,
+    max_piece: int = 4,
+    word_col: str = "word",
+) -> DataFrame:
+    """Viterbi segmentation of distinct words under a unigram-LM piece
+    vocabulary: (word, pieces_str, n_pieces, cost) with the minimum-cost
+    split; ties break on the lexicographically smallest piece sequence
+    (tuple (cost, path) ordering — the SQL oracle reproduces it as a
+    zero-padded-cost || '|' || path string argmin, the identical order
+    because costs are fixed-width integers and the alphabet is ASCII).
+    Words containing a character outside the vocabulary are unreachable
+    and silently dropped (cannot happen when the vocabulary was seeded
+    from the same corpus — all single chars are kept).
+
+    Scale shape: the vocabulary is bounded by construction (chars +
+    extra_pieces), so it broadcasts into an Arrow-batched pandas stage
+    over the DISTINCT word table — each word segments once regardless of
+    corpus occurrences, the same vocab-table pattern as bpe_encode."""
+    vocab = {r["piece"]: r["cost"]
+             for r in pieces.select("piece", "cost").collect()}
+    schema = StructType([
+        StructField("word", StringType()),
+        StructField("pieces_str", StringType()),
+        StructField("n_pieces", LongType()),
+        StructField("cost", LongType()),
+    ])
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for wd in pdf["word"]:
+                n = len(wd)
+                best: list = [None] * (n + 1)
+                best[0] = (0, "")
+                for i in range(1, n + 1):
+                    cand = None
+                    for j in range(max(0, i - max_piece), i):
+                        if best[j] is None:
+                            continue
+                        c = vocab.get(wd[j:i])
+                        if c is None:
+                            continue
+                        path = (best[j][1] + " " + wd[j:i]
+                                if best[j][1] else wd[j:i])
+                        key = (best[j][0] + c, path)
+                        if cand is None or key < cand:
+                            cand = key
+                    best[i] = cand
+                if best[n] is not None:
+                    out.append((wd, best[n][1],
+                                len(best[n][1].split(" ")), best[n][0]))
+            yield pd.DataFrame(
+                out, columns=["word", "pieces_str", "n_pieces", "cost"])
+
+    return (
+        tokens.select(F.col(word_col).alias("word")).distinct()
+        .mapInPandas(seg, schema)
+    )
+
+
+def unigram_em_counts(
+    docs: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """One EM count step of unigram-LM training: Viterbi-segment every
+    distinct word (length <= max_word_len) under the current vocabulary,
+    then re-count piece usage weighted by word frequency — the M-step
+    statistics (piece, new_count) from which the next round's costs
+    derive. Hard-EM (Viterbi counts, not full forward-backward), the
+    standard distributed simplification; iterating segment->count->recost
+    converges exactly like SentencePiece's EM loop shrunk to its
+    deterministic core.
+
+    Scale shape: segmentation runs once per distinct word (vocab table),
+    counts come from one explode + groupBy with map-side partials."""
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 0)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("word") <= max_word_len)
+    )
+    seg = unigram_segment(words, pieces, max_piece=max_piece)
+    return (
+        seg.join(words, "word")
+        .select(F.explode(F.split("pieces_str", " ")).alias("piece"), "freq")
+        .groupBy("piece").agg(F.sum("freq").alias("new_count"))
+    )

@@ -102,3 +102,66 @@ def test_train_bpe_both_paths_agree(spark):
             for r in train_bpe(docs, 8, driver_max_vocab=0)
             .orderBy("rank").collect()]
     assert fast == dist and len(fast) == 8
+
+
+def test_unigram_vocab_segment_and_em(spark):
+    """Seed vocab keeps every char + top multis with integer costs;
+    Viterbi output always reconstructs the word at minimum cost (checked
+    against a brute-force enumeration); the EM count step's totals equal
+    sum(freq * n_pieces) and every counted piece is in the vocabulary."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.bpe import (
+        unigram_em_counts,
+        unigram_seed_vocab,
+        unigram_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat ate the rat",
+             "a mat and a rat sat", "the the the cat cat"])],
+        ["doc_id", "text"])
+    vocab_df = unigram_seed_vocab(docs, max_piece=3, extra_pieces=6)
+    vocab = {r["piece"]: r["cost"] for r in vocab_df.collect()}
+    # all single chars of the corpus present, all costs positive ints
+    chars = set("thecatsonmatertdna")
+    assert chars <= {p for p in vocab if len(p) == 1}
+    assert all(isinstance(c, int) and c > 0 for c in vocab.values())
+    assert sum(1 for p in vocab if len(p) > 1) == 6
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    seg = {r["word"]: r for r in
+           unigram_segment(words, vocab_df, max_piece=3).collect()}
+    assert set(seg) == {"the", "cat", "sat", "on", "mat",
+                        "ate", "rat", "a", "and"}
+
+    def brute(w):  # enumerate all segmentations, same (cost, path) order
+        n = len(w)
+        best = None
+        for k in range(n):  # k = number of cut points
+            for cuts in combinations(range(1, n), k):
+                bounds = [0, *cuts, n]
+                ps = [w[bounds[i]:bounds[i + 1]]
+                      for i in range(len(bounds) - 1)]
+                if any(len(p) > 3 or p not in vocab for p in ps):
+                    continue
+                key = (sum(vocab[p] for p in ps), " ".join(ps))
+                if best is None or key < best:
+                    best = key
+        return best
+
+    for w, r in seg.items():
+        assert r["pieces_str"].replace(" ", "") == w
+        bc, bp = brute(w)
+        assert (r["cost"], r["pieces_str"]) == (bc, bp), w
+
+    em = {r["piece"]: r["new_count"] for r in
+          unigram_em_counts(docs, vocab_df, max_piece=3).collect()}
+    assert set(em) <= set(vocab)
+    freqs = {r["word"]: r["count"] for r in
+             words.groupBy("word").count().collect()}
+    expect_total = sum(freqs[w] * seg[w]["n_pieces"] for w in seg)
+    assert sum(em.values()) == expect_total
