@@ -423,3 +423,58 @@ def unigram_em_counts(
         .select(F.explode(F.split("pieces_str", " ")).alias("piece"), "freq")
         .groupBy("piece").agg(F.sum("freq").alias("new_count"))
     )
+
+
+def train_unigram(
+    docs: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+    *,
+    max_piece: int = 4,
+    extra_pieces: int = 48,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Full hard-EM unigram-LM training loop: seed vocabulary ->
+    ``rounds`` x (Viterbi segment -> re-count -> re-cost -> prune).
+    Multi-char pieces that no Viterbi path used are pruned (SentencePiece
+    prunes lowest-impact pieces; the hard-EM analogue is exact:
+    zero-count pieces contribute nothing to the likelihood). Single
+    characters are never pruned (coverage guarantee) — an unused char
+    keeps a count floor of 1. Hard EM never increases the total Viterbi
+    cost of the corpus, so the loop converges; in practice 2-3 rounds
+    settle (see test).
+
+    Like train_bpe, per-round state materializes through
+    ``localCheckpoint`` so the plan never grows with rounds. Iterative
+    (per-round counts feed the next round's costs), so no single-SQL
+    oracle — the two component gates (q_unigram_segment, q_unigram_em)
+    pin each step exactly; this wrapper is pinned by the non-increasing
+    corpus-cost test."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    vocab = unigram_seed_vocab(
+        docs, text_col, max_piece=max_piece, extra_pieces=extra_pieces
+    ).localCheckpoint()
+    for _ in range(rounds):
+        counts = unigram_em_counts(
+            docs, vocab, text_col,
+            max_piece=max_piece, max_word_len=max_word_len)
+        chars = (
+            vocab.where(F.length("piece") == 1).select("piece")
+            .join(counts, "piece", "left")
+            .select("piece",
+                    F.coalesce("new_count", F.lit(1)).alias("count"))
+        )
+        multis = (
+            vocab.where(F.length("piece") > 1).select("piece")
+            .join(counts, "piece")  # inner join == prune zero-count
+            .select("piece", F.col("new_count").alias("count"))
+        )
+        merged = chars.unionByName(multis)
+        total = merged.agg(F.sum("count").alias("tot"))
+        vocab = merged.crossJoin(F.broadcast(total)).select(
+            "piece", "count",
+            F.round(-F.log(F.col("count") / F.col("tot")) * 1e6, 0)
+             .cast("long").alias("cost"),
+        ).localCheckpoint()
+    return vocab

@@ -165,3 +165,48 @@ def test_unigram_vocab_segment_and_em(spark):
              words.groupBy("word").count().collect()}
     expect_total = sum(freqs[w] * seg[w]["n_pieces"] for w in seg)
     assert sum(em.values()) == expect_total
+
+
+def test_train_unigram_cost_non_increasing_and_prunes(spark):
+    """Hard-EM rounds never increase the corpus Viterbi cost; unused
+    multi-char pieces are pruned while the char set survives with a
+    count floor; validation raises."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.bpe import (
+        train_unigram,
+        unigram_seed_vocab,
+        unigram_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat ate the rat",
+             "a mat and a rat sat", "the the the cat cat"])],
+        ["doc_id", "text"])
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    freqs = {r["word"]: r["count"] for r in
+             words.groupBy("word").count().collect()}
+
+    def corpus_cost(vocab_df):
+        seg = unigram_segment(words, vocab_df, max_piece=3).collect()
+        return sum(freqs[r["word"]] * r["cost"] for r in seg)
+
+    v0 = unigram_seed_vocab(docs, max_piece=3, extra_pieces=6)
+    v1 = train_unigram(docs, rounds=1, max_piece=3, extra_pieces=6)
+    v2 = train_unigram(docs, rounds=2, max_piece=3, extra_pieces=6)
+    # re-costing to the ACTUALLY-USED distribution can only help
+    c0, c1, c2 = corpus_cost(v0), corpus_cost(v1), corpus_cost(v2)
+    assert c1 <= c0 and c2 <= c1
+
+    chars0 = {r["piece"] for r in v0.collect() if len(r["piece"]) == 1}
+    rows1 = v1.collect()
+    assert {r["piece"] for r in rows1 if len(r["piece"]) == 1} == chars0
+    # pruning is real: the toy corpus cannot use all 6 seeded multis
+    assert sum(1 for r in rows1 if len(r["piece"]) > 1) < 6
+    assert all(r["count"] >= 1 and r["cost"] > 0 for r in rows1)
+
+    with pytest.raises(ValueError):
+        train_unigram(docs, rounds=0)
