@@ -8206,6 +8206,62 @@ ORACLES["q_refresh_alloc"] = """
 """
 
 
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch gate (Masson et al. VLDB 2019): relative-error quantiles
+    of document char lengths from a mergeable (bucket, cnt) row sketch at
+    alpha=0.02. The oracle rebuilds the identical log-gamma bucket table
+    (ln(gamma) inlined as the same Python double in both engines, 1e-11
+    boundary nudge inside ceil), the same cumulative walk at rank
+    floor(1 + q*(n-1)), and the same gamma-midpoint reconstruction —
+    quantile q is cast to DOUBLE on the DuckDB side so the rank
+    arithmetic is bit-identical IEEE in both engines."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        ddsketch,
+        ddsketch_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.length("text").alias("x"))
+    sk = ddsketch(vals, "x", alpha=0.02)
+    return (
+        ddsketch_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99], alpha=0.02)
+        .select("q", "n_total", "bucket", "est")
+    )
+
+
+_DD_G = 1.0408163265306123          # dd_gamma(0.02), inlined for the oracle
+_DD_LG = 0.040005334613699206       # math.log(dd_gamma(0.02))
+
+ORACLES["q_ddsketch"] = f"""
+    with v as (select length(text)::DOUBLE as x from documents),
+    b as (
+      select case when x < 0 then -2147483648
+                  when x = 0 then -2147483647
+                  else cast(ceil(ln(x) / {_DD_LG!r} - 1e-11) as int) end
+               as bucket
+      from v),
+    sk as (select bucket, count(*)::BIGINT as cnt from b group by bucket),
+    cum as (
+      select bucket,
+             sum(cnt) over (order by bucket
+                            rows between unbounded preceding and current row)
+               as cum,
+             sum(cnt) over ()::BIGINT as n_total
+      from sk),
+    qs as (select unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE as q),
+    hit as (
+      select q, min(bucket) as bucket, any_value(n_total) as n_total
+      from qs join cum on cum.cum >= floor(1.0 + q * (n_total - 1))
+      group by q)
+    select q, n_total, bucket,
+           case when bucket = -2147483647 then 0.0
+                when bucket = -2147483648 then NULL
+                else 2.0 / ({_DD_G!r} + 1.0) * power({_DD_G!r}, bucket)
+           end as est
+    from hit
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_normalize_url": q_normalize_url,
@@ -8258,6 +8314,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,
+    "q_ddsketch": q_ddsketch,
     "q_kmv_setops": q_kmv_setops,
     "q_degree_powerlaw": q_degree_powerlaw,
     "q_weighted_sample": q_weighted_sample,

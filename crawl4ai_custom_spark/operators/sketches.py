@@ -421,3 +421,167 @@ def kmv_setops(sketch_a: DataFrame, sketch_b: DataFrame,
             (j * F.col("estimate")).alias("intersection_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: fully-mergeable relative-error quantile sketch
+# (Masson, Lee & Rim, "DDSketch: A Fast and Fully-Mergeable Quantile
+#  Sketch with Relative-Error Guarantees", VLDB 2019)
+# ---------------------------------------------------------------------------
+#
+# The quantile gap in the sketch family: the moments sketch above gives
+# mergeable MOMENTS (mean/variance/Cornish-Fisher quantile ESTIMATES with
+# no per-quantile guarantee), and exact percentile_approx is opaque JVM
+# state that can't be stored, merged across epochs, or oracle-verified.
+# DDSketch buckets values on a log-gamma grid — bucket i covers
+# (gamma^(i-1), gamma^i] with gamma = (1+alpha)/(1-alpha) — so ANY value
+# reconstructed from its bucket midpoint 2*gamma^i/(gamma+1) is within
+# relative error alpha, and the sketch is literally a (bucket, cnt)
+# table: merge = groupBy-sum (cell-wise, associative, epoch-appendable —
+# the same contract as the HLL/CMS/KMV rows above). Reference parity:
+# the reference keeps no latency/size distributions at all (single
+# process); at 10^10 urls "p99 page bytes per host" needs a mergeable
+# sketch, not a sort.
+#
+# Scale shape: ONE partial-agg groupBy over <= B distinct buckets per
+# group (B ~ ln(max/min)/ln(gamma): ~1.2k buckets across 12 orders of
+# magnitude at alpha=0.01) — the exchange carries O(B * partitions)
+# rows regardless of row count; the quantile walk is a window over the
+# bounded bucket table, never the data.
+#
+# Oracle portability: bucket = ceil(ln(x)/ln(gamma) - 1e-11) with
+# ln(gamma) inlined as the SAME Python double in both engines. Both ln()
+# calls are correctly-rounded to <= 1 ulp, so the engines can only
+# disagree when ln(x)/ln(gamma) sits within ~1e-15 of the 1e-11-shifted
+# boundary — and the shift moves the boundary OFF the exact-integer
+# points (x = gamma^k, x = 1) where real data actually lands.
+
+_DD_NEG_BUCKET = -(1 << 31)       # all negative values (documented: use a
+                                  # second sketch on -x for signed data)
+_DD_ZERO_BUCKET = -(1 << 31) + 1  # exact zeros (paper's separate zero count)
+_DD_EPS = 1e-11
+
+
+def dd_gamma(alpha: float) -> float:
+    """gamma = (1+alpha)/(1-alpha); alpha is the relative-error bound."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(value, alpha: float):
+    """Log-gamma bucket index as a Column. Sentinel buckets for zero and
+    negative inputs sort BELOW every real bucket, so the quantile walk
+    orders (negatives, zeros, positives) correctly by plain bucket order."""
+    lg = math.log(dd_gamma(alpha))
+    x = value.cast("double")
+    return (
+        F.when(x < 0, F.lit(_DD_NEG_BUCKET))
+        .when(x == 0, F.lit(_DD_ZERO_BUCKET))
+        .otherwise(F.ceil(F.log(x) / F.lit(lg) - F.lit(_DD_EPS)).cast("int"))
+    )
+
+
+def ddsketch(df: DataFrame, value_col: str, alpha: float = 0.02,
+             group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """(group_cols..., bucket, cnt) — the sketch AS ROWS. Nothing is
+    silently dropped: zeros and negatives land in sentinel buckets (a
+    negative-heavy input shows up as mass in _DD_NEG_BUCKET, whose
+    reconstruction is NULL, not a wrong number). NULL values are
+    excluded like every SQL aggregate excludes them."""
+    gcols = list(group_cols)
+    b = dd_bucket(F.col(value_col), alpha)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, b.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_merge(*sketches: DataFrame,
+                   group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Cell-wise ADD of same-alpha sketches — the epoch/partition merge.
+    sketch(A ++ B) == merge(sketch(A), sketch(B)) EXACTLY (bucket counts
+    are integers; sum is associative), which the tests assert row-for-row."""
+    gcols = list(group_cols)
+    it = iter(sketches)
+    merged = next(it)
+    for t in it:
+        merged = merged.unionByName(t)
+    return merged.groupBy(*gcols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def ddsketch_collapse(sketch: DataFrame, max_buckets: int,
+                      group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """The paper's bounded-memory collapse: keep each group's highest
+    ``max_buckets`` buckets and fold everything below into the lowest
+    kept bucket. Quantiles above the collapsed mass keep the full alpha
+    guarantee; the collapsed tail degrades gracefully (the paper's
+    trade). Sentinel buckets participate like any low bucket.
+
+    Shape: one row_number window over the BUCKET table (<= B rows per
+    group, never the data) + one re-aggregate."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("bucket").desc())
+    ranked = sketch.withColumn("_rn", F.row_number().over(w))
+    floor_per_group = (
+        ranked.where(F.col("_rn") <= max_buckets)
+        .groupBy(*gcols).agg(F.min("bucket").alias("_floor"))
+    )
+    joined = (ranked.join(F.broadcast(floor_per_group), gcols)
+              if gcols else ranked.crossJoin(F.broadcast(floor_per_group)))
+    return (
+        joined.select(
+            *gcols,
+            F.greatest(F.col("bucket"), F.col("_floor")).alias("bucket"),
+            "cnt",
+        )
+        .groupBy(*gcols, "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(sketch: DataFrame, qs: list[float], alpha: float = 0.02,
+                       group_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """(group_cols..., q, n_total, bucket, est) per requested quantile.
+
+    Paper rank convention: the q-quantile is the item of rank
+    floor(1 + q*(n-1)) in sorted order; the answer is the first bucket
+    whose cumulative count reaches that rank, reconstructed at the
+    gamma-midpoint 2*gamma^i/(gamma+1) (relative error <= alpha).
+    Zero-bucket answers reconstruct as exactly 0.0; negative-bucket
+    answers are NULL (sketch the negated column for signed data).
+
+    Shape: cumulative-sum window over the bounded bucket table, a
+    broadcast explode of the quantile list, one groupBy(q) min — the
+    data itself is never re-scanned."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    part = Window.partitionBy(*[F.col(c) for c in gcols])
+    cum_w = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        sketch
+        .withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("n_total", F.sum("cnt").over(part))
+    )
+    qdf = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    rank = F.floor(F.lit(1.0) + F.col("q") * (F.col("n_total") - 1))
+    g = dd_gamma(alpha)
+    hit = (
+        qdf.where(F.col("cum") >= rank)
+        .groupBy(*gcols, "q")
+        .agg(F.min("bucket").alias("bucket"),
+             F.first("n_total").alias("n_total"))
+    )
+    est = (
+        F.when(F.col("bucket") == _DD_ZERO_BUCKET, F.lit(0.0))
+        .when(F.col("bucket") == _DD_NEG_BUCKET, F.lit(None).cast("double"))
+        .otherwise(F.lit(2.0 / (g + 1.0)) * F.pow(F.lit(g), F.col("bucket")))
+    )
+    return hit.select(*gcols, "q", "n_total", "bucket", est.alias("est"))

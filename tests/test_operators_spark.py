@@ -3682,3 +3682,83 @@ def test_fuzzy_term_pairs_exact_vs_bruteforce(spark):
     assert ("crawl", "crawls") in got     # insertion
     assert ("craal", "crwl") not in got   # distance 2 rejected
     assert all("ab" not in p for p in got)  # min_len enforced
+
+
+def test_ddsketch_guarantee_merge_and_sentinels(spark):
+    """DDSketch: (a) every quantile answer is within alpha relative error
+    of the exact rank item; (b) sketch(A++B) == merge(sketch(A),
+    sketch(B)) row-for-row; (c) zeros/negatives land in sentinel buckets
+    and reconstruct as 0.0 / NULL; (d) collapse keeps upper quantiles."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        _DD_NEG_BUCKET,
+        _DD_ZERO_BUCKET,
+        ddsketch,
+        ddsketch_collapse,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.lognormvariate(5.0, 2.0) for _ in range(4000)]
+    alpha = 0.02
+    df = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(4)
+
+    sk = ddsketch(df, "x", alpha=alpha)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out = {r["q"]: r for r in ddsketch_quantiles(sk, qs, alpha=alpha).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for q in qs:
+        exact = s[int(1 + q * (n - 1)) - 1]
+        est = out[q]["est"]
+        assert out[q]["n_total"] == n
+        assert abs(est - exact) / exact <= alpha + 1e-9, (q, est, exact)
+
+    # (b) merge equivalence, exact
+    a = spark.createDataFrame([(v,) for v in vals[:2500]], "x double")
+    b = spark.createDataFrame([(v,) for v in vals[2500:]], "x double")
+    merged = ddsketch_merge(ddsketch(a, "x", alpha=alpha),
+                            ddsketch(b, "x", alpha=alpha))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, sk.collect()))
+
+    # (c) sentinels: zeros -> 0.0, negatives -> NULL, nothing dropped
+    mixed = spark.createDataFrame(
+        [(-5.0,), (-1.0,), (0.0,), (0.0,), (0.0,), (2.0,), (8.0,)],
+        "x double")
+    msk = ddsketch(mixed, "x", alpha=alpha)
+    rows = {r["bucket"]: r["cnt"] for r in msk.collect()}
+    assert rows[_DD_NEG_BUCKET] == 2 and rows[_DD_ZERO_BUCKET] == 3
+    assert sum(rows.values()) == 7
+    mq = {r["q"]: r for r in
+          ddsketch_quantiles(msk, [0.05, 0.5, 0.95, 1.0], alpha=alpha).collect()}
+    assert mq[0.05]["est"] is None            # rank 1 -> negative bucket
+    assert mq[0.5]["est"] == 0.0              # rank 4 -> zero bucket
+    assert abs(mq[0.95]["est"] - 2.0) / 2.0 <= alpha   # rank 6 of 7 -> 2.0
+    assert abs(mq[1.0]["est"] - 8.0) / 8.0 <= alpha    # rank 7 -> the max
+
+    # (d) collapse: tail folds, upper quantiles keep the guarantee
+    coll = ddsketch_collapse(sk, max_buckets=128)
+    n_buckets = coll.count()
+    assert n_buckets <= 128
+    cq = {r["q"]: r["est"] for r in
+          ddsketch_quantiles(coll, [0.9, 0.99], alpha=alpha).collect()}
+    for q in (0.9, 0.99):
+        exact = s[int(1 + q * (n - 1)) - 1]
+        assert abs(cq[q] - exact) / exact <= alpha + 1e-9
+
+    # grouped path: per-group totals independent
+    g = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("b", float(1000 + i)) for i in range(1, 11)],
+        "grp string, x double")
+    gq = ddsketch_quantiles(ddsketch(g, "x", alpha=alpha, group_cols=["grp"]),
+                            [0.5], alpha=alpha, group_cols=["grp"])
+    got = {r["grp"]: r for r in gq.collect()}
+    assert got["a"]["n_total"] == 100 and got["b"]["n_total"] == 10
+    assert abs(got["a"]["est"] - 50.0) / 50.0 <= alpha
+    assert abs(got["b"]["est"] - 1005.0) / 1005.0 <= alpha
