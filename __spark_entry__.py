@@ -8206,6 +8206,118 @@ ORACLES["q_refresh_alloc"] = """
 """
 
 
+def _graph_gate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triangle/core gate graph: the q_pagerank-style 2-out
+    mod graph over doc_id < 300 plus two planted cliques (doc_id%37==0 —
+    9 nodes; doc_id%50==1 — 6 nodes), so the graph has organic wedges AND
+    farm-like dense cores."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300).select("doc_id")
+    d = F.col("doc_id")
+    rand = docs.select(d.alias("src"), ((d * 7 + 1) % 300).alias("dst")) \
+        .unionByName(docs.select(d.alias("src"),
+                                 ((d * 13 + 2) % 300).alias("dst")))
+    a = docs.where(d % 37 == 0).select(d.alias("src"))
+    b = docs.where(d % 50 == 1).select(d.alias("src"))
+    cliques = None
+    for grp in (a, b):
+        pair = grp.crossJoin(grp.select(F.col("src").alias("dst"))).where(
+            F.col("src") < F.col("dst"))
+        cliques = pair if cliques is None else cliques.unionByName(pair)
+    return rand.unionByName(cliques).where(F.col("src") != F.col("dst"))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-count gate: per-node triangles + local clustering over the
+    planted-clique graph via degree-ordered orientation (compact-forward),
+    undirected + oriented lists materialized once (the operator's scale
+    path); the oracle counts the SAME triangles with an independent
+    brute-force x<y<z three-way join — same numbers, different
+    algorithm."""
+    import tempfile
+
+    from crawl4ai_custom_spark.operators.linkgraph import triangle_stats
+
+    ckpt = tempfile.mkdtemp(prefix="q_triangles_")
+    return triangle_stats(_graph_gate_edges(spark, sf_dir),
+                          checkpoint_dir=ckpt)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core gate (k=5): synchronous peel to fixpoint isolates exactly
+    the two planted cliques from the organic mod graph; the oracle
+    unrolls the same peel rounds in SQL (extra rounds past the fixpoint
+    are no-ops, so the unroll count just has to be >= the peel depth)."""
+    from crawl4ai_custom_spark.operators.linkgraph import k_core
+
+    return k_core(_graph_gate_edges(spark, sf_dir), k=5)
+
+
+_GRAPH_GATE_EDGES_SQL = """
+    docs as (select doc_id from documents where doc_id < 300),
+    raw as (
+      select doc_id as src, (doc_id*7+1)%300 as dst from docs
+      union all
+      select doc_id, (doc_id*13+2)%300 from docs
+      union all
+      select a.doc_id, b.doc_id from docs a, docs b
+       where a.doc_id%37=0 and b.doc_id%37=0 and a.doc_id < b.doc_id
+      union all
+      select a.doc_id, b.doc_id from docs a, docs b
+       where a.doc_id%50=1 and b.doc_id%50=1 and a.doc_id < b.doc_id
+    ),
+    und0 as (select distinct least(src,dst) as a, greatest(src,dst) as b
+             from raw where src <> dst)
+"""
+
+ORACLES["q_triangles"] = f"""
+    with {_GRAPH_GATE_EDGES_SQL},
+    deg as (select node, count(*)::BIGINT as degree from (
+        select a as node from und0 union all select b from und0) t
+        group by node),
+    tri as (
+      select e1.a as x, e1.b as y, e2.b as z
+      from und0 e1
+      join und0 e2 on e2.a = e1.a and e2.b > e1.b
+      join und0 e3 on e3.a = e1.b and e3.b = e2.b
+    ),
+    pn as (select node, count(*)::BIGINT as triangles from (
+        select x as node from tri union all select y from tri
+        union all select z from tri) t group by node)
+    select d.node, d.degree,
+           coalesce(p.triangles, 0)::BIGINT as triangles,
+           case when d.degree < 2 then 0.0
+                else 2.0 * coalesce(p.triangles, 0)
+                     / (d.degree::DOUBLE * (d.degree - 1)) end as clustering
+    from deg d left join pn p on d.node = p.node
+"""
+
+
+def _kcore_oracle_sql(k: int = 5, rounds: int = 4) -> str:
+    """Unrolled synchronous peel: deg_i over und_i, keep degree >= k,
+    filter both endpoints, repeat. Rounds past the fixpoint are no-ops."""
+    parts = [f"with {_GRAPH_GATE_EDGES_SQL}"]
+    for i in range(rounds):
+        parts.append(f"""
+    , deg{i} as (select node, count(*)::BIGINT as core_degree from (
+        select a as node from und{i} union all select b from und{i}) t
+        group by node)
+    , keep{i} as (select node from deg{i} where core_degree >= {k})
+    , und{i + 1} as (
+        select u.a, u.b from und{i} u
+        join keep{i} ka on u.a = ka.node
+        join keep{i} kb on u.b = kb.node)""")
+    parts.append(f"""
+    , degF as (select node, count(*)::BIGINT as core_degree from (
+        select a as node from und{rounds} union all
+        select b from und{rounds}) t group by node)
+    select node, core_degree from degF where core_degree >= {k}""")
+    return "".join(parts)
+
+
+ORACLES["q_kcore"] = _kcore_oracle_sql()
+
+
 def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch gate (Masson et al. VLDB 2019): relative-error quantiles
     of document char lengths from a mergeable (bucket, cnt) row sketch at
@@ -8315,6 +8427,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,
     "q_ddsketch": q_ddsketch,
+    "q_triangles": q_triangles,
+    "q_kcore": q_kcore,
     "q_kmv_setops": q_kmv_setops,
     "q_degree_powerlaw": q_degree_powerlaw,
     "q_weighted_sample": q_weighted_sample,

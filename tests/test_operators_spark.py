@@ -3762,3 +3762,35 @@ def test_ddsketch_guarantee_merge_and_sentinels(spark):
     assert got["a"]["n_total"] == 100 and got["b"]["n_total"] == 10
     assert abs(got["a"]["est"] - 50.0) / 50.0 <= alpha
     assert abs(got["b"]["est"] - 1005.0) / 1005.0 <= alpha
+
+
+def test_triangle_stats_and_k_core_closed_form(spark):
+    """Triangles: K4 + pendant — clique nodes have 3 triangles each
+    (clustering 1.0 at degree 3, 0.5 at the degree-4 attachment), the
+    pendant has none; direction/duplicate edges don't change counts.
+    k-core: the 3-core of K4 + a tail is exactly the K4; a too-deep core
+    is empty; peeling cascades down the tail for k=2."""
+    from crawl4ai_custom_spark.operators.linkgraph import k_core, triangle_stats
+
+    k4 = [(a, b) for a in "pqrs" for b in "pqrs" if a < b]
+    # pendant chain s - t - u, plus a reversed duplicate edge (noise)
+    edges = spark.createDataFrame(
+        k4 + [("s", "t"), ("t", "u"), ("q", "p")],
+        "src string, dst string")
+
+    tri = {r["node"]: r for r in triangle_stats(edges).collect()}
+    for n in "pqr":
+        assert tri[n]["degree"] == 3 and tri[n]["triangles"] == 3
+        assert abs(tri[n]["clustering"] - 1.0) < 1e-12
+    assert tri["s"]["degree"] == 4 and tri["s"]["triangles"] == 3
+    assert abs(tri["s"]["clustering"] - 0.5) < 1e-12
+    assert tri["t"]["triangles"] == 0 and tri["t"]["clustering"] == 0.0
+    assert tri["u"]["degree"] == 1 and tri["u"]["clustering"] == 0.0
+    assert sum(r["triangles"] for r in tri.values()) == 3 * 4  # 4 triangles
+
+    core3 = {r["node"]: r["core_degree"] for r in
+             k_core(edges, k=3).collect()}
+    assert core3 == {"p": 3, "q": 3, "r": 3, "s": 3}
+    assert k_core(edges, k=4).count() == 0
+    core2 = {r["node"] for r in k_core(edges, k=2).collect()}
+    assert core2 == {"p", "q", "r", "s"}  # the tail peels off in cascade
