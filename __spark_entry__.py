@@ -8374,6 +8374,108 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components gate (Kiveris et al.
+    2014): deterministic graph of ten 30-node components (triples rooted
+    at multiples of 3, chained into blocks of 30 — diameter ~11, so
+    label propagation would need 11 rounds where the star algorithm
+    needs ~3). Oracle computes components by recursive reachability —
+    a different algorithm arriving at the same labels."""
+    from crawl4ai_custom_spark.operators.dedup import cluster_pairs_star
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    spokes = docs.where(d % 3 != 0).select(
+        d.alias("id_a"), (d - d % 3).alias("id_b"))
+    chain = docs.where((d % 3 == 0) & (d % 30 != 27)).select(
+        d.alias("id_a"), (d + 3).alias("id_b"))
+    out = cluster_pairs_star(spokes.unionByName(chain))
+    return out.select("id", "cluster_id")
+
+
+ORACLES["q_cc_star"] = """
+    with recursive docs as (select doc_id as d from documents where doc_id < 300),
+    pairs as (
+      select d as id_a, d - (d % 3) as id_b from docs where d % 3 <> 0
+      union all
+      select d, d + 3 from docs where d % 3 = 0 and d % 30 <> 27
+    ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    nodes as (select distinct src as id from edges),
+    reach(id, r) as (
+      select id, id as r from nodes
+      union
+      select e.dst as id, reach.r from reach join edges e on e.src = reach.id
+    )
+    select id, min(r) as cluster_id from reach group by id
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI/KL corpus-drift gate: epoch A = even doc_ids' n_chars, epoch B
+    = odd doc_ids with a deterministic +120*(doc_id%7) length shift (real
+    drift, nonzero PSI); fixed breaks shared by both epochs. Oracle
+    replays the histograms, Laplace smoothing, log algebra and the
+    TOTAL(-1) rollup row."""
+    from crawl4ai_custom_spark.operators.textstats import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("n_chars").cast("double").alias("v"))
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("n_chars") + (F.col("doc_id") % 7) * 120)
+        .cast("double").alias("v"))
+    out = psi_drift(a, b, "v", [300.0, 600.0, 900.0, 1200.0, 1500.0])
+    return out.select(
+        "bucket", "n_a", "n_b",
+        F.round(F.col("p_a") + 1e-9, 6).alias("p_a"),
+        F.round(F.col("p_b") + 1e-9, 6).alias("p_b"),
+        F.round(F.col("psi_term") + 1e-9, 6).alias("psi_term"),
+        F.round(F.col("kl_term") + 1e-9, 6).alias("kl_term"),
+    )
+
+
+ORACLES["q_psi_drift"] = """
+    with a as (select n_chars::DOUBLE as v from documents
+               where doc_id % 2 = 0),
+    b as (select (n_chars + (doc_id % 7) * 120)::DOUBLE as v
+          from documents where doc_id % 2 = 1),
+    ha as (select (v >= 300.0)::INT + (v >= 600.0)::INT + (v >= 900.0)::INT
+                  + (v >= 1200.0)::INT + (v >= 1500.0)::INT as bucket,
+                  count(*)::BIGINT as n_a
+           from a group by 1),
+    hb as (select (v >= 300.0)::INT + (v >= 600.0)::INT + (v >= 900.0)::INT
+                  + (v >= 1200.0)::INT + (v >= 1500.0)::INT as bucket,
+                  count(*)::BIGINT as n_b
+           from b group by 1),
+    j as (select coalesce(ha.bucket, hb.bucket) as bucket,
+                 coalesce(n_a, 0)::BIGINT as n_a,
+                 coalesce(n_b, 0)::BIGINT as n_b
+          from ha full outer join hb on ha.bucket = hb.bucket),
+    tot as (select sum(n_a)::BIGINT as ta, sum(n_b)::BIGINT as tb from j),
+    terms as (
+      select bucket, n_a, n_b,
+             (n_a + 0.5) / (ta + 3.0) as p_a,
+             (n_b + 0.5) / (tb + 3.0) as p_b
+      from j, tot)
+    select bucket, n_a, n_b,
+           round(p_a + 1e-9, 6) as p_a,
+           round(p_b + 1e-9, 6) as p_b,
+           round((p_a - p_b) * ln(p_a / p_b) + 1e-9, 6) as psi_term,
+           round(p_a * ln(p_a / p_b) + 1e-9, 6) as kl_term
+    from terms
+    union all
+    select -1, sum(n_a)::BIGINT, sum(n_b)::BIGINT, 1.0, 1.0,
+           round(sum((p_a - p_b) * ln(p_a / p_b)) + 1e-9, 6),
+           round(sum(p_a * ln(p_a / p_b)) + 1e-9, 6)
+    from terms
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_normalize_url": q_normalize_url,
@@ -8423,6 +8525,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ucb_hosts": q_ucb_hosts,
     "q_graph_shape": q_graph_shape,
     "q_good_turing": q_good_turing,
+    "q_psi_drift": q_psi_drift,
+    "q_cc_star": q_cc_star,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

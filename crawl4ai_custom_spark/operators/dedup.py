@@ -1149,6 +1149,110 @@ def cluster_pairs(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def cluster_pairs_star(
+    pairs: DataFrame,
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs -> connected components via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): the skew-proof
+    alternative to :func:`cluster_pairs`'s min-label propagation.
+
+    Why a second CC operator: label propagation needs GRAPH-DIAMETER
+    rounds (a 10^6-hop chain of near-dups = 10^6 shuffles) and every
+    round re-joins the full hub fan-out (a boilerplate page paired with
+    10^7 others keeps its whole neighborhood live each round). The star
+    algorithm converges in O(log^2 n) rounds REGARDLESS of diameter, and
+    each round structurally shrinks hub neighborhoods (large-star hangs
+    every bigger neighbor directly under the local minimum), so per-round
+    work decays geometrically. Same output contract as cluster_pairs:
+    (id, cluster_id = component-minimum id), roots included.
+
+    Round shape: large-star = one groupBy(min) + one equi-join on the
+    bidirectional edge view; small-star = the same on the (hi -> lo)
+    orientation; the edge set materializes to parquet each round
+    (lineage truncation, exactly the cluster_pairs convention) and
+    convergence = edge-set fixpoint (count equal + one-sided exceptAll
+    empty on the materialized tables). All edges stay canonically
+    oriented hi > lo — every emitted edge points at a strictly smaller
+    node, so the fixpoint is a star forest rooted at component minima
+    (Theorem 1 of the paper)."""
+    import os
+    import tempfile
+
+    spark = pairs.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cc_star_")
+
+    a, b = F.col("id_a"), F.col("id_b")
+    edges = (
+        pairs.where(a != b)
+        .select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
+        .distinct()
+    )
+    path = os.path.join(ckpt, "edges_init")
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    n_edges = edges.count()
+
+    converged = False
+    for it in range(max_iters):
+        # large-star: every neighbor v > u hangs under min(N(u) + {u})
+        bidir = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
+            .unionByName(
+                edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("nmin"))
+        large = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least("nmin", "u").alias("lo"),
+            )
+            .distinct()
+        )
+        # small-star: every smaller neighbor (and u itself) hangs under
+        # the minimum of u's smaller neighborhood
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(smins, "hi")
+        small = (
+            joined.select(F.col("hi").alias("n"), F.col("m"))
+            .unionByName(
+                joined.where(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("n"), F.col("m")))
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        out = os.path.join(ckpt, f"edges_{it % 2}")
+        small.write.mode("overwrite").parquet(out)
+        nxt = spark.read.parquet(out)
+        n_next = nxt.count()
+        if n_next == n_edges and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            converged = True
+            break
+        edges, n_edges = nxt, n_next
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs_star: edge set not a fixpoint after "
+            f"{max_iters} alternating rounds — components may be split; "
+            f"raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    roots = edges.select(F.col("lo").alias("id")).distinct() \
+        .join(edges.select(F.col("hi").alias("id")).distinct(), "id",
+              "left_anti")
+    return (
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
+        .distinct()
+        .unionByName(roots.select("id", F.col("id").alias("cluster_id")))
+    )
+
+
 def dedup_keepers(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1889,3 +1889,93 @@ def blocklist_scan(
         F.size(hits).alias("n_blocklist_hits"),
         (F.size(hits) == 0).alias("blocklist_keep"),
     )
+
+
+def distribution_buckets(
+    docs: DataFrame,
+    value_col: str,
+    breaks: list[float],
+) -> DataFrame:
+    """Fixed-break histogram of ``value_col``: bucket i holds values in
+    [breaks[i-1], breaks[i]) with bucket 0 = below the first break and
+    bucket len(breaks) = at-or-above the last. Returns (bucket, n) — one
+    partial-agg groupBy, B+1 output rows, no windows.
+
+    The breaks are explicit shared constants (not per-epoch quantiles) so
+    two epochs bucketed with the same list are directly comparable — the
+    requirement for :func:`psi_drift`."""
+    if not breaks or sorted(breaks) != list(breaks):
+        raise ValueError("breaks must be non-empty and ascending")
+    v = F.col(value_col).cast("double")
+    bucket = sum(
+        (v >= F.lit(float(b))).cast("int") for b in breaks
+    ).alias("bucket")
+    return docs.select(bucket).groupBy("bucket").agg(
+        F.count("*").alias("n"))
+
+
+def psi_drift(
+    epoch_a: DataFrame,
+    epoch_b: DataFrame,
+    value_col: str,
+    breaks: list[float],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two corpus epochs over one
+    numeric column (quality score, doc length, NLL, ...): the standard
+    "did my input distribution shift?" monitor a production pipeline
+    recomputes every ingest epoch. PSI = sum_b (p_a - p_b)·ln(p_a/p_b)
+    with add-``smoothing`` Laplace proportions (empty buckets never hit
+    log 0); conventional reading: <0.1 stable, 0.1-0.25 moderate shift,
+    >0.25 investigate. Also emits the (asymmetric) KL divergence
+    KL(a||b) from the same smoothed proportions.
+
+    Returns per-bucket rows (bucket, n_a, n_b, p_a, p_b, psi_term,
+    kl_term) plus one TOTAL row (bucket = -1) carrying the summed psi /
+    kl — a ROLLUP-style grand total without a second pass. The sum runs
+    over buckets observed in AT LEAST ONE epoch (a bucket empty in both
+    contributes nothing, by definition here — its smoothed term would be
+    noise, not evidence).
+
+    Scale shape: each epoch pays ONE scan + one partial-agg groupBy down
+    to B+1 rows; everything after (full-outer bucket join, log algebra,
+    the total) runs on the bounded bucket table. No windows, no
+    driver-side math; 10^10 docs/epoch cost two scans regardless of B.
+    Reference: crawl monitoring/TraversalStats at
+    /root/reference/crawl4ai/deep_crawling (per-wave stat tallies) —
+    this is the cross-epoch generalization those tallies feed."""
+    n_buckets = len(breaks) + 1
+    ha = distribution_buckets(epoch_a, value_col, breaks).withColumnRenamed("n", "n_a")
+    hb = distribution_buckets(epoch_b, value_col, breaks).withColumnRenamed("n", "n_b")
+    joined = (
+        ha.join(hb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    s = float(smoothing)
+    pa = (F.col("n_a") + s) / (F.col("tot_a") + s * n_buckets)
+    pb = (F.col("n_b") + s) / (F.col("tot_b") + s * n_buckets)
+    per = (
+        joined.crossJoin(F.broadcast(tot))  # one-row totals
+        .select(
+            "bucket", "n_a", "n_b",
+            pa.alias("p_a"), pb.alias("p_b"),
+            ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+            (pa * F.log(pa / pb)).alias("kl_term"),
+        )
+    )
+    total = per.agg(
+        F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"),
+        F.sum("psi_term").alias("psi_term"),
+        F.sum("kl_term").alias("kl_term"),
+    ).select(
+        F.lit(-1).alias("bucket"), "n_a", "n_b",
+        F.lit(1.0).alias("p_a"), F.lit(1.0).alias("p_b"),
+        "psi_term", "kl_term",
+    )
+    return per.unionByName(total)

@@ -3794,3 +3794,65 @@ def test_triangle_stats_and_k_core_closed_form(spark):
     assert k_core(edges, k=4).count() == 0
     core2 = {r["node"] for r in k_core(edges, k=2).collect()}
     assert core2 == {"p", "q", "r", "s"}  # the tail peels off in cascade
+
+
+def test_psi_drift_closed_form_and_identity(spark):
+    """PSI of an epoch against itself is 0 on every bucket; a planted
+    shift produces exactly the hand-computed smoothed terms."""
+    import math
+
+    from crawl4ai_custom_spark.operators.textstats import psi_drift
+
+    a = spark.createDataFrame([(10.0,), (10.0,), (50.0,), (90.0,)], "v double")
+    # identity: identical epochs -> every psi/kl term exactly 0
+    same = psi_drift(a, a, "v", [25.0, 75.0]).collect()
+    assert all(r["psi_term"] == 0.0 and r["kl_term"] == 0.0 for r in same)
+    total = [r for r in same if r["bucket"] == -1]
+    assert len(total) == 1 and total[0]["n_a"] == 4
+
+    # planted shift: b moves the two low docs into the top bucket
+    b = spark.createDataFrame([(80.0,), (80.0,), (50.0,), (90.0,)], "v double")
+    rows = {r["bucket"]: r for r in psi_drift(a, b, "v", [25.0, 75.0]).collect()}
+    # buckets: a -> {0:2, 1:1, 2:1}; b -> {0:0, 1:1, 2:3}; smoothing .5, B=3
+    def p(n, tot):
+        return (n + 0.5) / (tot + 1.5)
+    for bk, (na, nb) in {0: (2, 0), 1: (1, 1), 2: (1, 3)}.items():
+        pa, pb = p(na, 4), p(nb, 4)
+        assert rows[bk]["n_a"] == na and rows[bk]["n_b"] == nb
+        assert abs(rows[bk]["psi_term"] - (pa - pb) * math.log(pa / pb)) < 1e-12
+        assert abs(rows[bk]["kl_term"] - pa * math.log(pa / pb)) < 1e-12
+    assert rows[-1]["psi_term"] > 0  # drift detected
+    assert abs(rows[-1]["psi_term"]
+               - sum(rows[k]["psi_term"] for k in (0, 1, 2))) < 1e-12
+
+
+def test_cluster_pairs_star_matches_propagation(spark, tmp_path):
+    """Large-star/small-star CC equals min-label propagation on a graph
+    mixing a mega-hub (skew), a long chain (diameter >> rounds), and
+    isolated pairs — and roots map to themselves."""
+    import random
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_star,
+    )
+
+    rng = random.Random(7)
+    pairs = []
+    pairs += [(1000, 1000 + i) for i in range(1, 60)]      # hub star
+    pairs += [(2000 + i, 2000 + i + 1) for i in range(40)]  # 41-node chain
+    pairs += [(3000 + 2 * i, 3001 + 2 * i) for i in range(10)]  # couples
+    pairs += [(rng.randrange(4000, 4040), rng.randrange(4000, 4040))
+              for _ in range(30)]                          # random blob
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+    star = {(r["id"], r["cluster_id"]) for r in cluster_pairs_star(
+        df, checkpoint_dir=str(tmp_path / "star")).collect()}
+    prop = {(r["id"], r["cluster_id"]) for r in cluster_pairs(
+        df, max_iters=60, checkpoint_dir=str(tmp_path / "prop"),
+        driver_max_edges=0).collect()}
+    assert star == prop
+    roots = {c for _, c in star}
+    assert all((c, c) in star for c in roots)  # roots self-labelled
+    # chain collapses to its minimum despite diameter 40
+    assert all((2000 + i, 2000) in star for i in range(41))
