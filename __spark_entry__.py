@@ -8374,6 +8374,149 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy segmentation gate: vocabulary derived
+    deterministically from the corpus IN BOTH ENGINES (all single chars
+    plain + ##-prefixed, top-25 length-2..4 word prefixes, top-25
+    continuation substrings — integer counts, (count desc, piece asc)
+    ranking), then greedy longest-match-first per distinct word with the
+    BERT [UNK] rule. Oracle rebuilds the identical vocabulary and unrolls
+    the greedy walk 12 steps (words capped at 12 chars)."""
+    from pyspark.sql import Window as W
+
+    from crawl4ai_custom_spark.operators.bpe import wordpiece_segment
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 0)).alias("word"))
+        .distinct()
+        .where(F.length("word") <= 12)
+    )
+    chars = (
+        words.select("word", F.explode(
+            F.sequence(F.lit(1), F.length("word"))).alias("p"))
+        .select(F.expr("substring(word, p, 1)").alias("c"))
+        .distinct()
+    )
+    singles = chars.select(F.col("c").alias("piece")).unionByName(
+        chars.select(F.concat(F.lit("##"), "c").alias("piece")))
+    w25 = W.orderBy(F.col("cnt").desc(), F.col("piece"))
+    prefs = (
+        words.select("word", F.explode(F.sequence(F.lit(2), F.lit(4))).alias("L"))
+        .where(F.length("word") >= F.col("L"))
+        .select(F.expr("substring(word, 1, L)").alias("piece"))
+        .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w25)).where(F.col("rn") <= 25)
+        .select("piece")
+    )
+    conts = (
+        words
+        .select("word", F.explode(F.sequence(F.lit(2), F.lit(4))).alias("L"))
+        .select("word", "L", F.explode(F.sequence(F.lit(2), F.lit(12))).alias("s"))
+        .where(F.col("s") + F.col("L") - 1 <= F.length("word"))
+        .select(F.concat(F.lit("##"), F.expr("substring(word, s, L)")).alias("piece"))
+        .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w25)).where(F.col("rn") <= 25)
+        .select("piece")
+    )
+    vocab = singles.unionByName(prefs).unionByName(conts).distinct()
+    return wordpiece_segment(words, vocab).select(
+        "word", "pieces_str", F.col("n_pieces").cast("long").alias("n_pieces"),
+        "is_unk")
+
+
+def _wordpiece_oracle_sql() -> str:
+    def cand(ln: int) -> str:
+        return (
+            f"case when not skip and pos + {ln - 1} <= length(word) and "
+            f"(case when pos = 1 then substr(word, pos, {ln}) "
+            f"else '##' || substr(word, pos, {ln}) end) in "
+            f"(select piece from vocab) then {ln} end"
+        )
+
+    steps = []
+    for k in range(1, 13):
+        steps.append(f"""
+    s{k} as (
+      select word,
+             case when skip or L is null then pos else pos + L end as pos,
+             case when skip or L is null then path
+                  else case when path = '' then
+                         (case when pos = 1 then '' else '##' end)
+                           || substr(word, pos, L)
+                       else path || ' ' ||
+                         (case when pos = 1 then '' else '##' end)
+                           || substr(word, pos, L) end end as path,
+             (failed or (not skip and L is null)) as failed
+      from (
+        select word, pos, path, failed,
+               (failed or pos > length(word)) as skip,
+               coalesce({", ".join(cand(ln) for ln in (4, 3, 2, 1))}) as L
+        from s{k - 1})
+    )""")
+    return f"""
+    with toks as (
+      select distinct tok as word
+      from (select unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+              as tok
+            from documents where doc_id < 150)
+      where length(tok) >= 1
+    ),
+    words as (select word from toks where length(word) <= 12),
+    positions as (select unnest(generate_series(1, 12)) as p),
+    chars as (
+      select distinct substr(word, p, 1) as c
+      from words, positions where p <= length(word)
+    ),
+    singles as (
+      select c as piece from chars
+      union
+      select '##' || c from chars
+    ),
+    lens as (select unnest(generate_series(2, 4)) as L),
+    prefs as (
+      select substr(word, 1, L) as piece, count(*)::BIGINT as cnt
+      from words, lens where length(word) >= L group by 1
+    ),
+    top_prefs as (
+      select piece from (
+        select piece, row_number() over (order by cnt desc, piece) as rn
+        from prefs) where rn <= 25
+    ),
+    starts as (select unnest(generate_series(2, 12)) as s),
+    conts as (
+      select '##' || substr(word, s, L) as piece, count(*)::BIGINT as cnt
+      from words, lens, starts
+      where s + L - 1 <= length(word) group by 1
+    ),
+    top_conts as (
+      select piece from (
+        select piece, row_number() over (order by cnt desc, piece) as rn
+        from conts) where rn <= 25
+    ),
+    vocab as (
+      select piece from singles
+      union select piece from top_prefs
+      union select piece from top_conts
+    ),
+    s0 as (
+      select word, 1 as pos, '' as path, false as failed from words
+    ),{",".join(steps).lstrip()}
+    select word,
+           case when failed then '[UNK]' else path end as pieces_str,
+           (case when failed then 1
+                 else length(path) - length(replace(path, ' ', '')) + 1
+            end)::BIGINT as n_pieces,
+           failed as is_unk
+    from s12
+"""
+
+
+ORACLES["q_wordpiece"] = _wordpiece_oracle_sql()
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star connected components gate (Kiveris et al.
     2014): deterministic graph of ten 30-node components (triples rooted
@@ -8527,6 +8670,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_good_turing": q_good_turing,
     "q_psi_drift": q_psi_drift,
     "q_cc_star": q_cc_star,
+    "q_wordpiece": q_wordpiece,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -478,3 +479,236 @@ def train_unigram(
              .cast("long").alias("cost"),
         ).localCheckpoint()
     return vocab
+
+
+# --- WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) ---------------
+#
+# Third tokenizer shape next to BPE and unigram-LM. Training is BPE's loop
+# with a different objective: merge the pair maximizing the LIKELIHOOD gain
+# score count(ab) / (count(a)*count(b)) (the public WordPiece trainer rule),
+# not the raw pair count. Continuation symbols carry the literal "##"
+# prefix from the start, so the learned pieces ARE the final vocabulary.
+# Encoding is greedy longest-match-first (NOT merge replay): per word, take
+# the longest vocab piece at the cursor ("##"-prefixed past position 0);
+# any position with no match makes the whole word [UNK] — the BERT rule.
+
+UNK = "[UNK]"
+
+
+def _wp_syms(word: str) -> list:
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def _wp_merge_once(left: str, right: str, syms: list) -> list:
+    out, i = [], 0
+    merged = left + (right[2:] if right.startswith("##") else right)
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_wordpiece(docs: DataFrame, n_merges: int, text_col: str = "text",
+                    checkpoint_dir: str | None = None,
+                    driver_max_vocab: int = 100_000) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges; returns (rank, left, right,
+    merged) like :func:`train_bpe`. Score = c(ab)/(c(a)·c(b)) with ties on
+    (left, right) ascending. IEEE division is correctly rounded, so equal
+    rationals compare equal in every engine — the double score + pair tie
+    break is deterministic across the driver fast path, the distributed
+    path and test replays.
+
+    Scale shape is train_bpe's verbatim: one corpus pass to the word-freq
+    table, then per-round = one pair groupBy + one symbol groupBy (for the
+    denominator counts) + a single-row top-1 collect + an Arrow rewrite of
+    the vocab table, materialized each round."""
+    spark = docs.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="wp_")
+
+    path = os.path.join(ckpt, "vocab_0")
+    _word_vocab(docs, text_col).select(
+        "word", "n",
+        F.concat(
+            F.slice(F.split(F.col("word"), ""), 1, 1),
+            F.transform(
+                F.slice(F.split(F.col("word"), ""), 2,
+                        F.greatest(F.length("word") - 1, F.lit(0))),
+                lambda c: F.concat(F.lit("##"), c)),
+        ).alias("syms"),
+    ).write.mode("overwrite").parquet(path)
+    vocab = spark.read.parquet(path)
+
+    merges: list[tuple[int, str, str]] = []
+    if vocab.count() <= driver_max_vocab:  # footer count
+        rows = vocab.select("word", "n").collect()
+        words = {r["word"]: (_wp_syms(r["word"]), int(r["n"]))
+                 for r in rows}
+        for r in range(n_merges):
+            pc: dict = {}
+            sc: dict = {}
+            for syms, n in words.values():
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + n
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + n
+            if not pc:
+                break
+            (left, right), c = min(
+                pc.items(),
+                key=lambda kv: (-(kv[1] / (sc[kv[0][0]] * sc[kv[0][1]])),
+                                kv[0]),
+            )
+            if c < 2:
+                break
+            merges.append((r, left, right))
+            words = {
+                w: (_wp_merge_once(left, right, syms), n)
+                for w, (syms, n) in words.items()
+            }
+        return spark.createDataFrame(
+            [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
+             for r, l, rt in merges], _MERGE_SCHEMA)
+
+    for r in range(n_merges):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1,
+                                                  F.lit(0))),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        syms = (vocab.select("n", F.explode("syms").alias("s"))
+                .groupBy("s").agg(F.sum("n").alias("sc")))
+        top = (
+            pairs.groupBy("p.l", "p.r").agg(F.sum("n").alias("c"))
+            .join(syms.select(F.col("s").alias("l"),
+                              F.col("sc").alias("lc")), "l")
+            .join(syms.select(F.col("s").alias("r"),
+                              F.col("sc").alias("rc")), "r")
+            .orderBy(F.desc(F.col("c") / (F.col("lc") * F.col("rc"))),
+                     F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((r, left, right))
+
+        def rewrite(batches: Iterator[pd.DataFrame],
+                    _l=left, _r=right) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = [
+                    _wp_merge_once(_l, _r, list(s)) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        nxt = vocab.mapInPandas(rewrite, _VOCAB_SCHEMA)
+        path = os.path.join(ckpt, f"vocab_{(r + 1) % 2}")
+        nxt.write.mode("overwrite").parquet(path)
+        vocab = spark.read.parquet(path)
+
+    return spark.createDataFrame(
+        [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
+         for r, l, rt in merges], _MERGE_SCHEMA)
+
+
+def wordpiece_segment(tokens: DataFrame, pieces: DataFrame,
+                      word_col: str = "word") -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation of DISTINCT
+    words: (word, pieces_str, n_pieces, is_unk). ``pieces`` holds one
+    string column ``piece``; continuation pieces carry their literal
+    "##" prefix. A position with no matching piece makes the whole word
+    [UNK] (the BERT rule) — is_unk flags it.
+
+    Scale shape: the piece vocabulary is bounded by construction, so it
+    broadcasts into an Arrow-batched pandas stage over the distinct-word
+    table (the unigram_segment pattern); each word segments once
+    regardless of corpus occurrences."""
+    vocab = {r["piece"] for r in pieces.select("piece").collect()}
+    max_raw = max((len(p) - 2 if p.startswith("##") else len(p))
+                  for p in vocab) if vocab else 1
+    schema = StructType([
+        StructField("word", StringType()),
+        StructField("pieces_str", StringType()),
+        StructField("n_pieces", LongType()),
+        StructField("is_unk", BooleanType()),
+    ])
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for wd in pdf["word"]:
+                n = len(wd)
+                i, parts, failed = 0, [], False
+                while i < n:
+                    hit = None
+                    for ln in range(min(max_raw, n - i), 0, -1):
+                        cand = ("##" if i else "") + wd[i:i + ln]
+                        if cand in vocab:
+                            hit = (cand, ln)
+                            break
+                    if hit is None:
+                        failed = True
+                        break
+                    parts.append(hit[0])
+                    i += hit[1]
+                if failed:
+                    out.append((wd, UNK, 1, True))
+                else:
+                    out.append((wd, " ".join(parts), len(parts), False))
+            yield pd.DataFrame(
+                out, columns=["word", "pieces_str", "n_pieces", "is_unk"])
+
+    return (tokens.select(F.col(word_col).alias("word")).distinct()
+            .mapInPandas(seg, schema))
+
+
+def wordpiece_encode(docs: DataFrame, pieces: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Encode documents with a WordPiece vocabulary: (id, n_words,
+    n_wp_tokens, tokens) — per-word greedy segmentations concatenated in
+    word order, [UNK] for unsegmentable words. Same
+    segment-distinct-then-join shape as :func:`bpe_encode`."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: F.length(t) > 0)
+        ).alias("pos", "word"),
+    )
+    encoded = wordpiece_segment(words, pieces).select(
+        "word", F.split("pieces_str", " ").alias("toks"))
+    per_word = words.join(encoded, "word")
+    agg = per_word.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("toks")).alias("n_wp_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda x: x["toks"],
+            )
+        ).alias("tokens"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, docs[id_col] == agg["id"], "left")
+        .drop("id")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_wp_tokens", F.lit(0)).alias("n_wp_tokens"),
+            F.coalesce("tokens", F.array().cast("array<string>"))
+            .alias("tokens"),
+        )
+    )
