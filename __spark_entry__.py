@@ -8374,6 +8374,44 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap gate: 16 deterministic replicate (n_eff, total)
+    sums of n_chars over the documents table — weights are the shared
+    60-bit md5 hash inverted through fixed integer Poisson(1) CDF
+    thresholds, so totals are exact integers in both engines; mean is
+    one IEEE division."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        bootstrap_replicate_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = bootstrap_replicate_stats(docs, "n_chars", "doc_id", n_reps=16)
+    return out.select("rep", "n_eff", "total",
+                      F.round(F.col("mean") + 1e-9, 6).alias("mean"))
+
+
+def _bootstrap_oracle_sql() -> str:
+    from crawl4ai_custom_spark.operators.sketches import POISSON1_CUM_T60
+
+    w = " + ".join(f"(u >= {t})::BIGINT" for t in POISSON1_CUM_T60)
+    return f"""
+    with reps as (select unnest(generate_series(0, 15)) as rep),
+    draws as (
+      select rep, n_chars::BIGINT as x,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || rep || ':boot'),
+                             1, 15))::BIGINT as u
+      from documents, reps
+    ),
+    weighted as (select rep, x, {w} as w from draws)
+    select rep, sum(w)::BIGINT as n_eff, sum(w * x)::BIGINT as total,
+           round(sum(w * x)::DOUBLE / sum(w) + 1e-9, 6) as mean
+    from weighted group by rep
+"""
+
+
+ORACLES["q_bootstrap"] = _bootstrap_oracle_sql()
+
+
 def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece greedy segmentation gate: vocabulary derived
     deterministically from the corpus IN BOTH ENGINES (all single chars
@@ -8671,6 +8709,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_psi_drift": q_psi_drift,
     "q_cc_star": q_cc_star,
     "q_wordpiece": q_wordpiece,
+    "q_bootstrap": q_bootstrap,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

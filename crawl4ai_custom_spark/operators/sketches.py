@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .urlops import stable_hash60
@@ -585,3 +585,114 @@ def ddsketch_quantiles(sketch: DataFrame, qs: list[float], alpha: float = 0.02,
         .otherwise(F.lit(2.0 / (g + 1.0)) * F.pow(F.lit(g), F.col("bucket")))
     )
     return hit.select(*gcols, "q", "n_total", "bucket", est.alias("est"))
+
+
+# --- Poisson bootstrap (one-pass resampling for corpus metrics) -------------
+#
+# Classic bootstrap resampling is impossible over 10^10 rows (you cannot
+# draw n-out-of-n samples repeatedly); the Poisson bootstrap (each row
+# enters replicate j with weight ~ Poisson(1), independent per (row, j))
+# approximates it in ONE pass: the whole resample reduces to r weighted
+# sums computed side by side in a single partial aggregation. Weights are
+# deterministic — the shared 60-bit md5 hash inverted through the fixed
+# Poisson(1) CDF thresholds below — so every engine (Spark, DuckDB, a
+# re-run) draws the identical resample. All sums stay INTEGER when the
+# metric column is integer: replicate totals are exact, order-independent
+# and hash-comparable across engines.
+
+# floor(CDF_Poisson(1)(k) * 2^60) for k = 0..7; weight = #thresholds <= u,
+# capping at 8 (tail mass ~1e-5). Shared constants — the oracle embeds
+# the same integers.
+POISSON1_CUM_T60 = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+
+
+def _poisson1_weight(u: Column) -> Column:
+    w = None
+    for t in POISSON1_CUM_T60:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    return w
+
+
+def bootstrap_replicate_stats(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 16,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-replicate Poisson-bootstrap sums of ``value_col``: rows
+    (rep, n_eff, total, mean). One aggregation pass computes every
+    replicate (r weighted sums as sibling partial aggs — no explode, no
+    r× data); weights are Poisson(1) draws keyed by md5(id:rep:salt), so
+    the resample is reproducible bit-for-bit. With an integer value
+    column, n_eff/total are exact integers and mean is one IEEE division
+    — engine-independent."""
+    if not 1 <= n_reps <= 64:
+        raise ValueError("n_reps must be in [1, 64]")
+    ws = []
+    for j in range(n_reps):
+        u = stable_hash60(F.concat(
+            F.col(id_col).cast("string"), F.lit(f":{j}:{salt}")))
+        ws.append(_poisson1_weight(u).alias(f"w{j}"))
+    wide = df.select(F.col(value_col).alias("x"), *ws)
+    aggs = []
+    for j in range(n_reps):
+        aggs.append(F.sum(f"w{j}").alias(f"n{j}"))
+        aggs.append(F.sum(F.col(f"w{j}") * F.col("x")).alias(f"t{j}"))
+    one = wide.agg(*aggs)
+    reps = F.array(*[
+        F.struct(
+            F.lit(j).alias("rep"),
+            F.col(f"n{j}").cast("long").alias("n_eff"),
+            F.col(f"t{j}").cast("long").alias("total"),
+        )
+        for j in range(n_reps)
+    ])
+    return (
+        one.select(F.explode(reps).alias("r"))
+        .select(
+            "r.rep", "r.n_eff", "r.total",
+            F.when(F.col("r.n_eff") > 0,
+                   F.col("r.total").cast("double") / F.col("r.n_eff"))
+            .alias("mean"),
+        )
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 16,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap CI for the mean of ``value_col``: one row
+    (n, mean, ci_lo, ci_hi, n_reps). Quantile = exact selection from the
+    sorted replicate means at rank floor(q·(r-1)) (the DDSketch/KMV rank
+    convention — no interpolation, engine-exact). The replicate table is
+    r rows, so the sort is an array_sort on one collected array, never a
+    data shuffle."""
+    reps = bootstrap_replicate_stats(df, value_col, id_col,
+                                     n_reps=n_reps, salt=salt)
+    r_lo = int(lo * (n_reps - 1))
+    r_hi = int(hi * (n_reps - 1))
+    base = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(value_col).cast("double")
+         / F.count(F.lit(1))).alias("mean"),
+    )
+    ci = reps.agg(
+        F.array_sort(F.collect_list("mean")).alias("ms")
+    ).select(
+        F.element_at("ms", r_lo + 1).alias("ci_lo"),
+        F.element_at("ms", r_hi + 1).alias("ci_hi"),
+    )
+    return base.crossJoin(ci).select(
+        "n", "mean", "ci_lo", "ci_hi", F.lit(n_reps).alias("n_reps"))

@@ -3856,3 +3856,46 @@ def test_cluster_pairs_star_matches_propagation(spark, tmp_path):
     assert all((c, c) in star for c in roots)  # roots self-labelled
     # chain collapses to its minimum despite diameter 40
     assert all((2000 + i, 2000) in star for i in range(41))
+
+
+def test_poisson_bootstrap_determinism_and_ci(spark):
+    """Replicate weights are mean~1 Poisson draws: totals hover around
+    the full-data total; the CI brackets the true mean, is deterministic
+    across calls, and exact-selection ranks match a local replay."""
+    from crawl4ai_custom_spark.operators.sketches import (
+        POISSON1_CUM_T60,
+        bootstrap_mean_ci,
+        bootstrap_replicate_stats,
+    )
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint")
+    reps = bootstrap_replicate_stats(df, "x", "id", n_reps=16).collect()
+    assert len(reps) == 16
+    true_total = sum(x for _, x in rows)
+    for r in reps:
+        assert 0.75 * 400 < r["n_eff"] < 1.25 * 400      # Poisson(1) mass
+        assert 0.75 * true_total < r["total"] < 1.25 * true_total
+        assert abs(r["mean"] - r["total"] / r["n_eff"]) < 1e-12
+    # deterministic: a second run returns identical replicate sums
+    again = bootstrap_replicate_stats(df, "x", "id", n_reps=16).collect()
+    assert sorted((r["rep"], r["total"]) for r in reps) == \
+        sorted((r["rep"], r["total"]) for r in again)
+    # local replay of the weight rule reproduces replicate 3 exactly
+    import hashlib
+    rep3_n = rep3_t = 0
+    for i, x in rows:
+        u = int(hashlib.md5(f"{i}:3:boot".encode()).hexdigest()[:15], 16)
+        w = sum(u >= t for t in POISSON1_CUM_T60)
+        rep3_n += w
+        rep3_t += w * x
+    got3 = next(r for r in reps if r["rep"] == 3)
+    assert (got3["n_eff"], got3["total"]) == (rep3_n, rep3_t)
+
+    ci = bootstrap_mean_ci(df, "x", "id", n_reps=16).collect()[0]
+    true_mean = true_total / 400
+    assert ci["n"] == 400 and abs(ci["mean"] - true_mean) < 1e-9
+    assert ci["ci_lo"] <= ci["mean"] <= ci["ci_hi"]
+    means = sorted(r["mean"] for r in reps)
+    assert ci["ci_lo"] == means[int(0.025 * 15)]
+    assert ci["ci_hi"] == means[int(0.975 * 15)]
