@@ -8374,6 +8374,140 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash gate (Li & Konig 2010): signatures packed to their
+    2 low bits (16 hashes -> ONE bigint), then de-biased Jaccard
+    estimates for planted near-dup pairs (id, id+100000 tail-append)
+    and unrelated pairs (id, id+1). Oracle recomputes the identical
+    minhash chain and compares (h & 3) per hash."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        bbit_agreement,
+        bbit_pack_signatures,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _duped_docs(docs).where((F.col("doc_id") % 100000) < 60)
+    sigs = minhash_signatures(shingle_table(corpus), num_hashes=N_MINHASH)
+    bs = bbit_pack_signatures(sigs, b=2, num_hashes=N_MINHASH)
+    d = F.col("doc_id")
+    near = docs.where((d % 10 == 0) & (d < 60)).select(
+        d.alias("id_a"), (d + 100000).alias("id_b"))
+    far = docs.where((d % 10 == 5) & (d + 1 < 60)).select(
+        d.alias("id_a"), (d + 1).alias("id_b"))
+    out = bbit_agreement(near.unionByName(far), bs, b=2,
+                         num_hashes=N_MINHASH)
+    return out.select(
+        "id_a", "id_b", F.col("n_match").cast("long").alias("n_match"),
+        F.round(F.col("match_frac") + 1e-9, 6).alias("match_frac"),
+        F.round(F.col("est_jaccard") + 1e-9, 6).alias("est_jaccard"),
+    )
+
+
+def _bbit_oracle_sql() -> str:
+    matches = " + ".join(
+        f"((a.h{i} & 3) = (b.h{i} & 3))::BIGINT" for i in range(N_MINHASH))
+    return f"""
+    with corpus as (
+      select * from ({_DUPED_DOCS_SQL}) where doc_id % 100000 < 60
+    ),
+    {_SHINGLES_SQL},
+    sigs as (
+      select id, {", ".join(_minhash_sig_sql_terms())}
+      from shingles group by id
+    ),
+    pairs as (
+      select doc_id as id_a, doc_id + 100000 as id_b from documents
+      where doc_id % 10 = 0 and doc_id < 60
+      union all
+      select doc_id, doc_id + 1 from documents
+      where doc_id % 10 = 5 and doc_id + 1 < 60
+    ),
+    m as (
+      select p.id_a, p.id_b, ({matches})::BIGINT as n_match
+      from pairs p
+      join sigs a on a.id = p.id_a
+      join sigs b on b.id = p.id_b
+    )
+    select id_a, id_b, n_match,
+           round(n_match / {float(N_MINHASH)!r} + 1e-9, 6) as match_frac,
+           round(greatest(least(
+             (n_match / {float(N_MINHASH)!r} - 0.25) / 0.75, 1.0), 0.0)
+             + 1e-9, 6) as est_jaccard
+    from m
+"""
+
+
+ORACLES["q_bbit_minhash"] = _bbit_oracle_sql()
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-profile gate: each doc gets a deterministic
+    mixed-script suffix (literal array indexed by doc_id, repeated
+    doc_id%3+1 times) so every range fires; oracle reruns the identical
+    patterns (with RE2 'g') and the same alphabetical tie-break CASE."""
+    from crawl4ai_custom_spark.operators.textstats import script_profile
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    suf = ("element_at(array('абвгд', '中文漢字', 'επίθετο', 'पाठ', 'نصوص'),"
+           " cast(doc_id % 5 + 1 as int))")
+    mixed = docs.select(
+        "doc_id",
+        F.expr(f"concat(text, ' ', repeat({suf}, cast(doc_id % 3 + 1 as int)))")
+        .alias("text"),
+    )
+    out = script_profile(mixed, "text")
+    keep = ["doc_id"] + [f"n_{n}" for n in
+                         ("arabic", "cjk", "cyrillic", "devanagari",
+                          "greek", "latin")]
+    return out.select(
+        *keep, "n_script_chars", "dominant_script",
+        F.round(F.col("script_frac") + 1e-9, 6).alias("script_frac"),
+    )
+
+
+def _script_profile_oracle_sql() -> str:
+    from crawl4ai_custom_spark.operators.textstats import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    counts = ",\n             ".join(
+        f"length(regexp_replace(text, '[^{SCRIPT_RANGES[n]}]', '', 'g'))"
+        f"::BIGINT as n_{n}" for n in names)
+    total = " + ".join(f"n_{n}" for n in names)
+    dom_n = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom_case = " ".join(
+        f"when n_{n} = {dom_n} then '{n}'" for n in names)
+    return f"""
+    with mixed as (
+      select doc_id,
+             text || ' ' || repeat(
+               (['абвгд', '中文漢字', 'επίθετο', 'पाठ', 'نصوص'])
+                 [(doc_id % 5 + 1)::INT],
+               (doc_id % 3 + 1)::INT) as text
+      from documents where doc_id < 400
+    ),
+    counted as (
+      select doc_id,
+             {counts}
+      from mixed
+    ),
+    totalled as (
+      select *, ({total})::BIGINT as n_script_chars from counted
+    )
+    select doc_id, {", ".join("n_" + n for n in names)}, n_script_chars,
+           case when n_script_chars = 0 then NULL {dom_case} end
+             as dominant_script,
+           case when n_script_chars > 0
+                then round({dom_n}::DOUBLE / n_script_chars + 1e-9, 6)
+           end as script_frac
+    from totalled
+"""
+
+
+ORACLES["q_script_profile"] = _script_profile_oracle_sql()
+
+
 def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap gate: 16 deterministic replicate (n_eff, total)
     sums of n_chars over the documents table — weights are the shared
@@ -8710,6 +8844,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cc_star": q_cc_star,
     "q_wordpiece": q_wordpiece,
     "q_bootstrap": q_bootstrap,
+    "q_script_profile": q_script_profile,
+    "q_bbit_minhash": q_bbit_minhash,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

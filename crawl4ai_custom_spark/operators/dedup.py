@@ -1588,3 +1588,81 @@ def semdedup(
             (F.col("_rn").isNull() | (F.col("_rn") == 1)).alias("keep"),
         )
     )
+
+
+# --- b-bit minhash (Li & Konig, WWW 2010 / CACM 2011) -----------------------
+
+def bbit_pack_signatures(
+    signatures: DataFrame,
+    *,
+    b: int = 2,
+    num_hashes: int,
+) -> DataFrame:
+    """Compress minhash signatures to their lowest ``b`` bits per hash,
+    packed 60/b-per-BIGINT: (id, bsig array<long>). At b=2 a 32-hash
+    signature drops from 32×4 B to 8 B — the Li & Konig result is that
+    for resemblance thresholds around 0.5+ the b-bit estimator needs
+    only ~(1/b)·(extra hashes) to match full minhash variance, so the
+    SIGNATURE STORE of the incremental dedup pipeline (one row per
+    corpus doc, forever) shrinks ~16× at equal accuracy. Pure column
+    algebra (mask + shift + sum), shuffle-free."""
+    if b not in (1, 2, 4):
+        raise ValueError("b must be 1, 2 or 4")
+    mask = (1 << b) - 1
+    group = 60 // b
+    n_groups = -(-num_hashes // group)
+    packed = []
+    for g in range(n_groups):
+        terms = None
+        for i in range(group):
+            idx = g * group + i
+            if idx >= num_hashes:
+                break
+            t = F.shiftleft(
+                F.element_at("sig", idx + 1).bitwiseAND(F.lit(mask)),
+                b * i)
+            terms = t if terms is None else terms + t
+        packed.append(terms)
+    return signatures.select("id", F.array(*packed).alias("bsig"))
+
+
+def _bbit_unpack(col: Column, i: int, b: int) -> Column:
+    group = 60 // b
+    return F.shiftright(
+        F.element_at(col, i // group + 1), (i % group) * b
+    ).bitwiseAND(F.lit((1 << b) - 1))
+
+
+def bbit_agreement(
+    pairs: DataFrame,
+    bsigs: DataFrame,
+    *,
+    b: int = 2,
+    num_hashes: int,
+) -> DataFrame:
+    """Jaccard estimate for candidate pairs from b-bit signatures:
+    (id_a, id_b, n_match, match_frac, est_jaccard). Random b-bit values
+    collide at C = 2^-b even for unrelated docs, so the estimator
+    de-biases: J = (match_frac - C) / (1 - C), clamped to [0, 1] (the
+    paper's r1,r2→0 simplification — exact enough for dedup thresholds;
+    the full C1b/C2b correction needs set sizes, which the exact-verify
+    stage has anyway). Two broadcast-or-shuffle equi-joins against the
+    packed store; comparisons are generated bit math, codegen-friendly."""
+    c = 2.0 ** -b
+    a = bsigs.select(F.col("id").alias("id_a"), F.col("bsig").alias("ba"))
+    bb = bsigs.select(F.col("id").alias("id_b"), F.col("bsig").alias("bb"))
+    j = pairs.join(a, "id_a").join(bb, "id_b")
+    match = None
+    for i in range(num_hashes):
+        t = (_bbit_unpack(F.col("ba"), i, b)
+             == _bbit_unpack(F.col("bb"), i, b)).cast("int")
+        match = t if match is None else match + t
+    frac = match.cast("double") / num_hashes
+    est = (frac - F.lit(c)) / F.lit(1.0 - c)
+    return j.select(
+        "id_a", "id_b",
+        match.alias("n_match"),
+        frac.alias("match_frac"),
+        F.least(F.greatest(est, F.lit(0.0)), F.lit(1.0))
+        .alias("est_jaccard"),
+    )

@@ -1979,3 +1979,49 @@ def psi_drift(
         "psi_term", "kl_term",
     )
     return per.unionByName(total)
+
+
+# Unicode script ranges (BMP only — identical byte-for-byte in Java regex
+# and RE2, so the SAME pattern string runs in Spark and the DuckDB oracle).
+# Alphabetical key order IS the dominant-script tie-break order.
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "؀-ۿ",
+    "cjk": "぀-ヿ一-鿿가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "latin": "A-Za-zÀ-ɏ",
+}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script profile: per-script letter counts
+    (n_arabic .. n_latin), total scripted letters, dominant script
+    (alphabetically-first on ties — the CASE order both engines share)
+    and its fraction. The script signal disambiguates language ID the
+    stopword vote can't (CCNet §4.2 routes zh/ja/ko/ru by script before
+    any model runs) and flags mojibake/mixed-script spam (a "latin" page
+    that is 40% Cyrillic look-alikes is a homoglyph attack, not French).
+
+    Scale shape: one shuffle-free codegen projection — each count is a
+    regexp_replace+length over the text column, no explode, no joins;
+    the 100 TB cost is the scan itself."""
+    counts = {
+        name: F.length(F.regexp_replace(
+            F.col(text_col), f"[^{rng}]", "")).alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out = docs.select("*", *counts.values())
+    names = sorted(SCRIPT_RANGES)
+    total = sum(F.col(f"n_{n}") for n in names).alias("n_script_chars")
+    out = out.withColumn("n_script_chars", total)
+    dom_n = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(F.col("n_script_chars") == 0, F.lit(None))
+    for n in names:
+        dom = dom.when(F.col(f"n_{n}") == dom_n, F.lit(n))
+    return out.withColumns({
+        "dominant_script": dom,
+        "script_frac": F.when(
+            F.col("n_script_chars") > 0,
+            dom_n.cast("double") / F.col("n_script_chars")),
+    })

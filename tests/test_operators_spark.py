@@ -3899,3 +3899,61 @@ def test_poisson_bootstrap_determinism_and_ci(spark):
     means = sorted(r["mean"] for r in reps)
     assert ci["ci_lo"] == means[int(0.025 * 15)]
     assert ci["ci_hi"] == means[int(0.975 * 15)]
+
+
+def test_script_profile_detection_and_tiebreak(spark):
+    from crawl4ai_custom_spark.operators.textstats import script_profile
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"),            # pure latin
+         (1, "привет мир"),             # pure cyrillic
+         (2, "中文 content here"),       # mixed, latin majority
+         (3, "!!! 123 ..."),            # no scripted letters at all
+         (4, "ab вг")],                 # exact tie latin/cyrillic -> cyrillic
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert out[0]["dominant_script"] == "latin" and out[0]["script_frac"] == 1.0
+    assert out[1]["dominant_script"] == "cyrillic"
+    assert out[2]["dominant_script"] == "latin" and out[2]["n_cjk"] == 2
+    assert out[3]["dominant_script"] is None and out[3]["script_frac"] is None
+    assert out[4]["dominant_script"] == "cyrillic"  # alphabetical tie-break
+    assert out[4]["script_frac"] == 0.5
+
+
+def test_bbit_minhash_pack_roundtrip_and_estimate(spark):
+    """Packing is lossless for the low b bits; identical docs estimate
+    J=1, unrelated docs estimate near the collision baseline; accuracy
+    tracks exact Jaccard on planted overlaps."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        bbit_agreement,
+        bbit_pack_signatures,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    half = " ".join(f"w{i}" for i in range(30)) + " " + \
+        " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, half), (3, "totally different words "
+          + " ".join(f"z{i}" for i in range(50)))],
+        "doc_id bigint, text string")
+    sigs = minhash_signatures(shingle_table(docs), num_hashes=32)
+    bs = bbit_pack_signatures(sigs, b=2, num_hashes=32)
+    # 32 hashes x 2 bits -> 2 packed longs (30 per group), all within 60 bits
+    row = bs.where(F.col("id") == 0).collect()[0]
+    assert len(row["bsig"]) == 2
+    assert all(0 <= v < (1 << 60) for v in row["bsig"])
+    # unpack equals direct low bits of the raw signature
+    raw = sigs.where(F.col("id") == 0).collect()[0]["sig"]
+    unpacked = [(row["bsig"][i // 30] >> ((i % 30) * 2)) & 3
+                for i in range(32)]
+    assert unpacked == [h & 3 for h in raw]
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a bigint, id_b bigint")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in bbit_agreement(pairs, bs, b=2, num_hashes=32).collect()}
+    assert got[(0, 1)]["n_match"] == 32 and got[(0, 1)]["est_jaccard"] == 1.0
+    assert got[(0, 2)]["est_jaccard"] > got[(0, 3)]["est_jaccard"]
+    assert got[(0, 3)]["match_frac"] < 0.6  # near the 0.25 baseline + noise
