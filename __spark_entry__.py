@@ -8374,6 +8374,60 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keepers over the q_cc_star graph, components
+    via the star algorithm: keeper = max((doc_id*37)%101) per cluster,
+    ties min id; cluster_id stays the min-id label. Oracle: recursive
+    reachability + row_number argmax."""
+    from crawl4ai_custom_spark.operators.dedup import dedup_keepers
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    qdocs = docs.select("doc_id", ((d * 37) % 101).alias("q"))
+    spokes = docs.where(d % 3 != 0).select(
+        d.alias("id_a"), (d - d % 3).alias("id_b"))
+    chain = docs.where((d % 3 == 0) & (d % 30 != 27)).select(
+        d.alias("id_a"), (d + 3).alias("id_b"))
+    out = dedup_keepers(qdocs, spokes.unionByName(chain),
+                        id_col="doc_id", quality_col="q", cc="star")
+    return out.select(F.col("doc_id").alias("id"), "q", "cluster_id",
+                      "is_keeper")
+
+
+ORACLES["q_quality_keepers"] = """
+    with recursive docs as (select doc_id as d from documents where doc_id < 300),
+    pairs as (
+      select d as id_a, d - (d % 3) as id_b from docs where d % 3 <> 0
+      union all
+      select d, d + 3 from docs where d % 3 = 0 and d % 30 <> 27
+    ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    nodes as (select distinct src as id from edges),
+    reach(id, r) as (
+      select id, id as r from nodes
+      union
+      select e.dst as id, reach.r from reach join edges e on e.src = reach.id
+    ),
+    labels as (select id, min(r) as cluster_id from reach group by id),
+    qd as (select d as id, (d * 37) % 101 as q from docs),
+    lab as (
+      select qd.id, qd.q, coalesce(l.cluster_id, qd.id) as cluster_id
+      from qd left join labels l on l.id = qd.id
+    ),
+    ranked as (
+      select id, q, cluster_id,
+             row_number() over (partition by cluster_id
+                                order by q desc, id asc) as rn
+      from lab
+    )
+    select id, q, cluster_id, rn = 1 as is_keeper from ranked
+"""
+
+
 def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b-bit minhash gate (Li & Konig 2010): signatures packed to their
     2 low bits (16 hashes -> ONE bigint), then de-biased Jaccard
@@ -8846,6 +8900,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bootstrap": q_bootstrap,
     "q_script_profile": q_script_profile,
     "q_bbit_minhash": q_bbit_minhash,
+    "q_quality_keepers": q_quality_keepers,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

@@ -1258,17 +1258,50 @@ def dedup_keepers(
     pairs: DataFrame,
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    quality_col: str | None = None,
+    cc: str = "propagation",
 ) -> DataFrame:
     """docs + (cluster_id, is_keeper): rows not in any pair are their own
-    keeper; within a near-dup cluster only the min id survives. Filter on
-    ``is_keeper`` to actually drop duplicates."""
-    clusters = cluster_pairs(pairs, checkpoint_dir=checkpoint_dir)
-    return (
+    keeper. Default keeper = min id (reproduces the reference's first-wins
+    rule); with ``quality_col`` (numeric) the keeper is the HIGHEST-quality
+    member (ties on min id) — the production curation policy: when five
+    mirrors of a page survive near-dup pairing, keep the cleanest copy,
+    not the numerically first one. ``cluster_id`` stays the min-id label
+    either way (stable cluster identity independent of keeper policy).
+    ``cc`` picks the component engine: "propagation" (min-label, diameter
+    rounds) or "star" (large/small-star, O(log^2 n) rounds — use for
+    hub-/chain-shaped duplicate graphs). Filter on ``is_keeper`` to
+    actually drop duplicates.
+
+    Scale shape of the quality path: one extra groupBy(cluster_id) over
+    the LABELED rows only (pair-touched docs, not the corpus) and one
+    broadcast-or-shuffle join back; the argmax is a single min(struct)
+    partial agg, no window."""
+    if cc not in ("propagation", "star"):
+        raise ValueError("cc must be 'propagation' or 'star'")
+    cc_fn = cluster_pairs if cc == "propagation" else cluster_pairs_star
+    clusters = cc_fn(pairs, checkpoint_dir=checkpoint_dir)
+    out = (
         docs.join(
             clusters.withColumnRenamed("id", id_col), id_col, "left"
         )
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+    if quality_col is None:
+        return out.withColumn(
+            "is_keeper", F.col(id_col) == F.col("cluster_id"))
+    best = (
+        out.groupBy("cluster_id")
+        .agg(F.min(F.struct(
+            (-F.coalesce(F.col(quality_col).cast("double"),
+                         F.lit(float("-inf")))).alias("nq"),
+            F.col(id_col).alias("kid"))).alias("b"))
+        .select("cluster_id", F.col("b.kid").alias("_keeper_id"))
+    )
+    return (
+        out.join(best, "cluster_id")
+        .withColumn("is_keeper", F.col(id_col) == F.col("_keeper_id"))
+        .drop("_keeper_id")
     )
 
 

@@ -59,6 +59,8 @@ class CorpusConfig:
     redact_pii: bool = True
     near_dedup: bool = True
     jaccard_threshold: float = 0.6
+    keep_best_quality: bool = False  # near-dup keeper = max quality, not min id
+    cc_algorithm: str = "propagation"  # or "star" (skew-proof large/small-star)
     decontam_ngram: int = 13
     mixture: dict[str, float] = field(default_factory=dict)  # lang -> rate
     default_rate: float = 1.0
@@ -311,7 +313,9 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
             jaccard_threshold=cfg.jaccard_threshold,
         ).select("id_a", "id_b")
         prof = dedup_keepers(
-            prof, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+            prof, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir,
+            quality_col="quality" if cfg.keep_best_quality else None,
+            cc=cfg.cc_algorithm,
         ).where(F.col("is_keeper")).drop("cluster_id", "is_keeper")
 
     # 5b. optional SemDeDup semantic pass (Abbas et al. 2023) over an

@@ -3957,3 +3957,25 @@ def test_bbit_minhash_pack_roundtrip_and_estimate(spark):
     assert got[(0, 1)]["n_match"] == 32 and got[(0, 1)]["est_jaccard"] == 1.0
     assert got[(0, 2)]["est_jaccard"] > got[(0, 3)]["est_jaccard"]
     assert got[(0, 3)]["match_frac"] < 0.6  # near the 0.25 baseline + noise
+
+
+def test_dedup_keepers_quality_policy(spark, tmp_path):
+    """Highest-quality member survives (tie -> min id); isolated docs are
+    their own keeper; null quality loses; cluster_id stays min-id."""
+    from crawl4ai_custom_spark.operators.dedup import dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, None), (9, 0.1)],
+        "doc_id bigint, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r for r in dedup_keepers(
+        docs, pairs, quality_col="quality",
+        checkpoint_dir=str(tmp_path)).collect()}
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3, 4))
+    assert [i for i in (1, 2, 3, 4) if out[i]["is_keeper"]] == [2]
+    assert out[9]["is_keeper"] and out[9]["cluster_id"] == 9
+    # default policy unchanged: min id wins
+    out2 = {r["doc_id"]: r["is_keeper"] for r in dedup_keepers(
+        docs, pairs, checkpoint_dir=str(tmp_path / "d")).collect()}
+    assert out2 == {1: True, 2: False, 3: False, 4: False, 9: True}
