@@ -8374,6 +8374,53 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/ECE gate: deterministic pseudo-scores s=(id*37%101)/101
+    and labels y=(id*53%101 > 45), 10 bins; oracle replays binning,
+    per-bin means and the weighted-gap rollup."""
+    from crawl4ai_custom_spark.operators.corpusmix import calibration_report
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        (((d * 37) % 101) / 101.0).alias("s"),
+        ((d * 53) % 101 > 45).alias("y"),
+    )
+    out = calibration_report(docs, "s", "y", n_bins=10)
+    return out.select(
+        "bin", "n",
+        F.round(F.col("avg_score") + 1e-9, 6).alias("avg_score"),
+        F.round(F.col("frac_pos") + 1e-9, 6).alias("frac_pos"),
+        F.round(F.col("gap") + 1e-9, 6).alias("gap"),
+    )
+
+
+ORACLES["q_calibration"] = """
+    with d as (
+      select ((doc_id * 37) % 101) / 101.0 as s,
+             ((doc_id * 53) % 101 > 45)::INT as y
+      from documents
+    ),
+    binned as (
+      select least(greatest(floor(s * 10), 0), 9)::INT as bin, s, y from d
+    ),
+    per as (
+      select bin, count(*)::BIGINT as n,
+             sum(s) / count(*) as avg_score,
+             sum(y)::DOUBLE / count(*) as frac_pos
+      from binned group by bin
+    ),
+    gapped as (select *, abs(avg_score - frac_pos) as gap from per)
+    select bin, n, round(avg_score + 1e-9, 6) as avg_score,
+           round(frac_pos + 1e-9, 6) as frac_pos,
+           round(gap + 1e-9, 6) as gap
+    from gapped
+    union all
+    select -1, sum(n)::BIGINT, NULL, NULL,
+           round(sum(n * gap) / sum(n) + 1e-9, 6)
+    from gapped
+"""
+
+
 def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup keepers over the q_cc_star graph, components
     via the star algorithm: keeper = max((doc_id*37)%101) per cluster,
@@ -8901,6 +8948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_script_profile": q_script_profile,
     "q_bbit_minhash": q_bbit_minhash,
     "q_quality_keepers": q_quality_keepers,
+    "q_calibration": q_calibration,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

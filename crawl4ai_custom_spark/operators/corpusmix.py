@@ -515,3 +515,48 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     rn = F.row_number().over(
         Window.partitionBy(*gcols).orderBy("priority", key_col))
     return out.withColumn("_rn", rn).where(F.col("_rn") <= n).drop("_rn")
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a quality
+    classifier: per-bin rows (bin, n, avg_score, frac_pos, gap) plus one
+    TOTAL row (bin = -1) carrying ECE = sum_b n_b/N * |avg_score_b -
+    frac_pos_b|. A classifier that gates a 100 TB corpus at "score >= t"
+    is implicitly treated as a probability — this is the check that it
+    IS one (Guo et al. 2017's ECE, the standard metric). Scores outside
+    [0, 1) clamp into the edge bins.
+
+    Scale shape: one partial-agg groupBy down to n_bins rows; the ECE
+    rollup and the one-row N broadcast run on the bin table. No windows,
+    no second corpus pass."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.greatest(F.floor(s * n_bins), F.lit(0)),
+                F.lit(n_bins - 1)).cast("int")
+    per = (
+        scored.select(
+            b.alias("bin"), s.alias("s"),
+            F.col(label_col).cast("int").alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("s") / F.count(F.lit(1))).alias("avg_score"),
+             (F.sum("y").cast("double") / F.count(F.lit(1)))
+             .alias("frac_pos"))
+        .withColumn("gap", F.abs(F.col("avg_score") - F.col("frac_pos")))
+    )
+    total = per.agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("n") * F.col("gap")) / F.sum("n")).alias("ece"),
+    ).select(
+        F.lit(-1).alias("bin"), "n",
+        F.lit(None).cast("double").alias("avg_score"),
+        F.lit(None).cast("double").alias("frac_pos"),
+        F.col("ece").alias("gap"),
+    )
+    return per.unionByName(total)

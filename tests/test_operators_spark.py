@@ -3979,3 +3979,36 @@ def test_dedup_keepers_quality_policy(spark, tmp_path):
     out2 = {r["doc_id"]: r["is_keeper"] for r in dedup_keepers(
         docs, pairs, checkpoint_dir=str(tmp_path / "d")).collect()}
     assert out2 == {1: True, 2: False, 3: False, 4: False, 9: True}
+
+
+def test_calibration_report_perfect_and_miscalibrated(spark):
+    from crawl4ai_custom_spark.operators.corpusmix import calibration_report
+
+    # perfectly calibrated: in each bin, frac_pos == avg_score exactly
+    rows = []
+    for b in range(4):
+        s = b / 4 + 0.125                  # bin centers at 2 bins/..
+        pos = int(s * 8)
+        rows += [(s, True)] * pos + [(s, False)] * (8 - pos)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bin"]: r for r in
+           calibration_report(df, "s", "y", n_bins=4).collect()}
+    for b in range(4):
+        assert abs(out[b]["gap"]) < 1e-12
+    assert abs(out[-1]["gap"]) < 1e-12     # ECE == 0
+    assert out[-1]["n"] == 32
+
+    # overconfident: scores 0.9, but only 25% positive -> ECE = 0.65
+    df2 = spark.createDataFrame(
+        [(0.9, i % 4 == 0) for i in range(20)], "s double, y boolean")
+    out2 = {r["bin"]: r for r in
+            calibration_report(df2, "s", "y", n_bins=10).collect()}
+    assert out2[9]["n"] == 20
+    assert abs(out2[-1]["gap"] - 0.65) < 1e-9
+    # clamping: out-of-range scores land in edge bins
+    df3 = spark.createDataFrame([(-0.2, False), (1.7, True)],
+                                "s double, y boolean")
+    out3 = {r["bin"]: r["n"] for r in
+            calibration_report(df3, "s", "y", n_bins=10).collect()
+            if r["bin"] >= 0}
+    assert out3 == {0: 1, 9: 1}
