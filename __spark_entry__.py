@@ -8374,6 +8374,72 @@ ORACLES["q_ddsketch"] = f"""
 """
 
 
+def q_share_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-fairness Gini gate: inequality of event counts across 97
+    synthetic hosts (user_id % 97). Integer numerator — exact in both
+    engines; oracle replays rank window + fold."""
+    from crawl4ai_custom_spark.operators.linkgraph import share_gini
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 97).alias("host"))
+    out = share_gini(ev, "host")
+    return out.select("n_groups", "total",
+                      F.round(F.col("gini") + 1e-9, 6).alias("gini"))
+
+
+ORACLES["q_share_gini"] = """
+    with per as (
+      select user_id % 97 as g, count(*)::BIGINT as x
+      from events group by 1
+    ),
+    ranked as (
+      select x, row_number() over (order by x asc, g asc) as i from per
+    ),
+    sizes as (select count(*)::BIGINT as n, sum(x)::BIGINT as t from per)
+    select s.n as n_groups, s.t::DOUBLE as total,
+           round(num.v::DOUBLE / (s.n * s.t) + 1e-9, 6) as gini
+    from sizes s,
+         (select sum((2 * i - (select n from sizes) - 1) * x) as v
+          from ranked) num
+"""
+
+
+def q_share_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-diversity gate: Shannon / effective-source / Simpson
+    of the documents table's language mix weighted by n_chars; oracle
+    replays the share algebra."""
+    from crawl4ai_custom_spark.operators.linkgraph import share_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = share_diversity(docs, "lang", weight_col="n_chars")
+    return out.select(
+        "n_groups", "total",
+        F.round(F.col("shannon") + 1e-9, 6).alias("shannon"),
+        F.round(F.col("effective_groups") + 1e-9, 6).alias("effective_groups"),
+        F.round(F.col("simpson") + 1e-9, 6).alias("simpson"),
+    )
+
+
+ORACLES["q_share_diversity"] = """
+    with per as (
+      select lang as g, sum(n_chars)::BIGINT as x
+      from documents group by 1
+    ),
+    tot as (select sum(x)::BIGINT as t from per),
+    terms as (
+      select -(x::DOUBLE / t) * ln(x::DOUBLE / t) as h,
+             (x::DOUBLE / t) * (x::DOUBLE / t) as s,
+             t::DOUBLE as total
+      from per, tot
+    )
+    select count(*)::BIGINT as n_groups, max(total) as total,
+           round(sum(h) + 1e-9, 6) as shannon,
+           round(exp(sum(h)) + 1e-9, 6) as effective_groups,
+           round(sum(s) + 1e-9, 6) as simpson
+    from terms
+"""
+
+
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration/ECE gate: deterministic pseudo-scores s=(id*37%101)/101
     and labels y=(id*53%101 > 45), 10 bins; oracle replays binning,
@@ -8949,6 +9015,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bbit_minhash": q_bbit_minhash,
     "q_quality_keepers": q_quality_keepers,
     "q_calibration": q_calibration,
+    "q_share_gini": q_share_gini,
+    "q_share_diversity": q_share_diversity,
     "q_hits": q_hits,
     "q_opic": q_opic,
     "q_hll_distinct": q_hll_distinct,

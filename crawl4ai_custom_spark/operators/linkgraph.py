@@ -827,3 +827,75 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30,
         .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg.where(F.col("core_degree") >= k)
+
+
+def share_gini(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of per-group share (fetches per host, tokens per
+    domain, docs per source): ONE row (n_groups, total, gini). 0 = every
+    group equal, ->1 = one group hogs everything — the crawl-fairness /
+    corpus-concentration number a scheduler dashboard tracks per wave.
+    G = sum_i (2i - n - 1) x_(i) / (n * sum x), x ascending, ties broken
+    by group id so the rank assignment is deterministic.
+
+    Scale shape: the corpus pays one partial-agg groupBy down to the
+    GROUP table (hosts/domains — bounded, orders of magnitude below
+    pages); the rank window and the final fold run over that table only.
+    The one sort is over groups, never rows (the corpus_report
+    convention for rollup-style monitors)."""
+    from pyspark.sql import Window as W
+
+    w = (F.sum(F.col(weight_col)) if weight_col
+         else F.count(F.lit(1))).alias("x")
+    per = df.groupBy(F.col(group_col).alias("g")).agg(w)
+    rn = F.row_number().over(
+        W.orderBy(F.col("x").asc(), F.col("g").asc()))
+    ranked = per.select("x", rn.alias("i"))
+    sizes = per.agg(F.count(F.lit(1)).alias("n_groups"),
+                    F.sum("x").alias("tot"))
+    return ranked.crossJoin(F.broadcast(sizes)).agg(
+        F.max("n_groups").alias("n_groups"),
+        F.max("tot").cast("double").alias("total"),
+        F.sum((2 * F.col("i") - F.col("n_groups") - 1) * F.col("x"))
+        .cast("double").alias("_num"),
+    ).select(
+        "n_groups", "total",
+        F.when(F.col("total") > 0,
+               F.col("_num") / (F.col("n_groups") * F.col("total")))
+        .alias("gini"),
+    )
+
+
+def share_diversity(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Diversity profile of a composition column (source, language,
+    domain): one row (n_groups, total, shannon, effective_groups,
+    simpson). shannon = -sum p ln p; effective_groups = exp(shannon)
+    (Hill number q=1 — "the corpus behaves like N equal sources");
+    simpson = sum p^2 (collision probability; 1/simpson is Hill q=2).
+    The mixture-monitoring twin of :func:`share_gini`: Gini says how
+    UNEQUAL, diversity says how MANY effective parts.
+
+    Same scale shape: one groupBy to the bounded group table, algebra on
+    that table, one-row output."""
+    w = (F.sum(F.col(weight_col)) if weight_col
+         else F.count(F.lit(1))).alias("x")
+    per = df.groupBy(F.col(group_col).alias("g")).agg(w)
+    tot = per.agg(F.sum("x").alias("t"))
+    p = F.col("x").cast("double") / F.col("t")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        (-p * F.log(p)).alias("h"), (p * p).alias("s"),
+        F.col("t").cast("double").alias("total"))
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("total").alias("total"),
+        F.sum("h").alias("shannon"),
+        F.exp(F.sum("h")).alias("effective_groups"),
+        F.sum("s").alias("simpson"),
+    ).select("n_groups", "total", "shannon", "effective_groups", "simpson")

@@ -4012,3 +4012,41 @@ def test_calibration_report_perfect_and_miscalibrated(spark):
             calibration_report(df3, "s", "y", n_bins=10).collect()
             if r["bin"] >= 0}
     assert out3 == {0: 1, 9: 1}
+
+
+def test_share_gini_and_diversity_closed_form(spark):
+    import math
+
+    from crawl4ai_custom_spark.operators.linkgraph import (
+        share_diversity,
+        share_gini,
+    )
+
+    # perfectly equal: gini 0; max diversity: effective == n_groups
+    eq = spark.createDataFrame([(f"h{i % 4}",) for i in range(40)],
+                               "host string")
+    g = share_gini(eq, "host").collect()[0]
+    assert g["n_groups"] == 4 and abs(g["gini"]) < 1e-12
+    dv = share_diversity(eq, "host").collect()[0]
+    assert abs(dv["shannon"] - math.log(4)) < 1e-12
+    assert abs(dv["effective_groups"] - 4.0) < 1e-9
+    assert abs(dv["simpson"] - 0.25) < 1e-12
+
+    # total concentration: one host has everything but epsilon
+    sk = spark.createDataFrame([("big",)] * 97 + [("a",), ("b",), ("c",)],
+                               "host string")
+    gs = share_gini(sk, "host").collect()[0]
+    # hand Gini: x asc = [1,1,1,97], n=4, sum=100
+    hand = sum((2 * i - 4 - 1) * x
+               for i, x in enumerate([1, 1, 1, 97], start=1)) / (4 * 100)
+    assert abs(gs["gini"] - hand) < 1e-12
+    dvs = share_diversity(sk, "host").collect()[0]
+    assert dvs["effective_groups"] < 1.3  # behaves like ~1 source
+
+    # weighted path equals pre-aggregated counts
+    wdf = spark.createDataFrame(
+        [("x", 10), ("x", 30), ("y", 60)], "host string, w bigint")
+    gw = share_gini(wdf, "host", weight_col="w").collect()[0]
+    hand_w = sum((2 * i - 2 - 1) * x
+                 for i, x in enumerate([40, 60], start=1)) / (2 * 100)
+    assert abs(gw["gini"] - hand_w) < 1e-12
