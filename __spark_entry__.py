@@ -8499,7 +8499,7 @@ def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = docs.select("doc_id", ((d * 37) % 101).alias("q"))
     spokes = docs.where(d % 3 != 0).select(
         d.alias("id_a"), (d - d % 3).alias("id_b"))
-    chain = docs.where((d % 3 == 0) & (d % 30 != 27)).select(
+    chain = docs.where((d % 3 == 0) & (d % 9 != 6)).select(
         d.alias("id_a"), (d + 3).alias("id_b"))
     out = dedup_keepers(qdocs, spokes.unionByName(chain),
                         id_col="doc_id", quality_col="q", cc="star")
@@ -8512,7 +8512,7 @@ ORACLES["q_quality_keepers"] = """
     pairs as (
       select d as id_a, d - (d % 3) as id_b from docs where d % 3 <> 0
       union all
-      select d, d + 3 from docs where d % 3 = 0 and d % 30 <> 27
+      select d, d + 3 from docs where d % 3 = 0 and d % 9 <> 6
     ),
     edges as (
       select id_a as src, id_b as dst from pairs
@@ -8858,18 +8858,18 @@ ORACLES["q_wordpiece"] = _wordpiece_oracle_sql()
 
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star connected components gate (Kiveris et al.
-    2014): deterministic graph of ten 30-node components (triples rooted
-    at multiples of 3, chained into blocks of 30 — diameter ~11, so
-    label propagation would need 11 rounds where the star algorithm
-    needs ~3). Oracle computes components by recursive reachability —
-    a different algorithm arriving at the same labels."""
+    2014): deterministic graph of 9-node components (triples rooted at
+    multiples of 3, chained into blocks of 9 — diameter ~4, kept small
+    so the gate stays cheap; the diameter-independence claim is pinned
+    by the 41-hop-chain unit test). Oracle computes components by
+    recursive reachability — a different algorithm, same labels."""
     from crawl4ai_custom_spark.operators.dedup import cluster_pairs_star
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     d = F.col("doc_id")
     spokes = docs.where(d % 3 != 0).select(
         d.alias("id_a"), (d - d % 3).alias("id_b"))
-    chain = docs.where((d % 3 == 0) & (d % 30 != 27)).select(
+    chain = docs.where((d % 3 == 0) & (d % 9 != 6)).select(
         d.alias("id_a"), (d + 3).alias("id_b"))
     out = cluster_pairs_star(spokes.unionByName(chain))
     return out.select("id", "cluster_id")
@@ -8880,7 +8880,7 @@ ORACLES["q_cc_star"] = """
     pairs as (
       select d as id_a, d - (d % 3) as id_b from docs where d % 3 <> 0
       union all
-      select d, d + 3 from docs where d % 3 = 0 and d % 30 <> 27
+      select d, d + 3 from docs where d % 3 = 0 and d % 9 <> 6
     ),
     edges as (
       select id_a as src, id_b as dst from pairs

@@ -1225,7 +1225,12 @@ def cluster_pairs_star(
             .distinct()
         )
         out = os.path.join(ckpt, f"edges_{it % 2}")
-        small.write.mode("overwrite").parquet(out)
+        # size-gated coalesce: a near-converged round is a few thousand
+        # rows — fanning it across the full task width just pays task
+        # overhead (known free from last round's footer count); big
+        # graphs keep the parallel write
+        to_write = small if n_edges > 100_000 else small.coalesce(1)
+        to_write.write.mode("overwrite").parquet(out)
         nxt = spark.read.parquet(out)
         n_next = nxt.count()
         if n_next == n_edges and nxt.exceptAll(edges).isEmpty():

@@ -1954,6 +1954,13 @@ def psi_drift(
             F.coalesce("n_a", F.lit(0)).alias("n_a"),
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
         )
+        # persist the <= B+1-row joined histogram: three plan branches
+        # consume it (totals, per-bucket terms, rollup row) and WITHOUT
+        # the cache each branch re-derives it from scratch — i.e. each
+        # 10^10-row epoch would be SCANNED three times (caught by
+        # scripts/plan_audit.py). The cache is B rows; lifecycle is the
+        # session's (a monitoring query runs once per epoch).
+        .persist()
     )
     tot = joined.agg(
         F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))

@@ -998,6 +998,84 @@ def main() -> None:
         ],
     )
 
+    # 13a9. round-5 session additions: monitoring + compression operators
+    from crawl4ai_custom_spark.operators.textstats import (
+        psi_drift,
+        script_profile,
+    )
+
+    p = plan_of(script_profile(docs_small))
+    ok = "Exchange" not in p
+    checks = [(("PASS  " if ok else "FAIL  ") + "zero Exchange",
+               "six regexp counts + tie-break CASE are one codegen "
+               "projection — script routing costs the scan itself")]
+    if not ok:
+        failures.append("script_profile: unexpected Exchange")
+    sections.append(("Script profile — shuffle-free projection", p, checks))
+
+    p = plan_of(psi_drift(
+        docs_small.select(F.length("text").cast("double").alias("v")),
+        docs_small.select((F.length("text") + 7).cast("double").alias("v")),
+        "v", [300.0, 900.0]))
+    n_mem = p.count("InMemoryTableScan")
+    checks = []
+    for ok, label, why in [
+        (n_mem >= 3, f"joined histogram cached ({n_mem} cache reads)",
+         "the <= B+1-row bucket table is persisted and all three "
+         "consumers (totals, terms, rollup) read the cache — each epoch "
+         "is SCANNED once at runtime, not once per plan branch (the "
+         "printed plan re-renders the cached subtree; the "
+         "InMemoryTableScans are what executes)"),
+        ("Window" not in p, "no Window",
+         "PSI/KL is closed-form algebra on the bucket table"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"psi_drift: {label}")
+    sections.append(("PSI drift — bounded bucket algebra", p, checks))
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        bbit_pack_signatures,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    sigs_syn = minhash_signatures(
+        shingle_table(docs_small.limit(50)), num_hashes=16)
+    p = plan_of(bbit_pack_signatures(sigs_syn, b=2, num_hashes=16))
+    sig_ex = plan_of(sigs_syn).count("Exchange")
+    pack_ex = p.count("Exchange")
+    ok = pack_ex == sig_ex
+    checks = [(("PASS  " if ok else "FAIL  ")
+               + f"packing adds zero Exchange ({sig_ex} -> {pack_ex})",
+               "b-bit compression is mask+shift+sum column algebra on "
+               "the signature rows — the ~16x store shrink is free")]
+    if not ok:
+        failures.append("bbit_pack_signatures: added an Exchange")
+    sections.append(("b-bit minhash packing — projection only", p, checks))
+
+    from crawl4ai_custom_spark.operators.sketches import (
+        bootstrap_replicate_stats,
+    )
+
+    p = plan_of(bootstrap_replicate_stats(
+        docs_small.select("doc_id", F.length("text").alias("n_chars")),
+        "n_chars", "doc_id", n_reps=8))
+    checks = []
+    for ok, label, why in [
+        ("Generate" not in p.split("HashAggregate")[-1] and
+         p.count("HashAggregate") >= 1, "replicates as sibling aggregates",
+         "all r resamples ride one partial aggregation — no explode "
+         "before the agg, no r-times data"),
+        ("Window" not in p, "no Window",
+         "replicate sums are plain partial aggs"),
+    ]:
+        checks.append((("PASS  " if ok else "FAIL  ") + label, why))
+        if not ok:
+            failures.append(f"bootstrap_replicate_stats: {label}")
+    sections.append(
+        ("Poisson bootstrap — one-pass sibling sums", p, checks))
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,
