@@ -178,6 +178,12 @@ class CrawlConfig:
     # without ever rescanning the seen set. Default off: costs one tiny
     # extra job per wave.
     sketch_p: int = 12                # 2^p registers (~1.6% std error)
+    fairness_stats: bool = False  # add host_gini (share_gini of fetches
+    # per registrable domain, linkgraph.share_gini) to each wave's stats
+    # dict: 0 = politeness spread the wave evenly, ->1 = one host ate the
+    # budget (mega-host skew leaking through admission). Costs one tiny
+    # job per wave over the already-materialized results delta — the
+    # group table is hosts-per-wave-sized. Default off, like the sketches.
 
 
 @dataclass
@@ -993,6 +999,21 @@ class FrontierEngine:
                         "pages_crawled": crawled,
                     }
                 )
+                if cfg.fairness_stats and n_admitted > 0:
+                    # per-wave host-fairness Gini from the materialized
+                    # results delta (one tiny job; group table = hosts
+                    # this wave). 0 = even politeness spread, ->1 = one
+                    # host ate the wave.
+                    from .linkgraph import share_gini
+
+                    g = share_gini(
+                        results.select("registrable_domain"),
+                        "registrable_domain",
+                    ).first()  # one-row result: bounded driver scalar
+                    stats[-1]["host_gini"] = (
+                        round(g["gini"], 4) if g["gini"] is not None
+                        else None)
+                    stats[-1]["hosts_in_wave"] = g["n_groups"]
                 # per-partition lineage: (exec_partition, domain) -> fetch/extract
                 # metrics, from the already-materialized results parquet (cheap
                 # scan; the reference's CrawlerTaskResult/TraversalStats parity)

@@ -617,3 +617,29 @@ def test_crawlrun_payload_moments_profile(spark, site_dir, tmp_path):
     run2 = eng2.run(seeds[:1])
     with pytest.raises(ValueError):
         run2.payload_profile(spark)
+
+
+def test_fairness_stats_per_wave(spark, pages_df, robots_df, tmp_path):
+    """fairness_stats=True adds host_gini / hosts_in_wave to every wave
+    with admissions: gini in [0,1), hosts positive, and a single-host
+    wave reads 0 (perfectly 'even' by definition)."""
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=2, max_pages=60,
+        politeness=PolitenessConfig(wave_seconds=1e9),
+        fairness_stats=True,
+    )
+    eng = FrontierEngine(
+        spark, pages_df, robots_df, cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out"),
+    )
+    run = eng.run(SEEDS)
+    waves = [s for s in run.stats if s["admitted"] > 0]
+    assert waves, "no admitting waves?"
+    for s in waves:
+        assert "host_gini" in s and "hosts_in_wave" in s
+        assert s["hosts_in_wave"] >= 1
+        if s["hosts_in_wave"] == 1:
+            assert s["host_gini"] == 0.0
+        else:
+            assert 0.0 <= s["host_gini"] < 1.0
