@@ -644,6 +644,61 @@ def retrieval50k(spark) -> dict:
     return r
 
 
+def ccstar200k(spark) -> dict:
+    """Connected components on a pathological dedup graph: a 100k-hop
+    CHAIN (the shape that breaks diameter-bound label propagation), a
+    50k-spoke mega-hub (the shape that breaks per-round fan-out), and
+    10k random pairs. Star CC must (a) converge, (b) match a driver
+    union-find exactly; propagation capped at 30 rounds must NOT
+    converge on the chain — the structural claim behind
+    cluster_pairs_star, measured."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_star,
+    )
+
+    r: dict = {"job": "ccstar200k"}
+    chain = spark.range(100_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    hub = spark.range(50_000).select(
+        F.lit(1_000_000).alias("id_a"),
+        (F.col("id") + 1_000_001).alias("id_b"))
+    rnd = spark.range(10_000).select(
+        (F.pmod(F.xxhash64(F.col("id")), 40_000) + 2_000_000).alias("id_a"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), 40_000) + 2_000_000)
+        .alias("id_b"))
+    pairs = chain.unionByName(hub).unionByName(rnd)
+    n_edges = pairs.count()
+    r["edges"] = n_edges
+
+    t = time.time()
+    star = cluster_pairs_star(pairs)
+    star_rows = {(x["id"], x["cluster_id"]) for x in star.collect()}
+    r["star_seconds"] = round(time.time() - t, 2)
+    r["star_nodes"] = len(star_rows)
+
+    # ground truth: the size-gated driver union-find inside cluster_pairs
+    t = time.time()
+    uf = cluster_pairs(pairs, driver_max_edges=1_000_000)
+    uf_rows = {(x["id"], x["cluster_id"]) for x in uf.collect()}
+    r["unionfind_seconds"] = round(time.time() - t, 2)
+    r["star_matches_unionfind"] = star_rows == uf_rows
+
+    # propagation with a 30-round cap: must warn (chain diameter 100k)
+    t = time.time()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cluster_pairs(pairs, max_iters=30, driver_max_edges=0).count()
+        r["prop30_converged"] = not any(
+            "NOT converged" in str(x.message) for x in w)
+    r["prop30_seconds"] = round(time.time() - t, 2)
+    return r
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -665,6 +720,8 @@ def main() -> None:
         print(json.dumps(retrieval50k(spark)), flush=True)
     if which == "webtext50k":
         print(json.dumps(webtext50k(spark)), flush=True)
+    if which == "ccstar200k":
+        print(json.dumps(ccstar200k(spark)), flush=True)
 
 
 if __name__ == "__main__":
