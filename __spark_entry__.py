@@ -2518,6 +2518,22 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_contaminated_grams", "contaminated")
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination gate: same fixture and SAME
+    oracle as q_decontam — the bloom path is exact by construction
+    (false positives die in the verify join, false negatives are
+    impossible), so both operators must equal the one SQL replay."""
+    from crawl4ai_custom_spark.operators.decontam import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") < 500)
+    out = decontaminate_bloom(corpus, bench, n=3, min_overlap=1,
+                              bloom_partitions=4,
+                              capacity_per_partition=200_000)
+    return out.select("doc_id", "n_contaminated_grams", "contaminated")
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.adaptive import term_stats
 
@@ -7392,6 +7408,10 @@ ORACLES["q_decontam"] = f"""
     from corpus c left join ov on ov.id = c.doc_id
 """
 
+# bloom path is exact: same oracle
+ORACLES["q_decontam_bloom"] = ORACLES["q_decontam"]
+
+
 ORACLES["q_term_stats"] = """
     with toks as (
       select doc_id as id,
@@ -9090,6 +9110,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_pack_sequences": q_pack_sequences,
     "q_decontam": q_decontam,
+    "q_decontam_bloom": q_decontam_bloom,
     "q_term_stats": q_term_stats,
     "q_adaptive_rank": q_adaptive_rank,
     "q_adaptive_embedding": q_adaptive_embedding,

@@ -109,3 +109,58 @@ def semantic_decontaminate(
             "semantically_contaminated", F.col("n_bench_hits") > 0
         )
     )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_overlap: int = 1,
+    bloom_partitions: int = 16,
+    capacity_per_partition: int = 2_000_000,
+    fp_rate: float = 0.01,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """EXACTLY :func:`decontaminate`'s output via the seen-set bloom
+    pattern — the scale path when the benchmark gram set is too big to
+    broadcast (a full eval-suite union is 10^8-10^9 distinct 13-grams;
+    at 8 bytes/hash that is multi-GB per executor as a broadcast, but
+    ~1.2 MB/partition as bloom blobs).
+
+    Shape: bench grams fold into a partitioned bloom ONCE (grouped
+    pandas, P blobs); the corpus gram stream prefilters against the
+    blobs (cogrouped — blobs never ride the shuffle per row), and only
+    the `maybe` survivors (true hits + fp_rate noise) pay the exact
+    verify equi-join. False negatives are impossible (bloom invariant),
+    false positives die in the verify join — output is bit-identical to
+    the broadcast path, which is the equivalence test's assertion."""
+    from .seen import PartitionedBloom
+
+    bench_grams = benchmark_ngram_set(bench, id_col, text_col, n)
+    bloom = PartitionedBloom(
+        docs.sparkSession, num_partitions=bloom_partitions,
+        capacity_per_partition=capacity_per_partition, fp_rate=fp_rate,
+        state_dir=state_dir,
+    )
+    bloom.add(bench_grams, hash_col="shingle_hash")
+    doc_grams = shingle_table(docs, id_col, text_col, k=n)
+    flagged = bloom.prefilter(doc_grams, hash_col="shingle_hash")
+    maybe = flagged.where(F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+    overlap = (
+        maybe.join(bench_grams, "shingle_hash", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.join(overlap, docs[id_col] == overlap["id"], "left")
+        .drop("id")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated_grams") >= min_overlap
+        )
+    )

@@ -4050,3 +4050,32 @@ def test_share_gini_and_diversity_closed_form(spark):
     hand_w = sum((2 * i - 2 - 1) * x
                  for i, x in enumerate([40, 60], start=1)) / (2 * 100)
     assert abs(gw["gini"] - hand_w) < 1e-12
+
+
+def test_decontaminate_bloom_equals_broadcast_path(spark, tmp_path):
+    """The bloom-prefiltered path is exact: identical output to the
+    broadcast path even with a deliberately tiny, collision-prone bloom
+    (false positives must die in the verify join)."""
+    from crawl4ai_custom_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta theta")
+         for i in range(60)] +
+        [(100, "totally clean words nowhere near any benchmark")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(0, "gamma doc7 delta epsilon"), (1, "beta gamma doc13")],
+        "doc_id bigint, text string")
+    a = {(r["doc_id"], r["n_contaminated_grams"], r["contaminated"])
+         for r in decontaminate(docs, bench, n=3).collect()}
+    b = {(r["doc_id"], r["n_contaminated_grams"], r["contaminated"])
+         for r in decontaminate_bloom(
+             docs, bench, n=3, bloom_partitions=2,
+             capacity_per_partition=32,   # saturated -> high fp pressure
+             fp_rate=0.2, state_dir=str(tmp_path)).collect()}
+    assert a == b
+    assert any(c for _, _, c in a)          # something was contaminated
+    assert (100, 0, False) in a             # and the clean doc is clean
