@@ -8507,6 +8507,58 @@ ORACLES["q_calibration"] = """
 """
 
 
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities gate: 2 synchronous rounds over the
+    q_pagerank graph with the deterministic (count desc, label asc)
+    argmax; oracle unrolls both rounds."""
+    from crawl4ai_custom_spark.operators.linkgraph import lpa_communities
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % 200).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % 200).alias("dst"))
+    out = lpa_communities(e1.unionByName(e2), rounds=2)
+    return out.select("node", "label")
+
+
+def _lpa_oracle_sql(rounds: int = 2) -> str:
+    parts = ["""
+    with docs as (select doc_id as d from documents where doc_id < 200),
+    raw as (
+      select d as src, (d*7 + 1) % 200 as dst from docs
+      union all
+      select d, (d*13 + 2) % 200 from docs
+    ),
+    bidir as (
+      select distinct u, v from (
+        select src as u, dst as v from raw
+        union all
+        select dst, src from raw
+      ) where u <> v
+    ),
+    l0 as (select distinct u as node, u as label from bidir)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} as (
+      select b.u as node, l.label
+      from bidir b join l{k - 1} l on l.node = b.v
+    ),
+    c{k} as (select node, label, count(*) as c from m{k} group by 1, 2),
+    l{k} as (
+      select node, label from (
+        select node, label,
+               row_number() over (partition by node
+                                  order by c desc, label asc) as rn
+        from c{k}) where rn = 1
+    )""")
+    parts.append(f"""
+    select node, label from l{rounds}""")
+    return "".join(parts)
+
+
+ORACLES["q_lpa"] = _lpa_oracle_sql()
+
+
 def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup keepers over the q_cc_star graph, components
     via the star algorithm: keeper = max((doc_id*37)%101) per cluster,
@@ -9034,6 +9086,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_script_profile": q_script_profile,
     "q_bbit_minhash": q_bbit_minhash,
     "q_quality_keepers": q_quality_keepers,
+    "q_lpa": q_lpa,
     "q_calibration": q_calibration,
     "q_share_gini": q_share_gini,
     "q_share_diversity": q_share_diversity,

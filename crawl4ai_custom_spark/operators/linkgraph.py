@@ -899,3 +899,56 @@ def share_diversity(
         F.exp(F.sum("h")).alias("effective_groups"),
         F.sum("s").alias("simpson"),
     ).select("n_groups", "total", "shannon", "effective_groups", "simpson")
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an edge table (src, dst), treated undirected: each round every
+    node adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label — the deterministic argmax that makes a fixed round
+    count reproducible across engines (plain LPA's random tie-break is
+    famously unstable). Returns (node, label) after ``rounds`` sync
+    updates; label space = node ids, so communities are named by a
+    member. Link farms and template networks show up as communities far
+    denser than their size predicts (pairs with spam_mass / k_core).
+
+    Scale shape: per round = one equi-join (labels onto the bidirectional
+    edge view) + one (node, label) groupBy + one per-node argmax as a
+    min(struct) partial agg — no windows over edges; labels materialize
+    to parquet each round (materialized-rounds convention, lineage never
+    grows)."""
+    import os
+    import tempfile
+
+    spark = edges.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="lpa_")
+    bidir = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ep = os.path.join(ckpt, "edges")
+    bidir.write.mode("overwrite").parquet(ep)
+    bidir = spark.read.parquet(ep)
+    labels = bidir.select(F.col("u").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for it in range(rounds):
+        msgs = bidir.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        new = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("label").alias("l"))).alias("b")
+        ).select("node", F.col("b.l").alias("label"))
+        out = os.path.join(ckpt, f"labels_{it % 2}")
+        new.write.mode("overwrite").parquet(out)
+        labels = spark.read.parquet(out)
+    return labels.select("node", "label")

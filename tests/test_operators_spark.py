@@ -4079,3 +4079,27 @@ def test_decontaminate_bloom_equals_broadcast_path(spark, tmp_path):
     assert a == b
     assert any(c for _, _, c in a)          # something was contaminated
     assert (100, 0, False) in a             # and the clean doc is clean
+
+
+def test_lpa_communities_two_cliques(spark, tmp_path):
+    """Two 4-cliques joined by one bridge edge: after a few rounds every
+    clique member carries its clique's minimum label; determinism: two
+    runs agree."""
+    from itertools import combinations
+
+    from crawl4ai_custom_spark.operators.linkgraph import lpa_communities
+
+    c1 = list(combinations([0, 1, 2, 3], 2))
+    c2 = list(combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)],
+                                  "src bigint, dst bigint")
+    out = {r["node"]: r["label"] for r in lpa_communities(
+        edges, rounds=4, checkpoint_dir=str(tmp_path / "a")).collect()}
+    assert len(out) == 8
+    # clique 1 converges to label 0 everywhere; clique 2 to 10 (the
+    # bridge may pull node 3/10, but core members are stable)
+    assert out[0] == out[1] == out[2] == 0
+    assert out[11] == out[12] == out[13] == 10
+    again = {r["node"]: r["label"] for r in lpa_communities(
+        edges, rounds=4, checkpoint_dir=str(tmp_path / "b")).collect()}
+    assert out == again
