@@ -8273,6 +8273,63 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_graph_gate_edges(spark, sf_dir), k=5)
 
 
+def _anf_gate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-out-degree directed graph over 160 string-labeled
+    hosts for the HyperBall gates (small enough that the oracle's
+    unrolled 3-hop reachability join stays a few thousand pairs)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 160).select("doc_id")
+    d = F.col("doc_id")
+    e = docs.select(d.alias("s"), ((d * 7 + 1) % 160).alias("t")) \
+        .unionByName(docs.select(d.alias("s"), ((d * 13 + 2) % 160).alias("t")))
+    return e.where(F.col("s") != F.col("t")).select(
+        F.concat(F.lit("n"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("t").cast("string")).alias("dst"),
+    )
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall gate (Boldi & Vigna 2013): per-node HLL ball-size
+    estimates |B(v, t)| for t = 0..3 over the directed host graph — one
+    register-table join + groupBy-max per round. The oracle reproduces
+    every estimate bit-for-bit from an unrolled 3-hop reachability join
+    re-hashed through the shared register convention (the estimator's
+    dyadic 2^-rho sums agree exactly cross-engine)."""
+    from crawl4ai_custom_spark.operators.anf import hyperball
+
+    out = hyperball(_anf_gate_edges(spark, sf_dir), p=8, max_t=3)
+    return out.select(
+        "node", "t",
+        F.round(F.col("ball_est") + 1e-9, 6).alias("ball_est"),
+    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality + effective diameter from the HyperBall
+    rounds: h(v) = sum_t (|B(v,t)| - |B(v,t-1)|)/t, and the interpolated
+    smallest t where the neighborhood function reaches 90% of its final
+    mass — the two headline statistics of the HyperBall paper, riding on
+    q_hyperball's graph. Oracle unrolls the same deltas and
+    interpolation."""
+    from crawl4ai_custom_spark.operators.anf import (
+        effective_diameter,
+        harmonic_centrality,
+        hyperball,
+        neighborhood_function,
+    )
+
+    balls = hyperball(_anf_gate_edges(spark, sf_dir), p=8, max_t=3)
+    h = harmonic_centrality(balls)
+    ed = effective_diameter(neighborhood_function(balls), q=0.9)
+    return h.crossJoin(F.broadcast(ed)).select(
+        "node",
+        F.round(F.col("harmonic") + 1e-9, 6).alias("harmonic"),
+        F.round(F.col("ball_final") + 1e-9, 6).alias("ball_final"),
+        F.round(F.col("effective_diameter") + 1e-9, 6)
+        .alias("effective_diameter"),
+    )
+
+
 _GRAPH_GATE_EDGES_SQL = """
     docs as (select doc_id from documents where doc_id < 300),
     raw as (
@@ -8336,6 +8393,115 @@ def _kcore_oracle_sql(k: int = 5, rounds: int = 4) -> str:
 
 
 ORACLES["q_kcore"] = _kcore_oracle_sql()
+
+# shared CTE prefix for the two HyperBall gates: the 160-node directed
+# graph, the per-node register hash, and the unrolled 0..3-hop ball
+# memberships re-aggregated into (t, node) HLL estimates. Constants:
+# m = 256, alpha*m^2 = 47072.71267120224 (p=8 — same as q_hll_distinct),
+# linear-counting switch at raw <= 640 with zeros > 0.
+_ANF_ORACLE_PREFIX = """
+    docs as (select doc_id from documents where doc_id < 160),
+    edges as (
+      select distinct 'n' || src as src, 'n' || dst as dst from (
+        select doc_id as src, (doc_id*7+1) % 160 as dst from docs
+        union all
+        select doc_id, (doc_id*13+2) % 160 from docs
+      ) where src <> dst
+    ),
+    nodes as (
+      select distinct node from (
+        select src as node from edges union all select dst from edges)
+    ),
+    hk as (select node,
+                  ('0x' || substr(md5(node), 1, 15))::BIGINT as h
+           from nodes),
+    b0 as (select node as src, node as m from nodes),
+    b1 as (select distinct src, m from (
+        select src, m from b0
+        union all
+        select e.src, b.m from edges e join b0 b on b.src = e.dst)),
+    b2 as (select distinct src, m from (
+        select src, m from b1
+        union all
+        select e.src, b.m from edges e join b1 b on b.src = e.dst)),
+    b3 as (select distinct src, m from (
+        select src, m from b2
+        union all
+        select e.src, b.m from edges e join b2 b on b.src = e.dst)),
+    members as (
+      select 0 as t, src, m from b0
+      union all select 1, src, m from b1
+      union all select 2, src, m from b2
+      union all select 3, src, m from b3
+    ),
+    regs as (
+      select members.t, members.src as node,
+             (hk.h & 255) as register,
+             max(case when ((hk.h >> 8) & 1048575) = 0 then 21
+                 else 21 - length(bin((hk.h >> 8) & 1048575)) end)
+               as max_rho
+      from members join hk on hk.node = members.m
+      group by 1, 2, 3
+    ),
+    agg as (
+      select t, node, count(*) as n_hit,
+             sum(power(2.0, -max_rho)) as s
+      from regs group by 1, 2
+    ),
+    est as (
+      select t, node,
+             case when 47072.71267120224 / (s + (256 - n_hit)) <= 640.0
+                       and (256 - n_hit) > 0
+                  then 256.0 * ln(256.0 / (256 - n_hit))
+                  else 47072.71267120224 / (s + (256 - n_hit)) end
+               as ball_est
+      from agg
+    )
+"""
+
+ORACLES["q_hyperball"] = f"""
+    with {_ANF_ORACLE_PREFIX}
+    select node, t, round(ball_est + 1e-9, 6) as ball_est from est
+"""
+
+ORACLES["q_harmonic_centrality"] = f"""
+    with {_ANF_ORACLE_PREFIX},
+    hv as (
+      select e0.node,
+             greatest(0.0, e1.ball_est - e0.ball_est) / 1.0
+             + greatest(0.0, e2.ball_est - e1.ball_est) / 2.0
+             + greatest(0.0, e3.ball_est - e2.ball_est) / 3.0 as harmonic,
+             e3.ball_est as ball_final
+      from      (select node, ball_est from est where t = 0) e0
+      join (select node, ball_est from est where t = 1) e1 using (node)
+      join (select node, ball_est from est where t = 2) e2 using (node)
+      join (select node, ball_est from est where t = 3) e3 using (node)
+    ),
+    nf as (select t, sum(ball_est) as np from est group by t),
+    tgt as (select 0.9 * np as target from nf where t = 3),
+    cand as (
+      select t, np,
+             lag(np) over (order by t) as prev,
+             lag(t) over (order by t) as prev_t
+      from nf
+    ),
+    hit as (
+      select c.*, g.target from cand c cross join tgt g
+      where c.np >= g.target order by c.t limit 1
+    ),
+    edv as (
+      select greatest(0.0,
+        case when prev is not null and np > prev
+             then prev_t + (target - prev) / (np - prev)
+             else t::DOUBLE end) as effective_diameter
+      from hit
+    )
+    select hv.node,
+           round(hv.harmonic + 1e-9, 6) as harmonic,
+           round(hv.ball_final + 1e-9, 6) as ball_final,
+           round(edv.effective_diameter + 1e-9, 6) as effective_diameter
+    from hv cross join edv
+"""
 
 
 def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9096,6 +9262,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ddsketch": q_ddsketch,
     "q_triangles": q_triangles,
     "q_kcore": q_kcore,
+    "q_hyperball": q_hyperball,
+    "q_harmonic_centrality": q_harmonic_centrality,
     "q_kmv_setops": q_kmv_setops,
     "q_degree_powerlaw": q_degree_powerlaw,
     "q_weighted_sample": q_weighted_sample,

@@ -570,6 +570,7 @@ class FrontierEngine:
 
         start_wave = 0
         crawled = 0
+        trap_deltas_meta: list[str] | None = None
         if resume and self.store.latest_wave() is not None:
             w0 = self.store.latest_wave()
             snap = self.store.read(w0)
@@ -585,6 +586,8 @@ class FrontierEngine:
                     os.path.join(self.store._wave_dir(w0), "seen.parquet")
                 ]
             start_wave = w0 + 1
+            td = meta.get("trap_deltas")
+            trap_deltas_meta = list(td) if td is not None else None
             if bloom is not None and "bloom" in snap:
                 bloom.state = snap["bloom"]  # parquet-backed snapshot read
         else:
@@ -610,14 +613,25 @@ class FrontierEngine:
                 shutil.rmtree(self.out_dir)
             os.makedirs(self.out_dir, exist_ok=True)
 
-        # trap-guard count deltas live beside each wave's new_links delta;
-        # rebuilding the list from the seen deltas makes resume seamless
+        # trap-guard count deltas: the authoritative list rides in the
+        # snapshot manifest (like seen_deltas) so resume survives both
+        # trap-delta and seen-delta compaction. Legacy manifests without
+        # the key fall back to a directory scan of the seen paths —
+        # preferring a compact file (which already folds that wave's own
+        # delta) over the per-wave delta in the same dir.
         trap_count_paths: list[str] = []
         if cfg.trap_guard_min_urls is not None:
-            for p in seen_paths:
-                tc = os.path.join(os.path.dirname(p), "trap_counts.parquet")
-                if os.path.isdir(tc):
-                    trap_count_paths.append(tc)
+            if trap_deltas_meta is not None:
+                trap_count_paths = list(trap_deltas_meta)
+            else:
+                for p in seen_paths:
+                    d = os.path.dirname(p)
+                    comp = os.path.join(d, "trap_counts_compact.parquet")
+                    tc = os.path.join(d, "trap_counts.parquet")
+                    if os.path.isdir(comp):
+                        trap_count_paths = [comp]
+                    elif os.path.isdir(tc):
+                        trap_count_paths.append(tc)
 
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_DDL.split(", ")]
         wave = start_wave
@@ -1059,6 +1073,11 @@ class FrontierEngine:
                             "stats": _copy.deepcopy(stats),
                             # the seen set is the union of these immutable deltas
                             "seen_deltas": list(seen_paths),
+                            # trap-count deltas (post-compaction list) — the
+                            # manifest copy is what resume trusts; the old
+                            # rebuild-by-scanning-seen-dirs lost pre-compaction
+                            # counts once seen_compact folded the wave paths
+                            "trap_deltas": list(trap_count_paths),
                         },
                     },
                     daemon=True,

@@ -817,16 +817,44 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30,
             cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
         )
+        # cur_{n+1} references cur_n FIVE times (the survivor edge set
+        # plus two semi-joins whose keep side reads the degrees, which
+        # union cur twice) — an unmaterialized chain grows the logical
+        # plan 5^rounds and stalls the analyzer long before the data
+        # costs anything. Same remedy as opic: parquet rounds when a
+        # checkpoint_dir is given (cluster-safe), eager localCheckpoint
+        # otherwise.
         if checkpoint_dir is not None:
             out = os.path.join(checkpoint_dir, f"core_{it % 2}")
             cur.write.mode("overwrite").parquet(out)
             cur = spark.read.parquet(out)
+        else:
+            cur = cur.localCheckpoint(eager=True)
+    # max_rounds exhausted: one final degree pass decides whether the last
+    # join happened to reach the fixpoint (peeling is monotone, so an
+    # unchanged survivor count means an unchanged set). If it is still
+    # shrinking, the result is a SUPERSET of the true k-core with
+    # possibly-inflated core_degree values — warn loudly (same contract
+    # as cluster_pairs / cluster_pairs_star) instead of silently
+    # returning a non-k-core.
     deg = (
         cur.select(F.col("a").alias("node"))
         .unionByName(cur.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
     )
-    return deg.where(F.col("core_degree") >= k)
+    keep = deg.where(F.col("core_degree") >= k)
+    if prev_n is not None and keep.count() != prev_n:
+        import warnings
+
+        warnings.warn(
+            f"k_core did not converge within max_rounds={max_rounds} "
+            f"(peel depth exceeds the round budget, e.g. a long chain); "
+            f"the returned set is a superset of the true {k}-core — "
+            f"raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return keep
 
 
 def share_gini(

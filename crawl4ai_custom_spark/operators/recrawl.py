@@ -257,9 +257,15 @@ def change_rate_poisson(
             "stale_prob",
             F.when(
                 F.col("lambda_hat").isNotNull(),
-                F.lit(1.0) - F.exp(
-                    -F.col("lambda_hat") * (F.lit(float(as_of))
-                                            - F.col("last_ts"))
+                # floored at 0: a visit newer than as_of (epoch-boundary
+                # cutoffs, clock skew) makes the exponent positive and the
+                # raw expression negative — not a probability
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.exp(
+                        -F.col("lambda_hat") * (F.lit(float(as_of))
+                                                - F.col("last_ts"))
+                    ),
                 ),
             ),
         )
@@ -394,7 +400,12 @@ def ucb_host_allocation(history: DataFrame, k: int,
     return (
         scored
         .orderBy(F.col("explored").asc(),          # unexplored first
-                 F.col("ucb_score").desc_nulls_first(),
+                 # nulls LAST within the explored group: an explored host
+                 # with a NULL reward (malformed history row) must not
+                 # outrank genuinely-scored hosts; the unexplored group is
+                 # already segregated by the explored key, so it does not
+                 # need nulls-first here
+                 F.col("ucb_score").desc_nulls_last(),
                  F.col("host").asc())
         .limit(k)
     )

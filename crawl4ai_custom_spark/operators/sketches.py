@@ -61,6 +61,11 @@ def hll_registers(df: DataFrame, col: str = "url", p: int = 8) -> DataFrame:
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
+    # NULL keys are excluded like every SQL aggregate — a NULL key would
+    # otherwise survive as a (register=NULL, max_rho=NULL) group that
+    # hll_estimate counts as a hit register while its 2^-rho term drops
+    # out of the harmonic sum, biasing the estimate
+    df = df.where(F.col(col).isNotNull())
     h = stable_hash60(F.col(col))
     reg = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftright(h, p).bitwiseAND(F.lit((1 << _W_BITS) - 1))
@@ -96,19 +101,28 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     zeros > 0). The 2^(-M_j) terms are dyadic rationals on a 2^21 grid,
     so the sum is EXACT in binary regardless of aggregation order — the
     oracle reproduces the estimate to float identity."""
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
         F.count(F.lit(1)).alias("n_registers_hit"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
     )
-    zeros = F.lit(m) - F.col("n_registers_hit")
-    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
-    est = F.when(
+    est = hll_estimate_cols(F.col("n_registers_hit"), F.col("_s"), p)
+    return agg.select("n_registers_hit", est.alias("estimate"))
+
+
+def hll_estimate_cols(n_hit: Column, s: Column, p: int) -> Column:
+    """The HLL estimator as a Column over already-aggregated register
+    stats: ``n_hit`` = count of hit registers, ``s`` = sum of 2^(-rho).
+    Factored out so PER-GROUP estimates (one sketch per node/host/epoch —
+    e.g. the HyperBall balls in operators/anf.py) reuse the exact same
+    raw-vs-linear-counting arithmetic as the one-row ``hll_estimate``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = F.lit(m) - n_hit
+    raw = F.lit(alpha * m * m) / (s + zeros.cast("double"))
+    return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select("n_registers_hit", est.alias("estimate"))
 
 
 def hll_error_bound(p: int) -> float:
@@ -136,6 +150,9 @@ def cms_table(df: DataFrame, col: str = "url", depth: int = 4,
     (key, count) table feed the sketch without re-expanding."""
     w8 = (F.col(weight_col).cast("long") if weight_col
           else F.lit(1).cast("long"))
+    # NULL keys are excluded like every SQL aggregate (they would hash to
+    # a NULL cell and pollute the counter table otherwise)
+    df = df.where(F.col(col).isNotNull())
     rows = df.select(
         F.col(col).alias("_k"), w8.alias("_w"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
@@ -333,7 +350,9 @@ def kmv_sketch(df: DataFrame, col: str = "url", k: int = 256,
         raise ValueError(f"k must be >= 2, got {k}")
     gcols = list(group_cols)
     h = stable_hash60(F.col(col))
-    rows = df.select(*gcols, h.alias("h"))
+    # NULL keys are excluded like every SQL aggregate (a NULL hash would
+    # sort first under asc ordering and steal a bottom-k slot)
+    rows = df.where(F.col(col).isNotNull()).select(*gcols, h.alias("h"))
     if prefilter_frac is not None:
         rows = rows.where(F.col("h") <= int(prefilter_frac * _H60_SPAN))
     from pyspark.sql import Window
@@ -645,11 +664,19 @@ def bootstrap_replicate_stats(
         aggs.append(F.sum(f"w{j}").alias(f"n{j}"))
         aggs.append(F.sum(F.col(f"w{j}") * F.col("x")).alias(f"t{j}"))
     one = wide.agg(*aggs)
+    # totals stay exact longs ONLY for integral value columns; a double
+    # metric (e.g. payload KB) must keep its fractional part — casting it
+    # to long would truncate every replicate sum toward zero and bias the
+    # mean/CI silently
+    from pyspark.sql.types import IntegralType
+
+    int_total = isinstance(df.schema[value_col].dataType, IntegralType)
+    total_type = "long" if int_total else "double"
     reps = F.array(*[
         F.struct(
             F.lit(j).alias("rep"),
             F.col(f"n{j}").cast("long").alias("n_eff"),
-            F.col(f"t{j}").cast("long").alias("total"),
+            F.col(f"t{j}").cast(total_type).alias("total"),
         )
         for j in range(n_reps)
     ])
