@@ -1972,6 +1972,20 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "blocklist_hits", "n_blocklist_hits", "blocklist_keep")
 
 
+def q_blocklist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary blocklist (the 10^5+-term path the alternation
+    regex can't take): token explode + first-word equi-join vs the
+    broadcast term table, array-slice phrase verify, per-doc greedy fold.
+    Gate terms share no words, so the oracle replays the verified-match
+    join directly (resolution is a no-op; overlap semantics are pinned by
+    the regex-equivalence unit test)."""
+    from crawl4ai_custom_spark.operators.textstats import blocklist_scan_join
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return blocklist_scan_join(docs, ["hash join", "slow", "vector"]).select(
+        "doc_id", "blocklist_hits", "n_blocklist_hits", "blocklist_keep")
+
+
 def q_textrank_sents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive-summary gate: sentence-similarity graph (TextRank
     normalized overlap over distinct len>1 tokens), 3 weighted-PageRank
@@ -5954,6 +5968,41 @@ ORACLES["q_blocklist"] = f"""
     from documents where doc_id < 400
 """
 
+ORACLES["q_blocklist_join"] = """
+    with toks as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') as ts
+      from documents where doc_id < 400
+    ),
+    tp as (
+      select doc_id, ts, u.pos as pos
+      from toks, unnest(range(1, len(ts) + 1)) as u(pos)
+    ),
+    m as (
+      -- verified token-level matches; the gate's terms share no words, so
+      -- matches can never overlap and greedy resolution keeps all of them
+      select doc_id, t.term
+      from tp
+      join (values ('hash join', ['hash','join']),
+                   ('slow', ['slow']),
+                   ('vector', ['vector'])) as t(term, tt)
+        on ts[pos] = tt[1]
+      where list_slice(ts, pos, pos + len(tt) - 1) = tt
+    ),
+    agg as (
+      select doc_id, list_sort(list_distinct(list(term))) as hits,
+             count(*) as n
+      from m group by doc_id
+    )
+    select d.doc_id,
+           coalesce(hits, []::VARCHAR[]) as blocklist_hits,
+           coalesce(n, 0)::BIGINT as n_blocklist_hits,
+           coalesce(n, 0) = 0 as blocklist_keep
+    from (select doc_id from documents where doc_id < 400) d
+    left join agg using (doc_id)
+"""
+
 ORACLES["q_kwic"] = """
     with t as (
       select doc_id,
@@ -9304,6 +9353,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_textrank": q_textrank,
     "q_textrank_sents": q_textrank_sents,
     "q_blocklist": q_blocklist,
+    "q_blocklist_join": q_blocklist_join,
     "q_unigram_segment": q_unigram_segment,
     "q_unigram_em": q_unigram_em,
     "q_ql_retrieval": q_ql_retrieval,

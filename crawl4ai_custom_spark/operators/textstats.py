@@ -1891,6 +1891,131 @@ def blocklist_scan(
     )
 
 
+def blocklist_scan_join(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 10^5+-term dictionary path :func:`blocklist_scan` points at: a
+    regex alternation stops being a sane plan somewhere past ~10^3 terms
+    (pattern size, compile time, and the engine's alternation matcher all
+    scale with the dictionary), so the real blocklists — full DNOW lists
+    per language, url-token dictionaries, brand/PII phrase sets — run as
+    data instead of code: one token explode + an equi-join against the
+    broadcast dictionary.
+
+    Same output contract as :func:`blocklist_scan` (``blocklist_hits``
+    sorted distinct matched terms, ``n_blocklist_hits`` occurrence count
+    after overlap resolution, ``blocklist_keep``), same match policy
+    (whole word, case-insensitive, multi-word phrases, longest-first on
+    overlap, left-to-right non-overlapping count — the alternation-regex
+    scan's semantics, pinned equal by the randomized equivalence test).
+    The one intended difference: matching is TOKEN-level (words = maximal
+    ``[a-z0-9]+`` runs), so phrases also match across newlines / repeated
+    whitespace / underscores where the surface regex requires a literal
+    single space. Terms here must be space-separated ``[a-z0-9]+`` words
+    (no apostrophes/hyphens — those stay on the regex path, whose ``\\b``
+    semantics they depend on).
+
+    Scale shape: tokens explode once; candidates = equi-join on the
+    phrase's FIRST word against the broadcast dictionary (dictionary rows
+    = terms, broadcastable to 10^6+); phrase verify compares an array
+    slice of the doc's token array against the phrase's token array — the
+    token arrays ride a single doc-keyed equi-join that only candidate
+    docs' rows survive (the decontam verify shape); overlap resolution is
+    a per-doc fold over that doc's own match list (page-sized, runtime
+    ``F.aggregate`` — no window over the corpus). Two keyed shuffles
+    total (candidate ids, final groupBy(id)); nothing scales with
+    |dictionary| x |corpus|."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)*", t):
+            raise ValueError(
+                f"term {t!r} outside the token alphabet (space-separated "
+                "[a-z0-9]+ words); apostrophe/hyphen terms belong on the "
+                "regex path (blocklist_scan)")
+    spark = docs.sparkSession
+    dict_rows = [
+        (t, t.split(" ")[0], t.split(" "), len(t.split(" ")))
+        for t in sorted(set(terms))
+    ]
+    dictionary = spark.createDataFrame(
+        dict_rows, "term string, first_tok string, "
+        "term_toks array<string>, term_len int")
+    did = F.col(id_col)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(did.alias("id"), toks.alias("ts"))
+    tok_pos = base.select(
+        "id", F.posexplode("ts").alias("pos0", "tok"))
+    cand = tok_pos.join(
+        F.broadcast(dictionary), tok_pos["tok"] == dictionary["first_tok"]
+    ).select("id", "pos0", "term", "term_toks", "term_len")
+    verified = (
+        cand.join(base, "id")
+        .where(
+            F.slice(F.col("ts"), F.col("pos0") + 1, F.col("term_len"))
+            == F.col("term_toks")
+        )
+        .select("id", F.col("pos0").alias("start"),
+                "term_len", "term")
+    )
+    # greedy left-to-right, longest-first resolution — the alternation
+    # regex's non-overlapping scan — as a fold over THIS doc's matches
+    matches = verified.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start"),
+                    (-F.col("term_len")).alias("neg_len"),
+                    F.col("term"),
+                )
+            )
+        ).alias("ms")
+    )
+    init = F.struct(
+        F.lit(0).alias("next_free"),
+        F.array().cast("array<string>").alias("hits"),
+        F.lit(0).alias("n"),
+    )
+    resolved = matches.select(
+        "id",
+        F.aggregate(
+            F.col("ms"),
+            init,
+            lambda acc, m: F.when(
+                m["start"] >= acc["next_free"],
+                F.struct(
+                    (m["start"] - m["neg_len"]).alias("next_free"),
+                    F.array_append(acc["hits"], m["term"]).alias("hits"),
+                    (acc["n"] + 1).alias("n"),
+                ),
+            ).otherwise(acc),
+        ).alias("r"),
+    ).select(
+        "id",
+        F.array_sort(F.array_distinct(F.col("r.hits"))).alias("_hits"),
+        F.col("r.n").alias("_n"),
+    )
+    return (
+        docs.join(resolved, docs[id_col] == resolved["id"], "left")
+        .drop("id")
+        .select(
+            *[docs[c] for c in docs.columns],
+            F.coalesce("_hits", F.array().cast("array<string>"))
+            .alias("blocklist_hits"),
+            F.coalesce("_n", F.lit(0)).alias("n_blocklist_hits"),
+            (F.coalesce("_n", F.lit(0)) == 0).alias("blocklist_keep"),
+        )
+    )
+
+
 def distribution_buckets(
     docs: DataFrame,
     value_col: str,

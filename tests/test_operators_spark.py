@@ -3593,6 +3593,66 @@ def test_blocklist_scan_word_boundaries_and_phrases(spark):
         blocklist_scan(docs, ["bad|regex"])
 
 
+def test_blocklist_scan_join_matches_regex_path(spark):
+    """The broadcast-dictionary path agrees with the alternation-regex
+    path wherever their boundary conventions coincide (single-spaced
+    text): same hits, counts, keeps — including greedy longest-first
+    overlap resolution — on a randomized corpus with overlapping terms."""
+    import random
+
+    from crawl4ai_custom_spark.operators.textstats import (
+        blocklist_scan, blocklist_scan_join)
+
+    vocab = ["alpha", "beta", "gamma", "delta", "x9", "clean"]
+    terms = ["alpha beta", "beta gamma", "beta", "gamma delta x9", "delta"]
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ] + [(40, ""), (41, "ALPHA Beta beta GAMMA delta X9")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rx = {r["doc_id"]: r for r in blocklist_scan(docs, terms).collect()}
+    jn = {r["doc_id"]: r for r in blocklist_scan_join(docs, terms).collect()}
+    assert set(rx) == set(jn)
+    for i in rx:
+        assert jn[i]["blocklist_hits"] == rx[i]["blocklist_hits"], (i, rows[i])
+        assert jn[i]["n_blocklist_hits"] == rx[i]["n_blocklist_hits"], i
+        assert jn[i]["blocklist_keep"] == rx[i]["blocklist_keep"], i
+
+
+def test_blocklist_scan_join_token_semantics_and_plan(spark):
+    """Token-level robustness the surface regex lacks (phrases match
+    across newlines / runs of whitespace / underscores), greedy overlap
+    resolution, validation, and the broadcast-dictionary plan shape."""
+    import pytest
+
+    from crawl4ai_custom_spark.operators.textstats import blocklist_scan_join
+
+    rows = [
+        (1, "hash\n  join here"),         # phrase across newline+spaces
+        (2, "a_vector_b"),                # underscore is a boundary here
+        (3, "aa bb cc"),                  # overlap: "aa bb" beats "bb cc"
+        (4, "vectorize nothing"),         # substring only -> clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in blocklist_scan_join(
+        docs, ["hash join", "vector", "aa bb", "bb cc", "bb"]).collect()}
+    assert out[1]["blocklist_hits"] == ["hash join"]
+    assert out[2]["blocklist_hits"] == ["vector"]
+    assert out[3]["blocklist_hits"] == ["aa bb"]
+    assert out[3]["n_blocklist_hits"] == 1
+    assert out[4]["blocklist_keep"]
+
+    plan = blocklist_scan_join(docs, ["hash join"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the dictionary ships, docs stay
+
+    with pytest.raises(ValueError):
+        blocklist_scan_join(docs, [])
+    with pytest.raises(ValueError):
+        blocklist_scan_join(docs, ["don't"])
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing invariants: case/punctuation-insensitive (identical
     squashed text -> identical fingerprints); the w+k-1 guarantee (a
