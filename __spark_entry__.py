@@ -1986,6 +1986,24 @@ def q_blocklist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "blocklist_hits", "n_blocklist_hits", "blocklist_keep")
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multi-class LID gate (CCNet's fastText-LID stage): NB over
+    hashed char trigrams, trained on docs < 300 with their lang labels
+    (5 classes at this sf), predicting docs < 500. Integer micro-nat
+    costs make the per-language sums and the argmin exact; the oracle
+    rebuilds the dense model and replays the scoring in SQL."""
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        langid_predict, train_langid)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 160).alias("text"))
+    model = train_langid(
+        docs.where(F.col("doc_id") < 300), num_buckets=4096)
+    return langid_predict(
+        docs.where(F.col("doc_id") < 500), model, num_buckets=4096
+    ).select("doc_id", "pred_lang", "cost_micro", "margin_micro", "n_grams")
+
+
 def q_textrank_sents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive-summary gate: sentence-similarity graph (TextRank
     normalized overlap over distinct len>1 tokens), 3 weighted-PageRank
@@ -6003,6 +6021,81 @@ ORACLES["q_blocklist_join"] = """
     left join agg using (doc_id)
 """
 
+ORACLES["q_langid"] = """
+    with src as (
+      select doc_id, lang, lower(substr(text, 1, 160)) as t
+      from documents where doc_id < 500
+    ),
+    g as (
+      select doc_id, lang,
+             case when length(t) >= 3
+                  then list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  when length(t) >= 1 then [t]
+                  else []::VARCHAR[] end as gs
+      from src
+    ),
+    tb as (
+      select lang,
+             ('0x'||substr(md5(unnest(gs)),1,15))::BIGINT % 4096 as bucket
+      from g where doc_id < 300
+    ),
+    counts as (select lang, bucket, count(*) as c from tb group by 1, 2),
+    lang_tot as (select lang, sum(c) as tot from counts group by 1),
+    dc as (select lang, count(*) as n_docs
+           from src where doc_id < 300 group by 1),
+    nall as (select sum(n_docs) as n_all from dc),
+    langs as (
+      select l.lang, tot,
+             round(-ln(n_docs / n_all) * 1e6)::BIGINT as prior_cost,
+             round(-ln(1.0 / (tot + 4096.0)) * 1e6)::BIGINT as default_cost
+      from lang_tot l join dc using (lang) cross join nall
+    ),
+    bks as (select distinct bucket from counts),
+    dense as (
+      select l.lang, b.bucket,
+             round(-ln((coalesce(c.c, 0) + 1.0) / (l.tot + 4096.0))
+                   * 1e6)::BIGINT as cost
+      from bks b cross join langs l
+      left join counts c on c.lang = l.lang and c.bucket = b.bucket
+    ),
+    sb as (
+      select doc_id,
+             ('0x'||substr(md5(unnest(gs)),1,15))::BIGINT % 4096 as bucket
+      from g
+    ),
+    bc as (select doc_id, bucket, count(*) as cnt from sb group by 1, 2),
+    tot_g as (
+      select s.doc_id, coalesce(sum(cnt), 0)::BIGINT as n_grams
+      from (select distinct doc_id from src) s
+      left join bc using (doc_id) group by 1
+    ),
+    m as (
+      select doc_id, lang, sum(cnt * cost)::BIGINT as m_cost,
+             sum(cnt)::BIGINT as m_cnt
+      from bc join dense using (bucket) group by 1, 2
+    ),
+    sc as (
+      select t.doc_id, l.lang, t.n_grams,
+             (l.prior_cost + coalesce(m.m_cost, 0)
+              + (t.n_grams - coalesce(m.m_cnt, 0)) * l.default_cost
+             )::BIGINT as total_cost
+      from tot_g t cross join langs l
+      left join m on m.doc_id = t.doc_id and m.lang = l.lang
+    ),
+    r as (
+      select *,
+             row_number() over (partition by doc_id
+                                order by total_cost, lang) as rn,
+             lead(total_cost) over (partition by doc_id
+                                    order by total_cost, lang) as nxt
+      from sc
+    )
+    select doc_id, lang as pred_lang, total_cost as cost_micro,
+           (nxt - total_cost)::BIGINT as margin_micro, n_grams
+    from r where rn = 1
+"""
+
 ORACLES["q_kwic"] = """
     with t as (
       select doc_id,
@@ -9354,6 +9447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_textrank_sents": q_textrank_sents,
     "q_blocklist": q_blocklist,
     "q_blocklist_join": q_blocklist_join,
+    "q_langid": q_langid,
     "q_unigram_segment": q_unigram_segment,
     "q_unigram_em": q_unigram_em,
     "q_ql_retrieval": q_ql_retrieval,

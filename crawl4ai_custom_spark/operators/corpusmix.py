@@ -560,3 +560,180 @@ def calibration_report(
         F.col("ece").alias("gap"),
     )
     return per.unionByName(total)
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Lowercased character n-grams of ``text`` (spaces and punctuation
+    kept — they carry language signal), as one per-row array: grams start
+    at every position 1..len-n+1; texts shorter than n yield their whole
+    (lowercased) self as the single gram; empty text yields no grams.
+    Pure native expression; DuckDB mirrors it with substr over range."""
+    t = F.lower(text)
+    ln = F.length(t)
+    idx = (
+        F.when(ln >= n, F.sequence(F.lit(1), ln - n + 1))
+        .when(ln >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    return F.transform(idx, lambda i: F.substring(t, i, n))
+
+
+def train_langid(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train a multi-class Naive-Bayes language identifier over hashed
+    character n-grams — the trained LID stage of a web-corpus pipeline
+    (CCNet routes every page through fastText LID before anything else,
+    Wenzek et al. 2020 §4.2; Joulin et al. 2017 is the model shape). The
+    marker heuristic (:func:`textstats.lang_id`) needs a curated stopword
+    list per language; this learns the distribution from labeled pages
+    (e.g. an earlier epoch's high-confidence labels) and extends to any
+    label set the training data carries.
+
+    Everything is INTEGER micro-nat costs (cost = round(-ln(p)*1e6), the
+    ``bpe.train_unigram`` convention), so a document's per-language score
+    is an exact integer SUM — order-independent under any shuffle, and
+    bit-reproducible in the DuckDB oracle. Lower cost = more likely.
+
+    Returns the DENSE model: one row per (lang, bucket) over every bucket
+    seen in training — (lang, bucket, cost, prior_cost, default_cost,
+    n_buckets). ``prior_cost`` = -ln(class prior); ``default_cost`` = the
+    add-k cost of a bucket this language never saw (dense zero-count rows
+    carry exactly this value, so scoring needs no matched/unmatched case
+    split for trained buckets — only buckets unseen by EVERY language use
+    it at score time). Model rows <= |langs| * num_buckets: broadcastable
+    by construction for real LID sizes (dozens of langs, 2^12-2^16
+    buckets).
+
+    Shape: one explode -> ONE groupBy(lang, bucket) partial-agg count ->
+    dense cross of the (tiny) lang and bucket tables -> cost algebra.
+    Linear in training chars; nothing scales with the scoring corpus."""
+    lang = F.col(lang_col).cast("string")
+    feats = labeled.select(
+        lang.alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(
+        "lang",
+        F.pmod(stable_hash60(F.col("gram")), F.lit(num_buckets))
+        .alias("bucket"),
+    )
+    counts = feats.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    doc_counts = labeled.groupBy(lang.alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    n_total = doc_counts.agg(F.sum("n_docs").alias("n_all"))
+    k, b = float(smoothing), num_buckets
+    micro = lambda p: F.round(-F.log(p) * 1e6, 0).cast("long")  # noqa: E731
+    langs = (
+        lang_tot.join(doc_counts, "lang")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang", "tot",
+            micro(F.col("n_docs") / F.col("n_all")).alias("prior_cost"),
+            micro(F.lit(k) / (F.col("tot") + k * b)).alias("default_cost"),
+        )
+    )
+    buckets = counts.select("bucket").distinct()
+    dense = (
+        buckets.crossJoin(F.broadcast(langs))
+        .join(counts, ["lang", "bucket"], "left")
+        .select(
+            "lang", "bucket",
+            micro(
+                (F.coalesce(F.col("c"), F.lit(0)) + k)
+                / (F.col("tot") + k * b)
+            ).alias("cost"),
+            "prior_cost", "default_cost",
+            F.lit(b).alias("n_buckets"),
+        )
+    )
+    return dense
+
+
+def langid_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Predict each document's language under a :func:`train_langid`
+    model: pred = argmin over languages of prior_cost + sum of per-gram
+    bucket costs (buckets no language ever saw cost ``default_cost``
+    each). Ties break by language code (ascending) — with integer costs
+    that tie-break is exact, not float luck. Returns (id, pred_lang,
+    cost_micro, margin_micro, n_grams): ``margin_micro`` = runner-up cost
+    minus best cost (null with a single-language model; 0 = a dead tie —
+    route to the marker heuristic or a human), ``n_grams`` = evidence
+    volume. Zero-gram docs cost prior only: pred = most frequent training
+    class.
+
+    Shape: explode -> per-doc bucket counts -> broadcast model join ->
+    one integer groupBy(id, lang) sum -> per-doc argmin over the |langs|
+    candidate rows via one more keyed agg (array_sort over |langs|
+    structs — never a corpus window). Pass num_buckets (the training
+    value) to keep the plan fully lazy, as classifier_quality_score
+    does."""
+    if num_buckets is None:
+        num_buckets = model.select("n_buckets").limit(1).collect()[0][0]
+    did = F.col(id_col)
+    bcounts = (
+        docs.select(
+            did.alias("id"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .select(
+            "id",
+            F.pmod(stable_hash60(F.col("gram")), F.lit(int(num_buckets)))
+            .alias("bucket"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = docs.select(did.alias("id")).join(
+        bcounts.groupBy("id").agg(F.sum("cnt").alias("n_grams")),
+        "id", "left",
+    ).select("id", F.coalesce("n_grams", F.lit(0)).alias("n_grams"))
+    matched = (
+        bcounts.join(
+            F.broadcast(model.select("lang", "bucket", "cost")), "bucket")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("cost")).alias("m_cost"),
+            F.sum("cnt").alias("m_cnt"),
+        )
+    )
+    langs = model.select("lang", "prior_cost", "default_cost").distinct()
+    scored = (
+        totals.crossJoin(F.broadcast(langs))
+        .join(matched, ["id", "lang"], "left")
+        .select(
+            "id", "lang", "n_grams",
+            (
+                F.col("prior_cost")
+                + F.coalesce(F.col("m_cost"), F.lit(0))
+                + (F.col("n_grams") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+                * F.col("default_cost")
+            ).alias("total_cost"),
+        )
+    )
+    ranked = scored.groupBy("id", "n_grams").agg(
+        F.array_sort(
+            F.collect_list(F.struct("total_cost", "lang"))).alias("arr"))
+    arr = F.col("arr")
+    return ranked.select(
+        F.col("id").alias(id_col),
+        arr[0]["lang"].alias("pred_lang"),
+        arr[0]["total_cost"].alias("cost_micro"),
+        F.when(
+            F.size(arr) > 1, arr[1]["total_cost"] - arr[0]["total_cost"]
+        ).alias("margin_micro"),
+        "n_grams",
+    )

@@ -150,3 +150,57 @@ def test_dsir_resample_deterministic_weighted(spark):
     # en docs carry strictly higher log weights than the xx half
     n_en = sum(1 for r in s1 if r["doc_id"] % 2 == 0 or r["doc_id"] == 99)
     assert n_en >= 7
+
+
+def test_langid_learns_and_predicts_held_out(spark):
+    """Trained char-trigram NB LID separates two synthetic languages on
+    held-out docs; zero-gram docs fall back to the prior; the model join
+    stays broadcast."""
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        langid_predict, train_langid)
+
+    docs = _docs(spark)  # 21 en (incl. 99), 20 xx
+    train = docs.where(F.col("doc_id") < 30)
+    model = train_langid(train, num_buckets=1024)
+    held = docs.where((F.col("doc_id") >= 30) | (F.col("doc_id") == 99))
+    out = {r["doc_id"]: r for r in langid_predict(
+        held, model, num_buckets=1024).collect()}
+    for i in range(30, 40):
+        want = "en" if i % 2 == 0 else "xx"
+        assert out[i]["pred_lang"] == want, (i, out[i])
+        assert out[i]["margin_micro"] > 0
+        assert out[i]["n_grams"] > 0
+    # doc 99 has grams ("!!! ... ???" lowercases to itself, len 11 -> 9
+    # trigrams) none of which favor xx; it should still resolve
+    assert out[99]["pred_lang"] in ("en", "xx")
+
+    plan = langid_predict(held, model, num_buckets=1024) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_langid_zero_gram_prior_and_integer_determinism(spark):
+    """Empty text scores prior-only (pred = majority training class);
+    integer micro-nat costs make repeated runs bit-identical."""
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        langid_predict, train_langid)
+
+    train = spark.createDataFrame(
+        [(i, "aa", "aaaa bbbb aaaa") for i in range(6)]
+        + [(i + 10, "bb", "cccc dddd cccc") for i in range(3)],
+        "doc_id long, lang string, text string")
+    model = train_langid(train, num_buckets=256)
+    probe = spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "cccc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           langid_predict(probe, model, num_buckets=256).collect()}
+    # empty doc: cost = prior only; 'aa' has the larger prior (6 vs 3 docs)
+    assert out[1]["n_grams"] == 0 and out[1]["pred_lang"] == "aa"
+    assert out[2]["pred_lang"] == "aa"
+    assert out[3]["pred_lang"] == "bb"
+    # bit-identical across runs (integer sums, no float accumulation)
+    again = {r["doc_id"]: r for r in
+             langid_predict(probe, model, num_buckets=256).collect()}
+    for i in out:
+        assert out[i] == again[i]
