@@ -103,6 +103,31 @@ def measure_topk(emb, queries, label, out):
         out.append({"corpus": label, "n": n, "k": K, "method": method,
                     "recall": round(r, 4)})
         print(json.dumps(out[-1]))
+
+    # graph path: NN-Descent graph quality + beam-search query recall.
+    # Entry points must span the corpus's clusters (operator docstring);
+    # 16 smallest ids cover the 16 round-robin fixture clusters.
+    from crawl4ai_custom_spark.operators.nndescent import (
+        graph_ann_search, nn_descent)
+
+    for rounds in (1, 2):
+        graph = nn_descent(emb, k=K, rounds=rounds, n_planes=4).persist()
+        graph.count()
+        bknn = brute_force_topk(emb, emb, k=K)
+        ghits = graph.select("id", "nbr").intersect(
+            bknn.selectExpr("query_id as id", "neighbor_id as nbr")).count()
+        out.append({"corpus": label, "n": n, "k": K,
+                    "method": f"nn_descent_graph(rounds={rounds})",
+                    "recall": round(ghits / bknn.count(), 4)})
+        print(json.dumps(out[-1]))
+        r = recall_of(graph_ann_search(
+            graph, emb, queries, k=K, beam=2 * K, rounds=3, n_entry=16),
+            brute)
+        out.append({"corpus": label, "n": n, "k": K,
+                    "method": f"graph_ann(rounds={rounds},beam={2*K})",
+                    "recall": round(r, 4)})
+        print(json.dumps(out[-1]))
+        graph.unpersist()
     brute.unpersist()
 
 

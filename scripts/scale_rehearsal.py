@@ -699,6 +699,41 @@ def ccstar200k(spark) -> dict:
     return r
 
 
+def nnd20k(spark) -> dict:
+    """NN-Descent graph build at 5k and 20k clustered vectors (dim 64):
+    the structural claim is LINEAR per-round cost (n·(2k)² candidates)
+    where the brute-force graph build grows QUADRATICALLY (16x pairs for
+    4x vectors). Measures build time at both sizes plus the candidate
+    ratio, and spot-checks graph recall vs brute force on a 5k slice
+    (brute at 20k is the thing we're avoiding)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from ann_recall import clustered_vectors
+    from crawl4ai_custom_spark.operators.nndescent import nn_descent
+    from crawl4ai_custom_spark.operators.similarity import brute_force_topk
+
+    r: dict = {"job": "nnd20k", "k": 10, "rounds": 2}
+    times = {}
+    for n in (5_000, 20_000):
+        emb = clustered_vectors(spark, n=n, dim=64, n_clusters=64).persist()
+        emb.count()
+        t = time.time()
+        g = nn_descent(emb, k=10, rounds=2, n_planes=6)
+        n_edges = g.count()
+        times[n] = round(time.time() - t, 2)
+        r[f"build_seconds_n{n}"] = times[n]
+        r[f"edges_n{n}"] = n_edges
+        if n == 5_000:
+            brute = brute_force_topk(emb, emb, k=10)
+            hits = g.select("id", "nbr").intersect(
+                brute.selectExpr("query_id as id", "neighbor_id as nbr")
+            ).count()
+            r["recall_n5000"] = round(hits / brute.count(), 4)
+        emb.unpersist()
+    # linearity evidence: 4x the vectors should cost ~4x, not 16x
+    r["time_ratio_4x_data"] = round(times[20_000] / times[5_000], 2)
+    return r
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = _spark()
@@ -722,6 +757,8 @@ def main() -> None:
         print(json.dumps(webtext50k(spark)), flush=True)
     if which == "ccstar200k":
         print(json.dumps(ccstar200k(spark)), flush=True)
+    if which == "nnd20k":
+        print(json.dumps(nnd20k(spark)), flush=True)
 
 
 if __name__ == "__main__":
