@@ -1704,3 +1704,101 @@ def bbit_agreement(
         F.least(F.greatest(est, F.lit(0.0)), F.lit(1.0))
         .alias("est_jaccard"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 16,
+    mask_bits: int = 6,
+    max_len: int | None = None,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS anchor rule — Muthitacharoen et
+    al., SOSP 2001; FastCDC is the same idea with a faster gear hash):
+    cut a document wherever the rolling w-char gram hash satisfies
+    ``hash % 2^mask_bits == 0``. Because cut points depend only on LOCAL
+    content, inserting or deleting bytes shifts at most the surrounding
+    chunk — every other chunk keeps its identity, which is what makes CDC
+    the storage-dedup primitive (two near-identical page captures share
+    all but the edited chunk; fixed-size blocks would misalign
+    everything). The WARC/page store's counterpart to the document-level
+    minhash family: dedup the BYTES, not the documents.
+
+    Returns (id, chunk_idx, chunk_start, chunk_len, chunk_hash) —
+    chunk_start 1-based, expected chunk length ~2^mask_bits + w.
+    ``max_len`` additionally splits oversized chunks at fixed offsets
+    (FastCDC's max-size bound; a run of content with no anchors — e.g. a
+    repeated byte — otherwise yields one giant chunk). Texts shorter than
+    ``w`` are a single chunk; empty texts produce no row.
+
+    Shape: like :func:`winnow_fingerprints`, every gram is hashed once
+    per position inside one array expression — O(len) native md5s per
+    document, no UDF, no shuffle until the caller aggregates. Chunk
+    identity is the shared 60-bit hash over the chunk text."""
+    if w < 2 or mask_bits < 1:
+        raise ValueError(f"need w >= 2 and mask_bits >= 1, got {w}, {mask_bits}")
+    t = F.col(text_col)
+    ln = F.length(t)
+    n_grams = F.greatest(ln - w + 1, F.lit(0))
+    divisor = 1 << mask_bits
+    anchors = F.when(n_grams >= 1, F.filter(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: stable_hash60(t.substr(i, F.lit(w))) % divisor == 0,
+    )).otherwise(F.array().cast("array<int>"))
+    # cut AFTER the anchor gram's last char; drop a cut that lands exactly
+    # at the end (it would create an empty trailing chunk)
+    cuts = F.filter(
+        F.transform(anchors, lambda i: i + w - 1), lambda c: c < ln)
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(ln))
+    spans = F.zip_with(
+        starts, ends,
+        lambda s, e: F.struct(s.alias("s"), (e - s + 1).alias("l")))
+    if max_len is not None:
+        spans = F.flatten(F.transform(
+            spans,
+            lambda sp: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((sp["l"] - F.lit(1)) / F.lit(max_len)).cast("int")),
+                lambda j: F.struct(
+                    (sp["s"] + j * max_len).alias("s"),
+                    F.least(sp["l"] - j * max_len, F.lit(max_len))
+                    .alias("l")),
+            ),
+        ))
+    out = docs.where(ln > 0).select(
+        F.col(id_col).alias("id"),
+        t.alias("_cdc_text"),
+        F.posexplode(spans).alias("chunk_idx", "sp"),
+    )
+    chunk = F.expr("substring(_cdc_text, sp.s, sp.l)")
+    return out.select(
+        "id", "chunk_idx",
+        F.col("sp.s").alias("chunk_start"),
+        F.col("sp.l").alias("chunk_len"),
+        stable_hash60(chunk).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Storage-dedup accounting over :func:`cdc_chunks` output: one row —
+    (n_chunks, n_distinct, total_bytes, distinct_bytes, dedup_ratio).
+    ``dedup_ratio`` = total/distinct bytes: how much smaller the
+    chunk-addressed store is than the raw capture log. One partial-agg
+    groupBy(chunk_hash) then a one-row rollup — linear, mergeable across
+    epochs by re-running over the union (chunk identity is content
+    identity, so epochs dedup against each other for free)."""
+    per = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("chunk_len").alias("clen"),
+    )
+    return per.agg(
+        F.sum("n").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n") * F.col("clen")).alias("total_bytes"),
+        F.sum("clen").alias("distinct_bytes"),
+        F.round(F.sum(F.col("n") * F.col("clen")) / F.sum("clen") + 1e-9, 6)
+        .alias("dedup_ratio"),
+    )

@@ -41,6 +41,63 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def capture_timeline(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX-style capture-timeline digest dedup (the Common Crawl / web-
+    archive convention: a URL's capture history is stored once per
+    CONTENT VERSION, not once per fetch). Per url, captures are ordered
+    by (ts, digest) and runs of identical consecutive digests collapse to
+    one version row:
+
+      (url, version, digest, valid_from, last_seen, n_captures)
+
+    ``version`` is 1-based in timeline order; ``valid_from`` is the first
+    capture of the run, ``last_seen`` the last, ``n_captures`` the run
+    length. Re-fetches that found the page unchanged cost storage in the
+    raw capture log but carry no information — at 10^10 urls x monthly
+    captures the collapsed timeline is the table every freshness operator
+    should read (``change_rate_poisson``'s visit log, ``revisit_priority``,
+    diffing), typically 5-20x smaller.
+
+    Scale shape: two windows + one groupBy, all partitioned by url — the
+    per-url capture count is bounded (crawl cadence), the url dimension
+    distributes. Null digests participate as empty-string (a fetch error
+    is itself an observable version). Reference parity: crawl4ai caches
+    single captures (`async_database.py` url cache); the timeline is that
+    cache's history axis at archive scale."""
+    d = F.coalesce(F.col(digest_col).cast("string"), F.lit(""))
+    rows = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("cap_ts"),
+        d.alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("cap_ts").asc(), F.col("digest").asc())
+    prev = F.lag("digest").over(w)
+    marked = rows.withColumn(
+        "is_change",
+        F.when(prev.isNull() | (F.col("digest") != prev), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "version",
+        F.sum("is_change").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    # within one (url, version) group every digest is identical by
+    # construction (version increments exactly when the digest changes),
+    # so first() is order-independent here
+    return marked.groupBy("url", "version").agg(
+        F.first("digest").alias("digest"),
+        F.min("cap_ts").alias("valid_from"),
+        F.max("cap_ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+
+
 def capture_fingerprint(pages: DataFrame, url_col: str = "url",
                         content_col: str = "html") -> DataFrame:
     """(url, fingerprint) for one capture — md5 over raw bytes/text."""
