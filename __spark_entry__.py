@@ -1169,6 +1169,23 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(capture_fingerprint(old), capture_fingerprint(new))
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch / feature-hashing projection gate (sparse JL): every
+    input dim lands in one signed output bucket from the shared 60-bit
+    hash — the model-free embedding compression in front of the ANN/dedup
+    stack. Output exploded to (vec_id, bucket, comp) rows; oracle replays
+    hash, sign, bucket sums and the dense zero-fill."""
+    from crawl4ai_custom_spark.operators.similarity import (
+        feature_hash_projection)
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    pr = feature_hash_projection(emb, d_out=16)
+    return pr.select(
+        "vec_id", F.posexplode("proj").alias("bucket", "c")
+    ).select("vec_id", "bucket",
+             F.round(F.col("c") + 1e-9, 6).alias("comp"))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking gate (LBFS/FastCDC anchor rule): rolling
     16-char gram hash, cut where hash % 32 == 0 — the storage-dedup
@@ -3782,6 +3799,35 @@ ORACLES["q_seen_antijoin"] = f"""
     with u as ({_DOC_URLS_SQL})
     select doc_id, {_HASH_SQL.format(x="url")} as url_hash
     from u where doc_id % 3 <> 0
+"""
+
+ORACLES["q_feature_hash"] = """
+    with src as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+      where vec_id < 300
+    ),
+    e as (
+      select vec_id, unnest(v) as x,
+             generate_subscripts(v, 1) - 1 as i
+      from src
+    ),
+    c as (
+      select vec_id,
+             ('0x' || substr(md5('fh1:' || i::VARCHAR), 1, 15))::BIGINT
+               % 16 as bucket,
+             case when ('0x' || substr(md5('fs1:' || i::VARCHAR), 1, 15)
+                       )::BIGINT % 2 = 0 then x else -x end as sx
+      from e
+    ),
+    g as (
+      select vec_id, bucket, sum(sx) as comp from c group by 1, 2
+    ),
+    b as (select unnest(range(16)) as bucket)
+    select s.vec_id, b.bucket::INTEGER as bucket,
+           round(coalesce(g.comp, 0.0) + 1e-9, 6) as comp
+    from (select distinct vec_id from src) s
+    cross join b
+    left join g on g.vec_id = s.vec_id and g.bucket = b.bucket
 """
 
 ORACLES["q_cdc_chunks"] = """
@@ -9702,6 +9748,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_outdegree": q_outdegree,
     "q_redirects": q_redirects,
     "q_robots_sitemaps": q_robots_sitemaps,
+    "q_feature_hash": q_feature_hash,
     "q_cdc_chunks": q_cdc_chunks,
     "q_capture_timeline": q_capture_timeline,
     "q_revisit_priority": q_revisit_priority,

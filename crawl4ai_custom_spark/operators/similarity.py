@@ -548,3 +548,66 @@ def kmeans_lloyd(vectors: DataFrame, k: int = 8, iterations: int = 2,
     if return_centroids:
         return out, cents
     return out
+
+
+def feature_hash_projection(
+    df: DataFrame,
+    d_out: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+) -> DataFrame:
+    """Count-sketch / feature-hashing random projection (Weinberger et
+    al., ICML 2009; the sparse Johnson-Lindenstrauss family): every input
+    dimension i lands in ONE output bucket h(i) with sign s(i), so
+    out[j] = sum over {i : h(i)=j} of s(i)*x[i]. Inner products are
+    preserved in expectation with variance ~ ||x||²||y||²/d_out — the
+    standard way to shrink a 1536-dim embedding column to 64-256 dims
+    before the ANN/dedup stack, cutting every downstream cosine, shuffle
+    byte and signature in proportion.
+
+    Unlike a dense Gaussian projection (d_in*d_out multiplies per row and
+    a d_in*d_out matrix to ship), this is O(d_in) per row with NO model
+    object at all: h and s come from the shared 60-bit hash of
+    (seed, i), so any batch projected any time lands in the same space —
+    the same "deterministic coefficients" contract the minhash family
+    uses. Returns (id, proj array<double>) with every bucket present
+    (absent buckets are exact 0.0).
+
+    Shape: posexplode -> one (id, bucket) partial-agg sum -> per-id array
+    rebuild. All native; linear; one exchange keyed by (id, bucket)."""
+    if d_out < 2:
+        raise ValueError(f"need d_out >= 2, got {d_out}")
+    from .urlops import stable_hash60
+
+    comp = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("i", "x"),
+        )
+        .select(
+            "id",
+            F.pmod(
+                stable_hash60(F.concat_ws(":", F.lit(f"fh{seed}"),
+                                          F.col("i"))),
+                F.lit(d_out),
+            ).alias("bucket"),
+            F.when(
+                stable_hash60(F.concat_ws(":", F.lit(f"fs{seed}"),
+                                          F.col("i"))) % 2 == 0,
+                F.col("x"),
+            ).otherwise(-F.col("x")).alias("sx"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("sx").alias("comp"))
+    )
+    dense = comp.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "comp"))).alias("m"))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(d_out - 1)),
+        lambda j: F.coalesce(F.element_at("m", j), F.lit(0.0)),
+    )
+    return dense.select(
+        F.col("id").alias(id_col), proj.alias("proj"))

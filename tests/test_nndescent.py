@@ -139,3 +139,49 @@ def test_graph_ann_search_is_deterministic(spark, clustered):
         graph, clustered, queries, k=3, beam=6, rounds=2).collect()))
     assert a == b and len(a) == 8 * 3
     graph.unpersist()
+
+
+def test_feature_hash_projection_preserves_geometry(spark, clustered):
+    """Count-sketch projection: dense d_out output with exact-zero absent
+    buckets, deterministic under a seed, different under another seed;
+    JL statistics hold (norms preserved in expectation, pairwise cosine
+    error bounded on average)."""
+    from crawl4ai_custom_spark.operators.similarity import (
+        cosine, feature_hash_projection)
+
+    d_out = 32
+    pr = feature_hash_projection(clustered, d_out=d_out).persist()
+    sizes = pr.select(F.size("proj").alias("s")).distinct().collect()
+    assert [r["s"] for r in sizes] == [d_out]
+
+    again = feature_hash_projection(clustered, d_out=d_out)
+    assert sorted(map(tuple, pr.collect())) == sorted(
+        map(tuple, again.collect()))
+    other = feature_hash_projection(clustered, d_out=d_out, seed=2)
+    assert sorted(map(tuple, pr.collect())) != sorted(
+        map(tuple, other.collect()))
+
+    # norms: E[||Px||^2] = ||x||^2 (fixture vectors are unit)
+    norms = pr.select(
+        F.aggregate("proj", F.lit(0.0), lambda s, x: s + x * x).alias("n2")
+    ).agg(F.avg("n2"), F.stddev("n2")).first()
+    assert abs(norms[0] - 1.0) < 0.1, norms
+
+    # pairwise cosine error on a deterministic pair sample
+    a = clustered.alias("a"); b = clustered.alias("b")
+    pairs = (a.join(b, F.col("a.vec_id") + 7 == F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("ia"),
+                     F.col("b.vec_id").alias("ib"),
+                     cosine(F.col("a.embedding").cast("array<double>"),
+                            F.col("b.embedding").cast("array<double>"))
+                     .alias("cos_orig")))
+    pa = pr.selectExpr("vec_id as ia", "proj as va")
+    pb = pr.selectExpr("vec_id as ib", "proj as vb")
+    err = (pairs.join(pa, "ia").join(pb, "ib")
+           .select(F.abs(
+               cosine(F.col("va"), F.col("vb")) - F.col("cos_orig"))
+               .alias("e"))
+           .agg(F.avg("e")).first()[0])
+    # variance ~ 1/d_out per pair -> mean |error| well under 0.2 at d=32
+    assert err < 0.2, err
+    pr.unpersist()
