@@ -68,6 +68,11 @@ class CorpusConfig:
     dsir_num_buckets: int = 1 << 16
     semdedup_eps: float | None = None  # with embeddings: semantic dedup
     semdedup_k: int = 8
+    embedding_projection_dims: int | None = None  # count-sketch shrink of
+    # the embedding column before the semantic pass (model-free sparse
+    # JL; cuts every downstream cosine/shuffle byte ~d_in/d_out-fold at
+    # 10^10 rows). Cosines are preserved in expectation with variance
+    # ~1/d_out — widen semdedup_eps accordingly when projecting hard.
     chunk_tokens: int = 0       # 0 = no chunking, keep whole docs
     n_shards: int = 16
     shard_salt: str = "shards-v1"
@@ -331,6 +336,12 @@ def build_training_set(docs: DataFrame, cfg: CorpusConfig | None = None,
         survivors_emb = embeddings.join(
             prof.select(F.col(id_col).alias("vec_id")), "vec_id", "semi"
         )
+        if cfg.embedding_projection_dims is not None:
+            from .operators.similarity import feature_hash_projection
+
+            survivors_emb = feature_hash_projection(
+                survivors_emb, d_out=cfg.embedding_projection_dims
+            ).select("vec_id", F.col("proj").alias("embedding"))
         dropped = semdedup(
             survivors_emb, k=cfg.semdedup_k, eps=cfg.semdedup_eps,
             checkpoint_dir=checkpoint_dir,

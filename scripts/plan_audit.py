@@ -1076,6 +1076,68 @@ def main() -> None:
     sections.append(
         ("Poisson bootstrap — one-pass sibling sums", p, checks))
 
+    # ---- round-5 graph-ANN / compression / archive plans ------------------
+    from crawl4ai_custom_spark.operators.dedup import cdc_chunks
+    from crawl4ai_custom_spark.operators.nndescent import nn_descent_round
+    from crawl4ai_custom_spark.operators.recrawl import capture_timeline
+    from crawl4ai_custom_spark.operators.similarity import (
+        feature_hash_projection,
+    )
+
+    emb_small = emb_syn.where(F.col("vec_id") < 60)
+    seed_graph = emb_small.select(
+        F.col("vec_id").alias("id"),
+        ((F.col("vec_id") + 1) % 60).alias("nbr"))
+    vecs = emb_small.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    audit(
+        "NN-Descent round — equi-joins only, never a corpus product",
+        nn_descent_round(seed_graph, vecs, k=4),
+        [
+            (r"(?s)^(?!.*CartesianProduct)",
+             "the local join is U x U through the shared node — candidate "
+             "count n*(2k)^2, linear in the corpus; a Cartesian product "
+             "here would be the O(n^2) the operator exists to avoid"),
+            (r"(?s)^(?!.*BroadcastNestedLoopJoin)",
+             "same: every join keyed (via, id, nbr)"),
+        ],
+    )
+    audit(
+        "Feature-hash projection — one partial agg, dense rebuild",
+        feature_hash_projection(emb_small, d_out=8),
+        [
+            (r"Generate explode|Generate posexplode",
+             "one generator over the vector dims"),
+            (r"(?s)^(?!.*Window)",
+             "no window anywhere — bucket sums are partial aggs, the "
+             "dense array rebuild is a map lookup per output dim"),
+        ],
+    )
+    audit(
+        "Capture timeline — windows keyed by url only",
+        capture_timeline(
+            pages_syn.select(
+                "url",
+                F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+                F.md5(F.col("html").cast("string")).alias("digest"))),
+        [
+            (r"Window.*url",
+             "lag + running change count partition by url — per-url "
+             "capture counts are bounded by crawl cadence, the url "
+             "dimension distributes; never a global window"),
+        ],
+    )
+    audit(
+        "CDC chunking — shuffle-free per-document projection",
+        cdc_chunks(docs_small.select("doc_id", "text"), w=16, mask_bits=5),
+        [
+            (r"(?s)^(?!.*Exchange)",
+             "anchors, spans and chunk hashes are array expressions over "
+             "the row itself — zero shuffles until the caller aggregates"),
+        ],
+    )
+
     # ---- source gate: no unbounded driver-side collect -------------------
     # Every .collect() in the package must be a scalar aggregate, a bounded
     # limit, or an explicitly allowlisted bounded context (query-term lists,

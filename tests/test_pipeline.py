@@ -294,6 +294,36 @@ def test_pipeline_semdedup_stage(spark):
     assert {2, 3, 4, 5, 6, 7} <= ids
 
 
+def test_pipeline_semdedup_with_projection(spark):
+    """embedding_projection_dims routes the semantic pass through the
+    count-sketch projection: near-identical embedding pairs still dedup
+    after the shrink (cosine preserved in expectation), non-dups and
+    docs without embeddings untouched."""
+    docs = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(8)], ["doc_id", "text"]
+    )
+
+    def vec(i: int) -> list[float]:
+        base = [0.0] * 16
+        if i in (0, 1):
+            base[0] = 1.0
+            base[1] = 0.001 * i
+        else:
+            base[i % 16] = 1.0
+            base[(i * 5) % 16] = float(i)
+        return base
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)], ["vec_id", "embedding"])
+    cfg = CorpusConfig(near_dedup=False, redact_pii=False,
+                       semdedup_eps=0.99, semdedup_k=2,
+                       embedding_projection_dims=8)
+    out = build_training_set(docs, cfg, embeddings=emb)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert len(ids & {0, 1}) == 1
+    assert {6, 7} <= ids
+
+
 def test_pipeline_mojibake_hostboiler_domaincap_stages(spark):
     """The round-5 optional stages: encoding repair first, host-scoped
     boilerplate strip next, and the per-domain cap near the end."""
