@@ -8734,6 +8734,17 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_graph_gate_edges(spark, sf_dir), k=5)
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition via h-index iteration (Lu et al. 2016 /
+    Montresor et al. 2013): est0 = degree, then est <- H(neighbors' est)
+    to the fixpoint (this graph converges within 3 rounds; the planted
+    cliques surface as coreness 8 and 5 islands). Oracle unrolls the
+    histogram-cumulative h-operator rounds in SQL."""
+    from crawl4ai_custom_spark.operators.linkgraph import coreness
+
+    return coreness(_graph_gate_edges(spark, sf_dir), max_rounds=3)
+
+
 def _anf_gate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 2-out-degree directed graph over 160 string-labeled
     hosts for the HyperBall gates (small enough that the oracle's
@@ -8854,6 +8865,61 @@ def _kcore_oracle_sql(k: int = 5, rounds: int = 4) -> str:
 
 
 ORACLES["q_kcore"] = _kcore_oracle_sql()
+
+def _coreness_oracle_sql(rounds: int) -> str:
+    """Unrolled h-index-iteration twin of linkgraph.coreness over
+    _graph_gate_edges: per round, neighbor-estimate histogram -> cumulative
+    count over descending estimates -> h = max(least(est, cum))."""
+    sql = """
+    with docs as (select doc_id from documents where doc_id < 300),
+    rand as (
+      select doc_id as src, (doc_id * 7 + 1) % 300 as dst from docs
+      union all
+      select doc_id, (doc_id * 13 + 2) % 300 from docs
+    ),
+    cl as (
+      select a.doc_id as src, b.doc_id as dst
+      from docs a join docs b on a.doc_id < b.doc_id
+      where a.doc_id % 37 = 0 and b.doc_id % 37 = 0
+      union all
+      select a.doc_id, b.doc_id
+      from docs a join docs b on a.doc_id < b.doc_id
+      where a.doc_id % 50 = 1 and b.doc_id % 50 = 1
+    ),
+    und as (
+      select distinct least(src, dst) as a, greatest(src, dst) as b
+      from (select * from rand union all select * from cl)
+      where src <> dst
+    ),
+    adj as (
+      select a as node, b as nbr from und
+      union all select b, a from und
+    ),
+    e0 as (select node, count(*)::BIGINT as est from adj group by 1)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    n{r} as (
+      select adj.node, e.est from adj
+      join e{r - 1} e on e.node = adj.nbr
+    ),
+    g{r} as (select node, est, count(*) as cnt from n{r} group by 1, 2),
+    e{r} as (
+      select node, max(least(est, cum))::BIGINT as est from (
+        select node, est,
+               sum(cnt) over (partition by node order by est desc
+                              rows between unbounded preceding
+                              and current row) as cum
+        from g{r}) group by node
+    )"""
+    sql += f"""
+    select node, est as coreness from e{rounds}
+"""
+    return sql
+
+
+ORACLES["q_coreness"] = _coreness_oracle_sql(3)
+
+
 
 # shared CTE prefix for the two HyperBall gates: the 160-node directed
 # graph, the per-node register hash, and the unrolled 0..3-hop ball
@@ -9725,6 +9791,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ddsketch": q_ddsketch,
     "q_triangles": q_triangles,
     "q_kcore": q_kcore,
+    "q_coreness": q_coreness,
     "q_hyperball": q_hyperball,
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_kmv_setops": q_kmv_setops,

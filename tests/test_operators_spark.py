@@ -4260,3 +4260,54 @@ def test_cdc_max_len_bound(spark):
     tot = split.agg(SF.sum("chunk_len")).first()[0]
     assert mx_sp <= 64 and tot == 500
     assert mx_un > 64   # the pathological case max_len exists for
+
+
+def _brute_coreness(pairs):
+    """Reference peeling (Batagelj-Zaversnik order): process vertices in
+    increasing current degree; core[v] = running max of deg at removal."""
+    from collections import defaultdict
+
+    g = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            g[a].add(b)
+            g[b].add(a)
+    deg = {v: len(ns) for v, ns in g.items()}
+    remaining = set(g)
+    core, k = {}, 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for u in g[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_matches_peeling_and_kcore(spark, tmp_path):
+    """h-index iteration converges to exact coreness (vs a driver peeling
+    reference) on a clique+chain+random mix; consistency with k_core:
+    {coreness >= k} == k-core membership."""
+    from itertools import combinations
+
+    from crawl4ai_custom_spark.operators.linkgraph import coreness, k_core
+
+    pairs = list(combinations([0, 1, 2, 3, 4], 2))          # 5-clique: core 4
+    pairs += [(4, 10), (10, 11), (11, 12)]                  # chain: core 1
+    pairs += [(i, (i * 7 + 3) % 20 + 100) for i in range(30)]  # organic
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    got = {r["node"]: r["coreness"] for r in coreness(
+        edges, checkpoint_dir=str(tmp_path / "c")).collect()}
+    want = _brute_coreness(pairs)
+    assert got == want
+
+    kc = {r["node"] for r in k_core(edges, k=4).collect()}
+    assert kc == {v for v, c in want.items() if c >= 4} == {0, 1, 2, 3, 4}
+
+    # localCheckpoint path agrees with the parquet-rounds path
+    again = {r["node"]: r["coreness"] for r in coreness(edges).collect()}
+    assert again == got
