@@ -8734,6 +8734,17 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_graph_gate_edges(spark, sf_dir), k=5)
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity gate (Small 1973 / Dean & Henzinger WWW 99):
+    hosts are related when the same third host links to both — one
+    self-join on the shared source over fanout-capped adjacency, Salton
+    cosine over in-degree. Oracle replays joins, cap and normalization."""
+    from crawl4ai_custom_spark.operators.linkgraph import colink_similarity
+
+    return colink_similarity(
+        _graph_gate_edges(spark, sf_dir), mode="cocitation", min_common=2)
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition via h-index iteration (Lu et al. 2016 /
     Montresor et al. 2013): est0 = degree, then est <- H(neighbors' est)
@@ -8918,6 +8929,45 @@ def _coreness_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["q_coreness"] = _coreness_oracle_sql(3)
+
+ORACLES["q_cocitation"] = """
+    with docs as (select doc_id from documents where doc_id < 300),
+    rand as (
+      select doc_id as src, (doc_id * 7 + 1) % 300 as dst from docs
+      union all
+      select doc_id, (doc_id * 13 + 2) % 300 from docs
+    ),
+    cl as (
+      select a.doc_id as src, b.doc_id as dst
+      from docs a join docs b on a.doc_id < b.doc_id
+      where a.doc_id % 37 = 0 and b.doc_id % 37 = 0
+      union all
+      select a.doc_id, b.doc_id
+      from docs a join docs b on a.doc_id < b.doc_id
+      where a.doc_id % 50 = 1 and b.doc_id % 50 = 1
+    ),
+    e as (
+      select distinct src, dst
+      from (select * from rand union all select * from cl)
+      where src <> dst
+    ),
+    deg as (select dst as item, count(*) as d from e group by 1),
+    fan as (select src, count(*) as fan from e group by 1),
+    capped as (
+      select e.src, e.dst from e join fan using (src) where fan <= 1000
+    ),
+    p as (
+      select x.dst as host_a, y.dst as host_b, count(*)::BIGINT as common
+      from capped x join capped y on x.src = y.src and x.dst < y.dst
+      group by 1, 2 having count(*) >= 2
+    )
+    select host_a, host_b, common,
+           round(common / sqrt(da.d * db.d) + 1e-9, 6) as salton
+    from p
+    join deg da on da.item = host_a
+    join deg db on db.item = host_b
+"""
+
 
 
 
@@ -9792,6 +9842,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_triangles": q_triangles,
     "q_kcore": q_kcore,
     "q_coreness": q_coreness,
+    "q_cocitation": q_cocitation,
     "q_hyperball": q_hyperball,
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_kmv_setops": q_kmv_setops,

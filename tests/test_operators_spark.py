@@ -4311,3 +4311,36 @@ def test_coreness_matches_peeling_and_kcore(spark, tmp_path):
     # localCheckpoint path agrees with the parquet-rounds path
     again = {r["node"]: r["coreness"] for r in coreness(edges).collect()}
     assert again == got
+
+
+def test_colink_similarity_modes_and_fanout_guard(spark):
+    """Co-citation pairs come from shared sources, coupling from shared
+    targets; salton normalizes by the relevant degree; a mega-fanout hub
+    is excluded from pair generation but still normalizes."""
+    from crawl4ai_custom_spark.operators.linkgraph import colink_similarity
+
+    edges = [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+             ("s3", "a"), ("a", "t"), ("b", "t"), ("a", "u"), ("b", "u")]
+    # hub: links to everything -> must not mint co-citation pairs
+    hub = [("hub", x) for x in ("a", "b", "c", "d", "e")]
+    df = spark.createDataFrame(edges + hub, "src string, dst string")
+
+    co = {(r["host_a"], r["host_b"]): r for r in colink_similarity(
+        df, mode="cocitation", min_common=2, max_fanout=4).collect()}
+    # (a,b) co-cited by s1,s2; (t,u) co-cited by a,b — both real
+    assert set(co) == {("a", "b"), ("t", "u")}
+    r = co[("a", "b")]
+    # common = s1, s2 (hub excluded by max_fanout=4 < 5)
+    assert r["common"] == 2
+    # in-degrees INCLUDE the hub edge: d_a = 4 (s1,s2,s3,hub), d_b = 3
+    import math
+    assert abs(r["salton"] - round(2 / math.sqrt(4 * 3) + 1e-9, 6)) < 1e-9
+
+    cp = {(r["host_a"], r["host_b"]): r["common"] for r in colink_similarity(
+        df, mode="coupling", min_common=2).collect()}
+    # a,b both link to {t,u}; s1,s2 (and hub) all link to {a,b}
+    assert cp == {("a", "b"): 2, ("s1", "s2"): 2,
+                  ("hub", "s1"): 2, ("hub", "s2"): 2}
+
+    with __import__("pytest").raises(ValueError):
+        colink_similarity(df, mode="nope")
