@@ -338,16 +338,30 @@ def main() -> None:
         "q_weighted_sample",
         "q_good_turing",
         "q_degree_powerlaw",
+        # round-5 closing additions: trained LID, graph ANN, archive
+        # timeline, CDC storage chunking, sparse-JL projection, core
+        # decomposition, co-citation
+        "q_langid",
+        "q_nn_descent",
+        "q_graph_ann",
+        "q_capture_timeline",
+        "q_cdc_chunks",
+        "q_feature_hash",
+        "q_coreness",
+        "q_cocitation",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the stdout line carries 2-decimal per-query times (65+ queries at 3
+    # decimals overflowed the driver's 2000-char tail when round 5 added
+    # its gates); BENCH_DETAIL.json keeps full precision + per-run detail
     line = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "bench_pages": n_pages,
@@ -364,7 +378,8 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {**line, "runs": runs, "steal_fracs": steals,
+            {**line, "queries": timings, "runs": runs,
+             "steal_fracs": steals,
              "workload_note": extras.get("workload_note", "")},
             f, indent=1,
         )
