@@ -2083,12 +2083,8 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 160).alias("text"))
-    # train once, score many: the model is broadcast-sized by construction
-    # (<= |langs|*buckets rows), so materializing it is the production
-    # shape — scoring must not re-run the training chain per plan branch
-    model_rows = train_langid(
-        docs.where(F.col("doc_id") < 300), num_buckets=4096).collect()
-    model = spark.createDataFrame(model_rows)
+    model = train_langid(
+        docs.where(F.col("doc_id") < 300), num_buckets=4096)
     return langid_predict(
         docs.where(F.col("doc_id") < 500), model, num_buckets=4096
     ).select("doc_id", "pred_lang", "cost_micro", "margin_micro", "n_grams")
@@ -3870,7 +3866,7 @@ ORACLES["q_capture_timeline"] = """
     with caps as (
       select 'https://h' || (user_id % 40)::VARCHAR || '.com/p'
              || user_id::VARCHAR as url,
-             ts, md5((value > 10)::VARCHAR) as digest
+             ts, coalesce(md5((value > 10)::VARCHAR), '') as digest
       from events
     ),
     marked as (

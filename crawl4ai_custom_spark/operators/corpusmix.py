@@ -683,6 +683,12 @@ def langid_predict(
     does."""
     if num_buckets is None:
         num_buckets = model.select("n_buckets").limit(1).collect()[0][0]
+    # the model is referenced by three plan branches (broadcast cost join,
+    # langs table, n_buckets probe); left lazy, each branch re-runs the
+    # whole training chain. It is broadcast-sized BY CONSTRUCTION
+    # (<= |langs| * num_buckets rows), so truncate once here — bounded
+    # executor storage, freed when the model handle is dropped.
+    model = model.localCheckpoint(eager=False)
     did = F.col(id_col)
     bcounts = (
         docs.select(

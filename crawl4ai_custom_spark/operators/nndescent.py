@@ -145,8 +145,10 @@ def nn_descent(
     ~5x (symmetrize 2x + local join 2x + carry), so lazy lineage grows
     5^rounds — measured 14.5 s -> ~3 s at 2 rounds / 200 vectors."""
     vectors = _vectors(corpus, id_col, vec_col)
+    # keep the seed's cosine so rounds=0 returns the ranked LSH seed
+    # graph instead of failing to resolve the column
     g = knn_graph_init(corpus, k, n_planes, id_col, vec_col) \
-        .select("id", "nbr")
+        .select("id", "nbr", "cosine")
     for r in range(rounds):
         g = nn_descent_round(g, vectors, k).select("id", "nbr", "cosine")
         if checkpoint_dir is not None:

@@ -609,5 +609,10 @@ def feature_hash_projection(
         F.sequence(F.lit(0), F.lit(d_out - 1)),
         lambda j: F.coalesce(F.element_at("m", j), F.lit(0.0)),
     )
-    return dense.select(
+    # left join from the full id set: an empty/NULL embedding explodes to
+    # no component rows, and element_at on the resulting NULL map
+    # coalesces to 0.0 — such ids get the zero vector instead of silently
+    # vanishing from the output (matching the oracle's zero-fill)
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return base.join(dense, "id", "left").select(
         F.col("id").alias(id_col), proj.alias("proj"))

@@ -110,15 +110,16 @@ def measure_topk(emb, queries, label, out):
     from crawl4ai_custom_spark.operators.nndescent import (
         graph_ann_search, nn_descent)
 
+    bknn = brute_force_topk(emb, emb, k=K).persist()
+    n_bknn = bknn.count()
     for rounds in (1, 2):
         graph = nn_descent(emb, k=K, rounds=rounds, n_planes=4).persist()
         graph.count()
-        bknn = brute_force_topk(emb, emb, k=K)
         ghits = graph.select("id", "nbr").intersect(
             bknn.selectExpr("query_id as id", "neighbor_id as nbr")).count()
         out.append({"corpus": label, "n": n, "k": K,
                     "method": f"nn_descent_graph(rounds={rounds})",
-                    "recall": round(ghits / bknn.count(), 4)})
+                    "recall": round(ghits / n_bknn, 4)})
         print(json.dumps(out[-1]))
         r = recall_of(graph_ann_search(
             graph, emb, queries, k=K, beam=2 * K, rounds=3, n_entry=16),
@@ -128,6 +129,7 @@ def measure_topk(emb, queries, label, out):
                     "recall": round(r, 4)})
         print(json.dumps(out[-1]))
         graph.unpersist()
+    bknn.unpersist()
     brute.unpersist()
 
 

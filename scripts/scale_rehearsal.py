@@ -723,11 +723,13 @@ def nnd20k(spark) -> dict:
         r[f"build_seconds_n{n}"] = times[n]
         r[f"edges_n{n}"] = n_edges
         if n == 5_000:
-            brute = brute_force_topk(emb, emb, k=10)
+            brute = brute_force_topk(emb, emb, k=10).persist()
+            nb = brute.count()
             hits = g.select("id", "nbr").intersect(
                 brute.selectExpr("query_id as id", "neighbor_id as nbr")
             ).count()
-            r["recall_n5000"] = round(hits / brute.count(), 4)
+            r["recall_n5000"] = round(hits / nb, 4)
+            brute.unpersist()
         emb.unpersist()
     # linearity evidence: 4x the vectors should cost ~4x, not 16x
     r["time_ratio_4x_data"] = round(times[20_000] / times[5_000], 2)
