@@ -8730,6 +8730,20 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_graph_gate_edges(spark, sf_dir), k=5)
 
 
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding gate (Thaler &
+    Ravishankar 1998): shard = argmax over shards of hash(salt, shard,
+    key) — the resharding scheme that moves ~1/(n+1) of a 10^10-doc
+    store on resize where mod-N moves ~all of it. Shuffle-free
+    projection; oracle replays the per-shard hashes and the argmax."""
+    from crawl4ai_custom_spark.operators.corpusmix import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500) \
+        .select("doc_id")
+    shards = [f"s{i:02d}" for i in range(16)]
+    return rendezvous_shard(docs, shards).select("doc_id", "shard")
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity gate (Small 1973 / Dean & Henzinger WWW 99):
     hosts are related when the same third host links to both — one
@@ -8925,6 +8939,24 @@ def _coreness_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["q_coreness"] = _coreness_oracle_sql(3)
+
+ORACLES["q_rendezvous"] = """
+    with docs as (select doc_id from documents where doc_id < 500),
+    sh as (select unnest(['s00', 's01', 's02', 's03', 's04', 's05', 's06', 's07', 's08', 's09', 's10', 's11', 's12', 's13', 's14', 's15']) as s),
+    w as (
+      select doc_id, s,
+             ('0x' || substr(md5('hrw-v1:' || s || ':'
+                || doc_id::VARCHAR), 1, 15))::BIGINT as wt
+      from docs cross join sh
+    ),
+    r as (
+      select doc_id, s,
+             row_number() over (partition by doc_id
+                                order by wt desc, s asc) as rn
+      from w
+    )
+    select doc_id, s as shard from r where rn = 1
+"""
 
 ORACLES["q_cocitation"] = """
     with docs as (select doc_id from documents where doc_id < 300),
@@ -9839,6 +9871,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kcore": q_kcore,
     "q_coreness": q_coreness,
     "q_cocitation": q_cocitation,
+    "q_rendezvous": q_rendezvous,
     "q_hyperball": q_hyperball,
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_kmv_setops": q_kmv_setops,

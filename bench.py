@@ -349,6 +349,7 @@ def main() -> None:
         "q_feature_hash",
         "q_coreness",
         "q_cocitation",
+        "q_rendezvous",
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).count())
 

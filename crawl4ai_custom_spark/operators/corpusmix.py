@@ -743,3 +743,53 @@ def langid_predict(
         ).alias("margin_micro"),
         "n_grams",
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str = "doc_id",
+    salt: str = "hrw-v1",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998; the consistent-hashing alternative memcached/Ceph
+    descend from): key k goes to argmax over shards s of
+    hash(salt, s, k). The property mod-N sharding lacks: ADDING a shard
+    moves only ~1/(n+1) of the keys (exactly the keys whose new-shard
+    hash beats their old winner), and REMOVING one moves only that
+    shard's keys — where ``shard = hash(k) % n`` reassigns ~(n-1)/n of
+    the corpus on any resize. At a 10^10-doc store, re-sharding from 512
+    to 640 shards under mod-N rewrites ~10^10 rows; under HRW it
+    rewrites ~2x10^9 — and every row's assignment is computable locally,
+    no ring state to ship.
+
+    Returns df + (shard string). Cost: |shards| native hash evaluations
+    per row folded through one array argmax — shuffle-free projection;
+    the shard list is a plan literal (hundreds of shards = hundreds of
+    expression nodes, fine; for 10^5+ shards switch to the two-level
+    HRW-of-groups composition, same operator applied twice). Ties are
+    impossible in practice (60-bit hashes) and break to the
+    lexicographically smallest shard name for cross-engine exactness."""
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shard names must be unique")
+    k = F.col(key_col).cast("string")
+    weighted = F.array(*[
+        F.struct(
+            stable_hash60(
+                F.concat(F.lit(f"{salt}:{s}:"), k)).alias("w"),
+            F.lit(s).alias("s"),
+        )
+        for s in sorted(shards)
+    ])
+    # fold in sorted-name order keeping the strictly-greater weight: a
+    # tie keeps the earlier (smaller) name; the -1 sentinel loses to any
+    # real 60-bit hash (all non-negative)
+    best = F.aggregate(
+        weighted,
+        F.struct(F.lit(-1).cast("long").alias("w"),
+                 F.lit("").alias("s")),
+        lambda acc, x: F.when(x["w"] > acc["w"], x).otherwise(acc),
+    )
+    return df.withColumn("shard", best["s"])

@@ -204,3 +204,56 @@ def test_langid_zero_gram_prior_and_integer_determinism(spark):
              langid_predict(probe, model, num_buckets=256).collect()}
     for i in out:
         assert out[i] == again[i]
+
+
+def test_rendezvous_shard_bounded_movement(spark):
+    """HRW's defining property: adding a shard moves only ~1/(n+1) of the
+    keys, and every moved key moves TO the new shard; removing a shard
+    moves exactly that shard's keys. Mod-N resharding (shuffle_shards)
+    moves ~(n-1)/n — measured side by side."""
+    from crawl4ai_custom_spark.operators.corpusmix import (
+        rendezvous_shard, shuffle_shards)
+
+    docs = spark.range(4000).select(F.col("id").alias("doc_id"))
+    s16 = [f"s{i:02d}" for i in range(16)]
+    a = rendezvous_shard(docs, s16).select("doc_id", F.col("shard").alias("a"))
+    b = rendezvous_shard(docs, s16 + ["s16"]).select(
+        "doc_id", F.col("shard").alias("b"))
+    j = a.join(b, "doc_id").persist()
+    moved = j.where(F.col("a") != F.col("b"))
+    frac = moved.count() / 4000
+    # expectation 1/17 ~= 0.0588; generous band for hash variance
+    assert 0.03 < frac < 0.10, frac
+    # every moved key landed on the NEW shard
+    assert moved.where(F.col("b") != "s16").count() == 0
+
+    # removal: only the removed shard's keys move
+    c = rendezvous_shard(docs, s16[:-1]).select(
+        "doc_id", F.col("shard").alias("c"))
+    jc = a.join(c, "doc_id")
+    assert jc.where(
+        (F.col("a") != "s15") & (F.col("a") != F.col("c"))).count() == 0
+    j.unpersist()
+
+    # balance: occupancy within a reasonable band of uniform
+    occ = [r["count"] for r in rendezvous_shard(docs, s16)
+           .groupBy("shard").count().collect()]
+    assert len(occ) == 16 and min(occ) > 150 and max(occ) < 350
+
+    # mod-N control: the same resize moves the overwhelming majority
+    m16 = shuffle_shards(docs, n_shards=16).select(
+        "doc_id", F.col("shard").alias("a"))
+    m17 = shuffle_shards(docs, n_shards=17).select(
+        "doc_id", F.col("shard").alias("b"))
+    mod_frac = m16.join(m17, "doc_id").where(
+        F.col("a") != F.col("b")).count() / 4000
+    assert mod_frac > 0.8
+
+    # determinism + validation
+    again = rendezvous_shard(docs, s16).select("doc_id", "shard")
+    assert a.withColumnRenamed("a", "shard").exceptAll(again).count() == 0
+    import pytest as _p
+    with _p.raises(ValueError):
+        rendezvous_shard(docs, [])
+    with _p.raises(ValueError):
+        rendezvous_shard(docs, ["x", "x"])
