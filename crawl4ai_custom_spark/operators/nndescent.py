@@ -180,6 +180,7 @@ def graph_ann_search(
     n_entry: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    entry_points: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over a built k-NN ``graph(id, nbr)``: every query starts
     at the shared entry points; each round expands the current beam's
@@ -200,15 +201,19 @@ def graph_ann_search(
     and greedy descent cannot cross a gap the graph doesn't bridge — so
     ``n_entry`` must span the corpus's clusters (measured on the 8-cluster
     test fixture: 4 entries -> recall 0.53, 8 entries covering every
-    cluster -> >=0.9). At scale, seed one entry per IVF centroid
-    (``similarity.data_centroids``) instead of relying on id order — the
-    same repair HNSW's upper layers / NSW's long links provide."""
+    cluster -> >=0.9). At scale, pass ``entry_points`` — a (node)
+    DataFrame, e.g. one member per IVF centroid
+    (``similarity.data_centroids`` / ``ivf_assign``) — instead of relying
+    on id order; the same repair HNSW's upper layers / NSW's long links
+    provide. When given, ``n_entry`` is ignored."""
     vectors = _vectors(corpus, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    state = q.crossJoin(graph_entry_points(corpus, n_entry, id_col))
+    if entry_points is None:
+        entry_points = graph_entry_points(corpus, n_entry, id_col)
+    state = q.crossJoin(entry_points.select("node"))
     for _ in range(rounds):
         expanded = state.select("query_id", "node").union(
             state.join(graph.select(F.col("id").alias("node"),

@@ -185,3 +185,32 @@ def test_feature_hash_projection_preserves_geometry(spark, clustered):
     # variance ~ 1/d_out per pair -> mean |error| well under 0.2 at d=32
     assert err < 0.2, err
     pr.unpersist()
+
+
+def test_graph_ann_search_honors_explicit_entry_points(spark, clustered):
+    """entry_points= overrides the smallest-id default: entries confined
+    to 2 of the 8 clusters cut recall roughly in... well, to the reachable
+    clusters; one-per-cluster entries restore it (the IVF-centroid seeding
+    path the docstring prescribes at scale)."""
+    from crawl4ai_custom_spark.operators.nndescent import (
+        graph_ann_search, nn_descent)
+    from crawl4ai_custom_spark.operators.similarity import brute_force_topk
+
+    graph = nn_descent(clustered, k=8, rounds=2, n_planes=4).persist()
+    graph.count()
+    queries = clustered.where(F.col("vec_id") % 25 == 3)
+    exact = brute_force_topk(clustered, queries, k=5).persist()
+
+    def recall(entries):
+        ap = graph_ann_search(graph, clustered, queries, k=5, beam=12,
+                              rounds=3, entry_points=entries)
+        return ap.select("query_id", "neighbor_id").intersect(
+            exact.select("query_id", "neighbor_id")).count() / exact.count()
+
+    # fixture clusters are vec_id % 8: ids {0, 1} reach only 2 clusters
+    narrow = spark.createDataFrame([(0,), (1,)], ["node"])
+    spread = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    r_narrow, r_spread = recall(narrow), recall(spread)
+    assert r_spread >= 0.9, r_spread
+    assert r_narrow < r_spread - 0.3, (r_narrow, r_spread)
+    exact.unpersist(); graph.unpersist()
