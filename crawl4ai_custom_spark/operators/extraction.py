@@ -248,7 +248,17 @@ def _ensure_parallelism(df: DataFrame, min_parallelism: int | None) -> DataFrame
         size_bytes = None
     if df.isStreaming:
         pass  # micro-batch sizing belongs to the source (maxFilesPerTrigger)
-    elif size_bytes is None:
+    elif size_bytes is None or size_bytes >= target * max_part:
+        # "small" verdicts from the estimate are safe (worst case: a
+        # redundant tiny shuffle). "Big" verdicts are NOT: a join/window
+        # plan reports the JOIN-PRODUCT estimate (measured 54 TB for a
+        # 568-row admitted⋈pages wave) while its actual output partitioning
+        # is the global window's SINGLE partition — skipping the
+        # repartition then serializes the whole CPU-bound python stage
+        # onto one core (measured 2.7 s/wave single-task extraction in the
+        # BFS bench). So a big/unknown estimate is double-checked against
+        # the plan's real pre-AQE partition count; only a genuinely
+        # wide input skips the shuffle.
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     elif size_bytes < target * max_part:

@@ -58,7 +58,7 @@ from .politeness import (
     empty_host_state,
     fold_wave_outcomes,
 )
-from .robots import robots_gate
+from .robots import robots_gate, robots_mark
 from .scorers import (
     composite_score,
     content_type_score,
@@ -647,13 +647,28 @@ class FrontierEngine:
         commit_errors: list[BaseException] = []
         next_frontier_upper = -1  # unknown until a wave computes it
 
-        def _commit_target(*args, **kwargs) -> None:
+        def _commit_target(wave_no, tables, meta=None,
+                           bloom_delta=None) -> None:
             # runs on the commit thread; exceptions are re-raised by
             # _join_commit on the driver thread so a failed snapshot write
             # surfaces at the wave that scheduled it, not one wave later as a
             # missing-manifest read error
             try:
-                self.store.write(*args, **kwargs)
+                # thread-local: labels the async commit's jobs without
+                # touching the main thread's descriptions
+                spark.sparkContext.setJobDescription(
+                    f"wave {wave_no}: snapshot commit")
+                if bloom_delta is not None:
+                    # the bloom fold (shuffle + applyInPandas + state write)
+                    # is hidden behind the next wave's admission+extract job
+                    # like the rest of the commit. Safe: the driver thread
+                    # only consults bloom.state in the next wave's link
+                    # discovery, which runs strictly after _join_commit; the
+                    # snapshot invariant (bloom covers seen) holds because
+                    # the state is folded before the manifest is written.
+                    bloom.add(bloom_delta)
+                    tables = {**tables, "bloom": bloom.state}
+                self.store.write(wave_no, tables, meta=meta)
             except BaseException as exc:  # noqa: BLE001 — re-raised on join
                 commit_errors.append(exc)
 
@@ -721,7 +736,17 @@ class FrontierEngine:
                 # by url_canon), so the old separate admitted.parquet write and
                 # the meta⋈extracted url join are both gone.
                 wave_dir = os.path.join(self.out_dir, f"wave={wave:05d}")
-                fetched = admitted.join(self.pages, "url_canon", "left")
+                # fetch = pages ⋈ admitted with the ADMITTED side broadcast
+                # (guide §3.1: broadcast the side that fits). The natural
+                # admitted.join(pages, "left") builds the hash on PAGES —
+                # re-broadcasting the whole html payload every wave when the
+                # capture fits under the threshold, and an impossible plan at
+                # web scale. Right-outer + BuildLeft keeps the exact same
+                # rows (every admitted url once, html null on fetch miss)
+                # while the web-sized side only ever streams.
+                fetched = self.pages.join(
+                    F.broadcast(admitted), "url_canon", "right"
+                )
                 status = F.when(F.col("html").isNull(), 404).otherwise(
                     F.coalesce(F.col("_page_status"), F.lit(200))
                     if "_page_status" in self.pages.columns
@@ -754,7 +779,10 @@ class FrontierEngine:
                     min_parallelism=par_hint,
                 )
                 results_path = os.path.join(wave_dir, "results.parquet")
+                spark.sparkContext.setJobDescription(
+                    f"wave {wave}: admit+fetch+extract+write")
                 results.write.mode("overwrite").parquet(results_path)
+                spark.sparkContext.setJobDescription(None)
                 results = spark.read.parquet(results_path)
                 n_admitted = _parquet_rows(results_path, fallback=results)  # footer-only
                 # the overlapped snapshot commit has now been fully hidden behind
@@ -887,12 +915,25 @@ class FrontierEngine:
                     new_links = fresh.unionByName(filter_unseen_exact(maybe, _seen()))
                 else:
                     new_links = filter_unseen_exact(cand, _seen())
+                # robots verdict computed HERE, once, as a stored column of
+                # the materialized delta: the lazy next_frontier plan is
+                # executed twice (async snapshot commit + the next wave's
+                # admission job), so a gate-as-filter on the delta would run
+                # the broadcast join + pandas-UDF rule matcher twice per
+                # wave. Blocked urls still enter seen (oracle semantics) —
+                # they are dropped from the FRONTIER below by filtering on
+                # the stored flag, a plain parquet-column predicate.
+                if cfg.check_robots and self.robots is not None:
+                    new_links = robots_mark(new_links, self.robots)
                 # materialize the discovery Δ ONCE: it becomes a frontier input,
                 # a seen-set delta, AND the wave discovery log — the link chain
                 # (explode -> score -> window dedup -> bloom applyInPandas ->
                 # anti-join) runs exactly once per wave.
                 new_links_path = os.path.join(wave_dir, "new_links.parquet")
+                spark.sparkContext.setJobDescription(
+                    f"wave {wave}: link discovery (explode+score+dedup+antijoin)")
                 new_links.write.mode("overwrite").parquet(new_links_path)
+                spark.sparkContext.setJobDescription(None)
                 new_links = spark.read.parquet(new_links_path)
                 n_new = _parquet_rows(new_links_path, fallback=new_links)  # footer-only
 
@@ -954,7 +995,9 @@ class FrontierEngine:
                         delta = filter_trapped_urls(
                             delta, mined, url_col="url_canon")
                 if cfg.check_robots and self.robots is not None:
-                    delta = robots_gate(delta, self.robots)
+                    # verdict was computed at delta-write time (robots_mark
+                    # above): the frontier gate is now a stored-column filter
+                    delta = delta.where(F.col("robots_allowed"))
                 leftover = frontier.join(
                     admitted.select("url_canon"), "url_canon", "left_anti"
                 )
@@ -1040,13 +1083,15 @@ class FrontierEngine:
                     F.sum(F.coalesce("extract_ms", F.lit(0.0))).alias("extract_ms"),
                     F.max("order_in_wave").alias("max_order_in_wave"),
                 )
-                # fold new links into the bloom BEFORE the snapshot: the snapshot
-                # bloom must cover everything in the snapshot seen table — a bloom
-                # false NEGATIVE bypasses the exact anti-join (the `fresh` path),
-                # so a resume from a bloom that lags `seen` by one wave could
-                # re-admit already-seen urls
-                if bloom is not None:
-                    bloom.add(new_links.select("url_hash"))
+                # the new links fold into the bloom ON THE COMMIT THREAD,
+                # before the snapshot manifest lands (see _commit_target):
+                # the snapshot bloom must cover everything in the snapshot
+                # seen table — a bloom false NEGATIVE bypasses the exact
+                # anti-join (the `fresh` path), so a resume from a bloom
+                # that lags `seen` by one wave could re-admit already-seen
+                # urls. Deferring the fold off the driver thread hides its
+                # ~0.5 s (shuffle + python stage + state write) behind the
+                # next wave's dominant job.
                 # snapshot commit runs CONCURRENTLY with the next wave's
                 # admission+extract job (joined right after that wave's results
                 # land). next_frontier/next_host_state read only already-
@@ -1068,6 +1113,10 @@ class FrontierEngine:
                         },
                     ),
                     kwargs={
+                        # parquet-backed scan of the already-written delta —
+                        # safe to execute from the commit thread
+                        "bloom_delta": (new_links.select("url_hash")
+                                        if bloom is not None else None),
                         "meta": {
                             "pages_crawled": crawled,
                             "stats": _copy.deepcopy(stats),

@@ -37,18 +37,24 @@ def robots_allows_udf(rules: pd.Series, path: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="bool")
 
 
-def robots_gate(
+def robots_mark(
     frontier: DataFrame,
     robots: DataFrame | None,
     *,
     now: dt.datetime | None = None,
     ttl_seconds: int = ROBOTS_TTL_SECONDS,
+    out_col: str = "robots_allowed",
 ) -> DataFrame:
-    """Filter frontier rows denied by robots. frontier needs ``url_canon``.
-    Robots rules are per-HOST (not per registrable domain — politeness and
-    robots key differently by design). Rules past TTL => absent => allow."""
+    """Adds ``out_col`` boolean = robots verdict for each row (True when no
+    fresh rules exist — cache-miss semantics, exactly robots_gate's). The
+    gate's flag form: computing the verdict ONCE where a delta is already
+    being materialized lets every later consumer filter on the stored
+    column instead of re-running the broadcast join + pandas-UDF rule
+    matcher (the crawl wave loop executes its lazy frontier plan twice —
+    snapshot commit + next admission — so the gate-as-filter form paid the
+    Python stage twice per wave)."""
     if robots is None:
-        return frontier
+        return frontier.withColumn(out_col, F.lit(True))
     rb = robots.select(
         F.lower(F.col("domain")).alias("_robots_host"),
         F.col("rules").alias("_robots_rules"),
@@ -63,10 +69,31 @@ def robots_gate(
     out = frontier.withColumn("_host", host).join(
         F.broadcast(rb), F.col("_host") == F.col("_robots_host"), "left"
     )
-    out = out.where(
-        robots_allows_udf(F.col("_robots_rules"), url_path(F.col("url_canon")))
+    out = out.withColumn(
+        out_col,
+        robots_allows_udf(F.col("_robots_rules"), url_path(F.col("url_canon"))),
     )
     return out.drop("_robots_rules", "_robots_fetch_time", "_robots_host", "_host")
+
+
+def robots_gate(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    *,
+    now: dt.datetime | None = None,
+    ttl_seconds: int = ROBOTS_TTL_SECONDS,
+) -> DataFrame:
+    """Filter frontier rows denied by robots. frontier needs ``url_canon``.
+    Robots rules are per-HOST (not per registrable domain — politeness and
+    robots key differently by design). Rules past TTL => absent => allow."""
+    if robots is None:
+        return frontier
+    return (
+        robots_mark(frontier, robots, now=now, ttl_seconds=ttl_seconds,
+                    out_col="_robots_allowed")
+        .where(F.col("_robots_allowed"))
+        .drop("_robots_allowed")
+    )
 
 
 @F.pandas_udf(DoubleType())
