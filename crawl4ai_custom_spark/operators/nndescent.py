@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine, data_hyperplanes, lsh_topk  # noqa: F401
+from .similarity import _dot, _norm, cosine, data_hyperplanes, lsh_topk  # noqa: F401
 
 
 def knn_graph_init(
@@ -75,10 +75,13 @@ def knn_graph_init(
 
 
 def _vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # vnorm once per row: every scoring join divides by it instead of
+    # re-folding the norm aggregate per candidate pair (identical
+    # arithmetic — dot/(n1*n2) is cosine()'s own evaluation order)
     return corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("vnorm", _norm(F.col("vec")))
 
 
 def nn_descent_round(
@@ -96,9 +99,16 @@ def nn_descent_round(
     candidate edge — if u is close to both, v and w are likely close.
     Monotone by construction (current edges always compete), so rounds
     never worsen the graph."""
+    if "vnorm" not in vectors.columns:  # callers passing bare (vid, vec)
+        vectors = vectors.withColumn("vnorm", _norm(F.col("vec")))
+    # no distinct on the symmetrized view: a duplicated (id, nbr) row (an
+    # edge present in both directions) only duplicates candidate pairs the
+    # local join already produces, and cand's own distinct dedups them —
+    # the early distinct paid a full exchange to shave at most a 2x row
+    # blowup of an already-tiny intermediate
     und = graph.select("id", "nbr").union(
         graph.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
-    ).distinct()
+    )
     a = und.select(F.col("id").alias("via"), F.col("nbr").alias("id"))
     b = und.select(F.col("id").alias("via"), F.col("nbr").alias("nbr"))
     cand = (
@@ -112,11 +122,14 @@ def nn_descent_round(
         cand.join(vectors.withColumnRenamed("vid", "id"), "id")
         .join(
             vectors.select(F.col("vid").alias("nbr"),
-                           F.col("vec").alias("nvec")),
+                           F.col("vec").alias("nvec"),
+                           F.col("vnorm").alias("nnorm")),
             "nbr",
         )
         .select("id", "nbr",
-                cosine(F.col("vec"), F.col("nvec")).alias("cosine"))
+                (_dot(F.col("vec"), F.col("nvec"))
+                 / (F.col("vnorm") * F.col("nnorm"))).cast("double")
+                .alias("cosine"))
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
     return (
@@ -210,7 +223,7 @@ def graph_ann_search(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qnorm", _norm(F.col("qv")))
     if entry_points is None:
         entry_points = graph_entry_points(corpus, n_entry, id_col)
     state = q.crossJoin(entry_points.select("node"))
@@ -225,7 +238,9 @@ def graph_ann_search(
             .join(vectors.withColumnRenamed("vid", "node"), "node")
             .where(F.col("query_id") != F.col("node"))
             .select("query_id", "node",
-                    cosine(F.col("qv"), F.col("vec")).alias("cosine"))
+                    (_dot(F.col("qv"), F.col("vec"))
+                     / (F.col("qnorm") * F.col("vnorm"))).cast("double")
+                    .alias("cosine"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("node"))
@@ -239,7 +254,9 @@ def graph_ann_search(
         state.join(q, "query_id")
         .join(vectors.withColumnRenamed("vid", "node"), "node")
         .select("query_id", F.col("node").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col("vec")).alias("cosine"))
+                (_dot(F.col("qv"), F.col("vec"))
+                 / (F.col("qnorm") * F.col("vnorm"))).cast("double")
+                .alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import spread_scan
+
 
 def _unit(c: Column) -> Column:
     nrm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
@@ -40,6 +42,10 @@ def cosine(a: Column, b: Column) -> Column:
              F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x)))).cast("double")
 
 
+def _norm(c: Column) -> Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,19 +55,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank<=k); excludes self-pairs.
     Exact: full cross join; the corpus side should be the big one — Spark
-    broadcasts the (small) query side automatically under AQE."""
-    c = corpus.select(
+    broadcasts the (small) query side automatically under AQE.
+
+    Norms are computed ONCE PER ROW on each side before the cross join
+    (guide §2.3: don't recompute per pair what is constant per row): the
+    inline ``cosine(a, b)`` form re-folds both norm aggregates for every
+    (query, corpus) pair — 2/3 of the per-pair interpreted HOF work for
+    the same doubles. ``dot/(qnorm*cnorm)`` is the identical expression
+    tree evaluation order, so results are bit-identical."""
+    # single-row-group corpus files otherwise feed the whole per-pair
+    # scoring fold into ONE task (guide §2.5 unsplittable-input fix)
+    c = spread_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cnorm", _norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qnorm", _norm(F.col("qv")))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (F.col("qnorm") * F.col("cnorm"))).cast("double"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -93,25 +112,34 @@ def hyperplane_bucket(df: DataFrame, planes: DataFrame,
                       id_col: str = "vec_id", vec_col: str = "embedding"
                       ) -> DataFrame:
     """Adds ``bucket`` = sign-pattern integer over the hyperplanes.
-    Implemented as a broadcast join + conditional sum aggregation."""
-    planes_ranked = planes.withColumn(
-        "plane_rank",
-        F.row_number().over(Window.orderBy(F.asc("plane_id"))) - 1,
+
+    The planes collapse to ONE broadcast row holding the (plane_id-sorted)
+    plane array, and the sign pattern is a single per-row array fold —
+    bit i set iff dot(v, plane_i) >= 0, weights doubling through the fold
+    exactly as the old shiftleft(1, rank) weighted sum did. The previous
+    shape (explode ×n_planes -> groupBy(id) -> join back on id) paid two
+    exchanges and an n_planes-fold row blowup for what is a per-row
+    computation; this one adds zero exchanges to the caller's plan."""
+    planes_arr = planes.agg(F.sort_array(F.collect_list(
+        F.struct(F.col("plane_id").alias("pid"), F.col("plane"))
+    )).alias("_planes"))
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.aggregate(
+        F.col("_planes"),
+        F.struct(F.lit(0).cast("long").alias("b"),
+                 F.lit(1).cast("long").alias("w")),
+        lambda acc, p: F.struct(
+            (acc["b"] + F.when(_dot(v, p["plane"]) >= 0, acc["w"])
+             .otherwise(F.lit(0).cast("long"))).alias("b"),
+            (acc["w"] * F.lit(2)).alias("w"),
+        ),
+        lambda acc: acc["b"],
     )
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    return (
+        df.crossJoin(F.broadcast(planes_arr))
+        .withColumn("bucket", bucket)
+        .drop("_planes")
     )
-    signs = (
-        v.crossJoin(F.broadcast(planes_ranked))
-        .withColumn("_weight", F.expr("shiftleft(1, plane_rank)"))
-        .withColumn("bit",
-                    F.when(_dot(F.col("v"), F.col("plane")) >= 0,
-                           F.col("_weight")).otherwise(F.lit(0)))
-        .groupBy("id")
-        .agg(F.sum("bit").alias("bucket"))
-    )
-    return df.join(signs.withColumnRenamed("id", id_col), id_col)
 
 
 def lsh_topk(
@@ -126,16 +154,17 @@ def lsh_topk(
     """ANN top-k: bucket corpus+queries by hyperplane signs, probe the own
     bucket (+ Hamming-1 neighbor buckets when multiprobe), rank by cosine."""
     planes = data_hyperplanes(corpus, n_planes, id_col, vec_col)
+    corpus = spread_scan(corpus)  # bucket+score folds are per-row CPU
     cb = hyperplane_bucket(corpus, planes, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.col("bucket").alias("cbucket"),
-    )
+    ).withColumn("cnorm", _norm(F.col("cv")))
     qb = hyperplane_bucket(queries, planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.col("bucket").alias("qbucket"),
-    )
+    ).withColumn("qnorm", _norm(F.col("qv")))
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
@@ -147,9 +176,16 @@ def lsh_topk(
     cand = qb.join(cb, qb.probe == cb.cbucket).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv"))).select(
-        "query_id", "neighbor_id", "cosine"
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    # no dropDuplicates: a (query, neighbor) pair can match at most once —
+    # the probe values [q, q^1, q^2, ..., q^2^(n-1)] are pairwise distinct
+    # and every neighbor lives in exactly one bucket, so the dedup was a
+    # no-op paying a full extra exchange of the candidate set. Norms are
+    # per-row columns (same reasoning as brute_force_topk).
+    scored = cand.withColumn(
+        "cosine",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("qnorm") * F.col("cnorm"))).cast("double"),
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -180,24 +216,30 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                nprobe: int = 1) -> DataFrame:
     """Adds ``bucket`` = the centroid_id(s) with highest cosine; nprobe > 1
-    emits one row per probed bucket (query-side multiprobe). Broadcast join
-    + window rank — no shuffle of the big side beyond the rank."""
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    emits one row per probed bucket (query-side multiprobe).
+
+    The centroid table collapses to ONE broadcast row holding the sorted
+    centroid array; the top-nprobe pick is a per-row sort of n_centroids
+    (negated-cosine, centroid_id) structs — ascending struct order ==
+    (cosine DESC, centroid_id ASC), the window's exact ordering. The
+    previous shape exploded every row ×n_centroids, ran a corpus-wide
+    window (full shuffle + sort on 8N rows) and joined the buckets BACK
+    onto the corpus (second shuffle); this one adds zero exchanges."""
+    cents_arr = centroids.agg(F.sort_array(F.collect_list(
+        F.struct(F.col("centroid_id").alias("cid"), F.col("centroid"))
+    )).alias("_cents"))
+    v = F.col(vec_col).cast("array<double>")
+    affs = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct((-cosine(v, c["centroid"])).alias("nca"),
+                           c["cid"].alias("cid")),
     )
-    scored = (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("caff", cosine(F.col("v"), F.col("centroid")))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("caff"), F.asc("centroid_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w)).where(
-        F.col("crank") <= nprobe
-    )
-    return df.join(
-        ranked.select(F.col("id").alias(id_col),
-                      F.col("centroid_id").alias("bucket")),
-        id_col,
+    picks = F.slice(F.sort_array(affs), 1, nprobe)
+    return (
+        df.crossJoin(F.broadcast(cents_arr))
+        .withColumn("bucket",
+                    F.explode(F.transform(picks, lambda p: p["cid"])))
+        .drop("_cents")
     )
 
 
@@ -216,24 +258,29 @@ def ivf_topk(
     candidate set shrinks ~n_centroids/nprobe-fold, and everything is
     native (broadcast centroid join, window rank, zip_with dot)."""
     cents = data_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus = spread_scan(corpus)  # assignment+score folds are per-row CPU
     cb = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
-    )
+    ).withColumn("cnorm", _norm(F.col("cv")))
     qb = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         "bucket",
-    )
+    ).withColumn("qnorm", _norm(F.col("qv")))
     cand = qb.join(cb, "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = (
-        cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
-        .select("query_id", "neighbor_id", "cosine")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # no dropDuplicates: each corpus row lives in exactly one bucket
+    # (nprobe=1 assignment) and a query's probed buckets are distinct, so
+    # (query, neighbor) pairs are already unique — the dedup was a no-op
+    # paying a full exchange. Norms precomputed per row, not per pair.
+    scored = cand.withColumn(
+        "cosine",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("qnorm") * F.col("cnorm"))).cast("double"),
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -52,6 +52,45 @@ def get_spark(
     return b.getOrCreate()
 
 
+def spread_scan(df, bytes_per_task: int = 256 * 1024,
+                max_parallelism: int | None = None):
+    """Repartition a scan whose physical layout under-feeds the CPU-bound
+    stage it drives (optimization guide §2.5, "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Single-ROW-GROUP parquet is the unsplittable case that actually bites
+    this engine: Spark plans splits by byte range but assigns each row
+    group to the split holding its midpoint, so a 50k-row table written as
+    one row group feeds exactly ONE task no matter what
+    maxPartitionBytes says — and every per-row-expensive stage downstream
+    (mapInPandas kernels, HOF cosine folds, tokenize+explode chains) runs
+    on one core.
+
+    Target = min(cores, size_bytes / bytes_per_task), from Catalyst's own
+    file-scan statistics (one JVM call, no job): tiny frames keep their
+    single partition instead of paying a 32-way shuffle, mid-size tables
+    spread proportionally, and inputs that already carry enough partitions
+    are returned unchanged. Non-file-backed plans (huge/sentinel
+    estimates) fall back to the actual pre-AQE partition count."""
+    spark = df.sparkSession
+    cores = max_parallelism or spark.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size_bytes = None
+    if size_bytes is not None and size_bytes < (1 << 60):
+        target = min(cores, max(1, size_bytes // bytes_per_task))
+    else:
+        target = cores
+    if target <= 1:
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def local_df(spark: SparkSession, rows: list, ddl: str):
     """Small driver-side literal tables via the Arrow fast path.
 
