@@ -318,7 +318,11 @@ def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.operators.textstats import fuzzy_term_pairs
     from crawl4ai_custom_spark.operators.urlops import stable_hash60
 
-    docs = _t(spark, sf_dir, "documents")
+    from crawl4ai_custom_spark.session import spread_scan
+
+    # the full-corpus tokenize+explode is the expensive stage and the
+    # single-row-group documents file otherwise feeds it one task
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     words = docs.select(F.explode(F.split(
         F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
     )).alias("term"))
@@ -1327,8 +1331,10 @@ def q_ucb_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fetches"),
              F.round(F.sum("value"), 6).alias("reward_sum"))
     )
-    fresh = spark.createDataFrame(
-        [("new-a",), ("new-b",), ("new-c",)], ["host"]
+    from crawl4ai_custom_spark.session import local_df
+
+    fresh = local_df(
+        spark, [("new-a",), ("new-b",), ("new-c",)], "host string"
     ).select("host", F.lit(None).cast("long").alias("n_fetches"),
              F.lit(None).cast("double").alias("reward_sum"))
     out = ucb_host_allocation(hist.unionByName(fresh), k=15, c=1.0)
@@ -2457,9 +2463,9 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url_canon"),
         F.concat(F.col("source"), F.lit(".com")).alias("registrable_domain"),
     )
-    blocked = spark.createDataFrame(
-        [("src3.com",), ("src7.com",)], ["domain"]
-    )
+    from crawl4ai_custom_spark.session import local_df
+
+    blocked = local_df(spark, [("src3.com",), ("src7.com",)], "domain string")
     out = url_blocklist_flags(
         urls, blocked, keywords=["casino", "poker"], kw_threshold=2
     )
@@ -8532,8 +8538,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary size, token count, singleton fraction, least-squares
     ln-ln slope + intercept)."""
     from crawl4ai_custom_spark.operators.textstats import zipf_slope
+    from crawl4ai_custom_spark.session import spread_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # full-corpus tokenize: spread the single-row-group scan
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     out = zipf_slope(docs.select("text"))
     return out.select(
         F.col("vocab_size").cast("bigint").alias("vocab_size"),

@@ -93,8 +93,10 @@ _MERGE_SCHEMA = StructType([
 
 
 def _merge_table(spark, merges: list) -> DataFrame:
-    return spark.createDataFrame(
-        [(r, l, rt, l + rt) for r, l, rt in merges], _MERGE_SCHEMA
+    from ..session import local_df
+
+    return local_df(
+        spark, [(r, l, rt, l + rt) for r, l, rt in merges], _MERGE_SCHEMA
     )
 
 
@@ -569,9 +571,11 @@ def train_wordpiece(docs: DataFrame, n_merges: int, text_col: str = "text",
                 w: (_wp_merge_once(left, right, syms), n)
                 for w, (syms, n) in words.items()
             }
-        return spark.createDataFrame(
-            [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
-             for r, l, rt in merges], _MERGE_SCHEMA)
+        from ..session import local_df
+
+        return local_df(
+            spark, [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
+                    for r, l, rt in merges], _MERGE_SCHEMA)
 
     for r in range(n_merges):
         pairs = vocab.select(
@@ -617,9 +621,11 @@ def train_wordpiece(docs: DataFrame, n_merges: int, text_col: str = "text",
         nxt.write.mode("overwrite").parquet(path)
         vocab = spark.read.parquet(path)
 
-    return spark.createDataFrame(
-        [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
-         for r, l, rt in merges], _MERGE_SCHEMA)
+    from ..session import local_df
+
+    return local_df(
+        spark, [(r, l, rt, l + (rt[2:] if rt.startswith("##") else rt))
+                for r, l, rt in merges], _MERGE_SCHEMA)
 
 
 def wordpiece_segment(tokens: DataFrame, pieces: DataFrame,

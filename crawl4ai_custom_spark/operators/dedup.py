@@ -1073,14 +1073,14 @@ def cluster_pairs(
         )
         .distinct()
     )
-    # materialize edges once: every round joins against this scan
-    edges_path = os.path.join(ckpt, "edges")
-    edges.write.mode("overwrite").parquet(edges_path)
-    edges = spark.read.parquet(edges_path)
 
-    # row count comes from parquet footers (no data scan)
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
+    # size-gated probe: ONE incremental limit-collect decides the path
+    # (CollectLimit short-circuits, so a 10^10-edge graph only computes
+    # enough partitions to overflow the gate). The old shape paid a
+    # parquet write + re-read + count + full collect before the
+    # union-find could start — three extra jobs on the common small path.
+    sample = edges.limit(driver_max_edges + 1).collect()
+    if len(sample) <= driver_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -1091,7 +1091,7 @@ def cluster_pairs(
                 parent[x], x = r, parent[x]
             return r
 
-        for src, dst in edges.collect():
+        for src, dst in sample:
             parent.setdefault(src, src)
             parent.setdefault(dst, dst)
             ra, rb = find(src), find(dst)
@@ -1099,12 +1099,21 @@ def cluster_pairs(
                 parent[max(ra, rb)] = min(ra, rb)
         from pyspark.sql.types import StructField, StructType
 
+        from ..session import local_df
+
         rows = [(x, find(x)) for x in parent]
         out_schema = StructType([
             StructField("id", edges.schema["src"].dataType),
             StructField("cluster_id", edges.schema["src"].dataType),
         ])
-        return spark.createDataFrame(rows, out_schema)
+        # Arrow local-relation path: plain createDataFrame(list) spins a
+        # parallelize + Python-worker stage for a handful of rows
+        return local_df(spark, rows, out_schema)
+
+    # big path: materialize edges once — every round joins against this scan
+    edges_path = os.path.join(ckpt, "edges")
+    edges.write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
 
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")

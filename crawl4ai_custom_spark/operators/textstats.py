@@ -1141,8 +1141,11 @@ def ql_dirichlet_from_index(
         )
     q_len = float(sum(qtf.values()))
     spark = postings.sparkSession
-    qdf = spark.createDataFrame(
-        [(t, float(n)) for t, n in sorted(qtf.items())], ["term", "qtf"])
+    from ..session import local_df
+
+    qdf = local_df(
+        spark, [(t, float(n)) for t, n in sorted(qtf.items())],
+        "term string, qtf double")
     if doclens is None:
         doclens = doc_lengths(postings, id_col)
     corpus = dictionary.agg(
@@ -1943,8 +1946,10 @@ def blocklist_scan_join(
         (t, t.split(" ")[0], t.split(" "), len(t.split(" ")))
         for t in sorted(set(terms))
     ]
-    dictionary = spark.createDataFrame(
-        dict_rows, "term string, first_tok string, "
+    from ..session import local_df
+
+    dictionary = local_df(
+        spark, dict_rows, "term string, first_tok string, "
         "term_toks array<string>, term_len int")
     did = F.col(id_col)
     toks = F.filter(
