@@ -960,6 +960,10 @@ def coreness(edges: DataFrame, max_rounds: int = 30,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     converged = False
+    prev_sum = None  # degree sum is computed lazily on the first round's
+    # materialized output; None just means "round 0 cannot prove
+    # convergence by sum" — a fixpoint-at-init graph converges one round
+    # later than the old join-count did, with identical results
     for it in range(max_rounds):
         nbr_est = adj.join(
             est.select(F.col("node").alias("nbr"), F.col("est")), "nbr"
@@ -977,8 +981,14 @@ def coreness(edges: DataFrame, max_rounds: int = 30,
             new_est = spark.read.parquet(out)
         else:
             new_est = new_est.localCheckpoint(eager=True)
-        changed = est.join(new_est.withColumnRenamed("est", "new"), "node") \
-            .where(F.col("est") != F.col("new")).count()
+        # convergence via the estimate SUM: the h-index iteration is
+        # pointwise non-increasing over a fixed node set (Lü et al.), so
+        # "no node changed" == "sum unchanged" — one cheap aggregate over
+        # the just-materialized round instead of the old est⋈new_est
+        # join + count (two extra shuffles per round)
+        new_sum = new_est.agg(F.sum("est")).collect()[0][0]
+        changed = 1 if (prev_sum is None or new_sum != prev_sum) else 0
+        prev_sum = new_sum
         est = new_est
         if changed == 0:
             converged = True
