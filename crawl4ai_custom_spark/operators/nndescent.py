@@ -139,6 +139,95 @@ def nn_descent_round(
     )
 
 
+def _fold_dot(a: list, b: list) -> float:
+    # same left-fold order as similarity._dot's aggregate -> bit-identical
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _fold_norm(a: list) -> float:
+    import math
+
+    s = 0.0
+    for x in a:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _desc_key(c: float, tie) -> tuple:
+    # Spark DESC double ordering treats NaN as largest (first); ties break
+    # ascending on the id
+    import math
+
+    return (0, 0.0, tie) if math.isnan(c) else (1, -c, tie)
+
+
+def _local_knn_graph(vecs: dict, k: int, rounds: int, n_planes: int) -> list:
+    """Driver twin of knn_graph_init + nn_descent rounds over a collected
+    {id: vector} map. Every float op replays the distributed expressions'
+    exact evaluation order (left-fold dot/norm, dot/(n1*n2)), and every
+    top-k uses (cosine DESC, id ASC), so the result is bit-identical to
+    the Spark dataflow — asserted by
+    test_nndescent.test_driver_path_matches_distributed."""
+    ids = sorted(vecs)
+    norms = {i: _fold_norm(vecs[i]) for i in ids}
+
+    def cos(a, b):
+        return _fold_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+
+    # --- lsh_topk(corpus, corpus, multiprobe=True) seed graph
+    planes = [vecs[i] for i in ids[:n_planes]]
+    bucket = {}
+    for i in ids:
+        b, w = 0, 1
+        for p in planes:
+            if _fold_dot(vecs[i], p) >= 0:
+                b += w
+            w *= 2
+        bucket[i] = b
+    by_bucket: dict = {}
+    for i in ids:
+        by_bucket.setdefault(bucket[i], []).append(i)
+    edges: dict = {}
+    for q in ids:
+        probes = [bucket[q]] + [bucket[q] ^ (1 << j) for j in range(n_planes)]
+        cands = [n for p in probes for n in by_bucket.get(p, []) if n != q]
+        scored = sorted(((cos(q, n), n) for n in cands),
+                        key=lambda x: _desc_key(x[0], x[1]))
+        edges[q] = [n for _c, n in scored[:k]]
+
+    # --- nn_descent rounds: symmetrize, local join, exact re-select
+    for _ in range(rounds):
+        und: set = set()
+        for i, nbrs in edges.items():
+            for n in nbrs:
+                und.add((i, n))
+                und.add((n, i))
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+        cand: dict = {i: set(nbrs) for i, nbrs in edges.items()}
+        for via, nbrs in adj.items():
+            for x in nbrs:
+                for y in nbrs:
+                    if x != y:
+                        cand.setdefault(x, set()).add(y)
+        edges = {}
+        for i, cs in cand.items():
+            scored = sorted(((cos(i, n), n) for n in cs),
+                            key=lambda x: _desc_key(x[0], x[1]))
+            edges[i] = [n for _c, n in scored[:k]]
+    out = []
+    for i in sorted(edges):
+        scored = sorted(((cos(i, n), n) for n in edges[i]),
+                        key=lambda x: _desc_key(x[0], x[1]))
+        for rank, (c, n) in enumerate(scored, 1):
+            out.append((i, n, c, rank))
+    return out
+
+
 def nn_descent(
     corpus: DataFrame,
     k: int = 5,
@@ -147,6 +236,7 @@ def nn_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    driver_max_vectors: int = 256,
 ) -> DataFrame:
     """k-NN graph by NN-Descent: LSH-seeded init + ``rounds`` fixed local
     joins. Returns (id, nbr, cosine, rank) — rank 1..k per node.
@@ -156,7 +246,26 @@ def nn_descent(
     for a long 10^8-vector build); unset, rounds localCheckpoint instead.
     Truncation is NOT optional here: a round references the prior graph
     ~5x (symmetrize 2x + local join 2x + carry), so lazy lineage grows
-    5^rounds — measured 14.5 s -> ~3 s at 2 rounds / 200 vectors."""
+    5^rounds — measured 14.5 s -> ~3 s at 2 rounds / 200 vectors.
+
+    ``driver_max_vectors``: corpora at or below this size (and without a
+    checkpoint_dir, which signals a durable at-scale build) run the
+    bit-identical driver twin (:func:`_local_knn_graph`) instead of
+    ~10 exchange-heavy Spark jobs — the cluster_pairs small-input
+    convention. The probe is an incremental limit-collect; 0 disables."""
+    if checkpoint_dir is None and driver_max_vectors > 0:
+        rows = corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        ).limit(driver_max_vectors + 1).collect()
+        if len(rows) <= driver_max_vectors:
+            from ..session import local_df
+
+            idt = corpus.select(F.col(id_col)).schema[0].dataType.simpleString()
+            out = _local_knn_graph({r[0]: list(r[1]) for r in rows},
+                                   k, rounds, n_planes)
+            return local_df(
+                corpus.sparkSession, out,
+                f"id {idt}, nbr {idt}, cosine double, rank int")
     vectors = _vectors(corpus, id_col, vec_col)
     # keep the seed's cosine so rounds=0 returns the ranked LSH seed
     # graph instead of failing to resolve the column
@@ -173,6 +282,43 @@ def nn_descent(
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
     return g.withColumn("rank", F.row_number().over(w)).select(
         "id", "nbr", F.col("cosine").cast("double").alias("cosine"), "rank")
+
+
+def _local_graph_ann(vecs: dict, graph_rows: list, qvecs: dict,
+                     entries: list, k: int, beam: int, rounds: int) -> list:
+    """Driver twin of graph_ann_search's synchronized beam loop — same
+    float evaluation order (left-fold dot, dot/(qnorm*vnorm)) and the
+    same (cosine DESC, node ASC) beam/top-k orderings as the distributed
+    dataflow, so results are bit-identical."""
+    norms = {i: _fold_norm(v) for i, v in vecs.items()}
+    qnorms = {q: _fold_norm(v) for q, v in qvecs.items()}
+    adj: dict = {}
+    for nid, nbr in graph_rows:
+        adj.setdefault(nid, []).append(nbr)
+
+    def cos(q, n):
+        return _fold_dot(qvecs[q], vecs[n]) / (qnorms[q] * norms[n])
+
+    state = {q: set(entries) for q in qvecs}
+    for _ in range(rounds):
+        new_state = {}
+        for q, nodes in state.items():
+            expanded = set(nodes)
+            for node in nodes:
+                expanded.update(adj.get(node, ()))
+            scored = sorted(((cos(q, n), n) for n in expanded
+                             if n != q and n in vecs),
+                            key=lambda x: _desc_key(x[0], x[1]))
+            new_state[q] = {n for _c, n in scored[:beam]}
+        state = new_state
+    out = []
+    for q in sorted(qvecs):
+        scored = sorted(((cos(q, n), n) for n in state.get(q, ())
+                         if n in vecs),
+                        key=lambda x: _desc_key(x[0], x[1]))
+        for rank, (c, n) in enumerate(scored[:k], 1):
+            out.append((q, n, c, rank))
+    return out
 
 
 def graph_entry_points(corpus: DataFrame, n_entry: int = 4,
@@ -194,6 +340,7 @@ def graph_ann_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     entry_points: DataFrame | None = None,
+    driver_max_vectors: int = 256,
 ) -> DataFrame:
     """ANN top-k over a built k-NN ``graph(id, nbr)``: every query starts
     at the shared entry points; each round expands the current beam's
@@ -218,7 +365,40 @@ def graph_ann_search(
     DataFrame, e.g. one member per IVF centroid
     (``similarity.data_centroids`` / ``ivf_assign``) — instead of relying
     on id order; the same repair HNSW's upper layers / NSW's long links
-    provide. When given, ``n_entry`` is ignored."""
+    provide. When given, ``n_entry`` is ignored.
+
+    Small inputs (corpus fits ``driver_max_vectors``, default 256, and the
+    graph collects under the matching edge bound) run a bit-identical
+    driver twin of the synchronized beam loop instead of
+    rounds x (union+distinct+2 joins+window+localCheckpoint) Spark jobs —
+    the cluster_pairs small-input convention; the distributed path is
+    unchanged and exercised by test_driver_path_matches_distributed."""
+    crows = (corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).limit(driver_max_vectors + 1).collect()
+        if driver_max_vectors > 0 else [None] * (driver_max_vectors + 1))
+    if len(crows) <= driver_max_vectors:
+        gmax = driver_max_vectors * max(k, 16)
+        grows = graph.select("id", "nbr").limit(gmax + 1).collect()
+        if len(grows) <= gmax:
+            from ..session import local_df
+
+            qrows = queries.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>")
+            ).collect()
+            if entry_points is None:
+                ids_sorted = sorted(r[0] for r in crows)
+                entries = ids_sorted[:n_entry]
+            else:
+                entries = [r[0] for r in entry_points.select("node").collect()]
+            vecs = {r[0]: list(r[1]) for r in crows}
+            qvecs = {r[0]: list(r[1]) for r in qrows}
+            out = _local_graph_ann(vecs, grows, qvecs, entries,
+                                   k, beam, rounds)
+            idt = corpus.select(F.col(id_col)).schema[0].dataType.simpleString()
+            return local_df(
+                corpus.sparkSession, out,
+                f"query_id {idt}, neighbor_id {idt}, cosine double, rank int")
     vectors = _vectors(corpus, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),

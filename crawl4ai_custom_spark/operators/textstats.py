@@ -1694,53 +1694,84 @@ def textrank_keywords(
         raise ValueError("iterations must be >= 1")
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
-    arr = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-        lambda t: F.length(t) >= min_len,
+    # Per-doc graphs are inherently tiny (bounded by doc length), so the
+    # whole pipeline — tokenize, co-occurrence graph, power iterations,
+    # top-k — runs per document inside ONE Arrow stage (guide §4.2): the
+    # corpus dimension distributes across tasks and NOTHING shuffles.
+    # The previous corpus-wide dataflow paid ~15 Exchanges (explode +
+    # per-iteration join/groupBy over (id, token)) for graphs that never
+    # needed cross-document data movement. Numerics are identical: same
+    # (rank*w)/out_s evaluation order per contribution, and the +1e-12
+    # HALF_UP rounding before ranking absorbs summation-order noise
+    # exactly as it already did between Spark and the DuckDB oracle.
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
     )
-    toks = docs.select(F.col(id_col).alias("id"), arr.alias("l")).select(
-        "id", "l", F.posexplode("l").alias("pos", "src"))
-    # slice is 1-based: window [pos-w, pos+w] minus the center itself
-    lo = F.greatest(F.col("pos") - window + 1, F.lit(1))
-    ctx = F.filter(
-        F.slice("l", lo, F.col("pos") + 1 + window - lo + 1),
-        lambda _, i: lo + i != F.col("pos") + 1,
-    )
-    edges = (
-        toks.select("id", "src", F.explode(ctx).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("id", "src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    outs = edges.groupBy("id", "src").agg(F.sum("w").alias("out_s"))
-    nodes = toks.select("id", F.col("src").alias("token")).distinct()
-    nodes_n = nodes.join(
-        nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
-    ranks = nodes_n.select(
-        "id", "token", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
-    for _ in range(iterations):
-        contribs = (
-            edges
-            .join(ranks.select("id", F.col("token").alias("src"), "rank"),
-                  ["id", "src"])
-            .join(outs, ["id", "src"])
-            .select("id", F.col("dst").alias("token"),
-                    (F.col("rank") * F.col("w") / F.col("out_s")).alias("c"))
-        )
-        sums = contribs.groupBy("id", "token").agg(F.sum("c").alias("s"))
-        ranks = nodes_n.join(sums, ["id", "token"], "left").select(
-            "id", "token",
-            ((1.0 - damping) / F.col("n")
-             + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
-            "n",
-        )
-    rounded = F.round(F.col("rank") + 1e-12, round_to)
-    w_rn = Window.partitionBy("id").orderBy(rounded.desc(), F.col("token"))
-    return (
-        ranks.withColumn("rn", F.row_number().over(w_rn))
-        .where(F.col("rn") <= top_k)
-        .select("id", "token", rounded.alias("rank"), "rn")
-    )
+
+    out_schema = StructType([
+        StructField("id", docs.schema[id_col].dataType),
+        StructField("token", StringType()),
+        StructField("rank", DoubleType()),
+        StructField("rn", IntegerType()),
+    ])
+    src = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+
+    def fn(batches):
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        split_pat = re.compile(r"[^a-z0-9]+")
+        quantum = Decimal(1).scaleb(-round_to)
+
+        def rnd(x: float) -> float:
+            # F.round HALF_UP on the double's shortest decimal repr
+            return float(Decimal(repr(x + 1e-12))
+                         .quantize(quantum, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            out = {"id": [], "token": [], "rank": [], "rn": []}
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = [t for t in split_pat.split(text.lower())
+                        if len(t) >= min_len]
+                if not toks:
+                    continue
+                n_pos = len(toks)
+                w: dict = {}
+                for p, s in enumerate(toks):
+                    for q in range(max(p - window, 0),
+                                   min(p + window, n_pos - 1) + 1):
+                        if q == p or toks[q] == s:
+                            continue
+                        key = (s, toks[q])
+                        w[key] = w.get(key, 0) + 1
+                nodes = sorted(set(toks))
+                n = len(nodes)
+                outs: dict = {}
+                for (s, _d), c in w.items():
+                    outs[s] = outs.get(s, 0) + c
+                rank = {t: 1.0 / n for t in nodes}
+                base = (1.0 - damping) / n
+                for _ in range(iterations):
+                    sums: dict = {}
+                    for (s, d), c in w.items():
+                        sums[d] = sums.get(d, 0.0) + rank[s] * c / outs[s]
+                    rank = {t: base + damping * sums.get(t, 0.0)
+                            for t in nodes}
+                ranked = sorted(((rnd(r), t) for t, r in rank.items()),
+                                key=lambda x: (-x[0], x[1]))
+                for i, (r, t) in enumerate(ranked[:top_k], 1):
+                    out["id"].append(did)
+                    out["token"].append(t)
+                    out["rank"].append(r)
+                    out["rn"].append(i)
+            yield pd.DataFrame(out, columns=["id", "token", "rank", "rn"])
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def textrank_sentences(
@@ -1783,74 +1814,98 @@ def textrank_sentences(
         raise ValueError("damping must be in (0, 1)")
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2 (ln(1) = 0 denominator)")
-    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\x01")
-    sents = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(marked, "\x01")).alias("sidx", "raw"),
-        )
-        .select("id", "sidx", F.trim("raw").alias("sentence"))
-        .where(F.length("sentence") > 0)
-        .withColumn(
-            "toks",
-            F.array_distinct(F.filter(
-                F.split(F.lower("sentence"), r"[^a-z0-9]+"),
-                lambda t: F.length(t) > 1,
-            )),
-        )
-        .withColumn("n_toks", F.size("toks"))
-        .where(F.col("n_toks") >= min_tokens)
+    # Same per-document Arrow-stage shape as textrank_keywords (see the
+    # note there): the sentence graph is doc-local by construction (no
+    # cross-doc pairs ever form), so the pairwise-overlap join, power
+    # iterations and ranking all run inside one mapInPandas — the old
+    # corpus-wide dataflow paid an inverted-index self-join plus three
+    # join+groupBy rounds in Exchanges for it. Spark-semantics details
+    # mirrored exactly: split after [.!?]+ASCII-whitespace, trim = strip
+    # of chars <= 0x20 is NOT what F.trim does — F.trim strips ONLY
+    # spaces (0x20), measured; length/order on code points.
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
     )
-    tok = sents.select("id", "sidx", "n_toks", F.explode("toks").alias("t"))
-    a = tok.select("id", F.col("sidx").alias("sa"),
-                   F.col("n_toks").alias("na"), "t")
-    b = tok.select("id", F.col("sidx").alias("sb"),
-                   F.col("n_toks").alias("nb"), "t")
-    half = (
-        a.join(b, ["id", "t"])
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("id", "sa", "sb", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .select(
-            "id", "sa", "sb",
-            (F.col("common")
-             / (F.log(F.col("na").cast("double"))
-                + F.log(F.col("nb").cast("double")))).alias("w"),
-        )
-    )
-    edges = half.select("id", F.col("sa").alias("src"),
-                        F.col("sb").alias("dst"), "w").unionByName(
-        half.select("id", F.col("sb").alias("src"),
-                    F.col("sa").alias("dst"), "w"))
-    outs = edges.groupBy("id", "src").agg(F.sum("w").alias("out_s"))
-    nodes = sents.select("id", "sidx", "sentence")
-    nodes_n = nodes.join(
-        nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
-    ranks = nodes_n.select(
-        "id", "sidx", (F.lit(1.0) / F.col("n")).alias("rank"))
-    for _ in range(iterations):
-        contribs = (
-            edges
-            .join(ranks.select("id", F.col("sidx").alias("src"), "rank"),
-                  ["id", "src"])
-            .join(outs, ["id", "src"])
-            .select("id", F.col("dst").alias("sidx"),
-                    (F.col("rank") * F.col("w") / F.col("out_s")).alias("c"))
-        )
-        sums = contribs.groupBy("id", "sidx").agg(F.sum("c").alias("s"))
-        ranks = nodes_n.join(sums, ["id", "sidx"], "left").select(
-            "id", "sidx",
-            ((1.0 - damping) / F.col("n")
-             + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
-        )
-    rounded = F.round(F.col("rank") + 1e-12, round_to)
-    w_rn = Window.partitionBy("id").orderBy(rounded.desc(), F.col("sidx"))
-    return (
-        ranks.join(nodes, ["id", "sidx"])
-        .withColumn("rn", F.row_number().over(w_rn))
-        .where(F.col("rn") <= top_k)
-        .select("id", "sidx", "sentence", rounded.alias("rank"), "rn")
-    )
+
+    out_schema = StructType([
+        StructField("id", docs.schema[id_col].dataType),
+        StructField("sidx", IntegerType()),
+        StructField("sentence", StringType()),
+        StructField("rank", DoubleType()),
+        StructField("rn", IntegerType()),
+    ])
+    src = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+
+    def fn(batches):
+        import math
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        mark_pat = re.compile(r"([.!?])\s+", re.ASCII)  # Java \s == ASCII
+        split_pat = re.compile(r"[^a-z0-9]+")
+        quantum = Decimal(1).scaleb(-round_to)
+
+        def rnd(x: float) -> float:
+            return float(Decimal(repr(x + 1e-12))
+                         .quantize(quantum, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            out = {"id": [], "sidx": [], "sentence": [], "rank": [],
+                   "rn": []}
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue
+                pieces = mark_pat.sub("\\1\x01", text).split("\x01")
+                sents = []  # (sidx, sentence, tokset)
+                for sidx, raw in enumerate(pieces):
+                    sentence = raw.strip(" ")  # F.trim strips 0x20 only
+                    if not sentence:
+                        continue
+                    tokset = {t for t in split_pat.split(sentence.lower())
+                              if len(t) > 1}
+                    if len(tokset) >= min_tokens:
+                        sents.append((sidx, sentence, tokset))
+                if not sents:
+                    continue
+                n = len(sents)
+                w: dict = {}
+                outs: dict = {}
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        common = len(sents[i][2] & sents[j][2])
+                        if common == 0:
+                            continue
+                        wt = common / (math.log(float(len(sents[i][2])))
+                                       + math.log(float(len(sents[j][2]))))
+                        w[(i, j)] = wt
+                        outs[i] = outs.get(i, 0.0) + wt
+                        outs[j] = outs.get(j, 0.0) + wt
+                rank = [1.0 / n] * n
+                base = (1.0 - damping) / n
+                for _ in range(iterations):
+                    sums = [0.0] * n
+                    for (i, j), wt in w.items():
+                        sums[j] += rank[i] * wt / outs[i]
+                        sums[i] += rank[j] * wt / outs[j]
+                    rank = [base + damping * s for s in sums]
+                ranked = sorted(
+                    ((rnd(rank[i]), sents[i][0], sents[i][1])
+                     for i in range(n)),
+                    key=lambda x: (-x[0], x[1]),
+                )
+                for rn, (r, sidx, sentence) in enumerate(ranked[:top_k], 1):
+                    out["id"].append(did)
+                    out["sidx"].append(sidx)
+                    out["sentence"].append(sentence)
+                    out["rank"].append(r)
+                    out["rn"].append(rn)
+            yield pd.DataFrame(
+                out, columns=["id", "sidx", "sentence", "rank", "rn"])
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def blocklist_scan(

@@ -214,3 +214,26 @@ def test_graph_ann_search_honors_explicit_entry_points(spark, clustered):
     assert r_spread >= 0.9, r_spread
     assert r_narrow < r_spread - 0.3, (r_narrow, r_spread)
     exact.unpersist(); graph.unpersist()
+
+
+def test_driver_path_matches_distributed(spark, clustered):
+    """The size-gated driver twins (_local_knn_graph / _local_graph_ann)
+    must be BIT-identical to the distributed dataflow: same left-fold
+    float order, same (cosine DESC, id ASC) orderings. Compares full row
+    sets including the unrounded cosine doubles."""
+    from crawl4ai_custom_spark.operators.nndescent import (
+        graph_ann_search, nn_descent)
+
+    fast = nn_descent(clustered, k=4, rounds=2, n_planes=4)
+    slow = nn_descent(clustered, k=4, rounds=2, n_planes=4,
+                      driver_max_vectors=0)
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
+
+    queries = clustered.where(F.col("vec_id") < 6)
+    g_fast = graph_ann_search(fast, clustered, queries, k=4, beam=8,
+                              rounds=2, n_entry=6)
+    g_slow = graph_ann_search(slow, clustered, queries, k=4, beam=8,
+                              rounds=2, n_entry=6, driver_max_vectors=0)
+    assert sorted(map(tuple, g_fast.collect())) == \
+        sorted(map(tuple, g_slow.collect()))
