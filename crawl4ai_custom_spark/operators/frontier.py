@@ -537,11 +537,16 @@ class FrontierEngine:
         # would copy the entire web once per crawl — the uniqueness probe
         # below scans only the url column (column-pruned, no html IO).
         if not getattr(self, "_pages_materialized", False):
-            probe = self._pages_input.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("url").alias("d"),
-            ).first()
-            if probe["n"] == probe["d"]:
+            # "unique by url?" probed as existence-of-any-dup-group: the
+            # partial agg + limit-1 short-circuits, where the previous
+            # count+countDistinct pair paid an Expand + two full
+            # aggregation phases for two exact numbers nobody needed
+            unique = (
+                self._pages_input.groupBy("url")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1).isEmpty()
+            )
+            if unique:
                 self.pages = self._pages_input.select(*self._page_cols)
             else:
                 self.pages = self._materialize(
@@ -998,9 +1003,26 @@ class FrontierEngine:
                     # verdict was computed at delta-write time (robots_mark
                     # above): the frontier gate is now a stored-column filter
                     delta = delta.where(F.col("robots_allowed"))
-                leftover = frontier.join(
-                    admitted.select("url_canon"), "url_canon", "left_anti"
+                # the lazy next_frontier executes TWICE (async commit + the
+                # next wave's admission), so every branch pruned here is
+                # pruned from two plans. Both prunes are count-proven:
+                #   - admitted ⊆ frontier and n_admitted == n_frontier means
+                #     the anti-join leftover is empty (the common BFS case —
+                #     the whole frontier admits every wave);
+                #   - zero transient statuses in the results delta (footer-
+                #     only column tally) means the retry semi-join is empty.
+                n_transient = (
+                    sum(_parquet_count_eq(results_path, "status_code", s,
+                                          fallback=results)
+                        for s in RETRY_STATUSES)
+                    if cfg.politeness.max_retries > 0 else 0
                 )
+                if n_frontier >= 0 and n_admitted == n_frontier:
+                    leftover = frontier.limit(0)
+                else:
+                    leftover = frontier.join(
+                        admitted.select("url_canon"), "url_canon", "left_anti"
+                    )
                 next_frontier = leftover.select(*frontier_cols).unionByName(
                     delta.select(*frontier_cols)
                 )
@@ -1008,7 +1030,7 @@ class FrontierEngine:
                 # transient statuses re-enter the frontier with retry_count+1
                 # until max_retries; the backoff fold below shrinks their
                 # domain's next-wave budget at the same time
-                if cfg.politeness.max_retries > 0:
+                if cfg.politeness.max_retries > 0 and n_transient > 0:
                     transient = results.where(
                         F.col("status_code").isin(*RETRY_STATUSES)
                     ).select(F.col("url").alias("url_canon"))
@@ -1019,15 +1041,6 @@ class FrontierEngine:
                         .withColumn("retry_count", F.col("retry_count") + 1)
                     )
                     next_frontier = next_frontier.unionByName(retries)
-                # driver-side upper bound on |next frontier| from footer-only
-                # tallies: lets the next loop iteration prove emptiness and
-                # break WITHOUT waiting for the async commit or running a job
-                n_transient = (
-                    sum(_parquet_count_eq(results_path, "status_code", s,
-                                          fallback=results)
-                        for s in RETRY_STATUSES)
-                    if cfg.politeness.max_retries > 0 else 0
-                )
                 next_frontier_upper = (
                     max(0, n_frontier - n_admitted) + n_new + n_transient
                 )
