@@ -161,6 +161,79 @@ def save_band_index_bucketed(bands_df: DataFrame, table: str,
     w.bucketBy(buckets, "band_hash").sortBy("band_hash").saveAsTable(table)
 
 
+def _local_shingle_hashes(text: str | None, k: int) -> set:
+    """Driver twin of shingle_table for one document: same trim(0x20)/
+    lower/ASCII-\\s collapse, same ' '.join(k-token windows) incl. the
+    short-text single-shingle case, same md5-60-bit hash, set = distinct."""
+    import hashlib
+    import re
+
+    if text is None:
+        return set()
+    norm = re.sub(r"\s+", " ", text.strip(" ").lower(), flags=re.ASCII)
+    toks = norm.split(" ")
+    n = len(toks)
+    out = set()
+    for i in range(max(n - k, 0) + 1):
+        sh = " ".join(toks[i:i + k])
+        if sh:
+            out.add(int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16))
+    return out
+
+
+def _local_minhash_sigs(shingles: dict, num_hashes: int, seed: int) -> dict:
+    """{id: shingle-hash set} -> {id: signature list} — exact integer
+    M31 affine minhash, bit-identical to minhash_signatures."""
+    params = minhash_params(num_hashes, seed)
+    return {
+        i: [min((h % MERSENNE31 * a + b) % MERSENNE31 for h in hs)
+            for a, b in params]
+        for i, hs in shingles.items() if hs
+    }
+
+
+def _local_band_hashes(sig: list, bands: int, num_hashes: int) -> list:
+    import hashlib
+
+    r = num_hashes // bands
+    out = []
+    for b in range(bands):
+        key = ",".join(str(sig[b * r + ri]) for ri in range(r))
+        out.append(int(hashlib.md5(f"{b}:{key}".encode("utf-8"))
+                       .hexdigest()[:15], 16))
+    return out
+
+
+def _local_minhash_pairs(texts: dict, k: int, num_hashes: int, seed: int,
+                         bands: int, threshold: float) -> list:
+    """Driver twin of the whole minhash_lsh_dedup pipeline over a
+    collected {id: text} map: shingle -> signature -> band collision ->
+    exact-Jaccard verify. Everything up to the final division is integer
+    arithmetic shared verbatim with the dataflow, so results are
+    bit-identical (asserted by test_minhash_driver_path_matches)."""
+    shingles = {i: _local_shingle_hashes(t, k) for i, t in texts.items()}
+    sigs = _local_minhash_sigs(shingles, num_hashes, seed)
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for bh in _local_band_hashes(sig, bands, num_hashes):
+            buckets.setdefault(bh, []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((ids[x], ids[y]))
+    out = []
+    for a, b in sorted(cands):
+        inter = len(shingles[a] & shingles[b])
+        if inter == 0:  # pairs with no overlap drop out of the inner join
+            continue
+        j = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, *,
                         num_hashes: int) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
@@ -208,6 +281,38 @@ def lsh_plan_stats(signatures: DataFrame, band_configs: list[int], *,
     at corpus scale. Each config re-derives ``signatures`` lineage —
     pass a materialized signature table (the store) when planning over
     more than a trivial corpus."""
+    # small-input driver twin: per config the dataflow pays an explode +
+    # two aggregation phases; a signature table that fits the probe
+    # computes the same integer histogram locally (band hashing shared
+    # with _local_band_hashes — bit-identical)
+    driver_max_sigs = 256
+    srows = signatures.select("id", "sig").limit(driver_max_sigs + 1).collect()
+    if len(srows) <= driver_max_sigs:
+        from ..session import local_df
+
+        rows_out = []
+        for b in band_configs:
+            if num_hashes % b:
+                raise ValueError(
+                    f"bands ({b}) must divide num_hashes ({num_hashes})")
+            r = num_hashes // b
+            thr = (1.0 / b) ** (1.0 / r)
+            hist: dict = {}
+            for row in srows:
+                for bh in _local_band_hashes(list(row[1]), b, num_hashes):
+                    hist[bh] = hist.get(bh, 0) + 1
+            ns = list(hist.values())
+            rows_out.append((
+                b, r, thr, len(ns),
+                sum(1 for n in ns if n > 1) if ns else None,
+                max(ns) if ns else None,
+                sum(n * (n - 1) for n in ns) // 2 if ns else None,
+            ))
+        return local_df(
+            signatures.sparkSession, rows_out,
+            "bands int, rows_per_band int, threshold_jaccard double, "
+            "n_buckets bigint, n_colliding_buckets bigint, "
+            "max_bucket bigint, pred_candidate_rows bigint")
     outs = []
     for b in band_configs:
         if num_hashes % b:
@@ -293,6 +398,28 @@ def minhash_lsh_dedup(
     scale, so ``persist_shingles=True`` is the right call for corpora
     beyond ~10^5 docs (and at 10^8+ the shingle table belongs in parquet,
     not the MEMORY cache — materialize it yourself and pass it in)."""
+    if not persist_shingles:
+        # small-corpus driver twin (the cluster_pairs convention): the
+        # six-branch shingle/signature/band/verify dataflow costs ~10
+        # exchanges regardless of size, so corpora that fit the probe run
+        # the bit-identical integer pipeline locally. persist_shingles
+        # signals an at-scale caller -> always distributed.
+        driver_max_docs = 256
+        rows = docs.select(F.col(id_col), F.col(text_col)) \
+            .limit(driver_max_docs + 1).collect()
+        if (len(rows) <= driver_max_docs
+                and len({r[0] for r in rows}) == len(rows)):
+            # (duplicate-id inputs keep the distributed path, whose
+            # shingle-union semantics the dict twin cannot mirror)
+            from ..session import local_df
+
+            idt = docs.select(F.col(id_col)).schema[0].dataType.simpleString()
+            out = _local_minhash_pairs(
+                {r[0]: r[1] for r in rows}, k, num_hashes, 1, bands,
+                jaccard_threshold)
+            return local_df(
+                docs.sparkSession, out,
+                f"id_a {idt}, id_b {idt}, jaccard double")
     sh = shingle_table(docs, id_col, text_col, k)
     if persist_shingles:
         sh = sh.persist()

@@ -4344,3 +4344,54 @@ def test_colink_similarity_modes_and_fanout_guard(spark):
 
     with __import__("pytest").raises(ValueError):
         colink_similarity(df, mode="nope")
+
+
+def test_minhash_driver_path_matches_distributed(spark):
+    """The size-gated driver twin of minhash_lsh_dedup / lsh_plan_stats
+    must be bit-identical to the dataflow (integer M31/md5 arithmetic +
+    one final division). persist_shingles=True forces the distributed
+    path for the comparison."""
+    from crawl4ai_custom_spark.operators.dedup import (
+        lsh_plan_stats,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    rows = [(i, f"tok{i % 7} common words here repeated tok{i % 3} "
+                f"plus tail {i % 5} and some more filler text ok")
+            for i in range(40)] + [(99, None), (100, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = minhash_lsh_dedup(docs, num_hashes=16, bands=4,
+                             jaccard_threshold=0.3)
+    slow = minhash_lsh_dedup(docs, num_hashes=16, bands=4,
+                             jaccard_threshold=0.3, persist_shingles=True)
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
+
+    sigs = minhash_signatures(shingle_table(docs), 16, 1)
+    fast_plan = lsh_plan_stats(sigs, [2, 4, 8], num_hashes=16)
+    # a >256-row signature table exercises the distributed branch (the
+    # twin's numbers for the small table are checked by hand below)
+    import crawl4ai_custom_spark.operators.dedup as dd
+
+    sigs_big = sigs
+    for j in range(1, 9):
+        sigs_big = sigs_big.unionByName(
+            sigs.withColumn("id", F.col("id") + F.lit(j * 1000)))
+    assert lsh_plan_stats(sigs_big, [2, 4, 8], num_hashes=16).count() == 3
+    got = {r["bands"]: r for r in fast_plan.collect()}
+    hand = {}
+    srows = sigs.collect()
+    for b in (2, 4, 8):
+        r = 16 // b
+        hist = {}
+        for row in srows:
+            for bh in dd._local_band_hashes(list(row["sig"]), b, 16):
+                hist[bh] = hist.get(bh, 0) + 1
+        hand[b] = (len(hist), sum(1 for n in hist.values() if n > 1),
+                   max(hist.values()), sum(n * (n - 1) for n in hist.values()) // 2)
+    for b in (2, 4, 8):
+        g = got[b]
+        assert (g["n_buckets"], g["n_colliding_buckets"], g["max_bucket"],
+                g["pred_candidate_rows"]) == hand[b], b
