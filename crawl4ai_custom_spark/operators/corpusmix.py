@@ -612,7 +612,68 @@ def train_langid(
 
     Shape: one explode -> ONE groupBy(lang, bucket) partial-agg count ->
     dense cross of the (tiny) lang and bucket tables -> cost algebra.
-    Linear in training chars; nothing scales with the scoring corpus."""
+    Linear in training chars; nothing scales with the scoring corpus.
+
+    Small labeled sets (the common case — LID trains on a curated sample,
+    not the corpus) run a bit-identical driver twin: integer md5 bucket
+    hashing and HALF_UP micro-nat rounding shared verbatim, gated by an
+    incremental limit-probe (cluster_pairs convention); the distributed
+    path is unchanged and exercised above the gate."""
+    driver_max_docs = 1024
+    rows = labeled.select(
+        F.col(lang_col).cast("string"), F.col(text_col)
+    ).limit(driver_max_docs + 1).collect()
+    if len(rows) <= driver_max_docs:
+        import hashlib
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from ..session import local_df
+
+        def grams(t):
+            if t is None:
+                return []
+            t = t.lower()
+            if len(t) >= n:
+                return [t[i:i + n] for i in range(len(t) - n + 1)]
+            return [t] if t else []
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                       16) % num_buckets
+
+        def micro(p):
+            return int(Decimal(repr(-math.log(p) * 1e6))
+                       .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        counts: dict = {}
+        n_docs: dict = {}
+        for lg, text in rows:
+            n_docs[lg] = n_docs.get(lg, 0) + 1
+            for g in grams(text):
+                key = (lg, bucket(g))
+                counts[key] = counts.get(key, 0) + 1
+        tot = {}
+        for (lg, _b), c in counts.items():
+            tot[lg] = tot.get(lg, 0) + c
+        n_all = sum(n_docs.values())
+        k, b = float(smoothing), num_buckets
+        langs = {
+            lg: (micro(n_docs[lg] / n_all),
+                 micro(k / (tot[lg] + k * b)))
+            for lg in tot  # langs with zero grams have no lang_tot row
+        }
+        all_buckets = sorted({bk for (_lg, bk) in counts})
+        out = []
+        for bk in all_buckets:
+            for lg, (prior, default) in langs.items():
+                c = counts.get((lg, bk), 0)
+                out.append((lg, bk, micro((c + k) / (tot[lg] + k * b)),
+                            prior, default, b))
+        return local_df(
+            labeled.sparkSession, out,
+            "lang string, bucket bigint, cost bigint, prior_cost bigint, "
+            "default_cost bigint, n_buckets int")
     lang = F.col(lang_col).cast("string")
     feats = labeled.select(
         lang.alias("lang"),

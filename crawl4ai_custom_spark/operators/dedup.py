@@ -834,46 +834,59 @@ def winnow_fingerprints(
     squashed text)."""
     if k < 2 or window < 1:
         raise ValueError(f"need k >= 2 and window >= 1, got {k}, {window}")
-    squashed = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    n_grams = F.greatest(F.length(squashed) - k + 1, F.lit(0))
-    # NB: F.sequence(a, b) auto-descends when a > b — guard the empty case
-    grams = F.when(n_grams >= 1, F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: stable_hash60(squashed.substr(i, F.lit(k))),
-    )).otherwise(F.array().cast("array<bigint>"))
-    gram_rows = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("pos", "h"),
+    # Winnowing is doc-local (squash -> gram hashes -> sliding rightmost
+    # minimum), so the whole selection runs per document inside ONE Arrow
+    # stage — the corpus dimension distributes and nothing shuffles. The
+    # previous dataflow paid a posexplode + groupBy(id) collect exchange
+    # plus an O(n*w) HOF fold per row; integer md5/position arithmetic is
+    # identical, so the selected (id, fp_hash, pos) set is bit-identical.
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
     )
-    arrs = gram_rows.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "h"))),
-            lambda x: x["h"],
-        ).alias("hs")
-    )
-    hs = F.col("hs")
-    n = F.size(hs)
-    n_wins = F.greatest(n - window + 1, F.least(n, F.lit(1)))
-    sentinel = F.struct(F.lit((1 << 62)).alias("h"), F.lit(-1).alias("p"))
-    fps = F.transform(
-        F.sequence(F.lit(0), n_wins - 1),   # n >= 1 after the explode
-        lambda i: F.aggregate(
-            F.zip_with(
-                F.slice(hs, i + 1, window),
-                F.sequence(i, i + window - 1),
-                lambda h, p: F.struct(h.alias("h"), p.alias("p")),
-            ),
-            sentinel,
-            lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
-        ),
-    )
-    return (
-        arrs.select("id", F.explode(fps).alias("fp"))
-        .select("id", F.col("fp.h").alias("fp_hash"),
-                F.col("fp.p").alias("pos"))
-        .where(F.col("pos") >= 0)
-        .distinct()
-    )
+
+    out_schema = StructType([
+        StructField("id", docs.schema[id_col].dataType),
+        StructField("fp_hash", LongType()),
+        StructField("pos", IntegerType()),
+    ])
+    src = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+
+    def fn(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        strip_pat = re.compile("[^a-z0-9]")
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            out = {"id": [], "fp_hash": [], "pos": []}
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue
+                squashed = strip_pat.sub("", text.lower())
+                n = len(squashed) - k + 1
+                if n < 1:
+                    continue
+                grams = [h60(squashed[i:i + k]) for i in range(n)]
+                fps = set()
+                for i in range(max(n - window + 1, 1)):
+                    best_h = best_p = None
+                    for p in range(i, min(i + window, n)):
+                        if best_h is None or grams[p] <= best_h:
+                            best_h, best_p = grams[p], p
+                    fps.add((best_h, best_p))
+                for h, p in sorted(fps):
+                    out["id"].append(did)
+                    out["fp_hash"].append(h)
+                    out["pos"].append(p)
+            yield pd.DataFrame(out, columns=["id", "fp_hash", "pos"])
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def winnow_matches(fingerprints: DataFrame,

@@ -951,6 +951,56 @@ def coreness(edges: DataFrame, max_rounds: int = 30,
 
     spark = edges.sparkSession
     und = _undirected(edges)
+    # small-graph driver twin (the cluster_pairs convention): the h-index
+    # recurrence is pure integer arithmetic, so an edge set that fits an
+    # incremental limit-probe runs the identical iteration locally
+    # instead of rounds x (join + two aggs + window + checkpoint) jobs;
+    # a checkpoint_dir signals an at-scale durable build -> distributed.
+    if checkpoint_dir is None:
+        driver_max_edges = 200_000
+        sample = und.limit(driver_max_edges + 1).collect()
+        if len(sample) <= driver_max_edges:
+            from ..session import local_df
+
+            nbrs: dict = {}
+            for a, b in sample:
+                nbrs.setdefault(a, []).append(b)
+                nbrs.setdefault(b, []).append(a)
+            est = {n: len(v) for n, v in nbrs.items()}
+            converged_l = False
+            for _ in range(max_rounds):
+                new: dict = {}
+                for n, nv in nbrs.items():
+                    hist: dict = {}
+                    for x in nv:
+                        v = est[x]
+                        hist[v] = hist.get(v, 0) + 1
+                    cum, h = 0, 0
+                    for v in sorted(hist, reverse=True):
+                        cum += hist[v]
+                        m = v if v < cum else cum
+                        if m > h:
+                            h = m
+                    new[n] = h
+                if new == est:
+                    converged_l = True
+                    est = new
+                    break
+                est = new
+            if not converged_l:
+                import warnings
+
+                warnings.warn(
+                    f"coreness did not converge within max_rounds="
+                    f"{max_rounds}; estimates are a node-wise upper bound "
+                    "on true coreness — raise max_rounds",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            idt = edges.select(F.col("src")).schema[0].dataType.simpleString()
+            return local_df(
+                spark, sorted(est.items()),
+                f"node {idt}, coreness bigint")
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
         .unionByName(
             und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))

@@ -257,3 +257,45 @@ def test_rendezvous_shard_bounded_movement(spark):
         rendezvous_shard(docs, [])
     with _p.raises(ValueError):
         rendezvous_shard(docs, ["x", "x"])
+
+
+def test_langid_train_driver_path_matches_distributed(spark):
+    """The train_langid driver twin (integer md5 buckets + HALF_UP
+    micro-nat rounding) must equal the distributed dataflow exactly;
+    the gate is the 1024-doc limit probe, so a replicated >1024-row
+    labeled set forces the distributed path for comparison."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_custom_spark.operators.corpusmix import train_langid
+
+    rows = [(i, ["en", "de", "fr"][i % 3],
+             f"sample text nummer {i} mit ein paar worte the quick fox")
+            for i in range(60)]
+    small = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    big = small
+    for j in range(1, 20):
+        big = big.unionByName(
+            small.withColumn("doc_id", F.col("doc_id") + F.lit(j * 100)))
+    fast = train_langid(small, num_buckets=512)
+    # the replicated set multiplies every per-(lang,bucket) count AND the
+    # doc counts by 20, so priors are unchanged and smoothing shifts —
+    # compare the twin against the distributed run on the SAME small set
+    # by disabling the gate via monkeypatched limit
+    slow = train_langid(big, num_buckets=512)   # distributed path runs
+    assert slow.count() == fast.count()          # same dense shape
+    # exact comparison: rebuild the distributed small-set model by
+    # replicating the twin's inputs through the dataflow — force the
+    # distributed branch with a 1025-row union that adds ONLY docs of a
+    # sentinel language, then filter it back out. Sentinel docs change
+    # nothing for the original languages except n_all (priors), so
+    # compare the gram-cost columns only.
+    pad = spark.createDataFrame(
+        [(10_000 + i, "zz", "zz zz zz") for i in range(1025)],
+        ["doc_id", "lang", "text"])
+    padded = train_langid(small.unionByName(pad), num_buckets=512)
+    dist = {(r["lang"], r["bucket"]): (r["cost"], r["default_cost"])
+            for r in padded.where(F.col("lang") != "zz").collect()}
+    twin = {(r["lang"], r["bucket"]): (r["cost"], r["default_cost"])
+            for r in fast.collect()}
+    for key, v in twin.items():
+        assert dist[key] == v, key

@@ -4395,3 +4395,18 @@ def test_minhash_driver_path_matches_distributed(spark):
         g = got[b]
         assert (g["n_buckets"], g["n_colliding_buckets"], g["max_bucket"],
                 g["pred_candidate_rows"]) == hand[b], b
+
+
+def test_coreness_driver_path_matches_distributed(spark, tmp_path):
+    """The integer h-index driver twin must equal the distributed
+    iteration exactly (checkpoint_dir forces the distributed path)."""
+    from crawl4ai_custom_spark.operators.linkgraph import coreness
+
+    rows = [(i, (i * 7 + 3) % 40) for i in range(200)] + \
+           [(i, i + 1) for i in range(40)] + [(0, 2), (2, 4), (0, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], ["src", "dst"])
+    fast = coreness(edges)
+    slow = coreness(edges, checkpoint_dir=str(tmp_path / "core"))
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
