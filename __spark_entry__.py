@@ -3221,8 +3221,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_custom_spark.session import spread_scan
 
     # the documents table ships as ONE row group: without an explicit
-    # spread the whole build+parse python stage runs in a single task
-    src = spread_scan(docs).select(
+    # spread the whole build+parse python stage runs in a single task.
+    # bytes_per_task is tuned down — the per-row cost here (zlib build +
+    # 4 parser passes, ~0.35 ms/doc) dwarfs the scan bytes, so the
+    # default 256KB/task leaves most cores idle at sf0.1's ~600KB file
+    src = spread_scan(docs, bytes_per_task=32 * 1024).select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit("Doc "), F.col("doc_id")).alias("page1"),
         prefix.alias("page2"),
