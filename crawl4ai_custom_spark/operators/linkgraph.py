@@ -40,15 +40,71 @@ def host_edges(links: DataFrame, src_url: str = "url",
     )
 
 
+_DRIVER_MAX_EDGES = 200_000  # the cluster_pairs small-input gate
+
+
+def _collect_small_edges(edges: DataFrame):
+    """Incremental limit-probe: the collected edge ROW list (duplicates
+    preserved — out-degree counts rows) when the graph fits the driver
+    gate, else None. CollectLimit short-circuits at scale."""
+    rows = edges.select("src", "dst").limit(_DRIVER_MAX_EDGES + 1).collect()
+    return rows if len(rows) <= _DRIVER_MAX_EDGES else None
+
+
+def _local_power_iteration(edge_rows, teleport: dict, init: dict,
+                           iterations: int, damping: float,
+                           base_from_teleport: bool):
+    """Driver twin of the pagerank/trustrank power step: per-contribution
+    rank/out_deg, then base + damping * sum. Summation order differs from
+    the shuffled groupBy only below 1e-15 relative — absorbed by the
+    +1e-12 round-8 the gates apply (the same argument that lets the
+    DuckDB oracle match the dataflow)."""
+    deg: dict = {}
+    for s, _d in edge_rows:
+        deg[s] = deg.get(s, 0) + 1
+    rank = dict(init)
+    for _ in range(iterations):
+        sums: dict = {}
+        for s, d in edge_rows:
+            sums[d] = sums.get(d, 0.0) + rank[s] / deg[s]
+        rank = {
+            node: ((1.0 - damping) * teleport[node] if base_from_teleport
+                   else teleport[node])
+            + damping * sums.get(node, 0.0)
+            for node in rank
+        }
+    return rank
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              checkpoint_dir: str | None = None) -> DataFrame:
     """(src, dst) edges -> (node, rank) after `iterations` power steps.
 
     Pass checkpoint_dir to materialize ranks each round (mandatory for
-    double-digit iteration counts: truncates lineage like cluster_pairs)."""
+    double-digit iteration counts: truncates lineage like cluster_pairs).
+    Small graphs (see _collect_small_edges) iterate on the driver instead
+    of iterations x (join + groupBy) jobs; checkpoint_dir forces the
+    distributed path."""
     import os
 
     spark = edges.sparkSession
+    if checkpoint_dir is None:
+        rows = _collect_small_edges(edges)
+        if rows is not None:
+            from ..session import local_df
+
+            idt = edges.select(F.col("src")).schema[0].dataType.simpleString()
+            node_set = {s for s, _ in rows} | {d for _, d in rows}
+            if not node_set:
+                return local_df(spark, [], f"node {idt}, rank double")
+            n = len(node_set)
+            base = (1.0 - damping) / n
+            rank = _local_power_iteration(
+                rows, {x: base for x in node_set},
+                {x: 1.0 / n for x in node_set},
+                iterations, damping, base_from_teleport=False)
+            return local_df(spark, sorted(rank.items()),
+                            f"node {idt}, rank double")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -94,10 +150,30 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     rank 0. Same materialized-rounds shape as :func:`pagerank` (each
     power step is one join + one groupBy; checkpoint_dir truncates
     lineage). The ranks compose with :func:`pagerank_authority` unchanged
-    to feed `CrawlConfig.domain_authority`."""
+    to feed `CrawlConfig.domain_authority`. Small graphs iterate on the
+    driver (pagerank's gate); checkpoint_dir forces distributed."""
     import os
 
     spark = edges.sparkSession
+    if checkpoint_dir is None:
+        rows = _collect_small_edges(edges)
+        if rows is not None:
+            from ..session import local_df
+
+            idt = edges.select(F.col("src")).schema[0].dataType.simpleString()
+            node_set = {s for s, _ in rows} | {d for _, d in rows}
+            seed_set = {r[0] for r in seeds.select(seeds.columns[0])
+                        .distinct().collect()} & node_set
+            if not seed_set:
+                return local_df(
+                    spark, [(x, 0.0) for x in sorted(node_set)],
+                    f"node {idt}, rank double")
+            t = {x: (1.0 / len(seed_set) if x in seed_set else 0.0)
+                 for x in node_set}
+            rank = _local_power_iteration(rows, t, dict(t), iterations,
+                                          damping, base_from_teleport=True)
+            return local_df(spark, sorted(rank.items()),
+                            f"node {idt}, rank double")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -575,10 +651,44 @@ def spam_mass(edges: DataFrame, good_seeds: DataFrame,
     pr >= (1-d)/n > 0 for every node, so the ratio is always defined.
     Returns (node, pagerank, core_rank, spam_mass); spam_mass is clamped
     to [0, 1] (tiny negatives can appear when the core over-covers a
-    node at small iteration counts)."""
+    node at small iteration counts). Small graphs iterate on the driver
+    (pagerank's gate); checkpoint_dir forces distributed."""
     import os
 
     spark = edges.sparkSession
+    if checkpoint_dir is None:
+        rows = _collect_small_edges(edges)
+        if rows is not None:
+            from ..session import local_df
+
+            idt = edges.select(F.col("src")).schema[0].dataType.simpleString()
+            node_set = {s for s, _ in rows} | {d for _, d in rows}
+            if not node_set:
+                return local_df(
+                    spark, [], f"node {idt}, pagerank double, "
+                    "core_rank double, spam_mass double")
+            n = len(node_set)
+            seed_set = {r[0] for r in good_seeds.select(good_seeds.columns[0])
+                        .distinct().collect()} & node_set
+            n_seed = len(seed_set)
+            base = (1.0 - damping) / n
+            pr = _local_power_iteration(
+                rows, {x: base for x in node_set},
+                {x: 1.0 / n for x in node_set},
+                iterations, damping, base_from_teleport=False)
+            t = {x: (1.0 / n_seed if x in seed_set else 0.0)
+                 for x in node_set} if n_seed else {x: 0.0 for x in node_set}
+            tr = _local_power_iteration(rows, t, dict(t), iterations,
+                                        damping, base_from_teleport=True)
+            scale = n_seed / n
+            out = []
+            for x in sorted(node_set):
+                core = tr[x] * scale
+                mass = min(max((pr[x] - core) / pr[x], 0.0), 1.0)
+                out.append((x, pr[x], core, mass))
+            return local_df(
+                spark, out, f"node {idt}, pagerank double, "
+                "core_rank double, spam_mass double")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

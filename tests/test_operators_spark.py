@@ -4410,3 +4410,33 @@ def test_coreness_driver_path_matches_distributed(spark, tmp_path):
     slow = coreness(edges, checkpoint_dir=str(tmp_path / "core"))
     assert sorted(map(tuple, fast.collect())) == \
         sorted(map(tuple, slow.collect()))
+
+
+def test_pagerank_family_driver_path_matches_distributed(spark, tmp_path):
+    """pagerank/trustrank/spam_mass driver twins vs the distributed
+    chains (checkpoint_dir forces distributed): equal after the gates'
+    own +1e-12 round-8, which is what makes the dataflow itself
+    summation-order deterministic."""
+    from crawl4ai_custom_spark.operators.linkgraph import (
+        pagerank, spam_mass, trustrank)
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 150) for i in range(150)]
+        + [(i, (i * 13 + 2) % 150) for i in range(150)],
+        ["src", "dst"]).where("src != dst").distinct()
+    seeds = spark.range(0, 150, 40).selectExpr("id as node")
+
+    def r8(df, cols):
+        return sorted(map(tuple, df.select(
+            "node", *[F.round(F.col(c) + 1e-12, 8).alias(c) for c in cols]
+        ).collect()))
+
+    assert r8(pagerank(edges, 3), ["rank"]) == \
+        r8(pagerank(edges, 3, checkpoint_dir=str(tmp_path / "pr")), ["rank"])
+    assert r8(trustrank(edges, seeds, 3), ["rank"]) == \
+        r8(trustrank(edges, seeds, 3,
+                     checkpoint_dir=str(tmp_path / "tr")), ["rank"])
+    assert r8(spam_mass(edges, seeds, 2), ["pagerank", "core_rank"]) == \
+        r8(spam_mass(edges, seeds, 2,
+                     checkpoint_dir=str(tmp_path / "sm")),
+           ["pagerank", "core_rank"])
