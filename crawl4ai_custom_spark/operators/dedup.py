@@ -234,6 +234,40 @@ def _local_minhash_pairs(texts: dict, k: int, num_hashes: int, seed: int,
     return out
 
 
+def _local_exact_jaccard_pairs(texts: dict, k: int,
+                               threshold: float) -> list:
+    """Driver twin shared by prefix_filter_dedup / ngram_jaccard_dedup:
+    exact all-pairs Jaccard over the collected shingle sets. Valid as the
+    prefix-filter twin because the lemma guarantees its output EQUALS
+    brute force — the candidate pruning only changes work, not answers.
+    Pairs with zero intersection are absent (the dataflows' inner
+    verify join drops them)."""
+    shingles = {i: _local_shingle_hashes(t, k) for i, t in texts.items()}
+    ids = sorted(i for i, s in shingles.items() if s)
+    out = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(shingles[a] & shingles[b])
+            if inter == 0:
+                continue
+            j = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+def _small_docs_probe(docs: DataFrame, id_col: str, text_col: str,
+                      max_docs: int = 256):
+    """Incremental limit-probe for the driver twins: the collected
+    (id, text) rows when the corpus fits and ids are unique, else None."""
+    rows = docs.select(F.col(id_col), F.col(text_col)) \
+        .limit(max_docs + 1).collect()
+    if len(rows) <= max_docs and len({r[0] for r in rows}) == len(rows):
+        return rows
+    return None
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, *,
                         num_hashes: int) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
@@ -914,7 +948,19 @@ def ngram_jaccard_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold (no LSH; for modest n or
-    as the ground-truth check of minhash_lsh_dedup)."""
+    as the ground-truth check of minhash_lsh_dedup). Small corpora run
+    the shared driver twin (bit-identical; see
+    _local_exact_jaccard_pairs)."""
+    rows = _small_docs_probe(docs, id_col, text_col)
+    if rows is not None:
+        from ..session import local_df
+
+        idt = docs.select(F.col(id_col)).schema[0].dataType.simpleString()
+        return local_df(
+            docs.sparkSession,
+            _local_exact_jaccard_pairs({r[0]: r[1] for r in rows}, k,
+                                       threshold),
+            f"id_a {idt}, id_b {idt}, jaccard double")
     sh = shingle_table(docs, id_col, text_col, k)
     sa = sh.select(F.col("id").alias("id_a"), "shingle_hash")
     sb = sh.select(F.col("id").alias("id_b"), "shingle_hash")
@@ -983,6 +1029,16 @@ def prefix_filter_dedup(
     to parquet yourself and pass ``docs`` pre-shingled instead."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    rows = _small_docs_probe(docs, id_col, text_col)
+    if rows is not None:
+        from ..session import local_df
+
+        idt = docs.select(F.col(id_col)).schema[0].dataType.simpleString()
+        return local_df(
+            docs.sparkSession,
+            _local_exact_jaccard_pairs({r[0]: r[1] for r in rows}, k,
+                                       threshold),
+            f"id_a {idt}, id_b {idt}, jaccard double")
     sh = shingle_table(docs, id_col, text_col, k).localCheckpoint()
     df_tbl = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("_df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

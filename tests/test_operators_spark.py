@@ -4440,3 +4440,19 @@ def test_pagerank_family_driver_path_matches_distributed(spark, tmp_path):
         r8(spam_mass(edges, seeds, 2,
                      checkpoint_dir=str(tmp_path / "sm")),
            ["pagerank", "core_rank"])
+
+
+def test_exact_jaccard_driver_path_matches_distributed(spark):
+    """prefix_filter_dedup above the 256-doc gate (distributed) must
+    equal the driver twin run on the same collected texts."""
+    import crawl4ai_custom_spark.operators.dedup as dd
+
+    rows = [(i, f"alpha beta gamma {i % 9} delta epsilon {i % 4} zeta "
+                f"eta theta common suffix words here")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    dist = sorted(map(tuple, dd.prefix_filter_dedup(
+        docs, threshold=0.6).collect()))
+    twin = sorted(dd._local_exact_jaccard_pairs(
+        {i: t for i, t in rows}, 3, 0.6))
+    assert dist == twin
