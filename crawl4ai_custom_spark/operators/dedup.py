@@ -928,7 +928,29 @@ def winnow_matches(fingerprints: DataFrame,
     """Document pairs sharing >= min_shared winnowing fingerprints —
     the copy-detection join over the tiny fingerprint table (~2/(w+1)
     of the gram count per doc), never the texts. Returns (id_a, id_b,
-    n_shared)."""
+    n_shared). Fingerprint tables under the limit-probe run the
+    pair count locally (integer set intersections — bit-identical)."""
+    probe_max = 100_000
+    rows = fingerprints.select("id", "fp_hash").limit(probe_max + 1).collect()
+    by_id: dict = {}
+    if len(rows) <= probe_max:
+        for i, h in rows:
+            by_id.setdefault(i, set()).add(h)
+    # the local pair loop is O(docs^2): bound BOTH rows and docs
+    if rows and len(rows) <= probe_max and len(by_id) <= 512:
+        from ..session import local_df
+
+        idt = fingerprints.select(
+            F.col("id")).schema[0].dataType.simpleString()
+        ids = sorted(by_id)
+        out = []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                n = len(by_id[ids[x]] & by_id[ids[y]])
+                if n >= min_shared:
+                    out.append((ids[x], ids[y], n))
+        return local_df(fingerprints.sparkSession, out,
+                        f"id_a {idt}, id_b {idt}, n_shared bigint")
     a = fingerprints.select(F.col("id").alias("id_a"), "fp_hash")
     b = fingerprints.select(F.col("id").alias("id_b"), "fp_hash")
     return (
